@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory — every entry point (Verify, Bench, tests)
+  * goes through here so engine-critical configs can't drift.
+  *
+  * Config rationale (SURVEY.md §4):
+  *  - session TZ pinned UTC: reference stores/parses all times UTC
+  *    (.github/workflows/football-data-pipeline.yml:154).
+  *  - shuffle.partitions = core count locally; on a real cluster this is
+  *    sized to data volume and AQE coalesces.
+  *  - AQE on: runtime skew-join splitting + shuffle coalescing are part of
+  *    the 100 TB design, not an afterthought.
+  *  - nanosAsLong: testdata `events.ts` is parquet TIMESTAMP(NANOS); see
+  *    [[Tables.eventsRawSchema]].
+  */
+object GraftSession {
+  def build(master: String, shufflePartitions: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Build from the driver's env contract (SPARK_GRAFT_CPUS). */
+  def fromEnv(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    build(s"local[$cpus]", cpus)
+  }
+}

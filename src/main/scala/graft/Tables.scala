@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Explicit-schema loaders for the driver testdata tables (TESTDATA.md).
+  *
+  * Production paths never `inferSchema` (SURVEY.md §1.3): every source has a
+  * declared `StructType` so analysis errors surface at plan time, a requirement
+  * for the 100 TB posture where a bad inference silently rescans data.
+  *
+  * At cluster scale these would be date-partitioned tables (see SURVEY.md §4 —
+  * the reference's secondary indexes at database_schema.sql:172-179 map to
+  * partition + sort-within-partition physical design); the loaders keep that
+  * concern out of query code so only this layer changes.
+  */
+object Tables {
+
+  val regionSchema: StructType = StructType(Seq(
+    StructField("r_regionkey", IntegerType),
+    StructField("r_name", StringType)))
+
+  val nationSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  val supplierSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  val partSchema: StructType = StructType(Seq(
+    StructField("p_partkey", LongType),
+    StructField("p_name", StringType),
+    StructField("p_brand", StringType),
+    StructField("p_type", StringType),
+    StructField("p_size", IntegerType),
+    StructField("p_retailprice", DoubleType)))
+
+  val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampType),
+    StructField("o_orderpriority", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  /** Time-series fact table; stands in for the reference's `odds_history`
+    * (database_schema.sql:46-61): append-only, event-time `ts`.
+    *
+    * On disk `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * only surfaces as INT64 (requires `spark.sql.legacy.parquet.nanosAsLong=
+    * true`, set by [[GraftSession]]); [[events]] converts ns→µs with integer
+    * division (floor — matching DuckDB's ns→µs truncation) and presents a
+    * proper `TimestampType` column. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> regionSchema,
+    "nation" -> nationSchema,
+    "customer" -> customerSchema,
+    "supplier" -> supplierSchema,
+    "part" -> partSchema,
+    "orders" -> ordersSchema,
+    "lineitem" -> lineitemSchema,
+    "events" -> eventsSchema,
+    "documents" -> documentsSchema,
+    "embeddings" -> embeddingsSchema)
+
+  /** Load one table from a scale-factor directory with its declared schema. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+        // `div` (integer division) — a double division would lose precision
+        // above 2^53 ns and shift timestamps by whole microseconds.
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(eventsSchema.fieldNames.map(col).toSeq: _*)
+    } else {
+      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>). Baseline: brute-force cosine top-k (broadcast queries —
+  * one scan of the corpus, no shuffle until the final per-query top-k).
+  * Scale path: random-hyperplane LSH bucketing so each query only scores
+  * its bucket-mates.
+  */
+object Ann {
+
+  /** Dot product of two array<float/double> columns — exact decimal
+    * accumulation so the result is summation-order independent (needed for
+    * hash-exact verification; the per-element products are IEEE-exact). */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double"))
+        .cast("decimal(28,18)")),
+      lit(0).cast("decimal(28,18)"),
+      // add expands precision to (29,18); the re-cast keeps the accumulator
+      // type stable and is exact (scale unchanged, magnitude << 10^10)
+      (acc, v) => (acc + v).cast("decimal(28,18)")).cast("double")
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column =
+    dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * score the whole corpus and keep the k best. Plan: broadcast NL join
+    * (corpus never shuffles at full width) → per-query window top-k.
+    * Output: (query_id, rank, id, cos). */
+  def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q"))))
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+
+  /** Random-hyperplane signature: `nPlanes` sign bits packed into a long.
+    * The ±1 hyperplane matrix is derived ONCE at plan time from SplitMix64
+    * (deterministic, reproducible cluster-wide, no stored model) and shipped
+    * as a literal — per-row work is nPlanes fused multiply-adds, no per-row
+    * hashing. */
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int): Column = {
+    require(nPlanes <= 63, "pack into one long")
+    import graft.functions.MinHashSignature.splitmix64
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        if ((splitmix64(p.toLong * 1048573 + d) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+    val bits = (0 until nPlanes).map { p =>
+      val s = aggregate(
+        zip_with(vec, typedLit(planes(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus and queries signed with the same hyperplanes;
+    * candidates share a bucket (optionally multi-probe by also joining on
+    * 1-bit-flipped query signatures); exact cosine re-ranks in-bucket.
+    * Recall < 1 by construction — this is the 100 TB path where brute force
+    * is off the table; `nPlanes` trades recall for bucket size. */
+  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8): DataFrame = {
+    val sigCorpus = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("sig", hyperplaneSig(col("__v"), dim, nPlanes))
+    val qSig = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__q"))
+      .withColumn("sig0", hyperplaneSig(col("__q"), dim, nPlanes))
+    // multi-probe: original signature + signatures with one of the first
+    // `multiProbeBits` bits flipped
+    val probes = qSig.withColumn("sig",
+      explode(array((col("sig0") +: (0 until multiProbeBits).map(b =>
+        col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
+    val cands = sigCorpus.join(probes, Seq("sig"))
+      .dropDuplicates("query_id", "id")
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+}

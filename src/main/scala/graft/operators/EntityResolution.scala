@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.functions.{Normalize, Similarity}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution cascade (enhanced_mapping.py:325-392) — 7 strategies,
+  * first-above-threshold wins:
+  *
+  *   exact 1.0 → manual 0.95 → learned 0.9 → normalized 0.85 →
+  *   substring ≥0.75 → word-Jaccard ≥0.7 (floor 0.3) → fuzzy ≥0.6
+  *   (floor: similarity>0.4, match if conf≥0.3), else best fuzzy attempt.
+  *
+  * The reference's sequential early-exit loop becomes ONE distributed pass
+  * (SURVEY.md §2.8): score every (name, candidate) pair on all strategies in
+  * a single projection, take the per-strategy argmax per name with `max_by`
+  * (one partial-aggregated shuffle on the name — no window sort), then pick
+  * the first strategy whose max clears its threshold via a priority
+  * `coalesce(when …)`. Same result as the loop; no iteration; candidate list
+  * broadcast when small, with [[Similarity.lengthPrefilter]] available for
+  * large-vs-large fuzzy joins.
+  *
+  * Tie-breaking matches the loop's "first strictly greater wins": the
+  * candidate with the LOWEST `candOrder` among score ties.
+  */
+object EntityResolution {
+
+  /** Strategy names in cascade priority order. */
+  val strategies: Seq[String] = Seq("exact_match", "manual_mapping",
+    "learned_mapping", "normalized_matching", "substring_matching",
+    "word_based_matching", "fuzzy_matching")
+
+  /** Score all strategies for one (name, cand) pair — shared by the batch
+    * resolver and tests. `manualTarget`/`learnedTarget` are the mapped
+    * candidate name for this left name (null when absent). */
+  def pairScores(name: Column, cand: Column,
+      manualTarget: Column, learnedTarget: Column): Seq[(String, Column)] = {
+    val fuzzySim = Similarity.roSimilarity(
+      Normalize.normalizeName(name), Normalize.normalizeName(cand))
+    Seq(
+      "exact_match" -> when(name === cand, 1.0).otherwise(0.0),
+      "manual_mapping" -> when(cand === manualTarget, 0.95).otherwise(0.0),
+      "learned_mapping" -> when(cand === learnedTarget, 0.9).otherwise(0.0),
+      "normalized_matching" ->
+        when(Normalize.normalizeName(name) === Normalize.normalizeName(cand),
+          0.85).otherwise(0.0),
+      "substring_matching" -> Normalize.substringConfidence(name, cand),
+      "word_based_matching" -> {
+        val j = Normalize.jaccardWords(name, cand) * lit(0.7)
+        when(j > 0.3, j).otherwise(0.0)
+      },
+      "fuzzy_matching" ->
+        when(fuzzySim > 0.4, fuzzySim * lit(0.6)).otherwise(0.0))
+  }
+
+  /** Acceptance threshold per strategy (cascade early-exit levels). */
+  val thresholds: Map[String, Double] = Map(
+    "exact_match" -> 1.0, "manual_mapping" -> 0.95, "learned_mapping" -> 0.9,
+    "normalized_matching" -> 0.85, "substring_matching" -> 0.75,
+    "word_based_matching" -> 0.7, "fuzzy_matching" -> 0.6)
+
+  /** Resolve each `names.nameCol` against the candidate set.
+    *
+    * @param names     left side; must contain `nameCol`
+    * @param cands     candidate side: (`candCol`, `candOrderCol`) — order
+    *                  reproduces the reference's list-iteration tie-break
+    * @param manual    optional curated mapping (nameCol -> target) — F2
+    * @param learned   optional learned mapping (nameCol -> target) — F3
+    * @return one row per distinct name: matched_name, confidence,
+    *         strategy_used, match_found
+    */
+  def resolve(names: DataFrame, nameCol: String,
+      cands: DataFrame, candCol: String, candOrderCol: String,
+      manual: Option[DataFrame] = None,
+      learned: Option[DataFrame] = None): DataFrame = {
+    val left = names.select(col(nameCol).as("api_name")).distinct()
+    val withManual = manual match {
+      case Some(m) => left.join(
+        broadcast(m.select(col(nameCol).as("api_name"),
+          col("target").as("__manual"))), Seq("api_name"), "left")
+      case None => left.withColumn("__manual", lit(null).cast("string"))
+    }
+    val withLearned = learned match {
+      case Some(m) => withManual.join(
+        broadcast(m.select(col(nameCol).as("api_name"),
+          col("target").as("__learned"))), Seq("api_name"), "left")
+      case None => withManual.withColumn("__learned", lit(null).cast("string"))
+    }
+    val pairs = withLearned.crossJoin(
+      broadcast(cands.select(col(candCol).as("cand"),
+        col(candOrderCol).as("cand_ord"))))
+
+    val scored = pairScores(col("api_name"), col("cand"),
+      col("__manual"), col("__learned"))
+      .foldLeft(pairs) { case (df, (s, c)) => df.withColumn(s"s_$s", c) }
+
+    // per-strategy argmax per name: max_by over (score, -order) — highest
+    // score, earliest candidate. Partial-aggregates map-side; single shuffle.
+    val aggs = strategies.flatMap { s =>
+      Seq(
+        max(col(s"s_$s")).as(s"max_$s"),
+        max_by(col("cand"), struct(col(s"s_$s"), -col("cand_ord")))
+          .as(s"cand_$s"))
+    }
+    val perName = scored.groupBy("api_name").agg(aggs.head, aggs.tail: _*)
+
+    val strategyPick = coalesce(
+      (strategies.map { s =>
+        when(col(s"max_$s") >= thresholds(s), lit(s))
+      } :+ lit("fuzzy_matching")): _*)
+
+    perName
+      .withColumn("strategy_used", strategyPick)
+      .withColumn("confidence",
+        coalesce(strategies.map(s =>
+          when(col("strategy_used") === s, col(s"max_$s"))): _*))
+      .withColumn("matched_name",
+        when(col("confidence") > 0,
+          coalesce(strategies.map(s =>
+            when(col("strategy_used") === s, col(s"cand_$s"))): _*)))
+      // fuzzy fallback: match only when confidence >= 0.3
+      .withColumn("match_found",
+        when(col("strategy_used") === "fuzzy_matching",
+          col("confidence") >= 0.3).otherwise(col("confidence") > 0))
+      .select("api_name", "matched_name", "confidence", "strategy_used",
+        "match_found")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-family operators (SURVEY.md §2.3) with 100 TB-safe plan shapes. */
+object Joins {
+
+  /** J4 — OR-disjunct equi-join (`t.id = f.home_id OR t.id = f.away_id`,
+    * streamlit_dashboard.py:61): Catalyst plans a raw OR condition as a
+    * broadcast-nested-loop join — quadratic at scale. Rewrite as the union of
+    * two hash equi-joins, deduped on the left's row identity. Rows matching
+    * both sides appear once (matching SQL OR-join semantics).
+    *
+    * @param leftId column(s) uniquely identifying a `left` row
+    */
+  def disjunctJoin(left: DataFrame, right: DataFrame,
+      cond1: (DataFrame, DataFrame) => Column,
+      cond2: (DataFrame, DataFrame) => Column,
+      leftId: Seq[String], rightId: Seq[String]): DataFrame = {
+    val j1 = left.join(right, cond1(left, right))
+    val j2 = left.join(right, cond2(left, right))
+    j1.unionByName(j2).dropDuplicates(leftId ++ rightId)
+  }
+
+  /** J5 — range/interval join: `probe.ts BETWEEN anchor.start AND anchor.end`
+    * plus an equi-key. The equi-key keeps this a hash join with the range as
+    * a post-join filter — never a BNLJ. For pure range joins (no equi key)
+    * use [[bucketedRangeJoin]]. */
+  def rangeJoin(probe: DataFrame, anchor: DataFrame, equiKey: Column,
+      ts: Column, start: Column, end: Column): DataFrame =
+    probe.join(anchor, equiKey && ts.between(start, end))
+
+  /** Pure range join via date bucketing: expand each anchor interval to the
+    * date buckets it covers (`sequence` + `explode`), then hash-join on the
+    * bucket and post-filter the exact range. Shuffle is proportional to
+    * interval-days × anchors, not |probe| × |anchor|. */
+  def bucketedRangeJoin(probe: DataFrame, anchor: DataFrame,
+      probeTs: String, startCol: String, endCol: String): DataFrame = {
+    val buckets = anchor.withColumn("__bucket",
+      explode(sequence(to_date(col(startCol)), to_date(col(endCol)))))
+    probe.withColumn("__bucket", to_date(col(probeTs)))
+      .join(buckets, Seq("__bucket"))
+      .filter(col(probeTs).between(col(startCol), col(endCol)))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-family operators (SURVEY.md §2.5).
+  *
+  * All take explicit tiebreaker columns: at 100 TB there WILL be equal
+  * event-times within a key, and a nondeterministic `orderBy(desc(ts))` makes
+  * results run-order dependent — every ordering here is total.
+  */
+object Windows {
+
+  /** W1 — latest row per group (reference `upcoming_games_with_odds` view,
+    * database_schema.sql:161-166): `ROW_NUMBER() OVER (PARTITION BY keys
+    * ORDER BY ts DESC) = 1`. One shuffle on the partition keys. */
+  def latestPerGroup(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(desc(ts), desc(tiebreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W2 — LAG movement detection (discord_integration.py:477-498): previous
+    * value per key ordered by event time, plus relative change; caller
+    * filters on `abs(rel_change) > threshold`. */
+  def withLagMovement(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(asc(ts), asc(tiebreak))
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("rel_change",
+        when(col("prev_value").isNotNull && col("prev_value") =!= 0,
+          (col(valueCol) - col("prev_value")) / col("prev_value")))
+  }
+
+  /** W3 — first-vs-last per partition (streamlit_dashboard.py:369-394:
+    * opening vs current odds pct-change). Implemented as a plain aggregation
+    * with `min_by`/`max_by` instead of an UNBOUNDED..UNBOUNDED window frame:
+    * one shuffle, partial aggregation map-side, no per-partition sort. */
+  def firstLastPctChange(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String, valueCol: String): DataFrame = {
+    // min_by/max_by need a total order too: pack (ts, tiebreak) in a struct —
+    // struct ordering is lexicographic, so ties on ts fall to the tiebreaker.
+    val ord = struct(col(ts), col(tiebreak))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("first_value"),
+        max_by(col(valueCol), ord).as("last_value"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("pct_change",
+        when(col("first_value") =!= 0,
+          (col("last_value") - col("first_value")) / col("first_value") * 100))
+  }
+
+  /** W4 — per-group tail(1) (streamlit_dashboard.py:359) is latestPerGroup
+    * with a different key set; exposed for name parity. */
+  def perGroupTail1(df: DataFrame, keys: Seq[String], ts: String,
+      tiebreak: String): DataFrame = latestPerGroup(df, keys, ts, tiebreak)
+
+  /** J9 — as-of lookup: latest `right` row with rightTs <= leftTs per key.
+    *
+    * Scale design: this is the union-merge formulation — tag both sides,
+    * union, ONE shuffle on the key, ONE sort by (ts, side), then
+    * `last(value, ignoreNulls)` over the running frame picks the most recent
+    * right-side attributes for every left row. No per-row subquery, no range
+    * join explosion; cost is a single sort-merge pass even at 100 TB.
+    *
+    * @param left      probe side (keeps all rows)
+    * @param right     quote side (supplies `attrCols` as-of leftTs)
+    * @param key       equi-key column name present in both
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   event-time column on `right`
+    * @param attrCols  columns of `right` carried to the output (prefixed asof_)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, attrCols: Seq[String],
+      rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns
+    // side 0 = quote (right), side 1 = probe (left): on equal timestamps the
+    // quote sorts first so it IS visible to the probe (<= semantics).
+    val taggedRight = right.select(
+      (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        col(rightTiebreak).as("__tb") +:
+        attrCols.map(c => col(c).as(s"__a_$c"))): _*)
+    val taggedLeft = left.select(
+      (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        leftCols.map(col)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // quotes with equal __ts are totally ordered by __tb (latest wins);
+    // probe rows carry __tb = null, which sorts first within their slot.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(asc("__ts"), asc("__side"), asc_nulls_last("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsof = attrCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__a_$c"), ignoreNulls = true).over(w))
+    }
+    withAsof.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ attrCols.map(c => col(s"asof_$c"))): _*)
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.operators.{Fixture, JobQueue}
+import org.apache.spark.sql.functions._
+
+/** Job-queue / scheduling semantics (SURVEY.md §2.10) and nested-data
+  * operators (§2.9) re-bound to testdata. All "now" anchors are fixed
+  * literals — the engine takes processing time as a parameter, which is also
+  * what makes these verifiable. */
+object PipelineQueries {
+
+  private val T0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+
+  /** ST2 — job derivation: orders as fixtures (kickoff = o_orderdate,
+    * priority from o_orderpriority), 4 phase jobs each, future-only. */
+  val qJobDerivation = GQuery("q_job_derivation",
+    (s, d) => {
+      implicit val sp = s
+      import s.implicits._
+      val fixtures = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").as("fixture_id"),
+          col("o_orderdate").as("kickoff_utc"),
+          when(col("o_orderpriority") === "1-URGENT", "highest")
+            .when(col("o_orderpriority") === "2-HIGH", "high")
+            .otherwise("medium").as("priority"))
+        .as[Fixture]
+      JobQueue.deriveJobs(fixtures, T0)
+        .toDF()
+        .select(col("id"), col("fixture_id"),
+          Det.fmtTs(col("scheduled_for")).as("scheduled_s"),
+          col("status"), col("job_type"), col("priority"))
+        .orderBy(col("fixture_id"), col("job_type"))
+    },
+    Some(s"""WITH fixtures AS (
+        SELECT o_orderkey AS fixture_id, o_orderdate AS kickoff_utc,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 'highest'
+               WHEN o_orderpriority = '2-HIGH' THEN 'high'
+               ELSE 'medium' END AS priority
+        FROM orders WHERE o_orderkey < 3000),
+      phases AS (
+        SELECT * FROM (VALUES ('early_odds'), ('pre_match'), ('team_news'),
+          ('final_data')) p(job_type)),
+      jobs AS (
+        SELECT fixture_id || '_' || job_type AS id, fixture_id,
+          kickoff_utc - to_hours(CASE job_type
+            WHEN 'early_odds' THEN CASE WHEN priority = 'highest' THEN 48 ELSE 24 END
+            WHEN 'pre_match' THEN 12 WHEN 'team_news' THEN 3
+            ELSE 1 END) AS scheduled_for,
+          'pending' AS status, job_type, priority
+        FROM fixtures, phases)
+      SELECT id, fixture_id, ${Det.sqlFmtTs("scheduled_for")} AS scheduled_s,
+        status, job_type, priority
+      FROM jobs WHERE scheduled_for > TIMESTAMP '1996-01-01'
+      ORDER BY fixture_id, job_type"""))
+
+  /** ST3/P8/P9 — lifecycle: retention + due/expired transitions at a fixed
+    * processing time. Jobs synthesized from orders with varied statuses. */
+  val qJobLifecycle = GQuery("q_job_lifecycle",
+    (s, d) => {
+      val now = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val jobs = Tables.orders(s, d)
+        .select(
+          concat(col("o_orderkey"), lit("_early_odds")).as("id"),
+          col("o_orderdate").as("scheduled_for"),
+          when(col("o_orderkey") % 4 === 0, "pending")
+            .when(col("o_orderkey") % 4 === 1, "completed")
+            .when(col("o_orderkey") % 4 === 2, "failed")
+            .otherwise("pending").as("status"))
+      JobQueue.markDue(JobQueue.retain(jobs, now), now)
+        .groupBy(col("status"), col("due"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("status"), col("due"))
+    },
+    Some("""WITH jobs AS (
+        SELECT o_orderkey || '_early_odds' AS id, o_orderdate AS scheduled_for,
+          CASE WHEN o_orderkey % 4 = 0 THEN 'pending'
+               WHEN o_orderkey % 4 = 1 THEN 'completed'
+               WHEN o_orderkey % 4 = 2 THEN 'failed'
+               ELSE 'pending' END AS status
+        FROM orders),
+      retained AS (
+        SELECT * FROM jobs
+        WHERE (status = 'pending'
+            AND scheduled_for > TIMESTAMP '1997-01-01' - INTERVAL 2 HOUR)
+          OR (status IN ('completed', 'failed')
+            AND scheduled_for > TIMESTAMP '1997-01-01' - INTERVAL 3 DAY)),
+      marked AS (
+        SELECT
+          CASE WHEN status = 'pending' AND TIMESTAMP '1997-01-01'
+              > scheduled_for + INTERVAL 45 MINUTE THEN 'expired'
+            ELSE status END AS status,
+          (status = 'pending' AND scheduled_for <= TIMESTAMP '1997-01-01')
+            AS due
+        FROM retained)
+      SELECT status, due, COUNT(*) AS n FROM marked
+      GROUP BY status, due ORDER BY status, due"""))
+
+  /** J8+O6 — queue merge: existing jobs win over new on id collision. */
+  val qJobMerge = GQuery("q_job_merge",
+    (s, d) => {
+      val now = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val existing = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .select(concat(col("o_orderkey"), lit("_early_odds")).as("id"),
+          col("o_orderdate").as("scheduled_for"),
+          lit("completed").as("status"))
+      val fresh = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(concat(col("o_orderkey"), lit("_early_odds")).as("id"),
+          col("o_orderdate").as("scheduled_for"),
+          lit("pending").as("status"))
+      JobQueue.merge(existing, fresh, now)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH existing AS (
+        SELECT o_orderkey || '_early_odds' AS id, o_orderdate AS scheduled_for,
+          'completed' AS status FROM orders WHERE o_orderkey % 2 = 0),
+      fresh AS (
+        SELECT o_orderkey || '_early_odds' AS id, o_orderdate AS scheduled_for,
+          'pending' AS status FROM orders WHERE o_orderkey % 3 = 0),
+      active AS (
+        SELECT * FROM existing
+        WHERE status IN ('completed', 'failed')
+          AND scheduled_for > TIMESTAMP '1997-01-01' - INTERVAL 3 DAY),
+      merged AS (
+        SELECT * FROM active
+        UNION ALL
+        SELECT * FROM fresh WHERE id NOT IN (SELECT id FROM active))
+      SELECT status, COUNT(*) AS n FROM merged GROUP BY status
+      ORDER BY status"""))
+
+  /** N1/N3 — nested build + flatten round-trip: lineitems nested per order
+    * (collect_list of structs — the payload shape), exploded back, measures
+    * recomputed. Oracle = the flat equivalent; equality proves the nest/
+    * explode is lossless. */
+  val qNestedRoundtrip = GQuery("q_nested_roundtrip",
+    (s, d) => {
+      val nested = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag")).as("line"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(col("line")).as("lines"))
+      nested
+        .select(col("l_orderkey"), explode(col("lines")).as("line"))
+        .select(col("l_orderkey"), col("line.l_returnflag").as("flag"),
+          col("line.l_quantity").as("qty"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_lines"), Det.dsum(col("qty")).as("sum_qty"))
+        .orderBy(col("flag"))
+    },
+    Some(s"""SELECT l_returnflag AS flag, COUNT(*) AS n_lines,
+      ${Det.sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY flag"""))
+
+  /** N2 — outcome-name pivot to wide columns (odds h2h/home-draw-away pivot,
+    * database_integration.py:176-226) as conditional aggregation — no
+    * groupBy().pivot() second pass, single shuffle. */
+  val qPivotWide = GQuery("q_pivot_wide",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        Det.dsum(when(col("event_type") === "view", col("value"))).as("view_v"),
+        Det.dsum(when(col("event_type") === "click", col("value"))).as("click_v"),
+        Det.dsum(when(col("event_type") === "purchase", col("value"))).as("purchase_v"),
+        Det.dsum(when(col("event_type") === "signup", col("value"))).as("signup_v"),
+        Det.dsum(when(col("event_type") === "error", col("value"))).as("error_v"))
+      .orderBy(col("user_id")),
+    Some(s"""SELECT user_id,
+      ${Det.sqlDsum("CASE WHEN event_type = 'view' THEN value END")} AS view_v,
+      ${Det.sqlDsum("CASE WHEN event_type = 'click' THEN value END")} AS click_v,
+      ${Det.sqlDsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase_v,
+      ${Det.sqlDsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup_v,
+      ${Det.sqlDsum("CASE WHEN event_type = 'error' THEN value END")} AS error_v
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** N4 — two-array flatten + union with a flag (startXI + substitutes →
+    * player rows, database_integration.py:282-332): order lines split into
+    * "starter" (linenumber 1) vs "bench" (rest), unioned with the flag,
+    * deduped into a dim. */
+  val qTwoArrayFlatten = GQuery("q_two_array_flatten",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val starters = li.filter(col("l_linenumber") === 1)
+        .select(col("l_orderkey"), col("l_partkey"), lit(true).as("is_starter"))
+      val bench = li.filter(col("l_linenumber") =!= 1)
+        .select(col("l_orderkey"), col("l_partkey"), lit(false).as("is_starter"))
+      starters.unionByName(bench)
+        .groupBy(col("l_partkey"))
+        .agg(sum(when(col("is_starter"), 1).otherwise(0)).as("n_starter"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""SELECT l_partkey,
+      SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS n_starter,
+      COUNT(*) AS n_total
+      FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
+
+  val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
+    qNestedRoundtrip, qPivotWide, qTwoArrayFlatten)
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+/** Single source of truth for every named engine query (SURVEY.md §2
+  * coverage). SparkEntry derives `queries` and `oracleSql` from here. */
+object Registry {
+  val all: Seq[GQuery] =
+    Relational.all ++ WindowQueries.all ++ EntityQueries.all ++
+      TextQueries.all ++ PipelineQueries.all
+
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names in Registry")
+}

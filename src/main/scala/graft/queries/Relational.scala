@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Relational breadth: aggregations (SURVEY.md §2.4 A1-A9), predicates
+  * (§2.2 P1-P9), joins (§2.3), sorts/limits/set ops (§2.6).
+  *
+  * Each query re-binds a reference operator shape to the driver testdata
+  * (SURVEY.md §7 substrate decision); the Scaladoc on each names the shape.
+  */
+object Relational {
+
+  /** A3/A4 — the TPC-H Q1 shape: multi-key groupBy with derived measures
+    * (reference: phase/bookmaker distributions, workflows yml:745-763). */
+  val q1Agg = GQuery("q1_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${Det.sqlDsum("l_quantity")} AS sum_qty,
+      ${Det.sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${Det.sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      ${Det.sqlDavg("l_quantity")} AS avg_qty,
+      COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A1 — global scalar aggregates (streamlit_dashboard.py:128-144 table
+    * stats: COUNT(*), MAX(collected_at)). */
+  val qGlobalAgg = GQuery("q_global_agg",
+    (s, d) => Tables.events(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      Det.fmtTs(min(col("ts"))).as("min_ts"),
+      Det.fmtTs(max(col("ts"))).as("max_ts")),
+    Some(s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users,
+      ${Det.sqlFmtTs("MIN(ts)")} AS min_ts, ${Det.sqlFmtTs("MAX(ts)")} AS max_ts
+      FROM events"""))
+
+  /** A2 — conditional aggregation in one pass (mapping stats,
+    * enhanced_mapping.py:267-274: SUM(CASE WHEN success...)). */
+  val qCondAgg = GQuery("q_cond_agg",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"),
+        (sum(when(col("event_type") === "purchase", col("value"))
+          .cast("decimal(27,6)")).cast("double") /
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double")).as("avg_purchase_value"))
+      .orderBy(col("user_id")),
+    Some(s"""SELECT user_id, COUNT(*) AS n_events,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(27,6))) AS DOUBLE)
+        / CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS avg_purchase_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A4 — multi-key groupBy with a date-truncated key (daily tumbling
+    * window shape, streamlit_dashboard.py:154-162). */
+  val qMultikeyAgg = GQuery("q_multikey_agg",
+    (s, d) => Tables.events(s, d)
+      .groupBy(Det.fmtDate(to_date(col("ts"))).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+      .orderBy(col("day"), col("event_type")),
+    Some(s"""SELECT ${Det.sqlFmtDate("CAST(ts AS DATE)")} AS day, event_type,
+      COUNT(*) AS n, ${Det.sqlDsum("value")} AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
+  /** A5 — COUNT(DISTINCT) alongside plain counts
+    * (streamlit_dashboard.py:49,132). */
+  val qCountDistinct = GQuery("q_count_distinct",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) AS n_events FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A6 — derived metric post-agg with div-by-zero guard
+    * (win_percentage, database_integration.py:253 uses max(played,1)). */
+  val qDerivedMetric = GQuery("q_derived_metric",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("n_purchase"))
+      .withColumn("purchase_rate",
+        col("n_purchase").cast("double") /
+          greatest(col("n_events"), lit(1)).cast("double"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS purchase_rate
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A7 — before/after slice means (event-impact windows,
+    * streamlit_dashboard.py:599-614). */
+  val qBeforeAfter = GQuery("q_before_after",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"),
+        when(col("ts") < lit("2024-01-15").cast("timestamp"), "before")
+          .otherwise("after").as("phase"))
+      .agg(Det.davg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("phase")),
+    Some(s"""SELECT event_type,
+      CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 'before' ELSE 'after' END AS phase,
+      ${Det.sqlDavg("value")} AS avg_value, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY event_type, phase"""))
+
+  /** A9 — weighted sum against a literal map (API-call weights,
+    * workflows yml:962-968) via typedLit + element_at. */
+  val qWeightedSum = GQuery("q_weighted_sum",
+    (s, d) => {
+      val weights = typedLit(Map(
+        "view" -> 1, "click" -> 2, "signup" -> 5, "purchase" -> 10,
+        "error" -> 0))
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(coalesce(element_at(weights, col("event_type")), lit(0)))
+          .as("weighted_calls"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, SUM(CASE event_type
+        WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 5
+        WHEN 'purchase' THEN 10 ELSE 0 END) AS weighted_calls
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** P2/P3 — time-range + equality/null predicates, projection (the
+    * dashboard's upcoming-fixtures filter, streamlit_dashboard.py:208-210). */
+  val qTimeRange = GQuery("q_time_range",
+    (s, d) => Tables.events(s, d)
+      .filter(col("ts").between(
+        lit("2024-01-10").cast("timestamp"),
+        lit("2024-01-12").cast("timestamp"))
+        && col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), Det.fmtTs(col("ts")).as("ts_s"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_id")),
+    Some(s"""SELECT event_id, ${Det.sqlFmtTs("ts")} AS ts_s, user_id, value
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+        AND event_type = 'purchase' AND value IS NOT NULL
+      ORDER BY event_id"""))
+
+  /** P4 — pattern predicates (team search `LIKE '%x%'`,
+    * discord_integration.py:147-151). */
+  val qPattern = GQuery("q_pattern_filter",
+    (s, d) => Tables.customer(s, d)
+      .filter(col("c_name").like("%19%") || col("c_name").contains("001"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE c_name LIKE '%19%' OR contains(c_name, '001')
+      ORDER BY c_custkey"""))
+
+  /** P6 — CASE expression buckets (home/away derivation,
+    * streamlit_dashboard.py:501). */
+  val qCaseExpr = GQuery("q_case_expr",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") > 300000, "large")
+          .when(col("o_totalprice") > 100000, "medium")
+          .otherwise("small"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket")),
+    Some(s"""SELECT CASE WHEN o_totalprice > 300000 THEN 'large'
+        WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END AS bucket,
+      COUNT(*) AS n, ${Det.sqlDsum("o_totalprice")} AS total
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** P5 — EXISTS → left-semi join (fixtures-that-have-odds,
+    * streamlit_dashboard.py:302). */
+  val qSemiJoin = GQuery("q_semi_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers_with_orders"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+      FROM customer c WHERE EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** J8 — anti-join (job dedup shape, workflows yml:248-249). */
+  val qAntiJoin = GQuery("q_anti_join",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** J1 — the canonical dim-enrichment join chain (fixtures ⋈ teams×2 ⋈
+    * leagues, repeated ≥8× in the reference): orders ⋈ customer ⋈ nation ⋈
+    * region with every dim broadcast — zero shuffle for the dims, one
+    * partial-agg shuffle for the rollup. */
+  val qJoinEnrich = GQuery("q_join_enrich",
+    (s, d) => Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("r_name"), col("n_name")),
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_orders,
+      ${Det.sqlDsum("o_totalprice")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** J2 — left outer join keeping empty groups (league list with 0-game
+    * leagues, streamlit_dashboard.py:47-54). */
+  val qLeftJoin = GQuery("q_left_join",
+    (s, d) => Tables.nation(s, d)
+      .join(Tables.customer(s, d),
+        col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_customers
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey"""))
+
+  /** J4 — OR-disjunct join rewritten as union-of-equi-joins (hash joins
+    * survive; raw OR would plan a BNLJ — SURVEY.md §2.3). Pairs suppliers
+    * with customers in the same or the "next" nation. */
+  val qDisjunctJoin = GQuery("q_disjunct_join",
+    (s, d) => {
+      val sup = Tables.supplier(s, d)
+      val cust = Tables.customer(s, d)
+      Joins.disjunctJoin(sup, cust,
+        (l, r) => l("s_nationkey") === r("c_nationkey"),
+        (l, r) => l("s_nationkey") === r("c_nationkey") + 1,
+        Seq("s_suppkey"), Seq("c_custkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""SELECT s_nationkey, COUNT(*) AS n_pairs
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey OR s_nationkey = c_nationkey + 1
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** J5 — range join with an equi-key (odds within event-impact window,
+    * streamlit_dashboard.py:584-594): events within 7 days after the
+    * user's order date. */
+  val qRangeJoin = GQuery("q_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val o = Tables.orders(s, d)
+      Joins.rangeJoin(ev, o,
+        col("user_id") === col("o_custkey"),
+        col("ts"), col("o_orderdate"),
+        col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_events"),
+          Det.dsum(col("value")).as("sum_value"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey, COUNT(*) AS n_events,
+      ${Det.sqlDsum("value")} AS sum_value
+      FROM events JOIN orders ON user_id = o_custkey
+        AND ts BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+      GROUP BY o_orderkey ORDER BY o_orderkey"""))
+
+  /** O2 — top-k (TakeOrderedAndProject, not a full sort): top 20 users by
+    * spend (top-leagues/teams reports, workflows yml:732-741). */
+  val qTopK = GQuery("q_topk",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(Det.dsum(col("value")).as("total_value"))
+      .orderBy(desc("total_value"), col("user_id"))
+      .limit(20),
+    Some(s"""SELECT user_id, ${Det.sqlDsum("value")} AS total_value
+      FROM events GROUP BY user_id
+      ORDER BY total_value DESC, user_id LIMIT 20"""))
+
+  /** O6 — union of compatible slices (job-list merge shape). */
+  val qUnion = GQuery("q_union",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), lit("c").as("src"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), lit("e").as("src"))
+      clicks.unionByName(errors)
+        .groupBy(col("src")).agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("src"))
+    },
+    Some("""SELECT src, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+      FROM (
+        SELECT event_id, user_id, 'c' AS src FROM events WHERE event_type='click'
+        UNION ALL
+        SELECT event_id, user_id, 'e' AS src FROM events WHERE event_type='error')
+      GROUP BY src ORDER BY src"""))
+
+  /** O7 — distinct pairs. */
+  val qDistinct = GQuery("q_distinct",
+    (s, d) => Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
+  /** Set ops the reference lacks but the engine exposes (SURVEY.md §2.6):
+    * INTERSECT/EXCEPT of user sets. */
+  val qSetOps = GQuery("q_set_ops",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val buyers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"))
+      val erroring = ev.filter(col("event_type") === "error")
+        .select(col("user_id"))
+      buyers.intersect(erroring)
+        .withColumn("set_kind", lit("both"))
+        .unionByName(buyers.except(erroring)
+          .withColumn("set_kind", lit("buy_only")))
+        .orderBy(col("set_kind"), col("user_id"))
+    },
+    Some("""SELECT user_id, set_kind FROM (
+        SELECT user_id, 'both' AS set_kind FROM
+          (SELECT user_id FROM events WHERE event_type='purchase'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type='error')
+        UNION ALL
+        SELECT user_id, 'buy_only' AS set_kind FROM
+          (SELECT user_id FROM events WHERE event_type='purchase'
+           EXCEPT
+           SELECT user_id FROM events WHERE event_type='error'))
+      ORDER BY set_kind, user_id"""))
+
+  /** F-j1 — JSON field extraction from a string column (alternatives
+    * round-trip, enhanced_mapping.py:628,713). */
+  val qJsonExtract = GQuery("q_json_extract",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      ORDER BY event_id"""))
+
+  /** F-d1/F-d3 — timestamp arithmetic: hours-until (julianday shape,
+    * streamlit_dashboard.py:203) + season derivation (SURVEY.md F-d5). */
+  val qDateArith = GQuery("q_date_arith",
+    (s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        ((unix_timestamp(col("o_orderdate")) -
+          unix_timestamp(lit("1997-01-01").cast("timestamp"))) / 3600.0)
+          .as("hours_since_97"),
+        graft.functions.Normalize.seasonOf(col("o_orderdate")).as("season"))
+      .filter(col("season") >= 1998)
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(date_diff('second', TIMESTAMP '1997-01-01', o_orderdate) AS DOUBLE)
+        / 3600.0 AS hours_since_97,
+      CASE WHEN month(o_orderdate) >= 8 THEN year(o_orderdate)
+        ELSE year(o_orderdate) - 1 END AS season
+      FROM orders
+      WHERE (CASE WHEN month(o_orderdate) >= 8 THEN year(o_orderdate)
+        ELSE year(o_orderdate) - 1 END) >= 1998
+      ORDER BY o_orderkey"""))
+
+  /** ST8 — retention filter (delete odds >180d, workflows yml:661-680):
+    * keep events within 15 days of a fixed "now". */
+  val qRetention = GQuery("q_retention",
+    (s, d) => Tables.events(s, d)
+      .filter(col("ts") >=
+        lit("2024-01-31").cast("timestamp") - expr("INTERVAL 15 DAYS"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n_kept FROM events
+      WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY
+      GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[GQuery] = Seq(q1Agg, qGlobalAgg, qCondAgg, qMultikeyAgg,
+    qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
+    qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
+    qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
+    qJsonExtract, qDateArith, qRetention)
+}

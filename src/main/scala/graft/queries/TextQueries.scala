@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{SimHash64, TextFeatures}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+/** North-star training-data-pipeline queries over documents/embeddings:
+  * dedup (exact, MinHash-LSH, SimHash, n-gram), text analysis, ANN search.
+  */
+object TextQueries {
+
+  /** Exact dedup groups keyed on the whitespace-normalized text (md5 in both
+    * engines so the group key itself is verifiable). */
+  val qDedupExact = GQuery("q_dedup_exact",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keep_id")),
+    Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
+      MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id"""))
+
+  /** Exact-dedup row flags via the window formulation (is_duplicate per
+    * row — the filterable form a pipeline actually applies). */
+  val qDedupFlags = GQuery("q_dedup_flags",
+    (s, d) => Dedup.exactDuplicates(Tables.documents(s, d), "text", "doc_id")
+      .filter(col("is_duplicate"))
+      .select(col("doc_id"), col("dup_group_size"))
+      .orderBy(col("doc_id")),
+    Some("""WITH g AS (
+        SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS keep_id,
+          COUNT(*) OVER (PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_group_size
+        FROM documents)
+      SELECT doc_id, dup_group_size FROM g WHERE doc_id <> keep_id
+      ORDER BY doc_id"""))
+
+  /** Token counting: whitespace + BPE-ish boundary-split estimates. */
+  val qTokenCount = GQuery("q_token_count",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFeatures.tokenCount(col("text")).as("n_ws_tokens"),
+        length(col("text")).as("n_chars_m")) // recomputed, vs stored n_chars
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0))
+        AS n_ws_tokens,
+      len(text) AS n_chars_m
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length band, punctuation ratio, stopword ratio,
+    * mean word length → composite in [0,1] (C4/Gopher-style filters). */
+  val qTextQuality = GQuery("q_text_quality",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFeatures.punctRatio(col("text")).as("punct_ratio"),
+        TextFeatures.stopwordRatio(col("text"), TextFeatures.enStopwords)
+          .as("stopword_ratio"),
+        TextFeatures.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id")),
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+        SELECT doc_id,
+          CAST(len(text) AS DOUBLE) AS n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+          CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+            AS DOUBLE) AS n_punct,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0 AND lower(t) IN ($stop))) AS DOUBLE) AS n_stop
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+        CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END AS stopword_ratio,
+        ((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3 AND n_chars / n_toks <= 12 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0 AS quality
+      FROM f ORDER BY doc_id"""
+    })
+
+  /** Language ID (stopword-ratio heuristic) cross-checked against the stored
+    * lang column. */
+  val qLangId = GQuery("q_lang_id",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("lang"), TextFeatures.langId(col("text")).as("detected"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("detected")),
+    None, // heuristic internals not worth a 4-language SQL twin; rows-only
+    notes = "rows-only: heuristic langid")
+
+  /** Document fingerprints (md5 flavor for cross-engine verification; the
+    * engine-internal fast path is xxhash64 — see TextFeatures.fingerprint). */
+  val qFingerprint = GQuery("q_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("fingerprint"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5.
+    * LSH internals (xxhash64 band buckets) are engine-internal; the OUTPUT
+    * (verified pairs) is what a pipeline consumes. Rows-only check. */
+  val qMinhashPairs = GQuery("q_minhash_pairs",
+    (s, d) => Dedup.minhashNearDupPairs(Tables.documents(s, d),
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
+        minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b")),
+    None, notes = "rows-only: LSH candidate generation + exact verify")
+
+  /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 6, candidate
+    * generation by 16-bit block bucketing (a pair within Hamming 6 shares at
+    * least one of 4 exact 16-bit blocks — pigeonhole). */
+  val qSimhashPairs = GQuery("q_simhash_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text"))))
+            .as("sh"))
+      val blocks = base.withColumn("block", explode(array(
+        (0 until 4).map(b => struct(lit(b).as("b"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("v"))): _*)))
+      val a = blocks.select(col("block"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+      val b = blocks.select(col("block"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"))
+      a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", SimHash64.hamming64(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 6)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    None, notes = "rows-only: simhash internal hashing")
+
+  /** N-gram (word 3-gram) Jaccard near-dup pairs with length-band blocking. */
+  val qNgramJaccard = GQuery("q_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b")),
+    None, notes = "rows-only: blocking-based candidate generation")
+
+  /** Brute-force cosine top-k: 5 query vectors against the corpus.
+    * Output ranks only — rank is stable under float noise; raw cosines are
+    * engine-arithmetic-order dependent. */
+  val qCosineTopK = GQuery("q_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Ann.cosineTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+          CAST(list_sum(list_transform(
+              list_zip(e.embedding, q.qv),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(e.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(q.qv,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS cos
+        FROM embeddings e, q),
+      ranked AS (
+        SELECT query_id, id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, rank, id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures + multiprobe;
+    * approximate by construction → rows-only. */
+  val qAnnLsh = GQuery("q_ann_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Ann.lshCosineTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          dim = 64, nPlanes = 12, k = 10, multiProbeBits = 6)
+        .select(col("query_id"), col("rank"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None, notes = "rows-only: approximate ANN")
+
+  /** Embedding-cosine near-duplicate pairs (label-blocked to stay subquadratic
+    * in the demo; at scale the blocking key is an LSH bucket). */
+  val qEmbeddingNearDup = GQuery("q_embedding_neardup",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        col("embedding").as("v_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"),
+        col("embedding").as("v_b"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Ann.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") > 0.99)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+            p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.embedding,
+            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+         * sqrt(CAST(list_sum(list_transform(b.embedding,
+            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+        > 0.99
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
+    qTextQuality, qLangId, qFingerprint, qMinhashPairs, qSimhashPairs,
+    qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup)
+}

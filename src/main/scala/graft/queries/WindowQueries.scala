@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.operators.Windows
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-family queries (SURVEY.md §2.5) + the as-of join (J9). */
+object WindowQueries {
+
+  /** Flagship (M1 slice): latest event per user (W1) enriched through the
+    * canonical broadcast dim chain (J1), time-filtered (P2), ordered (O1) —
+    * the reference's `upcoming_games_with_odds` view shape
+    * (database_schema.sql:144-169) on testdata. */
+  val qFlagship = GQuery("q_flagship",
+    (s, d) => {
+      val latest = Windows.latestPerGroup(
+        Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+      latest
+        .join(broadcast(Tables.customer(s, d)),
+          col("user_id") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp"))
+        .select(col("user_id"), col("event_id"),
+          Det.fmtTs(col("ts")).as("ts_s"), col("event_type"), col("value"),
+          col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      SELECT user_id, event_id, ${Det.sqlFmtTs("ts")} AS ts_s, event_type,
+        value, c_name, n_name, r_name
+      FROM latest
+      JOIN customer ON user_id = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-05'
+      ORDER BY user_id"""))
+
+  /** W1/J3 — latest-per-group then join back (attach latest h2h odds per
+    * fixture, database_schema.sql:161-166): latest event per user
+    * right-joined to all customers (customers without events keep nulls). */
+  val qLatestPerGroup = GQuery("q_latest_per_group",
+    (s, d) => {
+      val latest = Windows.latestPerGroup(
+        Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+      Tables.customer(s, d)
+        .join(latest, col("c_custkey") === col("user_id"), "left_outer")
+        .select(col("c_custkey"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH latest AS (
+        SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1)
+      SELECT c_custkey, event_id, event_type, value
+      FROM customer LEFT JOIN latest ON c_custkey = user_id
+      ORDER BY c_custkey"""))
+
+  /** W2 — LAG movement detection (odds-movement alert,
+    * discord_integration.py:477-498): >50% value moves per (user, type). */
+  val qLagMovement = GQuery("q_lag_movement",
+    (s, d) => Windows.withLagMovement(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      .filter(abs(col("rel_change")) > 0.5)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("prev_value"), col("rel_change"))
+      .orderBy(col("event_id")),
+    Some("""WITH w AS (
+        SELECT event_id, user_id, event_type, value,
+          LAG(value) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev_value
+        FROM events)
+      SELECT event_id, user_id, event_type, value, prev_value,
+        (value - prev_value) / prev_value AS rel_change
+      FROM w
+      WHERE prev_value IS NOT NULL AND prev_value <> 0
+        AND ABS((value - prev_value) / prev_value) > 0.5
+      ORDER BY event_id"""))
+
+  /** W3 — first-vs-last pct change per group (opening vs current odds,
+    * streamlit_dashboard.py:369-394) via min_by/max_by — no window sort. */
+  val qFirstLast = GQuery("q_first_last",
+    (s, d) => Windows.firstLastPctChange(Tables.events(s, d),
+        Seq("user_id"), "ts", "event_id", "value")
+      .select(col("user_id"), col("first_value"), col("last_value"),
+        col("n_obs"), col("pct_change"))
+      .orderBy(col("user_id")),
+    Some("""WITH ranked AS (
+        SELECT user_id, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_obs
+        FROM events)
+      SELECT f.user_id, f.value AS first_value, l.value AS last_value,
+        f.n_obs,
+        CASE WHEN f.value <> 0
+          THEN (l.value - f.value) / f.value * 100 END AS pct_change
+      FROM (SELECT * FROM ranked WHERE ra = 1) f
+      JOIN (SELECT * FROM ranked WHERE rd = 1) l ON f.user_id = l.user_id
+      ORDER BY f.user_id"""))
+
+  /** W4 — per-group tail(1) on a different key set (latest odds per
+    * bookmaker, streamlit_dashboard.py:359). */
+  val qGroupTail = GQuery("q_group_tail",
+    (s, d) => Windows.perGroupTail1(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+      .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** W5 — per-group rank top-N (top teams per league — the per-group
+    * variant the reference plans, SURVEY.md §2.5): top-3 users by spend per
+    * event_type. */
+  val qRankInGroup = GQuery("q_rank_in_group",
+    (s, d) => {
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(Det.dsum(col("value")).as("total_value"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(desc("total_value"), col("user_id"))
+      totals.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("event_type"), col("rnk"))
+    },
+    Some(s"""SELECT event_type, user_id, total_value, rnk FROM (
+        SELECT event_type, user_id, total_value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY total_value DESC, user_id) AS rnk
+        FROM (SELECT event_type, user_id,
+            ${Det.sqlDsum("value")} AS total_value
+          FROM events GROUP BY event_type, user_id))
+      WHERE rnk <= 3 ORDER BY event_type, rnk"""))
+
+  /** W2 variant — running sum frame (ROWS UNBOUNDED PRECEDING..CURRENT):
+    * cumulative value per user over time. */
+  val qRunningSum = GQuery("q_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("running_value",
+          sum(col("value").cast("decimal(27,6)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_value
+      FROM events ORDER BY event_id"""))
+
+  /** J9 — as-of join: latest event value at/before each order's date for the
+    * ordering user (stats-as-of-kickoff shape, SURVEY.md §2.3 J9), via the
+    * single-shuffle union-merge formulation in [[Windows.asOfJoin]]. */
+  val qAsOfJoin = GQuery("q_asof_join",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val ev = Tables.events(s, d).withColumnRenamed("user_id", "o_custkey")
+      Windows.asOfJoin(o, ev,
+        "o_custkey", "o_orderdate", "ts", Seq("value", "event_id"), "event_id")
+        .select(col("o_orderkey"), col("asof_event_id").as("event_id"),
+          col("asof_value").as("value"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, e.event_id AS event_id, e.value AS value
+      FROM orders o ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o_orderkey"""))
+
+  val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
+    qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{SimHash64, TextFeatures}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (4L, "completely different text about spark query engines and shuffles"),
+    (5L, "  the quick   brown fox jumps over the lazy dog near the river bank today "))
+    .toDF("doc_id", "text")
+
+  test("exactDuplicates flags normalized-identical docs") {
+    val out = Dedup.exactDuplicates(docs, "text", "doc_id")
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) === false) // survivor (min id)
+    assert(out(2L) === true)
+    assert(out(5L) === true)  // whitespace-normalized duplicate
+    assert(out(3L) === false)
+    assert(out(4L) === false)
+  }
+
+  test("minhashNearDupPairs finds the planted near-duplicate") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup
+    assert(pairs.contains((1L, 3L))) // one-word change
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs → distance 0; near-dup small; distinct large") {
+    val sh = docs.select(col("doc_id"),
+      SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) <= 12)
+    assert(hamming(sh(1L), sh(4L)) > 12)
+  }
+
+  test("ngramJaccardPairs with banding finds near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("cosine: orthogonal/parallel vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.cosineTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .select("rank", "id", "cos").as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1, 1L, 1.0)))
+    assert(out(1) === ((2, 3L, 1.0))) // parallel, tie broken by id
+    assert(out(2)._3 === 0.0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Windows
+import org.apache.spark.sql.functions._
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("latestPerGroup breaks timestamp ties with the tiebreaker") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 1.0),
+      (2L, ts("2024-01-01 10:00:00"), 100L, 2.0), // same ts, higher id wins
+      (3L, ts("2024-01-01 09:00:00"), 200L, 3.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = Windows.latestPerGroup(df, Seq("user_id"), "ts", "event_id")
+      .orderBy("user_id").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq === Seq(2L, 3L))
+  }
+
+  test("asOfJoin picks latest right row at/before left ts, per key") {
+    val orders = Seq(
+      (10L, 1L, ts("2024-01-05 00:00:00")),
+      (11L, 1L, ts("2024-01-01 00:00:00")), // before any event → null
+      (12L, 2L, ts("2024-01-03 00:00:00")),
+      (13L, 3L, ts("2024-01-04 00:00:00"))) // user with no events → null
+      .toDF("o_orderkey", "k", "o_orderdate")
+    val events = Seq(
+      (100L, 1L, ts("2024-01-02 00:00:00"), 10.0),
+      (101L, 1L, ts("2024-01-04 00:00:00"), 20.0),
+      (102L, 2L, ts("2024-01-03 00:00:00"), 30.0)) // equal ts → included (<=)
+      .toDF("event_id", "k", "ts", "value")
+    val out = Windows.asOfJoin(orders, events, "k", "o_orderdate", "ts",
+      Seq("value", "event_id"), "event_id")
+      .orderBy("o_orderkey").collect()
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("asof_value")).map(_.toDouble)).toSeq
+      === Seq(Some(20.0), None, Some(30.0), None))
+  }
+
+  test("firstLastPctChange: first/last by (ts, tiebreak)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, 15.0),
+      (3L, ts("2024-01-03 00:00:00"), 1L, 20.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val r = Windows.firstLastPctChange(df, Seq("user_id"), "ts", "event_id",
+      "value").head
+    assert(r.getAs[Double]("first_value") === 10.0)
+    assert(r.getAs[Double]("last_value") === 20.0)
+    assert(r.getAs[Double]("pct_change") === 100.0)
+  }
+
+  test("withLagMovement computes relative change per key") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 10.0),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "a", 12.0),
+      (3L, ts("2024-01-01 00:00:00"), 1L, "b", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Windows.withLagMovement(df, Seq("user_id", "event_type"),
+      "ts", "event_id", "value")
+      .filter(col("rel_change").isNotNull).collect()
+    assert(out.length === 1)
+    assert(math.abs(out.head.getAs[Double]("rel_change") - 0.2) < 1e-12)
+  }
+}
