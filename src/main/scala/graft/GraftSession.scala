@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Python-dict semantics for map_from_entries with duplicate keys
+      // (reference pivots outcomes via dict comprehension — last wins,
+      // database_integration.py:194)
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns + typed metadata struct, with decode /
+  * feature-extract / resize / frame-sample stages.
+  *
+  * The decode kernels are STUBS (this container ships no image/audio
+  * codecs): `FakeCodec` deterministically derives pixels/samples from the
+  * byte content, clearly marked below. Everything Spark-side is REAL and
+  * load-bearing at 100 TB: the schema, the `mapPartitions` batch shape
+  * (one codec instance per partition, streamed row iterator — the Scala
+  * analogue of `mapInPandas` batches), partition sizing, and the
+  * explode-based frame sampling.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Canonical multimodal row: binary payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType), // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaSchema)))
+
+  case class MediaMeta(format: String, width: Int, height: Int,
+      duration_ms: Long, sample_rate: Int)
+  case class MediaRow(media_id: Long, modality: String,
+      content: Array[Byte], meta: MediaMeta)
+  case class DecodedFeatures(media_id: Long, modality: String,
+      feature: Array[Float], n_bytes: Long)
+  case class Frame(media_id: Long, frame_index: Int, frame_ms: Long,
+      content: Array[Byte])
+
+  /** ======== STUB CODEC ======================================
+    * Deterministic fake decode: real codecs (JPEG/PNG/ffmpeg) are not in
+    * this container. The stub hashes byte blocks into a fixed-length float
+    * vector — the SHAPE of the real kernel (bytes → float[]), with
+    * deterministic output so tests are stable. Swap `FakeCodec` for a real
+    * codec binding in production; nothing else changes. */
+  object FakeCodec {
+    val featureDim = 16
+    def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        out(i % featureDim) += (b - 128) / 128.0f
+        i += 1
+      }
+      out
+    }
+    def frameCount(meta: MediaMeta): Int =
+      math.max(1, (meta.duration_ms / 1000L).toInt)
+  }
+  /** ======== END STUB ======================================== */
+
+  /** Synthesize a media table from documents (text bytes as payload) —
+    * harness for the plumbing; real pipelines read binary parquet. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("fake").as("format"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        (col("n_chars") * 10).as("duration_ms"),
+        lit(16000).as("sample_rate")).as("meta"))
+
+  /** Feature extraction over binary content via mapPartitions: codec state
+    * initialized once per partition, rows streamed (never materialized as a
+    * list) — the batch shape that scales. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[DecodedFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init point (real codec would allocate here, once)
+      rows.map { r =>
+        DecodedFeatures(r.media_id, r.modality,
+          FakeCodec.decodeToFeatures(r.content), r.content.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame (video), `stride`-th frames
+    * only. Row explosion happens executor-side; the binary payload is
+    * sliced per frame (stub: byte-range slices). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow]
+      .flatMap { r =>
+        val n = FakeCodec.frameCount(r.meta)
+        (0 until n by stride).map { f =>
+          val from = (r.content.length.toLong * f / n).toInt
+          val to = (r.content.length.toLong * (f + 1) / n).toInt
+          Frame(r.media_id, f, f * 1000L, r.content.slice(from, to))
+        }
+      }
+  }
+
+  /** Resize: metadata-level transform (stub keeps bytes, rewrites meta —
+    * a real kernel would transcode in the same mapPartitions shape). */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("meta.width"),
+      lit(maxH).cast("double") / col("meta.height"),
+      lit(1.0))
+    media.withColumn("meta", struct(
+      col("meta.format").as("format"),
+      floor(col("meta.width") * scale).cast("int").as("width"),
+      floor(col("meta.height") * scale).cast("int").as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      col("meta.sample_rate").as("sample_rate")))
+  }
+}

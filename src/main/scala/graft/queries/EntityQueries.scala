@@ -169,6 +169,43 @@ object EntityQueries {
     },
     None, notes = "rows-only: Ratcliff-Obershelp; golden-tested in ScalaTest")
 
+  /** Attempts log re-bound to events (strategy := event_type, success :=
+    * value ≥ 100, confidence := value/200) — provenance doesn't matter for
+    * the REPORT operators (F10); shapes and math do. */
+  private def attempts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(
+      col("user_id").cast("string").as("api_football_name"),
+      col("event_type").as("strategy_used"),
+      (col("value") >= 100).as("success"),
+      (col("value") / 200).as("confidence"),
+      col("ts").as("attempted_at"))
+
+  /** F10 — per-strategy mapping report (enhanced_mapping.py:657-751). */
+  val qStrategyReport = GQuery("q_strategy_report",
+    (s, d) => graft.operators.MappingStore.strategyReport(
+      attempts(s, d), java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+    Some("""SELECT event_type AS strategy_used, COUNT(*) AS attempts,
+        SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS successes,
+        CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS success_rate,
+        CAST(SUM(CAST(CASE WHEN value >= 100 THEN value / 200 END
+            AS DECIMAL(27,6))) AS DOUBLE)
+          / CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS avg_confidence
+      FROM events WHERE ts >= TIMESTAMP '2024-01-05'
+      GROUP BY event_type
+      ORDER BY successes DESC, strategy_used"""))
+
+  /** F10 — top-20 failing names (curation worklist). */
+  val qTopFailures = GQuery("q_top_failures",
+    (s, d) => graft.operators.MappingStore.topFailures(
+      attempts(s, d), java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 20),
+    Some("""SELECT CAST(user_id AS VARCHAR) AS api_football_name,
+        COUNT(*) AS failures, MAX(value / 200) AS best_confidence
+      FROM events WHERE ts >= TIMESTAMP '2024-01-05' AND NOT (value >= 100)
+      GROUP BY user_id
+      ORDER BY failures DESC, api_football_name LIMIT 20"""))
+
   val all: Seq[GQuery] = Seq(qNormalize, qJaccardPairs, qEntityResolution,
-    qFuzzyJoin)
+    qFuzzyJoin, qStrategyReport, qTopFailures)
 }

@@ -197,6 +197,70 @@ object PipelineQueries {
       COUNT(*) AS n_total
       FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
 
+  /** N2 + F-j1 — full JSON round trip: nest lineitems into the odds-event
+    * payload shape (bookmakers[]→markets[]→outcomes[]), serialize with
+    * to_json, parse back with from_json against the declared schema, and run
+    * the real 3-level [[graft.operators.OddsPipeline.flattenOdds]]. The
+    * oracle is the flat relational equivalent — equality proves serialize →
+    * parse → explode → pivot is lossless. */
+  val qOddsFlatten = GQuery("q_odds_flatten",
+    (s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+      // one bookmaker per line: h2h outcomes Home/Draw/Away priced from
+      // the line's measures
+      val nested = li.select(col("l_orderkey"),
+        struct(
+          lit("bk").as("key"),
+          format_string("BM%03d", col("l_linenumber")).as("title"),
+          lit(null).cast("string").as("last_update"),
+          array(struct(
+            lit("h2h").as("key"),
+            lit(null).cast("string").as("last_update"),
+            array(
+              struct(lit("Home").as("name"), col("l_extendedprice").as("price"),
+                lit(null).cast("double").as("point")),
+              struct(lit("Draw").as("name"), col("l_quantity").as("price"),
+                lit(null).cast("double").as("point")),
+              struct(lit("Away").as("name"), col("l_discount").as("price"),
+                lit(null).cast("double").as("point"))).as("outcomes")))
+            .as("markets")).as("bm"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("bm"))).as("bookmakers"))
+      val payload = nested.select(col("l_orderkey"),
+        to_json(struct(
+          lit("Home").as("home_team"), lit("Away").as("away_team"),
+          col("bookmakers"))).as("doc"))
+      val parsed = payload.select(col("l_orderkey").as("fixture_id"),
+        lit(null).cast("timestamp").as("collected_at"),
+        lit("early_odds").as("collection_phase"),
+        from_json(col("doc"), graft.operators.OddsPipeline.oddsEventSchema)
+          .as("event"))
+      graft.operators.OddsPipeline.flattenOdds(parsed)
+        .select(col("fixture_id"), col("bookmaker"), col("home_odds"),
+          col("draw_odds"), col("away_odds"))
+        // (fixture, bookmaker) is NOT unique (synthetic lineitem repeats
+        // line numbers) — order on the measures too so ties are identical rows
+        .orderBy(col("fixture_id"), col("bookmaker"), col("home_odds"),
+          col("draw_odds"), col("away_odds"))
+    },
+    Some("""SELECT l_orderkey AS fixture_id,
+        printf('BM%03d', l_linenumber) AS bookmaker,
+        l_extendedprice AS home_odds, l_quantity AS draw_odds,
+        l_discount AS away_odds
+      FROM lineitem WHERE l_orderkey < 2000
+      ORDER BY fixture_id, bookmaker, home_odds, draw_odds, away_odds"""))
+
+  /** A5 scale path — approx_count_distinct (HLL++): the 100 TB variant of
+    * COUNT(DISTINCT). Approximate by design → rows-only check; the exact
+    * twin is q_count_distinct. */
+  val qApproxDistinct = GQuery("q_approx_distinct",
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type")),
+    None, notes = "rows-only: approximate HLL sketch")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
-    qNestedRoundtrip, qPivotWide, qTwoArrayFlatten)
+    qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
+    qApproxDistinct)
 }

@@ -226,7 +226,21 @@ object TextQueries {
         > 0.99
       ORDER BY id_a, id_b"""))
 
+  /** Multimodal plumbing: binary media table synthesized from documents,
+    * features via per-partition stub codec (mapPartitions — the mapInPandas
+    * batch shape). Rows-only: the kernel is a stub by design. */
+  val qMediaFeatures = GQuery("q_media_features",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.extractFeatures(s,
+          Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    },
+    None, notes = "rows-only: stubbed decode kernel")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qSimhashPairs,
-    qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup)
+    qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup, qMediaFeatures)
 }

@@ -1,0 +1,103 @@
+package graft.sources
+
+import graft.operators.OddsPipeline
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources & sinks (SURVEY.md §2.1).
+  *
+  * Never `inferSchema`: every reader takes the declared StructType, so a
+  * malformed feed surfaces as `_corrupt_record` rows (PERMISSIVE mode — the
+  * reference accesses raw JSON optimistically with `.get()` defaults, which
+  * is exactly PERMISSIVE semantics) instead of a wrong inferred schema that
+  * rescans 100 TB.
+  */
+object Sources {
+
+  /** Job-queue document schema (`jobs.json`, FIXTURES.md §3). */
+  val jobSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("fixture_id", LongType),
+    StructField("scheduled_for", StringType),
+    StructField("status", StringType),
+    StructField("type", StringType),
+    StructField("priority", StringType),
+    StructField("created_at", StringType),
+    StructField("processed_at", StringType),
+    StructField("error_reason", StringType)))
+
+  /** S3 — read a `jobs.json`-style array document (multiLine) or JSONL dir.
+    * ISO-8601 strings parsed to timestamps here, once, at the edge. */
+  def readJobs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(jobSchema)
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .withColumn("scheduled_for", to_timestamp(col("scheduled_for")))
+      .withColumn("created_at", to_timestamp(col("created_at")))
+
+  /** Raw collection-payload envelope (FIXTURES.md §2 top level), with the
+    * odds event under `data`. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("fixture_id", LongType),
+    StructField("collection_type", StringType),
+    StructField("collected_at", StringType),
+    StructField("game_info", StructType(Seq(
+      StructField("fixture_id", LongType),
+      StructField("kickoff_utc", StringType),
+      StructField("home_team", StringType),
+      StructField("away_team", StringType),
+      StructField("home_team_id", LongType),
+      StructField("away_team_id", LongType),
+      StructField("league", StringType),
+      StructField("league_id", LongType),
+      StructField("country", StringType),
+      StructField("venue", StringType),
+      StructField("priority", StringType)))),
+    StructField("data", StructType(Seq(
+      StructField("odds_early", OddsPipeline.oddsEventSchema),
+      StructField("odds_team_news", OddsPipeline.oddsEventSchema),
+      StructField("odds_final", OddsPipeline.oddsEventSchema))))))
+
+  /** S1/S4 — read raw payload JSON files (one document per file, as the
+    * workflow writes them). */
+  def readPayloads(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(payloadSchema)
+      .option("multiLine", true)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  /** S4 — JSONL sink for derived datasets (scalable path: one file per
+    * partition, no driver collect). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S4 — single-document report sink (dashboard_data.json shape): the
+    * reference's reports are small driver-side JSON documents; `limit`
+    * guards against misuse on a big frame. */
+  def writeReportDoc(df: DataFrame, path: String, maxRows: Int = 10000): Unit = {
+    val rows = df.limit(maxRows).toJSON.collect()
+    val json = rows.mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** S5/S8 — warehouse table sink: date-partitioned parquet (the engine's
+    * answer to the reference's SQLite tables + indexes — partition pruning
+    * replaces the time index, sort-within-partitions the key index). */
+  def writeWarehouse(df: DataFrame, path: String, dateCol: String,
+      sortCols: Seq[String]): Unit =
+    df.withColumn("__p_date", to_date(col(dateCol)))
+      .repartition(col("__p_date"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Append)
+      .partitionBy("__p_date")
+      .parquet(path)
+
+  /** S7 — webhook-style side-output sink: per-partition delivery through a
+    * caller-supplied sender (Discord POST in the reference; a buffering
+    * sender in tests — no network in the engine itself). Executor-side,
+    * no driver collect. */
+  def foreachWebhook(df: DataFrame, sender: String => Unit): Unit =
+    df.toJSON.foreachPartition { it: Iterator[String] => it.foreach(sender) }
+}

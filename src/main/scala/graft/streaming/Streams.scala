@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming slice (SURVEY.md §2.10).
+  *
+  * The reference approximates streaming with 30-minute cron micro-batches
+  * (football-data-pipeline.yml:5-10); here the same semantics are expressed
+  * as real streaming queries. Every transform is a pure DataFrame→DataFrame
+  * function usable on BOTH a batch frame and a stream (the batch twins in
+  * the query registry are the oracle-verified versions — DuckDB can't check
+  * a stream).
+  */
+object Streams {
+
+  /** ST6 — tumbling event-time window aggregation with watermark (daily
+    * report shape; 1-hour windows on the events stream). Late data beyond
+    * 30 minutes is dropped by the watermark — the reference's 45-minute job
+    * expiry is the same policy applied to jobs (ST4). */
+  def windowedValueAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(27,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** ST7 — sliding alert window: per (user, type), 1-hour window sliding
+    * every 15 minutes, emitting windows whose value range exceeds the
+    * movement threshold (the odds-movement alert as a windowed query —
+    * LAG is not available on streams; min/max over the window detects the
+    * same >threshold movement). */
+  def slidingMovementAlert(events: DataFrame, threshold: Double): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("user_id"), col("event_type"))
+      .agg(min("value").as("min_v"), max("value").as("max_v"),
+        count(lit(1)).as("n"))
+      .filter(col("min_v") > 0 &&
+        (col("max_v") - col("min_v")) / col("min_v") > threshold)
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("event_type"), col("min_v"), col("max_v"), col("n"))
+
+  /** Per-key running state for ST5 (online-learning cache) / W2-on-streams:
+    * last observed value per (user, type) via flatMapGroupsWithState,
+    * emitting a movement record whenever the new value deviates more than
+    * `threshold` from the previous one. State = last value; timeout
+    * configured by the caller's processing trigger. */
+  case class KeyedValue(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+      value: Double)
+  case class Movement(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, prev_value: Double, value: Double,
+      rel_change: Double)
+
+  def movementDetector(spark: SparkSession, events: DataFrame,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[KeyedValue]
+      .groupByKey(kv => (kv.user_id, kv.event_type))
+      .flatMapGroupsWithState[Double, Movement](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Double]) =>
+          // sort within key by event time: micro-batches preserve no order
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Movement]
+          var prev = state.getOption
+          sorted.foreach { kv =>
+            prev.foreach { p =>
+              if (p != 0 && math.abs((kv.value - p) / p) > threshold)
+                out += Movement(kv.user_id, kv.event_type, kv.ts, p, kv.value,
+                  (kv.value - p) / p)
+            }
+            prev = Some(kv.value)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
+  /** ST3 — stateful job queue on a stream of job events (id, status,
+    * scheduled_for): keeps one state row per job id, applying the
+    * pending→completed/failed/expired transition rules; emits the current
+    * status on every update. Event-time timeout expires pending jobs
+    * 45 minutes past schedule (ST4). */
+  case class JobEvent(id: String, status: String,
+      scheduled_for: java.sql.Timestamp, event_ts: java.sql.Timestamp)
+  case class JobStatus(id: String, status: String,
+      scheduled_for: java.sql.Timestamp)
+
+  def jobStateMachine(spark: SparkSession, jobEvents: DataFrame): DataFrame = {
+    import spark.implicits._
+    jobEvents.select(col("id"), col("status"), col("scheduled_for"),
+      col("event_ts"))
+      .withWatermark("event_ts", "10 minutes")
+      .as[JobEvent]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[JobStatus, JobStatus](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (id, rows, state: GroupState[JobStatus]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // pending past its grace window → expired
+            val cur = state.get
+            val expired = cur.copy(status = "expired")
+            state.update(expired)
+            Iterator.single(expired)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.event_ts.getTime)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[JobStatus]
+            sorted.foreach { ev =>
+              val terminal = cur.exists(c => c.status != "pending")
+              if (!terminal) { // terminal states never transition back
+                cur = Some(JobStatus(ev.id, ev.status, ev.scheduled_for))
+                out += cur.get
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              if (c.status == "pending")
+                state.setTimeoutTimestamp(
+                  c.scheduled_for.getTime + 45 * 60 * 1000L)
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** File-based events stream over the testdata directory (each parquet file
+    * is one micro-batch input) — demonstrates readStream wiring; tests use
+    * MemoryStream for determinism. */
+  def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.eventsRawSchema)
+      .parquet(s"$sfDir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedValueAgg over a memory stream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.windowedValueAgg(df)
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 10.0),
+        (2L, ts("2024-01-01 10:40:00"), 1L, "click", 20.0),
+        (3L, ts("2024-01-01 11:10:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      mem.addData((4L, ts("2024-01-01 13:00:00"), 3L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("event_type", "n", "total_value").as[(String, Long, Double)]
+        .collect().toSet
+      assert(rows.contains(("click", 2L, 30.0)))
+      assert(rows.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("movementDetector emits >threshold moves with state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.movementDetector(spark, df, 0.5)
+      .writeStream.format("memory").queryName("moves")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1L, "odds", 2.0))
+      q.processAllAvailable()
+      // second batch: state (2.0) must survive the batch boundary
+      mem.addData((2L, ts("2024-01-01 10:10:00"), 1L, "odds", 4.0),
+        (3L, ts("2024-01-01 10:20:00"), 1L, "odds", 4.1))
+      q.processAllAvailable()
+      val moves = spark.table("moves")
+        .select("prev_value", "value", "rel_change")
+        .as[(Double, Double, Double)].collect().toSeq
+      assert(moves === Seq((2.0, 4.0, 1.0))) // 4.1 vs 4.0 is below threshold
+    } finally q.stop()
+  }
+
+  test("jobStateMachine: terminal states absorb, late transitions ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Timestamp, Timestamp)]
+    val df = mem.toDF().toDF("id", "status", "scheduled_for", "event_ts")
+    val q = Streams.jobStateMachine(spark, df)
+      .writeStream.format("memory").queryName("job_states")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("j1", "pending", ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00")),
+        ("j2", "pending", ts("2024-01-01 10:00:00"), ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        ("j1", "completed", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00")),
+        // attempt to flip a completed job back — must be ignored
+        ("j1", "pending", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val last = spark.table("job_states")
+        .groupBy("id").agg(last_value(col("status")).as("s"))
+      val j1 = spark.table("job_states").filter(col("id") === "j1")
+        .select("status").as[String].collect().toSeq
+      assert(j1 === Seq("pending", "completed"))
+    } finally q.stop()
+  }
+}
