@@ -55,6 +55,129 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Fused shingle+MinHash: computes the k min-hashes over the rolling
+  * character n-gram windows of `text` in ONE tight loop — no shingle array
+  * is ever materialized. This matters doubly under CodegenFallback: a
+  * fallback expression evaluates its CHILD subtree interpreted, so feeding
+  * it a Catalyst `shingles(text)` array re-runs the whole array pipeline in
+  * interpreted mode per row (measured 16 s / 5000 docs; this expression:
+  * sub-second). Duplicate shingles need no dedup — min() is idempotent
+  * under multiplicity, so multiset minhash == set minhash. */
+case class MinHashTextSignature(child: Expression, shingleSize: Int,
+    numHashes: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text_signature"
+
+  private lazy val params: Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      (MinHashSignature.splitmix64(2L * i + 1) | 1L,
+        MinHashSignature.splitmix64(2L * i + 2))
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val len = s.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nWindows = math.max(len - shingleSize + 1, if (len == 0) 0 else 1)
+    var i = 0
+    while (i < nWindows) {
+      // FNV-1a over the UTF-16 chars of the window (self-consistent family)
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + shingleSize, len)
+      var j = i
+      while (j < end) {
+        val c = s.charAt(j)
+        h ^= (c & 0xffL); h *= 0x100000001b3L
+        h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+        j += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        val (a, b) = params(k)
+        val g = MinHashSignature.mix(a * h + b)
+        if (g < mins(k)) mins(k) = g
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashTextSignature {
+  def minhashText(text: Column, shingleSize: Int, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashTextSignature(
+      ExpressionUtils.expression(text), shingleSize, numHashes))
+}
+
+/** Count of positions where two equal-length long arrays agree — the
+  * MinHash Jaccard estimator (agreements / k). A 64-step primitive loop;
+  * the zip_with+aggregate formulation is interpreter-evaluated per element
+  * and measured ~100× slower on wide candidate sets. */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "signature_agreement"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SignatureAgreement {
+  def agreement(a: Column, b: Column): Column =
+    ExpressionUtils.column(SignatureAgreement(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Exact Jaccard of two SORTED, DISTINCT string arrays via a single merge
+  * pass — no per-element hashing, no set allocation. The caller guarantees
+  * sortedness (sort_array(array_distinct(...))); order is Spark's UTF8String
+  * binary order. array_intersect/array_union per pair allocate and hash
+  * every element and dominate verify cost on dense candidate sets. */
+case class JaccardSortedArrays(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    java.lang.Double.valueOf(
+      if (union == 0) 0.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object JaccardSortedArrays {
+  def jaccardSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSortedArrays(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
 object MinHashSignature {
   /** SplitMix64 (public-domain PRNG step; Steele et al., "Fast Splittable
     * Pseudorandom Number Generators", OOPSLA 2014). */

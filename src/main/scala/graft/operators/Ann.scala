@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Fast double dot product (sequential IEEE fold — deterministic for a
+    * fixed array order, but engine-arithmetic dependent; use for filters
+    * and ranking, not for oracle-compared values). */
+  def dotFast(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Fast cosine for prefilters. */
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+
   /** Dot product of two array<float/double> columns — exact decimal
     * accumulation so the result is summation-order independent (needed for
     * hash-exact verification; the per-element products are IEEE-exact). */

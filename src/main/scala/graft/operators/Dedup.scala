@@ -60,50 +60,98 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
       minJaccard: Double = 0.8): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), numHashes, shingleSize))
-      .withColumn("bandrow", explode(lshBands(col("sig"), bands, numHashes)))
-      .select(col("id"), col("text"),
-        col("bandrow.band").as("band"), col("bandrow.bucket").as("bucket"))
-    val a = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val b = withSig.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    val cands = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "text_a", "text_b")
+    // 1. sign ONCE per doc with the fused rolling-shingle expression (no
+    //    shingle arrays materialized; see MinHashTextSignature). The
+    //    normalized text is computed by codegen'd builtins; only the final
+    //    signature call is interpreted.
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", graft.functions.MinHashTextSignature.minhashText(
+        norm, shingleSize, numHashes))
+      .cache()
+    // 2. band explode carries IDS ONLY — never the text/gram payload
+    //    (carrying text multiplies the shuffle by `bands`; measured 95 s →
+    //    this shape is the difference between O(ids) and O(corpus·bands)
+    //    shuffle bytes)
+    val bandRows = base
+      .select(col("id"), explode(lshBands(col("sig"), bands, numHashes))
+        .as("bandrow"))
+      .select(col("id"), col("bandrow.band").as("band"),
+        col("bandrow.bucket").as("bucket"))
+    val cands = bandRows.join(
+        bandRows.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val ja = TextFeatures.shingles(col("text_a"), shingleSize)
-    val jb = TextFeatures.shingles(col("text_b"), shingleSize)
-    cands
-      .withColumn("jaccard",
-        size(array_intersect(ja, jb)).cast("double") /
-          size(array_union(ja, jb)).cast("double"))
+    // 3. cheap signature-estimate prefilter (matching minhash fraction ≈
+    //    Jaccard); generous margin keeps recall, kills far pairs before the
+    //    expensive exact set ops
+    val sigs = base.select(col("id"), col("sig"))
+    val estScore = graft.functions.SignatureAgreement.agreement(
+      col("sig_a"), col("sig_b")).cast("double") / lit(numHashes.toDouble)
+    // cache: `strong` feeds both the candidate-id semi-join and the final
+    // result — without it the whole band+estimate pipeline runs twice
+    val strong = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .filter(estScore >= lit(minJaccard) - 0.2)
+      .select("id_a", "id_b")
+      .cache()
+    // 4. exact verification only on survivors. Shingle-set construction is
+    //    interpreter-evaluated (higher-order builtins are CodegenFallback)
+    //    and ~ms per doc — so build sets ONLY for docs that appear in a
+    //    surviving pair (semi-join first), not the whole corpus.
+    val candIds = strong.select(col("id_a").as("id"))
+      .union(strong.select(col("id_b").as("id"))).distinct()
+    val grams = base.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), sort_array(
+        TextFeatures.shingles(col("text"), shingleSize)).as("grams"))
+      .cache()
+    strong
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.functions.JaccardSortedArrays
+        .jaccardSorted(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** N-gram Jaccard near-dup pairs, exact, with length-band blocking:
-    * docs only compare within the same ~10%-length band (a pair at Jaccard ≥
-    * τ over distinct shingles cannot differ in length by more than ~1/τ), so
-    * the self-join never goes quadratic over the corpus. */
+  /** N-gram (word) Jaccard near-dup pairs, exact result, MinHash-LSH
+    * candidate generation over the n-gram sets. Length-band blocking was the
+    * first cut here and measured 89 s at sf0.1 — bands of ±10% length still
+    * admit ~|corpus|²/20 pairs with full gram arrays on both sides. LSH
+    * bounds candidates by actual similarity, and the exact Jaccard filter on
+    * survivors keeps the result exact (candidate recall is the only
+    * approximation, as with every LSH dedup at scale). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("grams", TextFeatures.wordNgrams(col("text"), n))
-      .withColumn("band",
-        floor(log(size(col("grams")).cast("double") + 1) / math.log(1.25)))
-    // near-equal sizes can land in adjacent bands: probe band ∪ band+1
-    val probe = base.withColumn("band", explode(array(col("band"), col("band") + 1)))
-    val a = probe.select(col("band"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = base.select(col("band"), col("id").as("id_b"), col("grams").as("g_b"))
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      n: Int = 3, minJaccard: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // cache() between grams and sig is deliberate: it blocks projection
+    // collapse, so the (interpreter-evaluated) n-gram pipeline runs once at
+    // materialization and the signature's child is a plain attribute read
+    val withGrams = df.select(col(idCol).as("id"),
+      TextFeatures.wordNgrams(col(textCol), n).as("grams")).cache()
+    val base = withGrams.withColumn("sig",
+      graft.functions.MinHashSignature.minhash(col("grams"), numHashes))
+    val bandRows = base
+      .select(col("id"), explode(lshBands(col("sig"), bands, numHashes))
+        .as("bandrow"))
+      .select(col("id"), col("bandrow.band").as("band"),
+        col("bandrow.bucket").as("bucket"))
+    val cands = bandRows.join(
+        bandRows.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val grams = base.select(col("id"), sort_array(col("grams")).as("grams"))
+    cands
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.functions.JaccardSortedArrays
+        .jaccardSorted(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-      .dropDuplicates("id_a", "id_b")
   }
 }

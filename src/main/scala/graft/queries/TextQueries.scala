@@ -209,6 +209,11 @@ object TextQueries {
       val b = e.select(col("label"), col("vec_id").as("id_b"),
         col("embedding").as("v_b"))
       a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        // two-phase: cheap double-precision prefilter with margin (decimal
+        // arithmetic on every pair measured 22 s at sf0.1), then the exact
+        // decimal cosine only on survivors — result identical, the margin
+        // (1e-3 ≫ double summation error ~1e-12) guarantees no false drops
+        .filter(Ann.cosineFast(col("v_a"), col("v_b")) > 0.989)
         .withColumn("cos", Ann.cosine(col("v_a"), col("v_b")))
         .filter(col("cos") > 0.99)
         .select(col("id_a"), col("id_b"))
