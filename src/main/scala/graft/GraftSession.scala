@@ -20,6 +20,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -94,22 +94,33 @@ object EntityResolution {
       col("__manual"), col("__learned"))
       .foldLeft(pairs) { case (df, (s, c)) => df.withColumn(s"s_$s", c) }
 
-    // per-strategy argmax per name: max_by over (score, -order) — highest
-    // score, earliest candidate. Partial-aggregates map-side; single shuffle.
+    pickBest(scored, Seq("api_name"))
+      .select("api_name", "matched_name", "confidence", "strategy_used",
+        "match_found")
+  }
+
+  /** Cascade decision over a scored pair frame: per `keyCols` group, take
+    * each strategy's argmax candidate (max_by over (score, -order) — highest
+    * score, earliest candidate; partial-aggregated, single shuffle), then
+    * pick the first strategy clearing its threshold. Exposed separately so
+    * per-fixture resolution (F11) reuses the same decision logic with
+    * different grouping keys. Input needs columns: cand, cand_ord, s_<strategy>. */
+  def pickBest(scored: DataFrame, keyCols: Seq[String]): DataFrame = {
     val aggs = strategies.flatMap { s =>
       Seq(
         max(col(s"s_$s")).as(s"max_$s"),
         max_by(col("cand"), struct(col(s"s_$s"), -col("cand_ord")))
           .as(s"cand_$s"))
     }
-    val perName = scored.groupBy("api_name").agg(aggs.head, aggs.tail: _*)
+    val perKey = scored.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
 
     val strategyPick = coalesce(
       (strategies.map { s =>
         when(col(s"max_$s") >= thresholds(s), lit(s))
       } :+ lit("fuzzy_matching")): _*)
 
-    perName
+    perKey
       .withColumn("strategy_used", strategyPick)
       .withColumn("confidence",
         coalesce(strategies.map(s =>
@@ -122,7 +133,6 @@ object EntityResolution {
       .withColumn("match_found",
         when(col("strategy_used") === "fuzzy_matching",
           col("confidence") >= 0.3).otherwise(col("confidence") > 0))
-      .select("api_name", "matched_name", "confidence", "strategy_used",
-        "match_found")
+      .drop(strategies.flatMap(s => Seq(s"max_$s", s"cand_$s")): _*)
   }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.OddsCollect
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class OddsCollectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F11: payload gains _mapping_metadata; Man Utd maps via normalization") {
+    val payloadJson =
+      """{"fixture_id": 9001,
+          "game_info": {"home_team": "Manchester United", "away_team": "Liverpool"},
+          "data": {"odds_early": {
+            "home_team": "Manchester Utd", "away_team": "Liverpool",
+            "bookmakers": []}}}"""
+    val payloads = spark.read.schema(Sources.payloadSchema)
+      .json(Seq(payloadJson).toDS())
+      .select(col("fixture_id"), col("game_info"),
+        col("data.odds_early").as("event"))
+    val out = OddsCollect.enhanceWithMapping(payloads).head
+    val meta = out.getAs[org.apache.spark.sql.Row]("_mapping_metadata")
+    val home = meta.getAs[org.apache.spark.sql.Row]("home_mapping")
+    val away = meta.getAs[org.apache.spark.sql.Row]("away_mapping")
+    assert(home.getAs[String]("odds_api_name") === "Manchester Utd")
+    assert(home.getAs[String]("strategy_used") === "normalized_matching")
+    assert(away.getAs[String]("odds_api_name") === "Liverpool")
+    assert(away.getAs[String]("strategy_used") === "exact_match")
+    assert(meta.getAs[Boolean]("game_matched"))
+  }
+
+  test("unmatchable names produce match_found=false and game_matched=false") {
+    val payloadJson =
+      """{"fixture_id": 9002,
+          "game_info": {"home_team": "Zzz Qqq Xxx", "away_team": "Liverpool"},
+          "data": {"odds_early": {
+            "home_team": "Aaa Bbb", "away_team": "Liverpool",
+            "bookmakers": []}}}"""
+    val payloads = spark.read.schema(Sources.payloadSchema)
+      .json(Seq(payloadJson).toDS())
+      .select(col("fixture_id"), col("game_info"),
+        col("data.odds_early").as("event"))
+    val meta = OddsCollect.enhanceWithMapping(payloads).head
+      .getAs[org.apache.spark.sql.Row]("_mapping_metadata")
+    assert(!meta.getAs[Row]("home_mapping").getAs[Boolean]("match_found"))
+    assert(!meta.getAs[Boolean]("game_matched"))
+  }
+  type Row = org.apache.spark.sql.Row
+}
+
+class RestFixtureSourceSpec extends SparkSpec {
+
+  test("DSv2 source plans one partition per (league, date) and reads pages") {
+    val df = spark.read.format("graft.sources.RestFixtureSource")
+      .option("leagues", "39,140,78").option("days", "3")
+      .option("startDate", "2024-08-01").load()
+    assert(df.rdd.getNumPartitions === 9) // 3 leagues × 3 days
+    assert(df.count() === 9 * 10)         // fixturesPerPage = 10
+    // deterministic: same options → identical data
+    val again = spark.read.format("graft.sources.RestFixtureSource")
+      .option("leagues", "39,140,78").option("days", "3")
+      .option("startDate", "2024-08-01").load()
+    assert(df.exceptAll(again).count() === 0)
+    // league pruning = fewer partitions (the scan-avoidance analogue)
+    val pruned = spark.read.format("graft.sources.RestFixtureSource")
+      .option("leagues", "39").option("days", "1")
+      .option("startDate", "2024-08-01").load()
+    assert(pruned.rdd.getNumPartitions === 1)
+    import org.apache.spark.sql.functions._
+    assert(pruned.select(countDistinct(col("league_id"))).head.getLong(0) === 1)
+  }
+}
