@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{FixtureStore, Joins}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+class FixtureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("N1 orchestrator: one payload frame fans out to warehouse tables") {
+    val js = (phase: String, ts: String, price: Double) =>
+      s"""{"fixture_id": 1, "collection_type": "$phase",
+          "collected_at": "$ts",
+          "data": {"odds_early": {"home_team": "A", "away_team": "B",
+            "bookmakers": [{"key": "bk", "title": "BK", "markets": [
+              {"key": "h2h", "outcomes": [
+                {"name": "A", "price": $price},
+                {"name": "Draw", "price": 3.0},
+                {"name": "B", "price": 4.0}]}]}]}}}"""
+    val payloads = spark.read.schema(Sources.payloadSchema)
+      .json(Seq(
+        js("early_odds", "2025-08-20T10:00:00+00:00", 2.0),
+        js("final_data", "2025-08-22T14:00:00+00:00", 2.5)).toDS())
+      .select(col("fixture_id"),
+        to_timestamp(col("collected_at")).as("collected_at"),
+        col("collection_type").as("collection_phase"),
+        col("data.odds_early").as("event"))
+    val tables = FixtureStore.derive(payloads)
+    assert(tables("odds_history").count() === 2)
+    assert(tables("fixtures").count() === 1)
+    val latest = tables("odds_latest").collect()
+    assert(latest.length === 1)
+    assert(latest.head.getAs[Double]("home_odds") === 2.5) // newest snapshot
+  }
+
+  test("ST8: warehouse write partitions by date; retention drops old ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("wh").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), 3.0))
+      .toDF("id", "ts", "v")
+    Sources.writeWarehouse(df, tmp, "ts", Seq("id"))
+    val partsBefore = new java.io.File(tmp).listFiles()
+      .count(_.getName.startsWith("__p_date="))
+    assert(partsBefore === 3)
+    val dropped = FixtureStore.dropExpiredPartitions(tmp,
+      java.time.LocalDate.parse("2024-01-10"))
+    assert(dropped === Seq("2024-01-01"))
+    assert(spark.read.parquet(tmp).count() === 2) // partition pruned away
+  }
+
+  test("J5 pure-range join via date bucketing") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 12:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-20 12:00:00")))
+      .toDF("event_id", "ts")
+    val anchors = Seq(
+      ("w1", java.sql.Timestamp.valueOf("2024-01-04 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-06 23:59:59")),
+      ("w2", java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-12 23:59:59")))
+      .toDF("name", "start_ts", "end_ts")
+    val out = Joins.bucketedRangeJoin(events, anchors, "ts",
+      "start_ts", "end_ts")
+      .select("event_id", "name").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "w1")))
+  }
+}
