@@ -72,7 +72,8 @@ object EntityResolution {
   def resolve(names: DataFrame, nameCol: String,
       cands: DataFrame, candCol: String, candOrderCol: String,
       manual: Option[DataFrame] = None,
-      learned: Option[DataFrame] = None): DataFrame = {
+      learned: Option[DataFrame] = None,
+      withAlternatives: Boolean = false): DataFrame = {
     val left = names.select(col(nameCol).as("api_name")).distinct()
     val withManual = manual match {
       case Some(m) => left.join(
@@ -94,24 +95,48 @@ object EntityResolution {
       col("__manual"), col("__learned"))
       .foldLeft(pairs) { case (df, (s, c)) => df.withColumn(s"s_$s", c) }
 
-    pickBest(scored, Seq("api_name"))
-      .select("api_name", "matched_name", "confidence", "strategy_used",
-        "match_found")
+    val outCols = Seq("api_name", "matched_name", "confidence",
+      "strategy_used", "match_found") ++
+      (if (withAlternatives) Seq("alternatives") else Nil)
+    pickBest(scored, Seq("api_name"), withAlternatives)
+      .select(outCols.map(col): _*)
   }
+
+  /** Per-strategy floor above which non-best candidates are collected as
+    * `alternatives` (reference semantics: substring >0.5, word >0.3, fuzzy
+    * similarity>0.4 ⇒ score>0.24; the deterministic strategies collect
+    * none). 2.0 = never. */
+  val alternativesFloor: Map[String, Double] = Map(
+    "exact_match" -> 2.0, "manual_mapping" -> 2.0, "learned_mapping" -> 2.0,
+    "normalized_matching" -> 2.0, "substring_matching" -> 0.5,
+    "word_based_matching" -> 0.3, "fuzzy_matching" -> 0.24)
 
   /** Cascade decision over a scored pair frame: per `keyCols` group, take
     * each strategy's argmax candidate (max_by over (score, -order) — highest
     * score, earliest candidate; partial-aggregated, single shuffle), then
     * pick the first strategy clearing its threshold. Exposed separately so
     * per-fixture resolution (F11) reuses the same decision logic with
-    * different grouping keys. Input needs columns: cand, cand_ord, s_<strategy>. */
-  def pickBest(scored: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val aggs = strategies.flatMap { s =>
+    * different grouping keys. Input needs columns: cand, cand_ord, s_<strategy>.
+    *
+    * @param withAlternatives also emit `alternatives`: up to 3 runner-up
+    *        candidates of the chosen strategy by (score desc, order asc),
+    *        above the strategy's floor. Collects candidate lists per group —
+    *        use only when the candidate side is small (it is: it's the
+    *        broadcast side of the resolution join). */
+  def pickBest(scored: DataFrame, keyCols: Seq[String],
+      withAlternatives: Boolean = false): DataFrame = {
+    val baseAggs = strategies.flatMap { s =>
       Seq(
         max(col(s"s_$s")).as(s"max_$s"),
         max_by(col("cand"), struct(col(s"s_$s"), -col("cand_ord")))
           .as(s"cand_$s"))
     }
+    val altAggs = if (withAlternatives) strategies.map { s =>
+      // struct(-score, ord, cand): ascending struct sort = score desc, ord asc
+      collect_list(struct((-col(s"s_$s")).as("nscore"),
+        col("cand_ord").as("ord"), col("cand").as("cand"))).as(s"all_$s")
+    } else Nil
+    val aggs = baseAggs ++ altAggs
     val perKey = scored.groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
@@ -120,7 +145,7 @@ object EntityResolution {
         when(col(s"max_$s") >= thresholds(s), lit(s))
       } :+ lit("fuzzy_matching")): _*)
 
-    perKey
+    val decided = perKey
       .withColumn("strategy_used", strategyPick)
       .withColumn("confidence",
         coalesce(strategies.map(s =>
@@ -133,6 +158,23 @@ object EntityResolution {
       .withColumn("match_found",
         when(col("strategy_used") === "fuzzy_matching",
           col("confidence") >= 0.3).otherwise(col("confidence") > 0))
-      .drop(strategies.flatMap(s => Seq(s"max_$s", s"cand_$s")): _*)
+
+    val withAlts = if (!withAlternatives) decided else decided
+      .withColumn("alternatives",
+        coalesce(strategies.map { s =>
+          val floor = alternativesFloor(s)
+          when(col("strategy_used") === s,
+            slice(
+              transform(
+                filter(array_sort(col(s"all_$s")),
+                  x => x("cand") =!= col("matched_name") &&
+                    -x("nscore") > lit(floor)),
+                x => x("cand")),
+              1, 3))
+        }: _*))
+
+    withAlts.drop(
+      (strategies.flatMap(s => Seq(s"max_$s", s"cand_$s")) ++
+        (if (withAlternatives) strategies.map(s => s"all_$s") else Nil)): _*)
   }
 }

@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => SimilarityPrefilterRule)
+
     ext.injectFunction((
       new FunctionIdentifier("ro_similarity"),
       new ExpressionInfo(classOf[RatcliffObershelpSimilarity].getName,

@@ -74,6 +74,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(r.getAs[Double]("confidence") === 0.85)
   }
 
+  test("alternatives: fuzzy runner-ups in (score desc, order asc) order") {
+    val names = Seq("Unknown Team FC").toDF("api_name")
+    val candDf = Seq(("Team A", 0), ("Team B", 1), ("Team C", 2))
+      .toDF("cand", "cand_ord")
+    val r = EntityResolution.resolve(names, "api_name", candDf, "cand",
+      "cand_ord", withAlternatives = true).head
+    assert(r.getAs[String]("strategy_used") === "fuzzy_matching")
+    // all three candidates tie on similarity; best = Team A (order), so
+    // alternatives are the remaining two in candidate order
+    assert(r.getSeq[String](r.fieldIndex("alternatives")) ===
+      Seq("Team B", "Team C"))
+  }
+
+  test("alternatives empty for deterministic strategies") {
+    val names = Seq("Bayern Munich").toDF("api_name")
+    val candDf = Seq(("Bayern Munich", 0), ("Dortmund", 1))
+      .toDF("cand", "cand_ord")
+    val r = EntityResolution.resolve(names, "api_name", candDf, "cand",
+      "cand_ord", withAlternatives = true).head
+    assert(r.getAs[String]("strategy_used") === "exact_match")
+    assert(r.getSeq[String](r.fieldIndex("alternatives")).isEmpty)
+  }
+
   test("tie-break: earliest candidate wins on equal score") {
     val names = Seq("Alpha Beta").toDF("api_name")
     // both candidates normalize-match; candidate order decides

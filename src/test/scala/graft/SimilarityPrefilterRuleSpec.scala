@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilarityPrefilterRuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("optimizer injects the length-ratio guard before ro_similarity") {
+    val a = Seq("abcdefgh", "ab").toDF("a")
+    val b = Seq("abcdefgx", "abcdefghijklmnopqrstuvwxyz").toDF("b")
+    val q = a.crossJoin(b)
+      .filter(Similarity.roSimilarity(col("a"), col("b")) >= 0.8)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("least"),
+      s"expected injected length guard in:\n$optimized")
+    // semantics preserved: only the near pair survives
+    val rows = q.select("a", "b").as[(String, String)].collect().toSet
+    assert(rows === Set(("abcdefgh", "abcdefgx")))
+  }
+
+  test("guard can never drop a pair the similarity would accept") {
+    // bound: ratio <= 2*min/(min+max); equal pair at the boundary
+    val df = Seq(("abcd", "abcd")).toDF("a", "b")
+      .filter(Similarity.roSimilarity(col("a"), col("b")) >= 1.0)
+    assert(df.count() === 1)
+  }
+}
