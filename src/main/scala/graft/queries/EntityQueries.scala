@@ -185,7 +185,7 @@ object EntityQueries {
     (s, d) => graft.operators.MappingStore.strategyReport(
       attempts(s, d), java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
     Some("""SELECT event_type AS strategy_used, COUNT(*) AS attempts,
-        SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS successes,
+        CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS successes,
         CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS success_rate,
         CAST(SUM(CAST(CASE WHEN value >= 100 THEN value / 200 END

@@ -193,7 +193,7 @@ object PipelineQueries {
         .orderBy(col("l_partkey"))
     },
     Some("""SELECT l_partkey,
-      SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS n_starter,
+      CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starter,
       COUNT(*) AS n_total
       FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
 

@@ -63,8 +63,8 @@ object Relational {
             .cast("double")).as("avg_purchase_value"))
       .orderBy(col("user_id")),
     Some(s"""SELECT user_id, COUNT(*) AS n_events,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(27,6))) AS DOUBLE)
         / CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS avg_purchase_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
@@ -104,7 +104,7 @@ object Relational {
           greatest(col("n_events"), lit(1)).cast("double"))
       .orderBy(col("user_id")),
     Some("""SELECT user_id, COUNT(*) AS n_events,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS purchase_rate
       FROM events GROUP BY user_id ORDER BY user_id"""))
@@ -136,9 +136,9 @@ object Relational {
           .as("weighted_calls"))
         .orderBy(col("user_id"))
     },
-    Some("""SELECT user_id, SUM(CASE event_type
+    Some("""SELECT user_id, CAST(SUM(CASE event_type
         WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 5
-        WHEN 'purchase' THEN 10 ELSE 0 END) AS weighted_calls
+        WHEN 'purchase' THEN 10 ELSE 0 END) AS BIGINT) AS weighted_calls
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** P2/P3 — time-range + equality/null predicates, projection (the
@@ -375,7 +375,8 @@ object Relational {
         ((unix_timestamp(col("o_orderdate")) -
           unix_timestamp(lit("1997-01-01").cast("timestamp"))) / 3600.0)
           .as("hours_since_97"),
-        graft.functions.Normalize.seasonOf(col("o_orderdate")).as("season"))
+        graft.functions.Normalize.seasonOf(col("o_orderdate")).cast("long")
+          .as("season"))
       .filter(col("season") >= 1998)
       .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,

@@ -43,8 +43,8 @@ object TextQueries {
   val qTokenCount = GQuery("q_token_count",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
-        TextFeatures.tokenCount(col("text")).as("n_ws_tokens"),
-        length(col("text")).as("n_chars_m")) // recomputed, vs stored n_chars
+        TextFeatures.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        length(col("text")).cast("long").as("n_chars_m")) // recomputed, vs stored n_chars
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
       len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0))
@@ -161,7 +161,8 @@ object TextQueries {
       val queries = emb.filter(col("vec_id") < 5)
       Ann.cosineTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("rank"), col("id"))
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"))
         .orderBy(col("query_id"), col("rank"))
     },
     Some("""WITH q AS (

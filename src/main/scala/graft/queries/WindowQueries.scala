@@ -127,7 +127,7 @@ object WindowQueries {
         .agg(Det.dsum(col("value")).as("total_value"))
       val w = Window.partitionBy(col("event_type"))
         .orderBy(desc("total_value"), col("user_id"))
-      totals.withColumn("rnk", row_number().over(w))
+      totals.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy(col("event_type"), col("rnk"))
     },

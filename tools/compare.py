@@ -43,6 +43,12 @@ def main():
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
             n_fail += 1
             continue
+        # dtype drift (e.g. int32 vs DuckDB HUGEINT) — warn loudly: the
+        # driver's schema compare may be stricter than value equality
+        for c in s.columns:
+            if str(s[c].dtype) != str(o[c].dtype):
+                print(f"WARN  {name}: col={c} dtype spark={s[c].dtype} "
+                      f"oracle={o[c].dtype}")
         if len(s) != len(o):
             print(f"FAIL  {name}: rows {len(s)} vs {len(o)}")
             n_fail += 1
