@@ -73,6 +73,23 @@ object TextFeatures {
       when(s === best, lit(l)) }: _*)).otherwise(lit("und"))
   }
 
+  /** Fast language ID: same decision rule as [[langId]] but over the fused
+    * single-pass [[TextStatsExpr]] counters (the compositional form
+    * re-tokenizes the document once per language, interpreted). */
+  def langIdFast(c: Column): Column = {
+    val st = TextStatsExpr.textStats(c)
+    val toks = st("n_tokens").cast("double")
+    val scores = Seq(
+      "en" -> st("stop_en"), "de" -> st("stop_de"),
+      "fr" -> st("stop_fr"), "es" -> st("stop_es"))
+      .map { case (l, hits) =>
+        l -> when(toks > 0, hits.cast("double") / toks).otherwise(0.0)
+      }
+    val best = greatest(scores.map(_._2): _*)
+    when(best > 0, coalesce(scores.map { case (l, s) =>
+      when(s === best, lit(l)) }: _*)).otherwise(lit("und"))
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence + mean-word-length band — the standard cheap filters
     * applied before LLM training (C4/Gopher-style heuristics, simplified). */

@@ -89,11 +89,12 @@ object TextQueries {
     * lang column. */
   val qLangId = GQuery("q_lang_id",
     (s, d) => Tables.documents(s, d)
-      .groupBy(col("lang"), TextFeatures.langId(col("text")).as("detected"))
+      .groupBy(col("lang"),
+        TextFeatures.langIdFast(col("text")).as("detected"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("detected")),
     None, // heuristic internals not worth a 4-language SQL twin; rows-only
-    notes = "rows-only: heuristic langid")
+    notes = "rows-only: heuristic langid (fused single-pass stats)")
 
   /** Document fingerprints (md5 flavor for cross-engine verification; the
     * engine-internal fast path is xxhash64 — see TextFeatures.fingerprint). */

@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("startDate", "2024-08-01").load()
   * }}}
   */
-class RestFixtureSource extends TableProvider {
+class RestFixtureSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** short name: `spark.read.format("rest-fixtures")` */
+  override def shortName(): String = "rest-fixtures"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RestFixtureSource.schema
 

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{TextFeatures, TextStatsExpr}
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused stats match the compositional Catalyst formulations") {
+    val docs = Tables.documents(spark, sfDir)
+    val both = docs.select(
+      TextStatsExpr.textStats(col("text")).as("st"),
+      TextFeatures.tokenCount(col("text")).cast("long").as("n_tokens_ref"),
+      length(col("text")).cast("long").as("n_chars_ref"),
+      TextFeatures.punctRatio(col("text")).as("punct_ref"),
+      TextFeatures.stopwordRatio(col("text"), TextFeatures.enStopwords)
+        .as("stop_en_ref"))
+    val bad = both.filter(
+      col("st.n_tokens") =!= col("n_tokens_ref") ||
+      col("st.n_chars") =!= col("n_chars_ref") ||
+      (when(col("st.n_chars") > 0,
+        col("st.n_punct").cast("double") / col("st.n_chars").cast("double"))
+        .otherwise(0.0) =!= col("punct_ref")) ||
+      (when(col("st.n_tokens") > 0,
+        col("st.stop_en").cast("double") / col("st.n_tokens").cast("double"))
+        .otherwise(0.0) =!= col("stop_en_ref")))
+    assert(bad.count() === 0)
+  }
+
+  test("langIdFast agrees with langId on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val disagree = docs.select(
+      TextFeatures.langId(col("text")).as("slow"),
+      TextFeatures.langIdFast(col("text")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(disagree === 0)
+  }
+
+  test("edge cases: empty, whitespace-only, punctuation-only") {
+    val rows = Seq("", "   ", "!!! ??? ...", "the la der el", "the der")
+      .toDF("t")
+      .select(TextStatsExpr.textStats(col("t")).as("st"),
+        TextFeatures.langIdFast(col("t")).as("lang"))
+      .select("st.n_tokens", "st.n_punct", "lang")
+      .collect()
+    assert(rows(0).getLong(0) === 0 && rows(0).getString(2) === "und")
+    assert(rows(1).getLong(0) === 0)
+    assert(rows(2).getLong(1) === 9)
+    assert(rows(3).getString(2) === "es") // la+el both score Spanish (2 hits)
+    assert(rows(4).getString(2) === "en") // en/de tie broken by priority
+  }
+
+  test("rest-fixtures short name resolves via DataSourceRegister") {
+    val df = spark.read.format("rest-fixtures")
+      .option("leagues", "39").option("days", "2").load()
+    assert(df.count() === 20)
+  }
+}
