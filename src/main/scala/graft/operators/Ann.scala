@@ -14,11 +14,11 @@ object Ann {
 
   /** Fast double dot product (sequential IEEE fold — deterministic for a
     * fixed array order, but engine-arithmetic dependent; use for filters
-    * and ranking, not for oracle-compared values). */
+    * and ranking, not for oracle-compared values). Custom expression: the
+    * zip_with+aggregate formulation walks the interpreter tree per element
+    * (~64 nodes per pair) and dominated the pairwise prefilter. */
   def dotFast(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductFloat.dotFloat(a, b)
 
   /** Fast cosine for prefilters. */
   def cosineFast(a: Column, b: Column): Column =

@@ -132,12 +132,12 @@ object Streams {
       }.toDF()
   }
 
-  /** File-based events stream over the testdata directory (each parquet file
-    * is one micro-batch input) — demonstrates readStream wiring; tests use
-    * MemoryStream for determinism. */
-  def eventsFileStream(spark: SparkSession, sfDir: String): DataFrame =
+  /** File-based events stream: watches a DIRECTORY of event parquet files
+    * (the streaming file source requires a directory; each new file is a
+    * micro-batch — exactly how a collection pipeline lands batches). */
+  def eventsFileStream(spark: SparkSession, eventsDir: String): DataFrame =
     spark.readStream
       .schema(Tables.eventsRawSchema)
-      .parquet(s"$sfDir")
+      .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

@@ -56,6 +56,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eventsFileStream reads the parquet events dir as a stream") {
+    // the file source needs a directory; stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Streams.eventsFileStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = Streams.windowedValueAgg(stream)
+      .writeStream.format("memory").queryName("file_agg")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      // watermark semantics: append mode only emits CLOSED windows; the
+      // final window(s) of a finite file stream stay open, so we check the
+      // batch twin covers strictly more rows
+      val streamed = spark.table("file_agg").count()
+      val batch = Streams.windowedValueAgg(
+        Tables.events(spark, "/root/testdata/sf0.001")).count()
+      assert(streamed > 0 && streamed <= batch)
+    } finally q.stop()
+  }
+
   test("jobStateMachine: terminal states absorb, late transitions ignored") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp, Timestamp)]
