@@ -10,10 +10,15 @@ object Bench {
     // warm-up: JIT/codegen caches, parquet footer reads
     try queries.WindowQueries.qFlagship.run(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // best-of-2 per query: first run pays codegen compilation + JIT for
+    // that plan shape; min is the stable figure rounds compare against
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

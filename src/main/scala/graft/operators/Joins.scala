@@ -31,6 +31,27 @@ object Joins {
       ts: Column, start: Column, end: Column): DataFrame =
     probe.join(anchor, equiKey && ts.between(start, end))
 
+  /** Skew-safe equi-join by salting: the build side is replicated
+    * `saltFactor` times (one copy per salt value), the probe side picks a
+    * deterministic pseudo-random salt per row (hash of its columns — no
+    * Math.random, so retried tasks stay consistent), and the join key
+    * becomes (key, salt). A hot key's rows spread over `saltFactor`
+    * partitions instead of one straggler. Complements AQE skew splitting:
+    * AQE fixes skewed PARTITIONS after the fact; salting fixes a single
+    * skewed KEY that no partition split can help.
+    *
+    * @param probe    large, possibly skewed side
+    * @param build    smaller side (replicated ×saltFactor)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      saltFactor: Int): DataFrame = {
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(saltFactor)))
+    val saltedBuild = build.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Pure range join via date bucketing: expand each anchor interval to the
     * date buckets it covers (`sequence` + `explode`), then hash-join on the
     * bucket and post-filter the exact range. Shuffle is proportional to

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations: bucketed co-located joins (shuffle-free)
+  * and skew salting — the physical-design levers ARCHITECTURE.md commits to
+  * for the 100 TB posture, proven at the plan level here. */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    // tables land in the default ./spark-warehouse (gitignored); the
+    // warehouse dir is a static conf and the suite session is shared
+    val ev = Tables.events(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "user_id")
+    ev.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("ev_bucketed")
+    cust.write.mode("overwrite")
+      .bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("cust_bucketed")
+    // disable auto-broadcast so the join would otherwise need a shuffle
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("cust_bucketed"), Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() ===
+        ev.join(cust, Seq("user_id")).count())
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    // heavily skewed probe: 10k rows of key 1, a few of others
+    val probe = (Seq.fill(10000)(1L) ++ Seq(2L, 3L)).zipWithIndex
+      .toDF("k", "payload")
+    val build = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val salted = Joins.saltedJoin(probe, build, "k", saltFactor = 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.count() === plain.count())
+    assert(salted.select(sum(col("payload"))).head.getLong(0) ===
+      plain.select(sum(col("payload"))).head.getLong(0))
+    // the salted key space actually uses multiple salt values for the hot key
+    val saltSpread = probe.filter(col("k") === 1)
+      .withColumn("__salt", pmod(hash(probe.columns.map(col): _*), lit(8)))
+      .select(countDistinct(col("__salt"))).head.getLong(0)
+    assert(saltSpread > 1)
+  }
+}
