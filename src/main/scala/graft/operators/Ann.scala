@@ -63,12 +63,14 @@ object Ann {
     * (deterministic, reproducible cluster-wide, no stored model) and shipped
     * as a literal — per-row work is nPlanes fused multiply-adds, no per-row
     * hashing. */
-  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int): Column = {
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int,
+      tableSeed: Long = 0L): Column = {
     require(nPlanes <= 63, "pack into one long")
     import graft.functions.MinHashSignature.splitmix64
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
-        if ((splitmix64(p.toLong * 1048573 + d) & 1L) == 0L) 1.0 else -1.0
+        if ((splitmix64(tableSeed * 7368787L + p.toLong * 1048573 + d)
+          & 1L) == 0L) 1.0 else -1.0
       }
     }
     val bits = (0 until nPlanes).map { p =>
@@ -80,25 +82,34 @@ object Ann {
     bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed ANN: corpus and queries signed with the same hyperplanes;
-    * candidates share a bucket (optionally multi-probe by also joining on
-    * 1-bit-flipped query signatures); exact cosine re-ranks in-bucket.
-    * Recall < 1 by construction — this is the 100 TB path where brute force
-    * is off the table; `nPlanes` trades recall for bucket size. */
+  /** LSH-bucketed ANN: corpus and queries signed with `nTables` independent
+    * hyperplane sets; candidates share (table, bucket) in ANY table
+    * (multi-probe additionally flips each of the first `multiProbeBits`
+    * signature bits); exact cosine re-ranks candidates. Recall < 1 by
+    * construction — this is the 100 TB path where brute force is off the
+    * table. Tuning: `nPlanes` sets bucket size (≈|corpus|/2^nPlanes),
+    * `nTables` × probes buys recall with extra candidate volume. */
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8): DataFrame = {
+      dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,
+      nTables: Int = 4): DataFrame = {
     val sigCorpus = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .withColumn("sig", hyperplaneSig(col("__v"), dim, nPlanes))
+      .withColumn("tsig", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSig(col("__v"), dim, nPlanes, t).as("sig"))): _*)))
+      .select(col("id"), col("__v"), col("tsig.t").as("t"),
+        col("tsig.sig").as("sig"))
     val qSig = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__q"))
-      .withColumn("sig0", hyperplaneSig(col("__q"), dim, nPlanes))
-    // multi-probe: original signature + signatures with one of the first
-    // `multiProbeBits` bits flipped
+      .withColumn("tsig0", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneSig(col("__q"), dim, nPlanes, t).as("sig0"))): _*)))
+      .select(col("query_id"), col("__q"), col("tsig0.t").as("t"),
+        col("tsig0.sig0").as("sig0"))
     val probes = qSig.withColumn("sig",
       explode(array((col("sig0") +: (0 until multiProbeBits).map(b =>
         col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
-    val cands = sigCorpus.join(probes, Seq("sig"))
+    val cands = sigCorpus.join(probes, Seq("t", "sig"))
       .dropDuplicates("query_id", "id")
       .withColumn("cos", cosine(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id"))

@@ -195,7 +195,7 @@ object TextQueries {
       val queries = emb.filter(col("vec_id") < 5)
       Ann.lshCosineTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding",
-          dim = 64, nPlanes = 12, k = 10, multiProbeBits = 6)
+          dim = 64, nPlanes = 6, k = 10, multiProbeBits = 6)
         .select(col("query_id"), col("rank"), col("id"))
         .orderBy(col("query_id"), col("rank"))
     },

@@ -11,7 +11,16 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     // tables land in the default ./spark-warehouse (gitignored); the
-    // warehouse dir is a static conf and the suite session is shared
+    // warehouse dir is a static conf and the suite session is shared.
+    // The metastore is per-JVM but the location persists — clear leftovers
+    // from previous runs or CREATE fails with LOCATION_ALREADY_EXISTS.
+    Seq("ev_bucketed", "cust_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     val ev = Tables.events(spark, sfDir)
     val cust = Tables.customer(spark, sfDir)
       .withColumnRenamed("c_custkey", "user_id")
