@@ -22,7 +22,7 @@ object TextFeatures {
     * punctuation marks each count). */
   def bpeishTokenCount(c: Column): Column =
     size(filter(
-      split(c, "(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])|(?<![\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|(?<=[\\p{P}\\p{S}])(?=[\\p{P}\\p{S}])"),
+      split(c, "(?<=[\\p{L}\\p{N}])(?![\\p{L}\\p{N}])|(?<![\\p{L}\\p{N}])(?=[\\p{L}\\p{N}])|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{P}\\p{S}])(?=[\\p{P}\\p{S}])"),
       t => length(trim(t)) > 0))
 
   /** Punctuation character ratio. */

@@ -50,6 +50,17 @@ class TextStatsSpec extends SparkSpec {
     assert(rows(4).getString(2) === "en") // en/de tie broken by priority
   }
 
+  test("bpeishTokenCount splits letter/digit runs and counts punctuation") {
+    val counts = Seq(
+      "hello world",      // 2
+      "don't stop me",    // don + ' + t + stop + me = 5
+      "abc123 def",       // abc + 123 + def = 3
+      "")                 // 0
+      .toDF("t")
+      .select(TextFeatures.bpeishTokenCount(col("t"))).as[Int].collect().toSeq
+    assert(counts === Seq(2, 5, 3, 0))
+  }
+
   test("rest-fixtures short name resolves via DataSourceRegister") {
     val df = spark.read.format("rest-fixtures")
       .option("leagues", "39").option("days", "2").load()
