@@ -87,7 +87,10 @@ object Dedup {
     // 3. cheap signature-estimate prefilter (matching minhash fraction ≈
     //    Jaccard); generous margin keeps recall, kills far pairs before the
     //    expensive exact set ops
-    val sigs = base.select(col("id"), col("sig"))
+    // signatures are |docs| × numHashes longs — a few MB even at millions
+    // of docs — so the candidate-pair enrichment joins broadcast them
+    // instead of shuffling the (much larger) pair table twice
+    val sigs = broadcast(base.select(col("id"), col("sig")))
     val estScore = graft.functions.SignatureAgreement.agreement(
       col("sig_a"), col("sig_b")).cast("double") / lit(numHashes.toDouble)
     // cache: `strong` feeds both the candidate-id semi-join and the final
