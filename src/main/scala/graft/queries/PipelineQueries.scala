@@ -260,7 +260,57 @@ object PipelineQueries {
       .orderBy(col("event_type")),
     None, notes = "rows-only: approximate HLL sketch")
 
+  /** Report slice (SURVEY.md §1.1 derived documents): weekly daily
+    * breakdown — the weekly_report.json inner table. */
+  val qWeeklyDaily = GQuery("q_weekly_daily",
+    (s, d) => graft.operators.Reports.weeklyDaily(
+      Tables.events(s, d), java.sql.Timestamp.valueOf("2024-01-31 00:00:00")),
+    Some(s"""SELECT ${Det.sqlFmtDate("CAST(ts AS DATE)")} AS day,
+        COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        ${Det.sqlDsum("value")} AS value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 7 DAY
+        AND ts <= TIMESTAMP '2024-01-31'
+      GROUP BY 1 ORDER BY day"""))
+
+  /** health_status.json document (A9 + thresholds) over jobs synthesized
+    * from order keys. */
+  val qHealthStatus = GQuery("q_health_status",
+    (s, d) => {
+      val jobs = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 20 === 0, "failed")
+          .when(col("o_orderkey") % 5 === 0, "pending")
+          .when(col("o_orderkey") % 7 === 0, "expired")
+          .otherwise("completed").as("status"))
+      graft.operators.Reports.healthStatus(jobs,
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+    },
+    Some(s"""WITH jobs AS (
+        SELECT CASE WHEN o_orderkey % 20 = 0 THEN 'failed'
+            WHEN o_orderkey % 5 = 0 THEN 'pending'
+            WHEN o_orderkey % 7 = 0 THEN 'expired'
+            ELSE 'completed' END AS status
+        FROM orders),
+      agg AS (
+        SELECT COUNT(*) AS total_jobs,
+          CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+          CAST(SUM(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+          CAST(SUM(CASE WHEN status = 'expired' THEN 1 ELSE 0 END) AS BIGINT) AS expired,
+          CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS completed
+        FROM jobs)
+      SELECT *,
+        CASE WHEN total_jobs > 0
+          THEN CAST(failed AS DOUBLE) / CAST(total_jobs AS DOUBLE)
+          ELSE 0.0 END AS failure_rate,
+        CASE WHEN (CASE WHEN total_jobs > 0
+            THEN CAST(failed AS DOUBLE) / CAST(total_jobs AS DOUBLE)
+            ELSE 0.0 END) > 0.2 THEN 'degraded'
+          WHEN pending > 50 OR expired > 10 THEN 'issues'
+          ELSE 'healthy' END AS status,
+        ${Det.sqlFmtTs("TIMESTAMP '2024-01-31'")} AS checked_at
+      FROM agg"""))
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
-    qApproxDistinct)
+    qApproxDistinct, qWeeklyDaily, qHealthStatus)
 }
