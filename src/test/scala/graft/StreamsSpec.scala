@@ -56,6 +56,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingMovementAlert flags >threshold ranges in overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.slidingMovementAlert(df, threshold = 0.5)
+      .writeStream.format("memory").queryName("slide_alerts")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "odds", 2.0),
+        (2L, ts("2024-01-01 10:30:00"), 1L, "odds", 4.0), // 100% move
+        (3L, ts("2024-01-01 10:05:00"), 2L, "odds", 3.0),
+        (4L, ts("2024-01-01 10:35:00"), 2L, "odds", 3.1)) // 3% — quiet
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-01 14:00:00"), 9L, "odds", 1.0)) // close windows
+      q.processAllAvailable()
+      val alerts = spark.table("slide_alerts")
+        .select("user_id").as[Long].collect().toSet
+      assert(alerts === Set(1L)) // only the 100% mover alerts
+    } finally q.stop()
+  }
+
   test("eventsFileStream reads the parquet events dir as a stream") {
     // the file source needs a directory; stage the events file into one
     val dir = java.nio.file.Files.createTempDirectory("evstream")
