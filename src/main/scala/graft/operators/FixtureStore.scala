@@ -34,10 +34,10 @@ object FixtureStore {
         "collected_at", "collection_phase"))
   }
 
-  /** ST8 — retention as partition drop: date-partitioned warehouse keeps
-    * only partitions newer than the cutoff. No row-level deletes — at
-    * 100 TB, retention must be O(partitions), not O(rows). */
-  def retainedPartitions(warehousePath: String,
+  /** ST8 — partitions strictly OLDER than the cutoff (the expired set a
+    * retention sweep should delete). Date-partitioned warehouse retention
+    * is O(partitions), not O(rows) — no row-level deletes at 100 TB. */
+  def expiredPartitions(warehousePath: String,
       cutoff: java.time.LocalDate): Seq[String] = {
     val dir = new java.io.File(warehousePath)
     val parts = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -51,7 +51,7 @@ object FixtureStore {
     * analogue, football-data-pipeline.yml:661-680). */
   def dropExpiredPartitions(warehousePath: String,
       cutoff: java.time.LocalDate): Seq[String] = {
-    val expired = retainedPartitions(warehousePath, cutoff)
+    val expired = expiredPartitions(warehousePath, cutoff)
     expired.foreach { d =>
       val dir = new java.io.File(s"$warehousePath/__p_date=$d")
       dir.listFiles().foreach(_.delete())

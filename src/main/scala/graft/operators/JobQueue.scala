@@ -68,12 +68,14 @@ object JobQueue {
 
   /** P8 / ST4 — status transition at processing time `now`:
     * pending + >45 min past schedule → expired; pending + due → processable.
+    * `due` derives from the POST-transition status, so an expired job is
+    * never due (the reference never processes expired jobs).
     * (Success/failure of processing is the caller's side effect.) */
   def markDue(jobs: DataFrame, now: Timestamp): DataFrame =
-    jobs.withColumn("due",
-        col("status") === "pending" && col("scheduled_for") <= lit(now))
-      .withColumn("status",
+    jobs.withColumn("status",
         when(col("status") === "pending" &&
           lit(now) > col("scheduled_for") + expr("INTERVAL 45 MINUTES"),
           "expired").otherwise(col("status")))
+      .withColumn("due",
+        col("status") === "pending" && col("scheduled_for") <= lit(now))
 }

@@ -43,8 +43,12 @@ object OddsCollect {
     val best = EntityResolution.pickBest(scored,
       Seq("fixture_id", "side", "api_name"))
 
+    // Re-attach on (fixture_id, api_name) — not fixture_id alone: the same
+    // fixture can appear across payloads with differing game_info names
+    // (pickBest keys include api_name), and a fixture-only join would fan
+    // payload rows out across the other payloads' mappings.
     def sideMeta(side: String) = best.filter(col("side") === side)
-      .select(col("fixture_id"),
+      .select(col("fixture_id"), col("api_name").as(s"__${side}_api"),
         struct(
           col("api_name").as("api_football_name"),
           col("matched_name").as("odds_api_name"),
@@ -52,8 +56,11 @@ object OddsCollect {
           .as(s"${side}_mapping"))
 
     payloads
-      .join(sideMeta("home"), Seq("fixture_id"), "left")
-      .join(sideMeta("away"), Seq("fixture_id"), "left")
+      .withColumn("__home_api", col("game_info.home_team"))
+      .withColumn("__away_api", col("game_info.away_team"))
+      .join(sideMeta("home"), Seq("fixture_id", "__home_api"), "left")
+      .join(sideMeta("away"), Seq("fixture_id", "__away_api"), "left")
+      .drop("__home_api", "__away_api")
       .withColumn("_mapping_metadata",
         struct(col("home_mapping"), col("away_mapping"),
           (col("home_mapping.match_found") && col("away_mapping.match_found"))

@@ -82,23 +82,28 @@ object Windows {
     val leftCols = left.columns
     // side 0 = quote (right), side 1 = probe (left): on equal timestamps the
     // quote sorts first so it IS visible to the probe (<= semantics).
+    // All attrCols ride in ONE struct so last(ignoreNulls) is all-or-nothing:
+    // a quote row with a legitimately-NULL attribute still supplies that null
+    // (never an older quote's value) — attributes always come from the SAME
+    // as-of row.
     val taggedRight = right.select(
-      (col(key).as("__k") +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        col(rightTiebreak).as("__tb") +:
-        attrCols.map(c => col(c).as(s"__a_$c"))): _*)
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      col(rightTiebreak).as("__tb"),
+      struct(attrCols.map(col): _*).as("__a"))
     val taggedLeft = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
         leftCols.map(col)): _*)
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     // quotes with equal __ts are totally ordered by __tb (latest wins);
-    // probe rows carry __tb = null, which sorts first within their slot.
+    // probe rows carry __tb = null and sort last within their (ts, side) slot
+    // — irrelevant for ordering since probes contribute no __a.
     val w = Window.partitionBy(col("__k"))
       .orderBy(asc("__ts"), asc("__side"), asc_nulls_last("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withAsof = attrCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__a_$c"), ignoreNulls = true).over(w))
-    }
+    val withAsof = unioned.withColumn("__asof",
+      last(col("__a"), ignoreNulls = true).over(w))
     withAsof.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ attrCols.map(c => col(s"asof_$c"))): _*)
+      .select((leftCols.map(col) ++
+        attrCols.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 }

@@ -29,29 +29,46 @@ object SimilarityPrefilterRule extends Rule[LogicalPlan] {
       tau)
   }
 
-  private def rewrite(cond: Expression): Expression = cond match {
-    case And(l, r) => And(rewrite(l), rewrite(r))
-    case g @ GreaterThanOrEqual(sim: RatcliffObershelpSimilarity,
-        tau @ Literal(_, DoubleType)) =>
-      And(bound(sim, tau), g)
-    case g @ GreaterThan(sim: RatcliffObershelpSimilarity,
-        tau @ Literal(_, DoubleType)) =>
-      And(bound(sim, tau), g)
-    case other => other
+  private def rewrite(cond: Expression): Expression = {
+    // idempotence: optimizer batches run to fixpoint — a comparison is
+    // skipped iff the condition already contains ITS OWN bound (checked by
+    // semanticEquals against the exact shape over the sim's children), so an
+    // unrelated least() — or a manually-written lengthPrefilter for a
+    // DIFFERENT pair — never disables the rewrite.
+    def guarded(sim: RatcliffObershelpSimilarity, tau: Expression): Boolean =
+      cond.exists(_.semanticEquals(bound(sim, tau)))
+    def go(e: Expression): Expression = e match {
+      case And(l, r) => And(go(l), go(r))
+      case g @ GreaterThanOrEqual(sim: RatcliffObershelpSimilarity,
+          tau @ Literal(_, DoubleType)) if !guarded(sim, tau) =>
+        And(bound(sim, tau), g)
+      case g @ GreaterThan(sim: RatcliffObershelpSimilarity,
+          tau @ Literal(_, DoubleType)) if !guarded(sim, tau) =>
+        And(bound(sim, tau), g)
+      // mirrored forms: τ <= sim, τ < sim
+      case g @ LessThanOrEqual(tau @ Literal(_, DoubleType),
+          sim: RatcliffObershelpSimilarity) if !guarded(sim, tau) =>
+        And(bound(sim, tau), g)
+      case g @ LessThan(tau @ Literal(_, DoubleType),
+          sim: RatcliffObershelpSimilarity) if !guarded(sim, tau) =>
+        And(bound(sim, tau), g)
+      case other => other
+    }
+    go(cond)
   }
 
-  // idempotence guard: optimizer batches run to fixpoint — skip conditions
-  // we already guarded (a Least over lengths is our fingerprint)
   private def applicable(cond: Expression): Boolean =
-    cond.exists(_.isInstanceOf[RatcliffObershelpSimilarity]) &&
-      !cond.exists(_.isInstanceOf[Least])
+    cond.exists(_.isInstanceOf[RatcliffObershelpSimilarity])
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case Filter(cond, child) if applicable(cond) =>
-      Filter(rewrite(cond), child)
+    case f @ Filter(cond, child) if applicable(cond) =>
+      val rewritten = rewrite(cond)
+      if (rewritten.fastEquals(cond)) f else Filter(rewritten, child)
     // by the time user rules run, Catalyst has folded Filter-over-cross-join
     // into the join condition itself — guard there too
     case j: Join if j.condition.exists(applicable) =>
-      j.copy(condition = j.condition.map(rewrite))
+      val rewritten = j.condition.map(rewrite)
+      if (rewritten.zip(j.condition).forall { case (a, b) => a.fastEquals(b) }) j
+      else j.copy(condition = rewritten)
   }
 }

@@ -86,14 +86,19 @@ object PipelineQueries {
             AND scheduled_for > TIMESTAMP '1997-01-01' - INTERVAL 2 HOUR)
           OR (status IN ('completed', 'failed')
             AND scheduled_for > TIMESTAMP '1997-01-01' - INTERVAL 3 DAY)),
-      marked AS (
+      transitioned AS (
         SELECT
           CASE WHEN status = 'pending' AND TIMESTAMP '1997-01-01'
               > scheduled_for + INTERVAL 45 MINUTE THEN 'expired'
             ELSE status END AS status,
+          scheduled_for
+        FROM retained),
+      marked AS (
+        -- due derives from the POST-transition status: expired is never due
+        SELECT status,
           (status = 'pending' AND scheduled_for <= TIMESTAMP '1997-01-01')
             AS due
-        FROM retained)
+        FROM transitioned)
       SELECT status, due, COUNT(*) AS n FROM marked
       GROUP BY status, due ORDER BY status, due"""))
 

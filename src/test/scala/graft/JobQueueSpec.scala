@@ -55,7 +55,7 @@ class JobQueueSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("id") ->
         (r.getAs[String]("status"), r.getAs[Boolean]("due"))).toMap
     assert(out("a") === ("pending", true))  // exactly 45m past, still pending+due
-    assert(out("b")._1 === "expired")
+    assert(out("b") === ("expired", false)) // expired jobs are NEVER due
     assert(out("c") === ("pending", false))
     assert(out("d") === ("completed", false))
   }
