@@ -199,14 +199,29 @@ object Relational {
         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  /** J8 — anti-join (job dedup shape, workflows yml:248-249). */
+  /** J8 — anti-join (job dedup shape, workflows yml:248-249).
+    *
+    * Every sf0.01 customer has orders, which made this gate vacuous — so
+    * the query PLANTS order-less customers (offset ids outside the orders
+    * key domain, mirrored in the DuckDB twin) that the anti-join must keep. */
   val qAntiJoin = GQuery("q_anti_join",
-    (s, d) => Tables.customer(s, d)
-      .join(Tables.orders(s, d),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey")),
-    Some("""SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS
+    (s, d) => {
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val planted = base.filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          concat(lit("ghost_"), col("c_name")).as("c_name"))
+      base.unionByName(planted)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH cust AS (
+        SELECT c_custkey, c_name FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 'ghost_' || c_name
+        FROM customer WHERE c_custkey % 10 = 0)
+      SELECT c_custkey, c_name FROM cust c WHERE NOT EXISTS
         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       ORDER BY c_custkey"""))
 
@@ -268,12 +283,23 @@ object Relational {
 
   /** J5 — range join with an equi-key (odds within event-impact window,
     * streamlit_dashboard.py:584-594): events within 7 days after the
-    * user's order date. */
+    * user's order date.
+    *
+    * The raw tables' time ranges are disjoint (events 2024, orders 1990s),
+    * which made this gate vacuous — so the query PLANTS events inside the
+    * order windows (one synthetic event a day after every 50th order,
+    * mirrored in the DuckDB twin) that the range join must pick up. */
   val qRangeJoin = GQuery("q_range_join",
     (s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"), col("value"))
+      // separate load for the planted branch: distinct attribute ids keep the
+      // probe-side lineage disjoint from the anchor in the self-referential join
+      val planted = Tables.orders(s, d).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_custkey").as("user_id"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts"),
+          (col("o_orderkey") % 100).cast("double").as("value"))
       val o = Tables.orders(s, d)
-      Joins.rangeJoin(ev, o,
+      Joins.rangeJoin(ev.unionByName(planted), o,
         col("user_id") === col("o_custkey"),
         col("ts"), col("o_orderdate"),
         col("o_orderdate") + expr("INTERVAL 7 DAYS"))
@@ -282,9 +308,15 @@ object Relational {
           Det.dsum(col("value")).as("sum_value"))
         .orderBy(col("o_orderkey"))
     },
-    Some(s"""SELECT o_orderkey, COUNT(*) AS n_events,
+    Some(s"""WITH ev AS (
+        SELECT user_id, ts, value FROM events
+        UNION ALL
+        SELECT o_custkey, o_orderdate + INTERVAL 1 DAY,
+          CAST(o_orderkey % 100 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 50 = 0)
+      SELECT o_orderkey, COUNT(*) AS n_events,
       ${Det.sqlDsum("value")} AS sum_value
-      FROM events JOIN orders ON user_id = o_custkey
+      FROM ev JOIN orders ON user_id = o_custkey
         AND ts BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 

@@ -11,31 +11,59 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** Exact dedup groups keyed on the whitespace-normalized text (md5 in both
-    * engines so the group key itself is verifiable). */
+    * engines so the group key itself is verifiable).
+    *
+    * The synthetic corpus has no exact duplicates, so the gate PLANTS them:
+    * every 10th doc gains a case/whitespace-perturbed copy (offset id) that
+    * normalizes to the same key — mirrored verbatim in the DuckDB twin, so
+    * the compared result is non-empty (≈50 groups at sf0.01). */
   val qDedupExact = GQuery("q_dedup_exact",
-    (s, d) => Tables.documents(s, d)
-      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-        .as("text_md5"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .orderBy(col("keep_id")),
-    Some("""SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      base.unionByName(planted)
+        .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+          .as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keep_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, '  ' || upper(text) || ' '
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-      FROM documents
+      FROM docs
       GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY keep_id"""))
 
   /** Exact-dedup row flags via the window formulation (is_duplicate per
-    * row — the filterable form a pipeline actually applies). */
+    * row — the filterable form a pipeline actually applies). Same planted
+    * duplicates as [[qDedupExact]] so the flags are exercised non-vacuously. */
   val qDedupFlags = GQuery("q_dedup_flags",
-    (s, d) => Dedup.exactDuplicates(Tables.documents(s, d), "text", "doc_id")
-      .filter(col("is_duplicate"))
-      .select(col("doc_id"), col("dup_group_size"))
-      .orderBy(col("doc_id")),
-    Some("""WITH g AS (
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+      Dedup.exactDuplicates(base.unionByName(planted), "text", "doc_id")
+        .filter(col("is_duplicate"))
+        .select(col("doc_id"), col("dup_group_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, '  ' || upper(text) || ' '
+        FROM documents WHERE doc_id % 10 = 0),
+      g AS (
         SELECT doc_id,
           MIN(doc_id) OVER (PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS keep_id,
           COUNT(*) OVER (PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS dup_group_size
-        FROM documents)
+        FROM docs)
       SELECT doc_id, dup_group_size FROM g WHERE doc_id <> keep_id
       ORDER BY doc_id"""))
 
@@ -202,10 +230,19 @@ object TextQueries {
     None, notes = "rows-only: approximate ANN")
 
   /** Embedding-cosine near-duplicate pairs (label-blocked to stay subquadratic
-    * in the demo; at scale the blocking key is an LSH bucket). */
+    * in the demo; at scale the blocking key is an LSH bucket).
+    *
+    * The synthetic embeddings have no near-dup pairs above 0.99, so the gate
+    * PLANTS them: every 20th vector gains an identical copy at an offset id
+    * (cos = 1 exactly) — mirrored in the DuckDB twin; non-empty result. */
   val qEmbeddingNearDup = GQuery("q_embedding_neardup",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
+      val base = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select(col("label"), (col("vec_id") + 100000L).as("vec_id"),
+          col("embedding"))
+      val e = base.unionByName(planted)
       val a = e.select(col("label"), col("vec_id").as("id_a"),
         col("embedding").as("v_a"))
       val b = e.select(col("label"), col("vec_id").as("id_b"),
@@ -221,8 +258,13 @@ object TextQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b
+    Some("""WITH emb AS (
+        SELECT label, vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT label, vec_id + 100000, embedding
+        FROM embeddings WHERE vec_id % 20 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM emb a JOIN emb b
         ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
             p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
