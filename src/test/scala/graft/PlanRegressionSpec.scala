@@ -15,7 +15,7 @@ class PlanRegressionSpec extends SparkSpec {
   // explicitly broadcast; scoring every pair is the operator's semantics)
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
-    "q_cosine_topk")
+    "q_substring_conf", "q_cosine_topk")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
