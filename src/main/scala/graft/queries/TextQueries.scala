@@ -137,15 +137,36 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""))
 
   /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5.
-    * LSH internals (xxhash64 band buckets) are engine-internal; the OUTPUT
-    * (verified pairs) is what a pipeline consumes. Rows-only check. */
+    *
+    * HASH-EXACT oracle: the DuckDB twin computes brute-force all-pairs exact
+    * char-5-gram Jaccard (unnest + shingle equi-join — feasible at oracle
+    * SF). The engine output equals brute force iff LSH candidate recall is 1
+    * at this SF — hashing is deterministic, so the equality is stable, and
+    * the exact-verify filter makes precision exact by construction. At scale
+    * recall stays the only (tunable) approximation. */
   val qMinhashPairs = GQuery("q_minhash_pairs",
     (s, d) => Dedup.minhashNearDupPairs(Tables.documents(s, d),
         "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
         minJaccard = 0.5)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b")),
-    None, notes = "rows-only: LSH candidate generation + exact verify")
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs)
+      SELECT id_a, id_b,
+        CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) AS jaccard
+      FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""))
 
   /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 6, candidate
     * generation by 16-bit block bucketing (a pair within Hamming 6 shares at
@@ -173,13 +194,38 @@ object TextQueries {
     },
     None, notes = "rows-only: simhash internal hashing")
 
-  /** N-gram (word 3-gram) Jaccard near-dup pairs with length-band blocking. */
+  /** N-gram (word 3-gram) Jaccard near-dup pairs, LSH candidates + exact
+    * verify. Same brute-force oracle construction as [[qMinhashPairs]],
+    * over word 3-grams mirroring TextFeatures.wordNgrams (including the
+    * <n-token fallback to one whole-text gram). */
   val qNgramJaccard = GQuery("q_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", n = 3, minJaccard = 0.5)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b")),
-    None, notes = "rows-only: blocking-based candidate generation")
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(0, len(tk) - 3 + 1),
+              i -> array_to_string(tk[i + 1 : i + 3], ' ')))
+            ELSE [array_to_string(tk, ' ')] END AS grams
+        FROM toks),
+      s AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(grams) AS n FROM g)
+      SELECT id_a, id_b,
+        CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) AS jaccard
+      FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""))
 
   /** Brute-force cosine top-k: 5 query vectors against the corpus.
     * Output ranks only — rank is stable under float noise; raw cosines are
