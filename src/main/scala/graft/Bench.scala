@@ -18,6 +18,8 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(s"BENCHDBG $name ${times.mkString(" ")}")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

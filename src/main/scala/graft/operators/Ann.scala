@@ -42,15 +42,32 @@ object Ann {
 
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * score the whole corpus and keep the k best. Plan: broadcast NL join
-    * (corpus never shuffles at full width) → per-query window top-k.
+    * (corpus never shuffles at full width) → fast-double prescreen with a
+    * map-side-pruned window (WindowGroupLimit keeps ≤ k+32 rows per query
+    * per partition BEFORE the exchange) → exact-decimal cosine only on the
+    * survivors → exact re-rank. The deterministic decimal score does ~100×
+    * less work this way, and the one array-carrying exchange is group-limit
+    * pruned, so the shape survives corpus scale-up.
+    *
+    * The k+32 margin makes the prescreen lossless in practice: the double
+    * dot's rounding error (~1e-13 relative) would need >32 candidates within
+    * that distance of the rank-k boundary to change the output.
     * Output: (query_id, rank, id, cos). */
   def cosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val joined = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("__q"))))
+      .withColumn("__fastcos", cosineFast(col("__v"), col("__q")))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__fastcos"), asc("id"))
+    val pruned = joined.withColumn("__r0", row_number().over(w0))
+      .filter(col("__r0") <= k + 32)
+    val scored = pruned
       .withColumn("cos", cosine(col("__v"), col("__q")))
+      // arrays projected out before the final exact-rank exchange
+      .select(col("query_id"), col("id"), col("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
@@ -106,15 +123,25 @@ object Ann {
           hyperplaneSig(col("__q"), dim, nPlanes, t).as("sig0"))): _*)))
       .select(col("query_id"), col("__q"), col("tsig0.t").as("t"),
         col("tsig0.sig0").as("sig0"))
-    val probes = qSig.withColumn("sig",
+    // probes drop the query vector: a candidate occurs once per (table,
+    // probe) hit, so the dedup shuffle should carry only (query_id, id, __v)
+    // — __q re-attaches after dedup via the broadcast query table, and the
+    // exact cosine runs once per DISTINCT pair instead of per occurrence
+    val probes = qSig.drop("__q").withColumn("sig",
       explode(array((col("sig0") +: (0 until multiProbeBits).map(b =>
         col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
     val cands = sigCorpus.join(probes, Seq("t", "sig"))
+      .select(col("query_id"), col("id"), col("__v"))
       .dropDuplicates("query_id", "id")
+    val qVecs = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__q")))
+    val scored = cands.join(qVecs, Seq("query_id"))
       .withColumn("cos", cosine(col("__v"), col("__q")))
+      // arrays projected out before the per-query top-k exchange
+      .select(col("query_id"), col("id"), col("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc("id"))
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "cos")
   }
