@@ -52,23 +52,44 @@ object Dedup {
     * (id_a < id_b) → dedup candidate pair → verify true shingle Jaccard ≥
     * `minJaccard`.
     *
-    * Scale notes: the exploded band table is |docs|×bands rows; the bucket
-    * self-join shuffles on (band, bucket) so only true collisions meet;
-    * verification re-derives shingles from the carried text — at 100 TB,
-    * carry a doc-store key instead and re-read from columnar storage.
+    * This variant caches (id, text, sig) — convenient when the corpus slice
+    * fits the storage pool. For the 100 TB posture use
+    * [[minhashNearDupPairsKeyed]], which never caches text.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8): DataFrame =
+    minhashPipeline(df, idCol, textCol, numHashes, bands, shingleSize,
+      minJaccard, keyed = false)
+
+  /** [[minhashNearDupPairs]] with the verify stage re-reading text BY KEY
+    * from the source relation: only (id, signature) is ever cached — a few
+    * MB per million docs — and the candidate docs' text comes from a
+    * key-semi-join re-scan (at scale: a selective columnar read from the
+    * doc store, pushdown-visible in the plan). Same output, proven by
+    * DedupSpec's equivalence test. */
+  def minhashNearDupPairsKeyed(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      minJaccard: Double = 0.8): DataFrame =
+    minhashPipeline(df, idCol, textCol, numHashes, bands, shingleSize,
+      minJaccard, keyed = true)
+
+  private def minhashPipeline(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int, minJaccard: Double,
+      keyed: Boolean): DataFrame = {
     // 1. sign ONCE per doc with the fused rolling-shingle expression (no
     //    shingle arrays materialized; see MinHashTextSignature). The
     //    normalized text is computed by codegen'd builtins; only the final
     //    signature call is interpreted.
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", graft.functions.MinHashTextSignature.minhashText(
-        norm, shingleSize, numHashes))
-      .cache()
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val sigExpr = graft.functions.MinHashTextSignature.minhashText(
+      norm, shingleSize, numHashes)
+    // keyed: the cache holds ids+signatures ONLY (numHashes longs per doc);
+    // non-keyed: text rides along for the verify stage
+    val base =
+      if (keyed) df.select(col(idCol).as("id"), sigExpr.as("sig")).cache()
+      else df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sig", sigExpr).cache()
     // 2. band explode carries IDS ONLY — never the text/gram payload
     //    (carrying text multiplies the shuffle by `bands`; measured 95 s →
     //    this shape is the difference between O(ids) and O(corpus·bands)
@@ -104,10 +125,14 @@ object Dedup {
     // 4. exact verification only on survivors. Shingle-set construction is
     //    interpreter-evaluated (higher-order builtins are CodegenFallback)
     //    and ~ms per doc — so build sets ONLY for docs that appear in a
-    //    surviving pair (semi-join first), not the whole corpus.
+    //    surviving pair (semi-join first), not the whole corpus. keyed:
+    //    candidate text comes from a fresh by-key read of the source.
     val candIds = strong.select(col("id_a").as("id"))
       .union(strong.select(col("id_b").as("id"))).distinct()
-    val grams = base.join(candIds, Seq("id"), "left_semi")
+    val textSource =
+      if (keyed) df.select(col(idCol).as("id"), col(textCol).as("text"))
+      else base
+    val grams = textSource.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), sort_array(
         TextFeatures.shingles(col("text"), shingleSize)).as("grams"))
       .cache()

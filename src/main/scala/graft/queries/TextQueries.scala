@@ -145,7 +145,7 @@ object TextQueries {
     * the exact-verify filter makes precision exact by construction. At scale
     * recall stays the only (tunable) approximation. */
   val qMinhashPairs = GQuery("q_minhash_pairs",
-    (s, d) => Dedup.minhashNearDupPairs(Tables.documents(s, d),
+    (s, d) => Dedup.minhashNearDupPairsKeyed(Tables.documents(s, d),
         "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
         minJaccard = 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))

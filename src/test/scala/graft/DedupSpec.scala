@@ -34,6 +34,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashNearDupPairsKeyed: same pairs, no full-text cache") {
+    // equivalence with the text-carrying variant on real testdata
+    val d = "/root/testdata/sf0.001"
+    val corpus = Tables.documents(spark, d)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val plain = run(Dedup.minhashNearDupPairs(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5))
+    spark.catalog.clearCache()
+    val keyed = Dedup.minhashNearDupPairsKeyed(corpus, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+    assert(run(keyed) === plain)
+    // plan proof: no cached relation carries the raw text column — the
+    // signature cache is (id, sig) and the gram cache is candidate-only
+    // (id, grams); text is re-read from the source by key
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val cachedOutputs = keyed.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r.output.map(_.name)
+    }
+    assert(cachedOutputs.nonEmpty)
+    cachedOutputs.foreach { cols =>
+      assert(!cols.contains("text"),
+        s"cached relation carries raw text: $cols")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
