@@ -75,28 +75,47 @@ object Ann {
       .select("query_id", "rank", "id", "cos")
   }
 
-  /** Random-hyperplane signature: `nPlanes` sign bits packed into a long.
-    * The ±1 hyperplane matrix is derived ONCE at plan time from SplitMix64
-    * (deterministic, reproducible cluster-wide, no stored model) and shipped
-    * as a literal — per-row work is nPlanes fused multiply-adds, no per-row
-    * hashing. */
-  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int,
-      tableSeed: Long = 0L): Column = {
-    require(nPlanes <= 63, "pack into one long")
+  /** The ±1 hyperplane matrix for one table, derived ONCE at plan time from
+    * SplitMix64 (deterministic, reproducible cluster-wide, no stored model)
+    * and shipped as a literal. */
+  private def planeMatrix(dim: Int, nPlanes: Int,
+      tableSeed: Long): Seq[Seq[Double]] = {
     import graft.functions.MinHashSignature.splitmix64
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+    (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         if ((splitmix64(tableSeed * 7368787L + p.toLong * 1048573 + d)
           & 1L) == 0L) 1.0 else -1.0
       }
     }
-    val bits = (0 until nPlanes).map { p =>
-      val s = aggregate(
+  }
+
+  /** Per-plane projections of `vec` (array<double>, one per plane) — the
+    * signs make the signature; the magnitudes drive query-adaptive
+    * multiprobe (a small |projection| means the point sits near that
+    * hyperplane, so flipping that bit is the likeliest place to find lost
+    * neighbors). */
+  def hyperplaneProj(vec: Column, dim: Int, nPlanes: Int,
+      tableSeed: Long = 0L): Column = {
+    val planes = planeMatrix(dim, nPlanes, tableSeed)
+    array((0 until nPlanes).map { p =>
+      aggregate(
         zip_with(vec, typedLit(planes(p)), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Signature bits from a projections array. */
+  def sigFromProj(proj: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(element_at(proj, p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+
+  /** Random-hyperplane signature: `nPlanes` sign bits packed into a long.
+    * Per-row work is nPlanes fused multiply-adds, no per-row hashing. */
+  def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int,
+      tableSeed: Long = 0L): Column = {
+    require(nPlanes <= 63, "pack into one long")
+    sigFromProj(hyperplaneProj(vec, dim, nPlanes, tableSeed), nPlanes)
   }
 
   /** LSH-bucketed ANN: corpus and queries signed with `nTables` independent
@@ -106,33 +125,99 @@ object Ann {
     * construction — this is the 100 TB path where brute force is off the
     * table. Tuning: `nPlanes` sets bucket size (≈|corpus|/2^nPlanes),
     * `nTables` × probes buys recall with extra candidate volume. */
-  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+  /** Candidate (query_id, id, __v) pairs for [[lshCosineTopK]] — exposed so
+    * recall/candidate-volume tuning can measure the candidate set directly. */
+  def lshCandidates(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,
-      nTables: Int = 4): DataFrame = {
+      dim: Int, nPlanes: Int, multiProbeBits: Int,
+      nTables: Int): DataFrame = {
     val sigCorpus = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("tsig", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"),
           hyperplaneSig(col("__v"), dim, nPlanes, t).as("sig"))): _*)))
       .select(col("id"), col("__v"), col("tsig.t").as("t"),
         col("tsig.sig").as("sig"))
-    val qSig = queries.select(col(queryIdCol).as("query_id"),
+    require(multiProbeBits <= nPlanes, "can flip at most nPlanes bits")
+    // query side keeps the raw projections: QUERY-ADAPTIVE multiprobe flips
+    // the bits whose |projection| is smallest (the query sits nearest those
+    // hyperplanes), not a fixed bit prefix — measured on the testdata this
+    // roughly doubles recall at equal candidate volume.
+    val qProj = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__q"))
-      .withColumn("tsig0", explode(array((0 until nTables).map(t =>
+      .withColumn("tp", explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"),
-          hyperplaneSig(col("__q"), dim, nPlanes, t).as("sig0"))): _*)))
-      .select(col("query_id"), col("__q"), col("tsig0.t").as("t"),
-        col("tsig0.sig0").as("sig0"))
+          hyperplaneProj(col("__q"), dim, nPlanes, t).as("proj"))): _*)))
+      .select(col("query_id"), col("tp.t").as("t"), col("tp.proj").as("proj"))
+    val sig0 = sigFromProj(col("proj"), nPlanes)
+    // ascending struct sort = most-uncertain plane first
+    val flipOrder = sort_array(array((0 until nPlanes).map(p =>
+      struct(abs(element_at(col("proj"), p + 1)).as("a"),
+        lit(p).as("p"))): _*))
+    def bit(i: Int): Column =
+      pow(lit(2.0), element_at(flipOrder, i + 1).getField("p")).cast("long")
     // probes drop the query vector: a candidate occurs once per (table,
     // probe) hit, so the dedup shuffle should carry only (query_id, id, __v)
     // — __q re-attaches after dedup via the broadcast query table, and the
     // exact cosine runs once per DISTINCT pair instead of per occurrence
-    val probes = qSig.drop("__q").withColumn("sig",
-      explode(array((col("sig0") +: (0 until multiProbeBits).map(b =>
-        col("sig0").bitwiseXOR(lit(1L << b)))): _*)))
-    val cands = sigCorpus.join(probes, Seq("t", "sig"))
+    val probes = qProj.withColumn("sig",
+      explode(array((sig0 +: (0 until multiProbeBits).map(i =>
+        sig0.bitwiseXOR(bit(i)))): _*)))
+      .select(col("query_id"), col("t"), col("sig"))
+    sigCorpus.join(probes, Seq("t", "sig"))
       .select(col("query_id"), col("id"), col("__v"))
       .dropDuplicates("query_id", "id")
+  }
+
+  /** An LSH configuration with its analytic predictions. */
+  case class LshConfig(nPlanes: Int, nTables: Int, multiProbeBits: Int,
+      predictedRecall: Double, predictedCandidateFraction: Double)
+
+  /** Derive (nPlanes, nTables, multiProbeBits) from the corpus's neighbor
+    * structure. `neighborCos` is the cosine of the neighbors that must be
+    * found (measure it: k-th best cosine of a sampled brute-force top-k —
+    * see LshRecallSpec). Model: per-plane sign-agreement probability
+    * p = 1 − acos(cos)/π; a table hits a neighbor with ≈ p^B + P·p^(B−1)(1−p)
+    * (signature match, or one of P adaptive single-bit probes catches the
+    * flipped plane); a random point collides with ≈ (1+P)/2^B per table.
+    * Adaptive probing concentrates on the least-confident bits, so the
+    * recall prediction is conservative (measured recall runs ahead of it).
+    *
+    * Picks the feasible config with the smallest candidate fraction; if the
+    * corpus geometry makes (targetRecall, maxCandidateFraction) jointly
+    * infeasible — weak locality, e.g. neighborCos ≲ 0.4 — returns the
+    * highest-recall config within the fraction budget, and the caller can
+    * read `predictedRecall` to see what the data supports. */
+  def deriveLshConfig(neighborCos: Double, targetRecall: Double = 0.9,
+      maxCandidateFraction: Double = 0.15,
+      maxTables: Int = 16): LshConfig = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, neighborCos))) / math.Pi
+    val configs = for {
+      b <- 4 to 16
+      pr <- 0 to math.min(b, 8)
+      t <- 1 to maxTables
+    } yield {
+      val hit = math.min(1.0,
+        math.pow(p, b) + pr * math.pow(p, b - 1) * (1 - p))
+      val recall = 1 - math.pow(1 - hit, t)
+      val frac = 1 - math.pow(1 - (1.0 + pr) / math.pow(2.0, b), t)
+      LshConfig(b, t, pr, recall, frac)
+    }
+    val feasible = configs.filter(c =>
+      c.predictedRecall >= targetRecall &&
+        c.predictedCandidateFraction <= maxCandidateFraction)
+    if (feasible.nonEmpty)
+      feasible.minBy(c => (c.predictedCandidateFraction,
+        c.nTables * (1 + c.multiProbeBits)))
+    else configs.filter(_.predictedCandidateFraction <= maxCandidateFraction)
+      .maxBy(_.predictedRecall)
+  }
+
+  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,
+      nTables: Int = 4): DataFrame = {
+    val cands = lshCandidates(corpus, idCol, vecCol,
+      queries, queryIdCol, queryVecCol, dim, nPlanes, multiProbeBits, nTables)
     val qVecs = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__q")))
     val scored = cands.join(qVecs, Seq("query_id"))

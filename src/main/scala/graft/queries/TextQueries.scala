@@ -261,19 +261,27 @@ object TextQueries {
       SELECT query_id, rank, id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
-  /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures + multiprobe;
-    * approximate by construction → rows-only. */
+  /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures +
+    * query-adaptive multiprobe, configured by [[Ann.deriveLshConfig]] from
+    * the corpus's measured neighbor cosine (≈0.25 on this synthetic corpus —
+    * weak locality, so the tuner maximizes recall inside a relaxed candidate
+    * budget; see LshRecallSpec for the measurement and the clustered-data
+    * case where 0.9 recall @ ≤15% candidates holds). Approximate by
+    * construction → rows-only. */
   val qAnnLsh = GQuery("q_ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
+      val cfg = Ann.deriveLshConfig(neighborCos = 0.25,
+        targetRecall = 0.9, maxCandidateFraction = 0.6)
       Ann.lshCosineTopK(emb, "vec_id", "embedding",
           queries, "vec_id", "embedding",
-          dim = 64, nPlanes = 6, k = 10, multiProbeBits = 6)
+          dim = 64, nPlanes = cfg.nPlanes, k = 10,
+          multiProbeBits = cfg.multiProbeBits, nTables = cfg.nTables)
         .select(col("query_id"), col("rank"), col("id"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None, notes = "rows-only: approximate ANN")
+    None, notes = "rows-only: approximate ANN (auto-tuned LSH)")
 
   /** Embedding-cosine near-duplicate pairs (label-blocked to stay subquadratic
     * in the demo; at scale the blocking key is an LSH bucket).

@@ -32,20 +32,78 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall below bound")
   }
 
-  test("hyperplane-LSH ANN recall >= 0.5 vs brute force top-10 (sf0.001)") {
+  test("auto-derived LSH config: recall >= 0.9 at <= 15% candidates on clustered data") {
+    // corpus WITH locality: 40 clusters of 10 members (base + small noise →
+    // within-cluster cos ≈ 0.95). This is the regime ANN is for; the tuner
+    // must hit the 0.9-recall / 15%-candidates target here.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def noisy(base: Array[Float]): Seq[Float] =
+      base.map(x => x + 0.03f * rnd.nextGaussian().toFloat).toSeq
+    val vecs = (0 until 40).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val norm = math.sqrt(base.map(x => x * x).sum).toFloat
+      val unit = base.map(_ / norm)
+      (0 until 10).map(m => (c * 10L + m, noisy(unit)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+    val exactDf = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val exact = exactDf.map(r => (r._1, r._2)).toSet
+    // corpus stat driving the tuner: the weakest neighbor that must be found
+    val neighborCos = exactDf.map(_._3).min
+    val cfg = Ann.deriveLshConfig(neighborCos,
+      targetRecall = 0.9, maxCandidateFraction = 0.15)
+    info(s"neighborCos=$neighborCos derived=$cfg")
+    assert(cfg.predictedRecall >= 0.9)
+    assert(cfg.predictedCandidateFraction <= 0.15)
+    val cands = Ann.lshCandidates(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", dim, cfg.nPlanes,
+        cfg.multiProbeBits, cfg.nTables)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val frac = cands.size.toDouble / (vecs.size * 5)
+    val recall = cands.intersect(exact).size.toDouble / exact.size
+    info(s"clustered recall@5: $recall, candidate fraction: $frac")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    assert(frac <= 0.15, s"candidate fraction $frac above 0.15")
+  }
+
+  test("hyperplane-LSH ANN on sf0.001 embeddings (weak-locality corpus)") {
+    // The synthetic embeddings have nearly NO neighbor structure: true
+    // top-10 sits at cos ≈ 0.25–0.39 vs median 0 (per-plane agreement
+    // ≈ 0.6), so 0.9 recall within a 15% candidate budget is geometrically
+    // impossible for any hyperplane-LSH config — the tuner then maximizes
+    // recall inside a relaxed budget. Pin the achieved operating point.
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
-    val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+    val exactDf = Ann.cosineTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id", "cos")
+      .as[(Long, Long, Double)].collect()
+    val exact = exactDf.map(r => (r._1, r._2)).toSet
+    val neighborCos = exactDf.map(_._3).min
+    val cfg = Ann.deriveLshConfig(neighborCos,
+      targetRecall = 0.9, maxCandidateFraction = 0.6)
+    info(s"neighborCos=$neighborCos derived=$cfg")
+    val n = emb.count()
+    val cands = Ann.lshCandidates(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 64, cfg.nPlanes,
+        cfg.multiProbeBits, cfg.nTables)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val frac = cands.size.toDouble / (n * 5)
+    val recall = cands.intersect(exact).size.toDouble / exact.size
+    info(s"sf0.001 recall@10: $recall, candidate fraction: $frac")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+    assert(frac <= 0.7, s"candidate fraction $frac above 0.7")
+    // the query vector itself must always be found (identical signature)
     val approx = Ann.lshCosineTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding",
-        dim = 64, nPlanes = 6, k = 10, multiProbeBits = 6)
+        dim = 64, nPlanes = cfg.nPlanes, k = 10,
+        multiProbeBits = cfg.multiProbeBits, nTables = cfg.nTables)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
-    val recall = approx.intersect(exact).size.toDouble / exact.size
-    info(s"ANN recall@10: $recall (bucketed candidates: ${approx.size})")
-    assert(recall >= 0.5, s"ANN recall $recall below bound")
-    // the query vector itself must always be found (identical signature)
     (0L until 5L).foreach { q => assert(approx.contains((q, q))) }
   }
 }
