@@ -105,7 +105,15 @@ object EntityResolution {
   /** Per-strategy floor above which non-best candidates are collected as
     * `alternatives` (reference semantics: substring >0.5, word >0.3, fuzzy
     * similarity>0.4 ⇒ score>0.24; the deterministic strategies collect
-    * none). 2.0 = never. */
+    * none). 2.0 = never.
+    *
+    * ORDER deviation (deliberate, golden-pinned in EntityResolutionSpec):
+    * this engine emits runner-ups by (score desc, cand_ord asc) — a total,
+    * distribution-friendly order. The reference's substring/word loops
+    * (enhanced_mapping.py:514-518,545-553) emit LOOP order with a displaced
+    * best appended at displacement time, which is inherently sequential;
+    * its fuzzy strategy (enhanced_mapping.py:585-590) sorts by similarity
+    * desc with stable ties = identical to this engine's order. */
   val alternativesFloor: Map[String, Double] = Map(
     "exact_match" -> 2.0, "manual_mapping" -> 2.0, "learned_mapping" -> 2.0,
     "normalized_matching" -> 2.0, "substring_matching" -> 0.5,

@@ -87,6 +87,53 @@ class EntityResolutionSpec extends SparkSpec {
       Seq("Team B", "Team C"))
   }
 
+  test("alternatives order: documented deviation from reference iteration order") {
+    // The reference collects word/substring alternatives in LOOP order,
+    // appending a displaced best at its displacement time
+    // (enhanced_mapping.py:545-553); this engine documents a deliberate
+    // deviation (EntityResolution.alternativesFloor scaladoc): runner-ups
+    // sorted by (score desc, cand_ord asc). This golden pins BOTH orders on
+    // a case where they differ, so any drift in either contract is caught.
+    val api = "alpha beta gamma"
+    val cands = Seq(
+      "alpha beta gamma delta",        // jac 3/4 → 0.525  (first best)
+      "alpha beta",                    // jac 2/3 → 0.467  (alt)
+      "alpha beta gamma epsilon zeta", // jac 3/5 → 0.42   (alt)
+      "beta gamma alpha")              // jac 1   → 0.7    (displaces best)
+
+    // golden of the REFERENCE loop (word-based strategy collection order)
+    def refWordAlternatives(apiName: String, odds: Seq[String]): Seq[String] = {
+      val aw = apiName.split("\\s+").toSet
+      var best = ""; var bestConf = 0.0
+      val alts = scala.collection.mutable.ArrayBuffer[String]()
+      odds.foreach { o =>
+        val ow = o.split("\\s+").toSet
+        val conf =
+          if (aw.nonEmpty && ow.nonEmpty && aw.union(ow).nonEmpty)
+            aw.intersect(ow).size.toDouble / aw.union(ow).size * 0.7
+          else 0.0
+        if (conf > bestConf && conf > 0.3) {
+          if (best.nonEmpty) alts += best
+          best = o; bestConf = conf
+        } else if (conf > 0.3) alts += o
+      }
+      alts.take(3).toSeq
+    }
+    assert(refWordAlternatives(api, cands) === Seq(
+      "alpha beta", "alpha beta gamma epsilon zeta", "alpha beta gamma delta"))
+
+    // this engine: same alternatives SET, (score desc, ord asc) ORDER
+    val names = Seq(api).toDF("api_name")
+    val candDf = cands.zipWithIndex.map { case (c, i) => (c, i.toLong) }
+      .toDF("cand", "cand_ord")
+    val r = EntityResolution.resolve(names, "api_name", candDf, "cand",
+      "cand_ord", withAlternatives = true).head
+    assert(r.getAs[String]("strategy_used") === "word_based_matching")
+    assert(r.getAs[String]("matched_name") === "beta gamma alpha")
+    assert(r.getSeq[String](r.fieldIndex("alternatives")) === Seq(
+      "alpha beta gamma delta", "alpha beta", "alpha beta gamma epsilon zeta"))
+  }
+
   test("alternatives empty for deterministic strategies") {
     val names = Seq("Bayern Munich").toDF("api_name")
     val candDf = Seq(("Bayern Munich", 0), ("Dortmund", 1))
