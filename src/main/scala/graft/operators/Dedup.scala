@@ -145,6 +145,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Near-duplicate GROUPS from a pair list: connected components by
+    * iterative min-id label propagation — the step a dedup pipeline runs
+    * AFTER pair generation, so "A≈B, B≈C" collapses to ONE canonical doc
+    * even when (A,C) was never emitted as a pair.
+    *
+    * Scale design: each iteration is one equi-join + one partial-aggregated
+    * groupBy (shuffle ∝ edges), and the iteration count is the component
+    * DIAMETER — near-dup clusters are shallow (stars/cliques), so 3-5
+    * rounds close them. Pathological long chains would want the
+    * large-star/small-star variant; for dedup graphs plain propagation is
+    * the right cost. Deterministic: the canonical id is the component min.
+    *
+    * @param pairs frame with columns (id_a, id_b), one row per near-dup pair
+    * @return (id, label) — every id appearing in a pair, labeled with its
+    *         component's minimum id
+    */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** N-gram (word) Jaccard near-dup pairs, exact result, MinHash-LSH
     * candidate generation over the n-gram sets. Length-band blocking was the
     * first cut here and measured 89 s at sf0.1 — bands of ±10% length still

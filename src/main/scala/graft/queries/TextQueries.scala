@@ -114,15 +114,57 @@ object TextQueries {
     })
 
   /** Language ID (stopword-ratio heuristic) cross-checked against the stored
-    * lang column. */
+    * lang column. HASH-EXACT oracle: the DuckDB twin is GENERATED from the
+    * same stopword lists the fused expression uses (cannot drift), scoring
+    * hits/tokens per language and picking the first max in (en,de,fr,es)
+    * order — the exact argmax [[TextFeatures.langIdFast]] computes. */
   val qLangId = GQuery("q_lang_id",
     (s, d) => Tables.documents(s, d)
       .groupBy(col("lang"),
         TextFeatures.langIdFast(col("text")).as("detected"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("detected")),
-    None, // heuristic internals not worth a 4-language SQL twin; rows-only
-    notes = "rows-only: heuristic langid (fused single-pass stats)")
+    Some {
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val langs = Seq(
+        "en" -> inList(TextFeatures.enStopwords),
+        "de" -> inList(TextFeatures.deStopwords),
+        "fr" -> inList(TextFeatures.frStopwords),
+        "es" -> inList(TextFeatures.esStopwords))
+      val hitCols = langs.map { case (l, list) =>
+        s"CAST(len(list_filter(toks, w -> w IN ($list))) AS DOUBLE) AS h_$l"
+      }.mkString(",\n          ")
+      val scoreCols = langs.map { case (l, _) =>
+        s"CASE WHEN n > 0 THEN h_$l / n ELSE 0.0 END AS s_$l"
+      }.mkString(",\n          ")
+      val bestExpr = "GREATEST(s_en, s_de, s_fr, s_es)"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $bestExpr THEN '$l'"
+      }.mkString("\n               ")
+      s"""WITH t AS (
+        SELECT lang,
+          list_transform(
+            list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
+            w -> lower(w)) AS toks
+        FROM documents),
+      h AS (
+        SELECT lang, CAST(len(toks) AS DOUBLE) AS n,
+          $hitCols
+        FROM t),
+      sc AS (
+        SELECT lang,
+          $scoreCols
+        FROM h),
+      d AS (
+        SELECT lang,
+          CASE WHEN $bestExpr > 0 THEN
+            CASE $pick
+            END
+          ELSE 'und' END AS detected
+        FROM sc)
+      SELECT lang, detected, COUNT(*) AS n FROM d
+      GROUP BY lang, detected ORDER BY lang, detected"""
+    })
 
   /** Document fingerprints (md5 flavor for cross-engine verification; the
     * engine-internal fast path is xxhash64 — see TextFeatures.fingerprint). */
@@ -167,6 +209,54 @@ object TextQueries {
       FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
       WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
+
+  /** Near-dup CLUSTERS: MinHash pairs → connected components → canonical
+    * doc per cluster. HASH-EXACT oracle: DuckDB recomputes the pairs brute
+    * force and closes them with a recursive CTE (transitive closure, min
+    * label per component) — verifying both the pair set and the iterative
+    * label propagation against an independent formulation. */
+  val qNearDupGroups = GQuery("q_neardup_groups",
+    (s, d) => {
+      val pairs = Dedup.minhashNearDupPairsKeyed(Tables.documents(s, d),
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
+        minJaccard = 0.5)
+      val g = Dedup.nearDupGroups(pairs.select(col("id_a"), col("id_b")))
+      val sizes = g.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      g.join(sizes, Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+      sizes AS (SELECT label, COUNT(*) AS cluster_size FROM comp GROUP BY label)
+      SELECT c.id AS doc_id, c.label AS canonical_id, z.cluster_size
+      FROM comp c JOIN sizes z USING (label) ORDER BY doc_id"""))
 
   /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 6, candidate
     * generation by 16-bit block bucketing (a pair within Hamming 6 shares at
@@ -344,6 +434,7 @@ object TextQueries {
     None, notes = "rows-only: stubbed decode kernel")
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
-    qTextQuality, qLangId, qFingerprint, qMinhashPairs, qSimhashPairs,
-    qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup, qMediaFeatures)
+    qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
+    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup,
+    qMediaFeatures)
 }

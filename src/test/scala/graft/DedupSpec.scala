@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nearDupGroups: chains collapse to one component, min id canonical") {
+    // 1-2-3-4 is a CHAIN (no direct 1-4 pair) → needs >1 propagation round;
+    // 10-11 is a separate pair; 20-21-22 a star around 20
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = operators.Dedup.nearDupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
