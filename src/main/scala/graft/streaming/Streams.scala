@@ -51,7 +51,16 @@ object Streams {
     * last observed value per (user, type) via flatMapGroupsWithState,
     * emitting a movement record whenever the new value deviates more than
     * `threshold` from the previous one. State = last value; timeout
-    * configured by the caller's processing trigger. */
+    * configured by the caller's processing trigger.
+    *
+    * SKEW BOUND: `rows.toSeq.sortBy` materializes ONE KEY's events from ONE
+    * micro-batch on one task (flatMapGroupsWithState gives no intra-group
+    * order, so the sort is mandatory for LAG semantics). The buffer is
+    * bounded by trigger-interval × per-key event rate — for the reference's
+    * per-fixture odds feed that is a few rows; a pathologically hot key at
+    * 100× is handled by shortening the trigger interval (smaller batches,
+    * same state), not by repartitioning (the key must stay on one task to
+    * keep state consistent). */
   case class KeyedValue(user_id: Long, event_type: String, ts: java.sql.Timestamp,
       value: Double)
   case class Movement(user_id: Long, event_type: String,
