@@ -57,33 +57,42 @@ object Normalize {
     s"lower(trim(regexp_replace($folded, '\\s+', ' ', 'g')))"
   }
 
+  /** Word set of an ALREADY-normalized name. Use this (with the normalized
+    * column precomputed per ROW, below the join) inside pair-scoring joins —
+    * the raw-name forms re-run the 12-step normalizer per PAIR. */
+  def wordSetOfNorm(norm: Column): Column =
+    array_distinct(filter(split(norm, " "), w => length(w) > 0))
+
   /** Word set of a normalized name (Python `set(s.split())` semantics:
     * split on runs of whitespace, empty string → empty set). */
-  def wordSet(c: Column): Column =
-    array_distinct(filter(split(normalizeName(c), " "), w => length(w) > 0))
+  def wordSet(c: Column): Column = wordSetOfNorm(normalizeName(c))
 
-  /** Jaccard similarity of the word sets of two raw names
-    * (enhanced_mapping.py:531-567). Pure Catalyst. */
-  def jaccardWords(a: Column, b: Column): Column = {
-    val wa = wordSet(a)
-    val wb = wordSet(b)
+  /** Jaccard of two precomputed word-set arrays. */
+  def jaccardOfWordSets(wa: Column, wb: Column): Column = {
     val inter = size(array_intersect(wa, wb)).cast("double")
     val union = size(array_union(wa, wb)).cast("double")
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** Substring-containment confidence (enhanced_mapping.py:494-529):
-    * if normalize(a) ⊆ normalize(b) or vice versa →
-    * min(len)/max(len) * 0.75, else 0. */
-  def substringConfidence(a: Column, b: Column): Column = {
-    val na = normalizeName(a)
-    val nb = normalizeName(b)
+  /** Jaccard similarity of the word sets of two raw names
+    * (enhanced_mapping.py:531-567). Pure Catalyst. */
+  def jaccardWords(a: Column, b: Column): Column =
+    jaccardOfWordSets(wordSet(a), wordSet(b))
+
+  /** Substring-containment confidence over ALREADY-normalized names. */
+  def substringConfidenceNorm(na: Column, nb: Column): Column = {
     val contained = na.contains(nb) || nb.contains(na)
     val la = length(na).cast("double")
     val lb = length(nb).cast("double")
     when(contained && la > 0,
       least(la, lb) / greatest(la, lb) * lit(0.75)).otherwise(lit(0.0))
   }
+
+  /** Substring-containment confidence (enhanced_mapping.py:494-529):
+    * if normalize(a) ⊆ normalize(b) or vice versa →
+    * min(len)/max(len) * 0.75, else 0. */
+  def substringConfidence(a: Column, b: Column): Column =
+    substringConfidenceNorm(normalizeName(a), normalizeName(b))
 
   /** Season derivation (database_integration.py:138): football season starts
     * Aug 1 — `year if month >= 8 else year - 1`. */

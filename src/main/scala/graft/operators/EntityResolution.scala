@@ -32,21 +32,35 @@ object EntityResolution {
 
   /** Score all strategies for one (name, cand) pair — shared by the batch
     * resolver and tests. `manualTarget`/`learnedTarget` are the mapped
-    * candidate name for this left name (null when absent). */
+    * candidate name for this left name (null when absent).
+    *
+    * This overload normalizes inside the pair expressions — fine for
+    * per-row scoring (F11). Inside a cross join use the precomputed-column
+    * overload so the 12-regexp normalizer runs per ROW, not per PAIR. */
   def pairScores(name: Column, cand: Column,
-      manualTarget: Column, learnedTarget: Column): Seq[(String, Column)] = {
-    val fuzzySim = Similarity.roSimilarity(
-      Normalize.normalizeName(name), Normalize.normalizeName(cand))
+      manualTarget: Column, learnedTarget: Column): Seq[(String, Column)] =
+    pairScores(name, cand, manualTarget, learnedTarget,
+      Normalize.normalizeName(name), Normalize.normalizeName(cand),
+      Normalize.wordSet(name), Normalize.wordSet(cand))
+
+  /** [[pairScores]] over precomputed per-side columns: `nameNorm`/`candNorm`
+    * are normalized names, `nameWords`/`candWords` their word sets —
+    * computed once per row below the join. */
+  def pairScores(name: Column, cand: Column,
+      manualTarget: Column, learnedTarget: Column,
+      nameNorm: Column, candNorm: Column,
+      nameWords: Column, candWords: Column): Seq[(String, Column)] = {
+    val fuzzySim = Similarity.roSimilarity(nameNorm, candNorm)
     Seq(
       "exact_match" -> when(name === cand, 1.0).otherwise(0.0),
       "manual_mapping" -> when(cand === manualTarget, 0.95).otherwise(0.0),
       "learned_mapping" -> when(cand === learnedTarget, 0.9).otherwise(0.0),
       "normalized_matching" ->
-        when(Normalize.normalizeName(name) === Normalize.normalizeName(cand),
-          0.85).otherwise(0.0),
-      "substring_matching" -> Normalize.substringConfidence(name, cand),
+        when(nameNorm === candNorm, 0.85).otherwise(0.0),
+      "substring_matching" ->
+        Normalize.substringConfidenceNorm(nameNorm, candNorm),
       "word_based_matching" -> {
-        val j = Normalize.jaccardWords(name, cand) * lit(0.7)
+        val j = Normalize.jaccardOfWordSets(nameWords, candWords) * lit(0.7)
         when(j > 0.3, j).otherwise(0.0)
       },
       "fuzzy_matching" ->
@@ -87,12 +101,21 @@ object EntityResolution {
           col("target").as("__learned"))), Seq("api_name"), "left")
       case None => withManual.withColumn("__learned", lit(null).cast("string"))
     }
-    val pairs = withLearned.crossJoin(
-      broadcast(cands.select(col(candCol).as("cand"),
-        col(candOrderCol).as("cand_ord"))))
+    // normalize + word-set ONCE PER ROW on each side, below the cross join —
+    // the pair projection then reads attributes instead of re-running the
+    // 12-regexp normalizer |names|×|cands| times
+    val leftPrep = withLearned
+      .withColumn("__na", Normalize.normalizeName(col("api_name")))
+      .withColumn("__wa", Normalize.wordSetOfNorm(col("__na")))
+    val candsPrep = cands.select(col(candCol).as("cand"),
+        col(candOrderCol).as("cand_ord"))
+      .withColumn("__nc", Normalize.normalizeName(col("cand")))
+      .withColumn("__wc", Normalize.wordSetOfNorm(col("__nc")))
+    val pairs = leftPrep.crossJoin(broadcast(candsPrep))
 
     val scored = pairScores(col("api_name"), col("cand"),
-      col("__manual"), col("__learned"))
+      col("__manual"), col("__learned"),
+      col("__na"), col("__nc"), col("__wa"), col("__wc"))
       .foldLeft(pairs) { case (df, (s, c)) => df.withColumn(s"s_$s", c) }
 
     val outCols = Seq("api_name", "matched_name", "confidence",
