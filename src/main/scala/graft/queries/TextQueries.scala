@@ -433,8 +433,119 @@ object TextQueries {
     },
     None, notes = "rows-only: stubbed decode kernel")
 
+  /** The composite curation pipeline a training-data user actually runs:
+    * quality gate → language-consistency gate → exact dedup (keep min id
+    * per normalized text) → near-dup clustering (keep the canonical doc per
+    * component). HASH-EXACT oracle: the DuckDB twin recomputes every stage
+    * independently, including the brute-force pair set and a recursive-CTE
+    * closure — this is the strongest end-to-end evidence the operators
+    * compose correctly. */
+  val qCurationPipeline = GQuery("q_curation_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = docs
+        .filter(TextFeatures.qualityScore(col("text")) >= 0.75)
+        .filter(TextFeatures.langIdFast(col("text")) === col("lang"))
+        .select(col("doc_id"), col("text"))
+      val exactKept = Dedup.exactDuplicates(gated, "text", "doc_id")
+        .filter(!col("is_duplicate"))
+        .select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashNearDupPairsKeyed(exactKept, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      val nonCanonical = Dedup.nearDupGroups(pairs.select(col("id_a"), col("id_b")))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val langs = Seq(
+        "en" -> inList(TextFeatures.enStopwords),
+        "de" -> inList(TextFeatures.deStopwords),
+        "fr" -> inList(TextFeatures.frStopwords),
+        "es" -> inList(TextFeatures.esStopwords))
+      val hitCols = langs.map { case (l, list) =>
+        s"CAST(len(list_filter(toks, w -> w IN ($list))) AS DOUBLE) AS h_$l"
+      }.mkString(",\n          ")
+      val scoreCols = langs.map { case (l, _) =>
+        s"CASE WHEN n_toks > 0 THEN h_$l / n_toks ELSE 0.0 END AS s_$l"
+      }.mkString(",\n          ")
+      val bestExpr = "GREATEST(s_en, s_de, s_fr, s_es)"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $bestExpr THEN '$l'"
+      }.mkString("\n               ")
+      s"""WITH RECURSIVE t0 AS (
+        SELECT doc_id, text, lang,
+          CAST(len(text) AS DOUBLE) AS n_chars,
+          CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+            AS DOUBLE) AS n_punct,
+          list_transform(
+            list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
+            w -> lower(w)) AS toks
+        FROM documents),
+      t1 AS (
+        SELECT *, CAST(len(toks) AS DOUBLE) AS n_toks,
+          CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE) AS n_stop,
+          $hitCols
+        FROM t0),
+      t2 AS (
+        SELECT *,
+          ((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3 AND n_chars / n_toks <= 12 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0 AS quality,
+          $scoreCols
+        FROM t1),
+      gated AS (
+        SELECT doc_id, text FROM t2
+        WHERE quality >= 0.75
+          AND (CASE WHEN $bestExpr > 0 THEN
+                 CASE $pick
+                 END
+               ELSE 'und' END) = lang),
+      e AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            MIN(doc_id) OVER (PARTITION BY
+              lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS keep
+          FROM gated) WHERE doc_id = keep),
+      docs2 AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM e),
+      sgl AS (SELECT doc_id, unnest(sh) AS g FROM docs2),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM sgl a JOIN sgl b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs2),
+      prs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM prs
+        UNION
+        SELECT id_b, id_a FROM prs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT x.src AS id, r.label FROM edges x JOIN reach r ON x.dst = r.id),
+      comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id)
+      SELECT e.doc_id, len(e.text) AS n_chars FROM e
+      WHERE e.doc_id NOT IN (SELECT id FROM comp WHERE id <> label)
+      ORDER BY e.doc_id"""
+    })
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup,
-    qMediaFeatures)
+    qMediaFeatures, qCurationPipeline)
 }
