@@ -47,6 +47,22 @@ object Streams {
       .select(col("window.start").as("window_start"), col("user_id"),
         col("event_type"), col("min_v"), col("max_v"), col("n"))
 
+  /** Streaming exact dedup for ingest pipelines (the stream twin of
+    * [[graft.operators.Dedup.exactDuplicates]]): fingerprint the normalized
+    * text and keep the FIRST arrival per fingerprint within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` bounds the dedup state — at
+    * 100 TB/day of ingest, unbounded dedup state is the thing that kills a
+    * stream, so the horizon is the contract: duplicates farther apart than
+    * the watermark are passed through and left to the batch dedup
+    * compaction. */
+  def streamingDedup(docs: DataFrame, tsCol: String,
+      textCol: String, watermark: String): DataFrame =
+    docs.withColumn("__fp",
+        graft.functions.TextFeatures.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-key running state for ST5 (online-learning cache) / W2-on-streams:
     * last observed value per (user, type) via flatMapGroupsWithState,
     * emitting a movement record whenever the new value deviates more than

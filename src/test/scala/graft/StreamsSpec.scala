@@ -127,4 +127,28 @@ class StreamsSpec extends SparkSpec {
       assert(j1 === Seq("pending", "completed"))
     } finally q.stop()
   }
+
+  test("streamingDedup keeps first arrival per fingerprint across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.streamingDedup(df, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "the quick brown fox"),
+        (2L, ts("2024-01-01 10:01:00"), "a different document"))
+      q.processAllAvailable()
+      // batch 2: a case/whitespace-perturbed duplicate of doc 1 (same
+      // fingerprint) within the watermark — dropped; one new doc — kept
+      mem.addData(
+        (3L, ts("2024-01-01 10:10:00"), "  THE QUICK  BROWN FOX "),
+        (4L, ts("2024-01-01 10:11:00"), "yet another document"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
