@@ -13,6 +13,7 @@ and the engine's RatcliffObershelp expression is bit-identical to difflib
 Regenerate after changing the harness: python3 tools/gen_fuzzy_golden.py
 """
 import difflib
+import sys
 import re
 
 RULES = [
@@ -35,7 +36,7 @@ def norm(s: str) -> str:
 
 def candidates():
     out = []
-    for k in range(1, 120):
+    for k in range(0, 120):  # custkey starts at 0 in the testdata
         base = f"Customer {k:09d}"
         m = k % 6
         cand = {
@@ -50,10 +51,29 @@ def candidates():
     return out
 
 
+def fuzzy_join_pairs(limit: int, tau: float):
+    """Golden for q_fuzzy_join: all (c_custkey, cand_ord) with
+    difflib ratio(norm(api), norm(cand)) > tau, custkey/ord < limit."""
+    cands = [(c, o) for c, o in candidates() if o < limit]
+    rows = []
+    for k in range(0, limit):
+        api = f"Customer {k:09d}"
+        na = norm(api)
+        for cand, ord_ in cands:
+            if difflib.SequenceMatcher(None, na, norm(cand)).ratio() > tau:
+                rows.append((k, ord_))
+    print(f"-- {len(rows)} pairs, custkey < {limit}, ratio > {tau}")
+    print("      VALUES")
+    print(",\n".join(f"        ({a}, {b})" for a, b in rows))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "pairs":
+        fuzzy_join_pairs(limit=30, tau=0.8)
+        return
     cands = candidates()
     rows = []
-    for k in range(1, 120):
+    for k in range(0, 120):
         if k % 6 != 5:
             continue
         api = f"Customer {k:09d}"
