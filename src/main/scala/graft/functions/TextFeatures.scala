@@ -90,6 +90,40 @@ object TextFeatures {
       when(s === best, lit(l)) }: _*)).otherwise(lit("und"))
   }
 
+  /** [[punctRatio]] / [[stopwordRatio]](en) / [[qualityScore]] computed from
+    * ONE fused [[TextStatsExpr]] pass. Same values as the compositional
+    * reference forms (q_text_quality's oracle pins the equality); the
+    * compositional forms re-split the text ~4× interpreted and run a
+    * full-text regex — measured ~4× slower on the curation gates. */
+  def punctRatioFast(c: Column): Column = {
+    val st = TextStatsExpr.textStats(c)
+    val n = st("n_chars").cast("double")
+    when(n > 0, st("n_punct").cast("double") / n).otherwise(0.0)
+  }
+
+  def stopwordRatioEnFast(c: Column): Column = {
+    val st = TextStatsExpr.textStats(c)
+    val toks = st("n_tokens").cast("double")
+    when(toks > 0, st("stop_en").cast("double") / toks).otherwise(0.0)
+  }
+
+  def qualityScoreFast(c: Column): Column = {
+    val st = TextStatsExpr.textStats(c)
+    val nChars = st("n_chars").cast("double")
+    val nToks = st("n_tokens").cast("double")
+    val punctR = when(nChars > 0, st("n_punct").cast("double") / nChars)
+      .otherwise(0.0)
+    val stopR = when(nToks > 0, st("stop_en").cast("double") / nToks)
+      .otherwise(0.0)
+    val meanWordLen = when(nToks > 0, nChars / nToks).otherwise(0.0)
+    val lengthOk = when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.0)
+    val punctOk = when(punctR < 0.2, 1.0).otherwise(0.0)
+    val stopOk = when(stopR > 0.05, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0)
+      .otherwise(0.0)
+    (lengthOk + punctOk + stopOk + wordLenOk) / lit(4.0)
+  }
+
   /** Composite quality score in [0,1]: length band + punctuation sanity +
     * stopword presence + mean-word-length band — the standard cheap filters
     * applied before LLM training (C4/Gopher-style heuristics, simplified). */

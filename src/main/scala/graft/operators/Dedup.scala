@@ -162,13 +162,18 @@ object Dedup {
     *         component's minimum id
     */
   def nearDupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (NOT cache) on every iteration frame: caching keeps
+    // the full logical lineage, so iteration i's plan nests i copies of the
+    // whole upstream pipeline and the optimizer re-walks it per round —
+    // measured 125 s for a 98-node graph. Checkpointing truncates the plan
+    // to a materialized-RDD scan; the loop is then join+agg on actual data.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -176,11 +181,10 @@ object Dedup {
         .select(edges("src").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

@@ -85,10 +85,9 @@ object TextQueries {
   val qTextQuality = GQuery("q_text_quality",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
-        TextFeatures.punctRatio(col("text")).as("punct_ratio"),
-        TextFeatures.stopwordRatio(col("text"), TextFeatures.enStopwords)
-          .as("stopword_ratio"),
-        TextFeatures.qualityScore(col("text")).as("quality"))
+        TextFeatures.punctRatioFast(col("text")).as("punct_ratio"),
+        TextFeatures.stopwordRatioEnFast(col("text")).as("stopword_ratio"),
+        TextFeatures.qualityScoreFast(col("text")).as("quality"))
       .orderBy(col("doc_id")),
     Some {
       val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
@@ -444,12 +443,17 @@ object TextQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val gated = docs
-        .filter(TextFeatures.qualityScore(col("text")) >= 0.75)
+        .filter(TextFeatures.qualityScoreFast(col("text")) >= 0.75)
         .filter(TextFeatures.langIdFast(col("text")) === col("lang"))
         .select(col("doc_id"), col("text"))
+      // cache = the pipeline's materialization point (at scale this is the
+      // WRITE of the curated store): the keyed near-dup stage re-reads text
+      // by key, and without it every downstream branch re-runs the
+      // gate+window pipeline
       val exactKept = Dedup.exactDuplicates(gated, "text", "doc_id")
         .filter(!col("is_duplicate"))
         .select(col("doc_id"), col("text"))
+        .cache()
       val pairs = Dedup.minhashNearDupPairsKeyed(exactKept, "doc_id", "text",
         numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
       val nonCanonical = Dedup.nearDupGroups(pairs.select(col("id_a"), col("id_b")))
