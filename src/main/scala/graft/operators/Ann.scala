@@ -172,6 +172,80 @@ object Ann {
       .dropDuplicates("query_id", "id")
   }
 
+  /** IVF coarse-quantizer training: spherical k-means (Lloyd, cosine
+    * assignment) on a DETERMINISTIC sample (`idCol % sampleMod == 0`),
+    * iterated a fixed number of rounds on the driver. The sample is bounded
+    * and small by construction (IVF training sets are ≪ corpus at any
+    * scale); everything downstream ships the centroids as plan literals —
+    * no stored model, reproducible cluster-wide.
+    *
+    * Initialization: the first k sample vectors in id order (deterministic;
+    * fine for a coarse quantizer — Lloyd rounds do the shaping). */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleMod: Int = 7, iters: Int = 8): Seq[Seq[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .filter(col(idCol) % sampleMod === 0)
+      .orderBy(col(idCol))
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    var cent = sample.take(k).map(unit)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](cent(0).length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i) * cent(c)(i); i += 1 }
+          if (s > bestDot) { best = c; bestDot = s }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cent = (0 until k).map { c =>
+        if (counts(c) > 0) unit(sums(c)) else cent(c) // keep empty centroids
+      }.toArray
+    }
+    cent.map(_.toSeq).toSeq
+  }
+
+  /** IVF ANN: assign each corpus vector to its nearest centroid (ONE compiled
+    * pass, one bucket per vector — the corpus is scanned once and shuffled
+    * once on the bucket id), probe the `nProbe` nearest centroids per query,
+    * and exact-cosine re-rank the probed buckets. The candidate fraction is
+    * ≈ nProbe/k on balanced clusters; recall depends on how well the corpus
+    * clusters (same caveat as every IVF index). */
+  def ivfCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centroids: Seq[Seq[Double]], nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.NearestCentroids
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("bucket",
+        element_at(NearestCentroids.nearest(col("__v"), centroids, 1), 1))
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q"))
+      .withColumn("bucket",
+        explode(NearestCentroids.nearest(col("__q"), centroids, nProbe)))
+    val scored = bucketed.join(broadcast(probes), Seq("bucket"))
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+      // arrays projected out before the per-query top-k exchange
+      .select(col("query_id"), col("id"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+
   /** An LSH configuration with its analytic predictions. */
   case class LshConfig(nPlanes: Int, nTables: Int, multiProbeBits: Int,
       predictedRecall: Double, predictedCandidateFraction: Double)

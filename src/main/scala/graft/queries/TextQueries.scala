@@ -372,6 +372,24 @@ object TextQueries {
     },
     None, notes = "rows-only: approximate ANN (auto-tuned LSH)")
 
+  /** IVF ANN (the clustered-corpus scale path, complementing hyperplane
+    * LSH): spherical k-means coarse quantizer trained on a deterministic
+    * sample, one-bucket assignment per corpus vector, nProbe probing, exact
+    * re-rank. Approximate by construction → rows-only; recall pinned in
+    * LshRecallSpec (≥0.9 at ~10% candidates on clustered data). */
+  val qAnnIvf = GQuery("q_ann_ivf",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      val centroids = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 16, sampleMod = 7, iters = 8)
+      Ann.ivfCosineTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", centroids, nProbe = 4, k = 10)
+        .select(col("query_id"), col("rank"), col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None, notes = "rows-only: approximate ANN (IVF)")
+
   /** Embedding-cosine near-duplicate pairs (label-blocked to stay subquadratic
     * in the demo; at scale the blocking key is an LSH bucket).
     *
@@ -550,6 +568,6 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
-    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qEmbeddingNearDup,
-    qMediaFeatures, qCurationPipeline)
+    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
+    qEmbeddingNearDup, qMediaFeatures, qCurationPipeline)
 }

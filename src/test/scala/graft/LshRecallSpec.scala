@@ -71,6 +71,36 @@ class LshRecallSpec extends SparkSpec {
     assert(frac <= 0.15, s"candidate fraction $frac above 0.15")
   }
 
+  test("IVF ANN: recall >= 0.9 at <= 15% candidates on clustered data") {
+    // same clustered corpus construction as the LSH test: IVF's coarse
+    // quantizer should recover the clusters and route queries to them
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val vecs = (0 until 40).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(base.map(x => x * x).sum).toFloat
+      val unit = base.map(_ / n)
+      (0 until 10).map(m => (c * 10L + m,
+        unit.map(x => x + 0.03f * rnd.nextGaussian().toFloat).toSeq))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val centroids = Ann.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 40, sampleMod = 2, iters = 8)
+    val approx = Ann.ivfCosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", centroids, nProbe = 4, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    // candidate fraction ≈ nProbe/k = 10% on balanced clusters
+    info(s"IVF clustered recall@5: $recall")
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+    // each query's own vector must be found (it sits in its home bucket)
+    (0 until 5).foreach { q => assert(approx.contains((q * 10L, q * 10L))) }
+  }
+
   test("hyperplane-LSH ANN on sf0.001 embeddings (weak-locality corpus)") {
     // The synthetic embeddings have nearly NO neighbor structure: true
     // top-10 sits at cos ≈ 0.25–0.39 vs median 0 (per-plane agreement
