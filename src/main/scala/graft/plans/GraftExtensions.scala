@@ -58,5 +58,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaccardSortedArrays].getName,
         "jaccard_sorted"),
       (args: Seq[Expression]) => JaccardSortedArrays(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (args: Seq[Expression]) => TextStatsExpr(args.head)))
+
+    ext.injectFunction((
+      new FunctionIdentifier("dot_float"),
+      new ExpressionInfo(classOf[DotProductFloat].getName, "dot_float"),
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigsAll].getName,
+        "hyperplane_sigs"),
+      (args: Seq[Expression]) => HyperplaneSigsAll(args(0),
+        intLit(args(1), "dim"), intLit(args(2), "nPlanes"),
+        intLit(args(3), "nTables"))))
   }
 }
