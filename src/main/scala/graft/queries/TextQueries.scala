@@ -438,7 +438,10 @@ object TextQueries {
 
   /** Multimodal plumbing: binary media table synthesized from documents,
     * features via per-partition stub codec (mapPartitions — the mapInPandas
-    * batch shape). Rows-only: the kernel is a stub by design. */
+    * batch shape). The PLUMBING outputs (id routing, modality assignment,
+    * binary payload length through encode + mapPartitions + Dataset
+    * round-trip) are hash-exact against the oracle; the float feature
+    * vector itself stays untested by the twin — it is the stub kernel. */
   val qMediaFeatures = GQuery("q_media_features",
     (s, d) => {
       import graft.operators.Multimodal
@@ -448,7 +451,11 @@ object TextQueries {
         .select(col("media_id"), col("modality"), col("n_bytes"))
         .orderBy(col("media_id"))
     },
-    None, notes = "rows-only: stubbed decode kernel")
+    Some("""SELECT doc_id AS media_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS modality,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY media_id"""))
 
   /** The composite curation pipeline a training-data user actually runs:
     * quality gate → language-consistency gate → exact dedup (keep min id
