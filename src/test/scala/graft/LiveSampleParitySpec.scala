@@ -47,6 +47,45 @@ class LiveSampleParitySpec extends SparkSpec {
     assert(sportsbet._4 === 12.0)
   }
 
+  test("S3/ST2: deriveJobs reproduces the reference's live 56-job queue") {
+    import graft.operators.{Fixture, JobQueue}
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val path = "/root/reference/jobs.json"
+    // S3: the declared schema reads the live file
+    val jobs = Sources.readJobs(spark, path)
+    assert(jobs.count() === 56) // 14 fixtures x 4 phases (BASELINE.md)
+    assert(jobs.filter(col("scheduled_for").isNull).count() === 0)
+    // ST2: re-derive the queue from the file's own game_info fixtures —
+    // id, schedule, phase, and priority must all reproduce
+    val giSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("game_info",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fixture_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kickoff_utc",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("priority",
+            org.apache.spark.sql.types.StringType))))))
+    val fixtures = spark.read.schema(giSchema)
+      .option("multiLine", true).json(path)
+      .select(col("game_info.fixture_id").as("fixture_id"),
+        to_timestamp(col("game_info.kickoff_utc")).as("kickoff_utc"),
+        col("game_info.priority").as("priority"))
+      .distinct()
+      .as[Fixture]
+    assert(fixtures.count() === 14)
+    val now = java.sql.Timestamp.valueOf("2025-08-20 08:34:42")
+    val derived = JobQueue.deriveJobs(fixtures, now)
+      .map(j => (j.id, j.scheduled_for.toString.stripSuffix(".0"),
+        j.job_type, j.priority))
+      .collect().toSet
+    val recorded = jobs
+      .select(col("id"), col("scheduled_for").cast("string"),
+        col("type"), col("priority"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(derived === recorded)
+  }
+
   test("F11: enhanceWithMapping reproduces the reference's recorded cascade output") {
     val p = Sources.readPayloads(spark, sample)
       .select(col("fixture_id"), col("game_info"),
