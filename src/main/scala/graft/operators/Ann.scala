@@ -182,10 +182,16 @@ object Ann {
     * Initialization: the first k sample vectors in id order (deterministic;
     * fine for a coarse quantizer — Lloyd rounds do the shaping). */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, sampleMod: Int = 7, iters: Int = 8): Seq[Seq[Double]] = {
+      k: Int, sampleMod: Int = 7, iters: Int = 8,
+      maxSample: Int = 20000): Seq[Seq[Double]] = {
+    // maxSample caps the driver collect absolutely: corpus/sampleMod alone
+    // is NOT a bound at 100 TB. orderBy before limit keeps the sample
+    // deterministic (lowest ids), which keeps the centroids — and every
+    // downstream plan literal — reproducible.
     val sample: Array[Array[Double]] = corpus
       .filter(col(idCol) % sampleMod === 0)
       .orderBy(col(idCol))
+      .limit(maxSample)
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
