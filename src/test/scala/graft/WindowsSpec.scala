@@ -39,6 +39,23 @@ class WindowsSpec extends SparkSpec {
       === Seq(Some(20.0), None, Some(30.0), None))
   }
 
+  test("asOfJoin: a NULL attribute on the as-of row stays null (all-or-nothing)") {
+    // the as-of quote (latest <= probe ts) has value = null; the older quote
+    // has 10.0 — the output must carry the AS-OF row's null, never backfill
+    // from an older row (attributes always come from the same right row)
+    val probe = Seq((1L, 1L, ts("2024-01-05 00:00:00")))
+      .toDF("o_orderkey", "k", "o_orderdate")
+    val quotes = Seq(
+      (100L, 1L, ts("2024-01-02 00:00:00"), Some(10.0)),
+      (101L, 1L, ts("2024-01-04 00:00:00"), None: Option[Double]))
+      .toDF("event_id", "k", "ts", "value")
+    val r = Windows.asOfJoin(probe, quotes, "k", "o_orderdate", "ts",
+      Seq("value", "event_id"), "event_id").head
+    assert(r.isNullAt(r.fieldIndex("asof_value")),
+      "null attribute backfilled from an older quote")
+    assert(r.getAs[Long]("asof_event_id") === 101L)
+  }
+
   test("firstLastPctChange: first/last by (ts, tiebreak)") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
