@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("nearDupGroups matches a union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(2024)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      // expected labels are component minima only if min ids are roots —
+      // normalize: map every member to the component's minimum member id
+      val byRoot = expected.groupBy(_._2).values
+        .flatMap { m => val mn = m.keys.min; m.keys.map(_ -> mn) }.toMap
+      val got = operators.Dedup.nearDupGroups(
+        edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      assert(got === byRoot)
+    }
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
