@@ -89,6 +89,28 @@ object Ann {
     }
   }
 
+  /** The ±1 plane matrix, exposed so oracle twins can inline the exact same
+    * literals and recompute signatures externally (the planes are plan
+    * literals — no stored model to drift from). */
+  def hyperplanes(dim: Int, nPlanes: Int, tableSeed: Long = 0L): Seq[Seq[Double]] =
+    planeMatrix(dim, nPlanes, tableSeed)
+
+  /** Hyperplane signature with ORDER-INDEPENDENT projections: bit p =
+    * (vec · plane_p > 0) under exact decimal accumulation, so an external
+    * engine summing the same products in ANY order derives the identical
+    * bucket — this is what lets a DuckDB twin recompute the blocking key
+    * bit-for-bit. Use where the bucket must be verifiable cross-engine;
+    * [[hyperplaneSig]] (double fold) is the fast in-engine ANN path. */
+  def hyperplaneSigExact(vec: Column, dim: Int, nPlanes: Int,
+      tableSeed: Long = 0L): Column = {
+    require(nPlanes <= 63, "pack into one long")
+    val planes = planeMatrix(dim, nPlanes, tableSeed)
+    (0 until nPlanes).map { p =>
+      when(dotExact(vec, typedLit(planes(p))) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
   /** Per-plane projections of `vec` (array<double>, one per plane) — the
     * signs make the signature; the magnitudes drive query-adaptive
     * multiprobe (a small |projection| means the point sits near that

@@ -390,25 +390,35 @@ object TextQueries {
     },
     None, notes = "rows-only: approximate ANN (IVF)")
 
-  /** Embedding-cosine near-duplicate pairs (label-blocked to stay subquadratic
-    * in the demo; at scale the blocking key is an LSH bucket).
+  /** Embedding-cosine near-duplicate pairs, blocked on a random-hyperplane
+    * LSH bucket — the 100 TB blocking key: within-bucket pair volume is
+    * ≈ n²/2^nPlanes instead of quadratic-within-a-label, and nPlanes scales
+    * the bucket count with the corpus. The planes are plan literals (seeded
+    * SplitMix64 ±1 matrix, [[Ann.hyperplanes]]) and the signature bits come
+    * from ORDER-INDEPENDENT exact-decimal projections, so the DuckDB twin
+    * inlines the identical matrix and recomputes every bucket bit-for-bit —
+    * the blocked pair set itself is under the hash-exact gate, not just the
+    * cosine arithmetic.
     *
     * The synthetic embeddings have no near-dup pairs above 0.99, so the gate
     * PLANTS them: every 20th vector gains an identical copy at an offset id
-    * (cos = 1 exactly) — mirrored in the DuckDB twin; non-empty result. */
+    * (cos = 1 exactly → identical signature → same bucket, guaranteed found)
+    * — mirrored in the twin; non-empty result. */
+  private val NeardupDim = 64
+  private val NeardupPlanes = 10
   val qEmbeddingNearDup = GQuery("q_embedding_neardup",
     (s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("label"), col("vec_id"), col("embedding"))
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = base.filter(col("vec_id") % 20 === 0)
-        .select(col("label"), (col("vec_id") + 100000L).as("vec_id"),
-          col("embedding"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val e = base.unionByName(planted)
-      val a = e.select(col("label"), col("vec_id").as("id_a"),
+        .withColumn("bucket", Ann.hyperplaneSigExact(col("embedding"),
+          NeardupDim, NeardupPlanes))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
         col("embedding").as("v_a"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"),
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
         col("embedding").as("v_b"))
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
         // two-phase: cheap double-precision prefilter with margin (decimal
         // arithmetic on every pair measured 22 s at sf0.1), then the exact
         // decimal cosine only on survivors — result identical, the margin
@@ -419,14 +429,31 @@ object TextQueries {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""WITH emb AS (
-        SELECT label, vec_id, embedding FROM embeddings
+    Some {
+      // the twin recomputes the LSH bucket from the SAME inlined ±1 matrix
+      // with the same exact-decimal per-element products (order-independent
+      // accumulation → identical sign bits in any engine)
+      val planes = Ann.hyperplanes(NeardupDim, NeardupPlanes)
+      def proj(plane: Seq[Double]): String = {
+        val lst = plane.map(w => if (w > 0) "1.0" else "-1.0").mkString(", ")
+        s"""list_sum(list_transform(list_zip(embedding, [$lst]),
+           p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))"""
+      }
+      val bucket = planes.zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN ${proj(pl)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString("\n        + ")
+      s"""WITH emb AS (
+        SELECT vec_id, embedding FROM embeddings
         UNION ALL
-        SELECT label, vec_id + 100000, embedding
-        FROM embeddings WHERE vec_id % 20 = 0)
+        SELECT vec_id + 100000, embedding
+        FROM embeddings WHERE vec_id % 20 = 0),
+      sig AS (
+        SELECT vec_id, embedding,
+          ($bucket) AS bucket
+        FROM emb)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM emb a JOIN emb b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
             p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
         / (sqrt(CAST(list_sum(list_transform(a.embedding,
@@ -434,7 +461,8 @@ object TextQueries {
          * sqrt(CAST(list_sum(list_transform(b.embedding,
             x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
         > 0.99
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""
+    })
 
   /** Multimodal plumbing: binary media table synthesized from documents,
     * features via per-partition stub codec (mapPartitions — the mapInPandas
