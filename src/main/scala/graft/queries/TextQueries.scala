@@ -257,12 +257,27 @@ object TextQueries {
       SELECT c.id AS doc_id, c.label AS canonical_id, z.cluster_size
       FROM comp c JOIN sizes z USING (label) ORDER BY doc_id"""))
 
-  /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 6, candidate
-    * generation by 16-bit block bucketing (a pair within Hamming 6 shares at
-    * least one of 4 exact 16-bit blocks — pigeonhole). */
+  /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 3, candidate
+    * generation by 16-bit block bucketing — the classic 64-bit/4-block/k=3
+    * design (Manku et al., WWW'07): k ≤ 3 differing bits cannot touch all 4
+    * blocks, so every qualifying pair shares at least one exact block.
+    * (The round-2 version claimed k=6 with 4 blocks — WRONG: 6 differences
+    * can spread 2+2+1+1 and miss every block. k=3 is the pigeonhole bound;
+    * the brute-force golden below would have caught the gap.)
+    *
+    * HASH-EXACT golden oracle: signatures are deterministic (FNV-1a is a
+    * public algorithm), so the twin is a committed pair set generated by an
+    * INDEPENDENT brute-force all-pairs reimplementation in pure Python
+    * (tools/gen_simhash_golden.py) — different language, no blocking —
+    * which pins both the hash and the completeness of block bucketing.
+    * Exact-duplicate docs are planted (every 20th at doc_id + 100000) so
+    * the gate stays non-vacuous under data drift. */
   val qSimhashPairs = GQuery("q_simhash_pairs",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val base = docs.unionByName(planted)
         .select(col("doc_id"),
           SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text"))))
             .as("sh"))
@@ -277,11 +292,16 @@ object TextQueries {
       a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
         .dropDuplicates("id_a", "id_b")
         .withColumn("hamming", SimHash64.hamming64(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= 3)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    None, notes = "rows-only: simhash internal hashing")
+    Some(s"""WITH golden(id_a, id_b, hamming) AS (VALUES
+        ${SimhashGolden.rows})
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(hamming AS INTEGER) AS hamming
+      FROM golden ORDER BY id_a, id_b"""),
+    notes = "golden twin: independent Python brute-force (gen_simhash_golden.py)")
 
   /** N-gram (word 3-gram) Jaccard near-dup pairs, LSH candidates + exact
     * verify. Same brute-force oracle construction as [[qMinhashPairs]],
