@@ -24,17 +24,24 @@ object Ann {
   def cosineFast(a: Column, b: Column): Column =
     dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
-  /** Dot product of two array<float/double> columns — exact decimal
-    * accumulation so the result is summation-order independent (needed for
-    * hash-exact verification; the per-element products are IEEE-exact). */
-  def dotExact(a: Column, b: Column): Column =
+  /** Dot product kept in decimal(28,18) — order-independent accumulation.
+    * Use directly where downstream COMPARISONS/SORTS must be bit-identical
+    * cross-engine (candidate-set oracles); [[dotExact]] is the double-valued
+    * form for score output. */
+  def dotExactDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double"))
         .cast("decimal(28,18)")),
       lit(0).cast("decimal(28,18)"),
       // add expands precision to (29,18); the re-cast keeps the accumulator
       // type stable and is exact (scale unchanged, magnitude << 10^10)
-      (acc, v) => (acc + v).cast("decimal(28,18)")).cast("double")
+      (acc, v) => (acc + v).cast("decimal(28,18)"))
+
+  /** Dot product of two array<float/double> columns — exact decimal
+    * accumulation so the result is summation-order independent (needed for
+    * hash-exact verification; the per-element products are IEEE-exact). */
+  def dotExact(a: Column, b: Column): Column =
+    dotExactDec(a, b).cast("double")
 
   /** Cosine similarity (double). */
   def cosine(a: Column, b: Column): Column =
@@ -109,6 +116,18 @@ object Ann {
       when(dotExact(vec, typedLit(planes(p))) > 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Per-plane EXACT-decimal projections (array<decimal(28,18)>) — the
+    * order-independent counterpart of [[hyperplaneProj]]: both the sign bits
+    * AND the |projection| multiprobe flip order derived from these are
+    * reproducible bit-for-bit by an external engine summing the same
+    * products in any order. */
+  def hyperplaneProjExact(vec: Column, dim: Int, nPlanes: Int,
+      tableSeed: Long = 0L): Column = {
+    val planes = planeMatrix(dim, nPlanes, tableSeed)
+    array((0 until nPlanes).map(p =>
+      dotExactDec(vec, typedLit(planes(p)))): _*)
   }
 
   /** Per-plane projections of `vec` (array<double>, one per plane) — the
@@ -192,6 +211,81 @@ object Ann {
     sigCorpus.join(probes, Seq("t", "sig"))
       .select(col("query_id"), col("id"), col("__v"))
       .dropDuplicates("query_id", "id")
+  }
+
+  /** The LSH candidate SET under exact arithmetic: identical blocking
+    * geometry to [[lshCandidates]] — per-table hyperplane signatures plus
+    * query-adaptive single-bit multiprobe on the least-confident planes —
+    * but the signatures AND the flip order derive from ORDER-INDEPENDENT
+    * exact-decimal projections ([[hyperplaneProjExact]]), so an external
+    * engine inlining the same ±1 matrices recomputes the identical
+    * candidate set: set MEMBERSHIP itself goes under a hash-exact oracle
+    * (recall stays spec-pinned — LshRecallSpec; the fast path differs only
+    * in summation arithmetic, which can flip a bit only when the projection
+    * sits within float rounding of a hyperplane).
+    * Output: distinct (query_id, id). */
+  def lshCandidatesExact(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      dim: Int, nPlanes: Int, multiProbeBits: Int,
+      nTables: Int): DataFrame = {
+    require(nPlanes <= 63, "pack into one long")
+    require(multiProbeBits <= nPlanes, "can flip at most nPlanes bits")
+    val sigCorpus = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .select(col("id"), posexplode(array((0 until nTables).map(t =>
+        hyperplaneSigExact(col("__v"), dim, nPlanes, t)): _*)))
+      .withColumnRenamed("pos", "t")
+      .withColumnRenamed("col", "sig")
+    val qProj = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q"))
+      .withColumn("tp", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          hyperplaneProjExact(col("__q"), dim, nPlanes, t).as("proj"))): _*)))
+      .select(col("query_id"), col("tp.t").as("t"), col("tp.proj").as("proj"))
+    val sig0 = (0 until nPlanes).map { p =>
+      when(element_at(col("proj"), p + 1) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    // ascending (|proj|, plane) = most-uncertain plane first, ties by index
+    val flipOrder = sort_array(array((0 until nPlanes).map(p =>
+      struct(abs(element_at(col("proj"), p + 1)).as("a"),
+        lit(p).as("p"))): _*))
+    def bit(i: Int): Column =
+      pow(lit(2.0), element_at(flipOrder, i + 1).getField("p")).cast("long")
+    val probes = qProj.withColumn("sig",
+      explode(array((sig0 +: (0 until multiProbeBits).map(i =>
+        sig0.bitwiseXOR(bit(i)))): _*)))
+      .select(col("query_id"), col("t"), col("sig"))
+    sigCorpus.join(probes, Seq("t", "sig"))
+      .select(col("query_id"), col("id"))
+      .distinct()
+  }
+
+  /** The IVF candidate SET under exact arithmetic with PLAN-LITERAL
+    * centroids (a committed trained model — what a production IVF deployment
+    * pins): each corpus vector goes to its argmax-dot centroid (exact
+    * decimal dots, ties to the lowest index), each query probes its
+    * `nProbe` nearest centroids, candidates share a bucket. Deterministic
+    * and cross-engine reproducible → the assignment/probe set goes under a
+    * hash-exact oracle. Output: distinct (query_id, id). */
+  def ivfCandidatesExact(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    val k = centroids.size
+    // descending lexicographic sort of (dot, -index) = dot DESC, index ASC
+    def ranked(vec: Column): Column =
+      sort_array(array((0 until k).map(c =>
+        struct(dotExactDec(vec, typedLit(centroids(c))).as("d"),
+          lit(-c).as("nc"))): _*), asc = false)
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("bucket", -element_at(ranked(col("__v")), 1).getField("nc"))
+      .select(col("id"), col("bucket"))
+    val probes = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q"))
+      .withColumn("bucket", explode(array((1 to nProbe).map(i =>
+        -element_at(ranked(col("__q")), i).getField("nc")): _*)))
+      .select(col("query_id"), col("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .select(col("query_id"), col("id"))
+      .distinct()
   }
 
   /** IVF coarse-quantizer training: spherical k-means (Lloyd, cosine

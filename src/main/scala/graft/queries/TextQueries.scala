@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{SimHash64, TextFeatures}
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, IvfModel}
 import org.apache.spark.sql.functions._
 
 /** North-star training-data-pipeline queries over documents/embeddings:
@@ -410,6 +410,116 @@ object TextQueries {
     },
     None, notes = "rows-only: approximate ANN (IVF)")
 
+  // ---- ANN candidate-set oracles ------------------------------------
+  // The ANN top-k output is approximate by construction (rows-only), but
+  // the BLOCKING sets are deterministic: planes and centroids are plan
+  // literals, and the exact-decimal projections are order-independent, so
+  // the twin recomputes set membership bit-for-bit. Recall stays pinned in
+  // LshRecallSpec; membership goes under the hash-exact gate here.
+  private val AnnCandDim = 64
+  private val AnnCandPlanes = 8
+  private val AnnCandTables = 4
+  private val AnnCandProbes = 4
+  private val IvfCandProbes = 4
+
+  /** The exact-decimal per-element product sum — DuckDB mirror of
+    * [[Ann.dotExactDec]] (same products, any summation order). */
+  private def dotDecSql(bList: String): String =
+    s"""list_sum(list_transform(list_zip(embedding, [$bList]),
+       p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))"""
+
+  /** LSH candidate set (the q_ann_lsh blocking geometry — per-table
+    * signatures + query-adaptive multiprobe) under exact arithmetic: the
+    * twin inlines all ${AnnCandTables}×${AnnCandPlanes} ±1 plane rows and
+    * recomputes signatures, flip order, and probes in SQL. */
+  val qAnnLshCand = GQuery("q_ann_lsh_cand",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Ann.lshCandidatesExact(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          dim = AnnCandDim, nPlanes = AnnCandPlanes,
+          multiProbeBits = AnnCandProbes, nTables = AnnCandTables)
+        .orderBy(col("query_id"), col("id"))
+    },
+    Some {
+      def proj(pl: Seq[Double]): String =
+        dotDecSql(pl.map(w => if (w > 0) "1.0" else "-1.0").mkString(", "))
+      val csig = (0 until AnnCandTables).map { t =>
+        val sig = Ann.hyperplanes(AnnCandDim, AnnCandPlanes, t).zipWithIndex
+          .map { case (pl, i) =>
+            s"(CASE WHEN ${proj(pl)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+          }.mkString("\n          + ")
+        s"SELECT vec_id AS id, $t AS t, ($sig) AS sig FROM embeddings"
+      }.mkString("\n        UNION ALL\n        ")
+      val qproj = (for {
+        t <- 0 until AnnCandTables
+        (pl, p) <- Ann.hyperplanes(AnnCandDim, AnnCandPlanes, t).zipWithIndex
+      } yield s"SELECT vec_id AS query_id, $t AS t, $p AS p, ${proj(pl)} AS proj" +
+        " FROM embeddings WHERE vec_id < 5")
+        .mkString("\n        UNION ALL\n        ")
+      s"""WITH csig AS (
+        $csig),
+      qproj AS (
+        $qproj),
+      qsig AS (
+        SELECT query_id, t,
+          CAST(SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig0
+        FROM qproj GROUP BY query_id, t),
+      flips AS (
+        SELECT query_id, t, p,
+          ROW_NUMBER() OVER (PARTITION BY query_id, t ORDER BY abs(proj), p) AS r
+        FROM qproj),
+      probes AS (
+        SELECT query_id, t, sig0 AS sig FROM qsig
+        UNION ALL
+        SELECT f.query_id, f.t, xor(s.sig0, CAST(1 << f.p AS BIGINT)) AS sig
+        FROM flips f JOIN qsig s ON f.query_id = s.query_id AND f.t = s.t
+        WHERE f.r <= $AnnCandProbes),
+      cand AS (
+        SELECT DISTINCT p.query_id, c.id
+        FROM csig c JOIN probes p ON c.t = p.t AND c.sig = p.sig)
+      SELECT query_id, id FROM cand ORDER BY query_id, id"""
+    },
+    notes = "LSH blocking set under exact arithmetic; planes inlined in twin")
+
+  /** IVF assignment/probe candidate set with the COMMITTED centroid model
+    * ([[IvfModel]]): the twin inlines the 16 centroid vectors and
+    * recomputes every argmax assignment and probe list. */
+  val qAnnIvfCand = GQuery("q_ann_ivf_cand",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+      Ann.ivfCandidatesExact(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding",
+          IvfModel.centroids, nProbe = IvfCandProbes)
+        .orderBy(col("query_id"), col("id"))
+    },
+    Some {
+      val cd = IvfModel.centroids.zipWithIndex.map { case (cv, c) =>
+        s"SELECT vec_id, $c AS c, " +
+          dotDecSql(cv.map(java.lang.Double.toString).mkString(", ")) +
+          " AS d FROM embeddings"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH dots AS (
+        $cd),
+      bucket AS (
+        SELECT vec_id AS id, c AS bucket FROM (
+          SELECT vec_id, c,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r
+          FROM dots) WHERE r = 1),
+      probes AS (
+        SELECT vec_id AS query_id, c AS bucket FROM (
+          SELECT vec_id, c,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS r
+          FROM dots WHERE vec_id < 5) WHERE r <= $IvfCandProbes),
+      cand AS (
+        SELECT DISTINCT p.query_id, b.id
+        FROM bucket b JOIN probes p ON b.bucket = p.bucket)
+      SELECT query_id, id FROM cand ORDER BY query_id, id"""
+    },
+    notes = "IVF blocking set; committed centroids inlined in twin")
+
   /** Embedding-cosine near-duplicate pairs, blocked on a random-hyperplane
     * LSH bucket — the 100 TB blocking key: within-bucket pair volume is
     * ≈ n²/2^nPlanes instead of quadratic-within-a-label, and nPlanes scales
@@ -624,5 +734,6 @@ object TextQueries {
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
+    qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qCurationPipeline)
 }

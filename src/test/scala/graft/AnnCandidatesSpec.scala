@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Ann, IvfModel}
+import org.apache.spark.sql.functions._
+
+/** The exact-arithmetic candidate-set generators behind q_ann_lsh_cand /
+  * q_ann_ivf_cand (set membership is oracle-gated; these pin the structural
+  * invariants the oracle can't see). */
+class AnnCandidatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+  private def queries = emb.filter(col("vec_id") < 5)
+
+  test("LSH exact candidates: every query finds itself (identical sig in every table)") {
+    val cands = Ann.lshCandidatesExact(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        dim = 64, nPlanes = 8, multiProbeBits = 4, nTables = 4)
+      .as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { q =>
+      assert(cands.contains((q, q)), s"query $q missing its own id")
+    }
+    info(s"candidate pairs: ${cands.size}")
+  }
+
+  test("LSH exact candidates agree with the fast-double path away from rounding boundaries") {
+    // The two variants differ only in summation arithmetic; a membership
+    // difference requires a projection within double-rounding distance of a
+    // hyperplane. Pin substantial overlap, not equality.
+    val exact = Ann.lshCandidatesExact(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 64, 8, 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val fast = Ann.lshCandidates(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 64, 8, 4, 4)
+      .select(col("query_id"), col("id")).as[(Long, Long)].collect().toSet
+    val overlap = exact.intersect(fast).size.toDouble /
+      math.max(1, math.max(exact.size, fast.size))
+    info(s"exact ${exact.size}, fast ${fast.size}, overlap $overlap")
+    assert(overlap >= 0.9, s"overlap $overlap: paths diverged beyond rounding")
+  }
+
+  test("IVF exact candidates: total single assignment, self-hit, probe superset ordering") {
+    val n = emb.count()
+    val bucketed = emb.select(col("vec_id"),
+      (-element_at(sort_array(array(IvfModel.centroids.indices.map(c =>
+        struct(Ann.dotExactDec(col("embedding"),
+            typedLit(IvfModel.centroids(c))).as("d"),
+          lit(-c).as("nc"))): _*), asc = false), 1).getField("nc")).as("bucket"))
+    // every vector lands in exactly one bucket, all buckets in range
+    assert(bucketed.count() === n)
+    val range = bucketed.agg(min("bucket"), max("bucket")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) < IvfModel.centroids.size)
+    val cands1 = Ann.ivfCandidatesExact(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", IvfModel.centroids, nProbe = 1)
+      .as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach { q =>
+      assert(cands1.contains((q, q)), s"query $q not in its own bucket")
+    }
+    // more probes only ever widen the candidate set
+    val cands4 = Ann.ivfCandidatesExact(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", IvfModel.centroids, nProbe = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands1.subsetOf(cands4), "nProbe=1 set must be inside nProbe=4 set")
+    info(s"nProbe=1: ${cands1.size}, nProbe=4: ${cands4.size}")
+  }
+}
