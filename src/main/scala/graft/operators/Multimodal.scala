@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata struct, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The decode kernels are STUBS (this container ships no image/audio
-  * codecs): `FakeCodec` deterministically derives pixels/samples from the
-  * byte content, clearly marked below. Everything Spark-side is REAL and
-  * load-bearing at 100 TB: the schema, the `mapPartitions` batch shape
-  * (one codec instance per partition, streamed row iterator — the Scala
-  * analogue of `mapInPandas` batches), partition sizing, and the
-  * explode-based frame sampling.
+  * The IMAGE path is REAL: [[ImageCodec]] (pure-JVM `javax.imageio`) PNG
+  * encode/decode with exact pixel statistics, oracle-gated end-to-end by
+  * q_image_decode. Audio/video decode remains a STUB (`FakeCodec` — the JVM
+  * ships no audio/video codecs), clearly marked below. Everything
+  * Spark-side is REAL and load-bearing at 100 TB: the schema, the
+  * `mapPartitions` batch shape (one codec instance per partition, streamed
+  * row iterator — the Scala analogue of `mapInPandas` batches), partition
+  * sizing, and the explode-based frame sampling.
   */
 object Multimodal {
 
@@ -41,12 +42,13 @@ object Multimodal {
   case class Frame(media_id: Long, frame_index: Int, frame_ms: Long,
       content: Array[Byte])
 
-  /** ======== STUB CODEC ======================================
-    * Deterministic fake decode: real codecs (JPEG/PNG/ffmpeg) are not in
-    * this container. The stub hashes byte blocks into a fixed-length float
-    * vector — the SHAPE of the real kernel (bytes → float[]), with
-    * deterministic output so tests are stable. Swap `FakeCodec` for a real
-    * codec binding in production; nothing else changes. */
+  /** ======== STUB CODEC (audio/video only) ====================
+    * Deterministic fake decode for AUDIO/VIDEO: the JVM ships no codecs for
+    * those (images are handled for real by [[ImageCodec]]). The stub hashes
+    * byte blocks into a fixed-length float vector — the SHAPE of the real
+    * kernel (bytes → float[]), with deterministic output so tests are
+    * stable. Swap `FakeCodec` for an ffmpeg binding in production; nothing
+    * else changes. */
   object FakeCodec {
     val featureDim = 16
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
@@ -78,6 +80,41 @@ object Multimodal {
         (col("doc_id") % 480 + 1).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms"),
         lit(16000).as("sample_rate")).as("meta"))
+
+  /** Media table with REAL PNG payloads on the image rows: image-modality
+    * rows carry an actual PNG ([[ImageCodec.synthPng]], deterministic pixels
+    * from media_id) with meta rewritten to the true dimensions; audio/video
+    * rows keep the opaque stub payload. mapPartitions — encode runs
+    * executor-side, streaming. */
+  def mediaWithRealImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality == "image") {
+          val w = (r.media_id % 16 + 8).toInt
+          val h = (r.media_id % 12 + 8).toInt
+          r.copy(content = ImageCodec.synthPng(r.media_id, w, h),
+            meta = r.meta.copy(format = "png", width = w, height = h))
+        } else r
+      }
+    }.toDF()
+  }
+
+  case class ImageStatsRow(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image decode over the binary column: ImageIO parse + exact pixel
+    * channel sums, per-partition streamed (same batch shape as
+    * [[extractFeatures]]). Non-image rows are filtered before decode. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageStatsRow] = {
+    import spark.implicits._
+    media.filter(col("modality") === "image").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val s = ImageCodec.decodeStats(r.content)
+        ImageStatsRow(r.media_id, s.width, s.height, s.sum_r, s.sum_g, s.sum_b)
+      }
+    }
+  }
 
   /** Feature extraction over binary content via mapPartitions: codec state
     * initialized once per partition, rows streamed (never materialized as a

@@ -615,6 +615,40 @@ object TextQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents ORDER BY media_id"""))
 
+  /** REAL image decode end-to-end: image-modality rows carry actual PNG
+    * payloads rendered from a pure integer pixel formula of (media_id, x, y)
+    * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
+    * `javax.imageio` and reduces to exact channel sums. PNG is lossless, so
+    * the DuckDB twin recomputes the expected sums ANALYTICALLY from the same
+    * formula over a generated (x, y) grid — the whole encode → bytes →
+    * decode → feature path sits under the hash-exact gate. */
+  val qImageDecode = GQuery("q_image_decode",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.decodeImages(s,
+          Multimodal.mediaWithRealImages(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH imgs AS (
+        SELECT doc_id AS media_id,
+          CAST(doc_id % 16 + 8 AS INTEGER) AS width,
+          CAST(doc_id % 12 + 8 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 = 0),
+      gx AS (SELECT media_id, width, height,
+        unnest(range(0, width)) AS x FROM imgs),
+      gxy AS (SELECT media_id, width, height, x,
+        unnest(range(0, height)) AS y FROM gx)
+      SELECT media_id, width, height,
+        CAST(SUM((media_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        CAST(SUM((media_id * 17 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+        CAST(SUM((media_id * 23 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+      FROM gxy GROUP BY media_id, width, height
+      ORDER BY media_id"""),
+    notes = "real javax.imageio decode; twin recomputes pixel sums analytically")
+
   /** The composite curation pipeline a training-data user actually runs:
     * quality gate → language-consistency gate → exact dedup (keep min id
     * per normalized text) → near-dup clustering (keep the canonical doc per
@@ -735,5 +769,5 @@ object TextQueries {
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
-    qEmbeddingNearDup, qMediaFeatures, qCurationPipeline)
+    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qCurationPipeline)
 }
