@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error bound for the HLL++ sketch behind q_approx_distinct. The sketch is
+  * engine-internal (rows-only under the driver gate, correctly — sketch
+  * contents are implementation-specific), but its ERROR is a contract:
+  * approx_count_distinct(rsd = 0.01) must land within a few percent of the
+  * exact count. Pinned here at two scale factors so a regression in the
+  * sketch config (or an accidental rsd change) fails loudly. */
+class ApproxDistinctSpec extends SparkSpec {
+
+  private def relErrors(dir: String): Seq[(String, Long, Long, Double)] = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+      .map { r =>
+        val (a, e) = (r.getLong(1), r.getLong(2))
+        (r.getString(0), a, e, math.abs(a - e).toDouble / math.max(1L, e))
+      }.toSeq
+  }
+
+  test("approx_count_distinct within 5% of exact per event_type (sf0.001 and sf0.01)") {
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { dir =>
+      val errs = relErrors(dir)
+      assert(errs.nonEmpty)
+      errs.foreach { case (et, a, e, rel) =>
+        info(f"$dir $et: approx=$a exact=$e rel=$rel%.4f")
+        assert(rel <= 0.05, s"$dir/$et: approx $a vs exact $e (rel $rel)")
+      }
+    }
+  }
+}
