@@ -192,6 +192,78 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds —
+    * the public MapReduce-CC construction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): the LONG-CHAIN path.
+    * Plain label propagation ([[nearDupGroups]]) needs component-DIAMETER
+    * rounds; star alternation contracts every component toward a star in
+    * O(log) rounds, each round two edge-proportional shuffles. Same output
+    * contract as [[nearDupGroups]]: (id, label = component minimum) for
+    * every id appearing in a pair. Prefer [[nearDupGroups]] for shallow
+    * dedup graphs (stars/cliques — fewer total shuffles); use this when
+    * components can be deep (transitive similarity chains). */
+  def nearDupGroupsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame =
+    nearDupGroupsStarCounted(pairs, maxIter)._1
+
+  /** [[nearDupGroupsStar]] plus the executed round count, exposed so the
+    * O(log n)-rounds convergence claim is pinned by spec, not asserted in
+    * prose. */
+  def nearDupGroupsStarCounted(pairs: DataFrame,
+      maxIter: Int = 64): (DataFrame, Int) = {
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint(true)
+    // canonical undirected edge set: (u < v), deduped; self-loops dropped.
+    // localCheckpoint per round, as in nearDupGroups — cache() would nest
+    // the full lineage and re-optimize a growing plan every iteration.
+    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: center every node u over its full neighborhood; every
+      // strictly-larger neighbor v re-attaches to m = min(Γ(u) ∪ {u}).
+      // m ≤ u < v, so (m, v) is already canonical.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR: center at the larger endpoint c over its smaller
+      // neighbors; all of them (and c itself) re-attach to the smallest.
+      val dir = ls.select(col("v").as("c"), col("u").as("n")) // c > n
+      val mins2 = dir.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val ss = dir.join(mins2, Seq("c"))
+        .filter(col("n") =!= col("m"))
+        .select(col("m").as("u"), col("n").as("v")) // m < n by minimality
+        .union(mins2.select(col("m").as("u"), col("c").as("v"))) // m < c
+        .distinct()
+        .localCheckpoint(true)
+      // fixed point of the alternation = identical canonical edge set
+      val cntOld = edges.count()
+      val cntNew = ss.count()
+      converged = cntNew == cntOld &&
+        ss.union(edges).distinct().count() == cntOld
+      edges = ss
+      rounds += 1
+    }
+    // converged graph is a star per component: every edge is (min, member)
+    val symF = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val labels = symF.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+    // nodes that only ever appeared in self-pairs label themselves
+    val out = labels.unionByName(
+      nodes.join(labels, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label")))
+    (out, rounds)
+  }
+
   /** N-gram (word) Jaccard near-dup pairs, exact result, MinHash-LSH
     * candidate generation over the n-gram sets. Length-band blocking was the
     * first cut here and measured 89 s at sf0.1 — bands of ±10% length still

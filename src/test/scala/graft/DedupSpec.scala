@@ -98,6 +98,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupGroupsStar matches the union-find oracle on random graphs") {
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val byRoot = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+        .groupBy(_._2).values
+        .flatMap { m => val mn = m.keys.min; m.keys.map(_ -> mn) }.toMap
+      val got = operators.Dedup.nearDupGroupsStar(
+        edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+      assert(got === byRoot)
+    }
+  }
+
+  test("nearDupGroupsStar: chain of 1000 converges in O(log n) rounds") {
+    // a pure path graph is the worst case for label propagation (diameter
+    // rounds = 999); star alternation must close it in logarithmic rounds
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = operators.Dedup.nearDupGroupsStarCounted(chain)
+    info(s"rounds: $rounds")
+    assert(rounds <= 16, s"$rounds rounds is not O(log n) for n=1000")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 1000)
+    assert(got.forall(_._2 == 0L), "all chain members must label to the min id")
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
