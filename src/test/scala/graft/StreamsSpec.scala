@@ -56,6 +56,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("movementDetector: a 100k-event hot key in ONE micro-batch completes (skew bound)") {
+    // The documented per-(key, batch) buffer bound (Streams.scala SKEW
+    // BOUND) as a hard invariant: one pathological key emitting 1e5 events
+    // in a single micro-batch must sort, fold, and emit without blowing the
+    // task. Values alternate 1.0/3.0 → both directions exceed the 0.5
+    // threshold (+2.0 and -0.667), so the expected output size is pinned.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.movementDetector(spark, df, 0.5)
+      .writeStream.format("memory").queryName("hot_moves")
+      .outputMode("append").start()
+    try {
+      val n = 100000
+      val base = ts("2024-01-01 00:00:00").getTime
+      val events = (0 until n).map(i =>
+        (i.toLong, new Timestamp(base + i * 1000L), 7L, "odds",
+          if (i % 2 == 0) 1.0 else 3.0))
+      mem.addData(events)
+      q.processAllAvailable()
+      val moves = spark.table("hot_moves")
+      // n-1 transitions, all above threshold; first event has no prev
+      assert(moves.count() === (n - 1).toLong)
+      // in-key event-time order held end to end: prev of event i is i-1
+      val sample = moves.filter(col("ts") === new Timestamp(base + 99999L * 1000L))
+        .select("prev_value", "value").as[(Double, Double)].head()
+      assert(sample === ((1.0, 3.0)))
+    } finally q.stop()
+  }
+
   test("slidingMovementAlert flags >threshold ranges in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
