@@ -7,8 +7,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv()
-    // warm-up: JIT/codegen caches, parquet footer reads
+    // warm-up: JIT/codegen caches, parquet footer reads. Two plan shapes:
+    // the flagship (join+window) and the FIRST query in timing order
+    // (q1_agg, hash aggregate) — the first timed query otherwise eats the
+    // whole-JVM warm-up cost that later queries amortize away.
     try queries.WindowQueries.qFlagship.run(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    try queries.Relational.q1Agg.run(spark, sfDir).count()
     catch { case _: Throwable => () }
     // best-of-2 per query: first run pays codegen compilation + JIT for
     // that plan shape; min is the stable figure rounds compare against

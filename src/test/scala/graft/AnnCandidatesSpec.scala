@@ -39,6 +39,40 @@ class AnnCandidatesSpec extends SparkSpec {
     assert(overlap >= 0.9, s"overlap $overlap: paths diverged beyond rounding")
   }
 
+  test("fused decimal expressions are bit-identical to the compositional Catalyst chain") {
+    import graft.functions.DecimalDotsExact
+    val planes = Ann.hyperplanes(64, 8, tableSeed = 3L)
+    // dots: fused vs per-plane aggregate(zip_with(...)) decimal chain
+    val mismatchDots = emb.select(
+        DecimalDotsExact.dots(col("embedding"), planes).as("fused"),
+        array(planes.map(p => Ann.dotExactDec(col("embedding"),
+          typedLit(p))): _*).as("comp"))
+      .filter(col("fused") =!= col("comp")).count()
+    assert(mismatchDots === 0)
+    // sigs: fused vs compositional sign-bit OR chain
+    val compSig = planes.zipWithIndex.map { case (p, i) =>
+      when(Ann.dotExactDec(col("embedding"), typedLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val mismatchSigs = emb.select(
+        Ann.hyperplaneSigExact(col("embedding"), 64, 8, 3L).as("fused"),
+        compSig.as("comp"))
+      .filter(col("fused") =!= col("comp")).count()
+    assert(mismatchSigs === 0)
+    // argTopK: fused vs descending struct-sort of (dot, -index)
+    val k = IvfModel.centroids.size
+    val ranked = sort_array(array((0 until k).map(c =>
+      struct(Ann.dotExactDec(col("embedding"),
+          typedLit(IvfModel.centroids(c))).as("d"),
+        lit(-c).as("nc"))): _*), asc = false)
+    val mismatchTop = emb.select(
+        DecimalDotsExact.argTopK(col("embedding"), IvfModel.centroids, 3).as("fused"),
+        array((1 to 3).map(i =>
+          -element_at(ranked, i).getField("nc")): _*).as("comp"))
+      .filter(col("fused") =!= col("comp")).count()
+    assert(mismatchTop === 0)
+  }
+
   test("IVF exact candidates: total single assignment, self-hit, probe superset ordering") {
     val n = emb.count()
     val bucketed = emb.select(col("vec_id"),
