@@ -192,6 +192,63 @@ object Dedup {
     labels
   }
 
+  /** CONTAINMENT dedup: pairs (id_a, id_b) where document b's full token
+    * sequence appears contiguously inside document a — the "document B is a
+    * slice of document A" case (truncated re-crawls, quoted articles,
+    * prefix/suffix copies) that similarity dedup under-weighs because the
+    * Jaccard of a 60% slice against its source is ≈ 0.6, not ≈ 1.
+    *
+    * Method: winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS scheme). Each doc derives word `k`-gram hashes and keeps the
+    * minimum hash of every `w`-gram window. Selection depends only on the
+    * local window content, so a contained token run selects THE SAME
+    * fingerprints inside the container: every fingerprint of b appears in a
+    * ⇒ blocking on any shared fingerprint has recall 1.0 for token-aligned
+    * containment, with candidate volume ∝ shared-phrase mass, never
+    * all-pairs. Survivors are verified EXACTLY (' '+norm_b+' ' substring of
+    * ' '+norm_a+' ') — single-spaced normalization makes token-sequence
+    * containment equal delimiter-padded substring containment, which is
+    * what the brute-force DuckDB twin recomputes.
+    *
+    * Contract: only docs with ≥ k+w-1 tokens are eligible as the CONTAINED
+    * side (shorter docs yield no full fingerprint window); equal-length
+    * duplicates emit both orientations. Output: (id_a, id_b), b ⊆ a. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val minToks = k + w - 1
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    // cache = projection-collapse barrier: everything below reads the
+    // normalized text / token attributes, not the regex pipeline
+    val base = df.select(col(idCol).as("id"), norm.as("norm"))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("ntok", size(col("toks")))
+      .cache()
+    val gramHash = transform(
+      sequence(lit(1), col("ntok") - k + 1),
+      i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))
+    val fps = base.filter(col("ntok") >= minToks)
+      .withColumn("gh", gramHash)
+      .withColumn("fp", explode(array_distinct(transform(
+        sequence(lit(1), size(col("gh")) - w + 1),
+        j => array_min(slice(col("gh"), j, lit(w)))))))
+      .select(col("id"), col("ntok"), col("fp"))
+    // candidates: any shared fingerprint, container at least as long
+    val cands = fps.select(col("id").as("id_a"), col("ntok").as("ntok_a"),
+        col("fp"))
+      .join(fps.select(col("id").as("id_b"), col("ntok").as("ntok_b"),
+        col("fp")), Seq("fp"))
+      .filter(col("id_a") =!= col("id_b") && col("ntok_a") >= col("ntok_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verify: delimiter-padded substring containment on the
+    // normalized text, re-read BY KEY (texts never ride the candidate join)
+    cands
+      .join(base.select(col("id").as("id_a"), col("norm").as("n_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("norm").as("n_b")), Seq("id_b"))
+      .filter(contains(concat(lit(" "), col("n_a"), lit(" ")),
+        concat(lit(" "), col("n_b"), lit(" "))))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds —
     * the public MapReduce-CC construction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): the LONG-CHAIN path.

@@ -615,6 +615,48 @@ object TextQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents ORDER BY media_id"""))
 
+  /** Containment dedup (the "doc B is a truncated copy of doc A" case):
+    * winnowing fingerprints block, exact delimiter-padded substring verify
+    * ([[Dedup.containmentPairs]] — selection is content-local, so blocking
+    * recall is 1.0 for token-aligned containment and the pair set is
+    * EXACT). The twin brute-forces containment over all pairs. The corpus
+    * has no natural slices, so the gate PLANTS them: every 25th doc gains a
+    * 60%-prefix copy at an offset id — mirrored in the twin. */
+  val qContainmentDedup = GQuery("q_containment_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val withNorm = docs.withColumn("__norm",
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+        .withColumn("__toks", split(col("__norm"), " "))
+        .withColumn("__ntok", size(col("__toks")))
+      val planted = withNorm.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat_ws(" ", slice(col("__toks"), lit(1),
+            greatest(lit(1), expr("(__ntok * 3) div 5")).cast("int")))
+            .as("text"))
+      Dedup.containmentPairs(docs.unionByName(planted), "doc_id", "text",
+          k = 8, w = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH norm0 AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        FROM documents),
+      planted AS (
+        SELECT doc_id + 200000 AS doc_id,
+          array_to_string(
+            (string_split(norm, ' '))[1:greatest(1,
+              (3 * len(string_split(norm, ' '))) // 5)], ' ') AS norm
+        FROM norm0 WHERE doc_id % 25 = 0),
+      tok AS (
+        SELECT doc_id, norm, len(string_split(norm, ' ')) AS ntok
+        FROM (SELECT * FROM norm0 UNION ALL SELECT * FROM planted))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b
+        ON a.doc_id <> b.doc_id AND b.ntok >= 11 AND a.ntok >= b.ntok
+      WHERE contains(' ' || a.norm || ' ', ' ' || b.norm || ' ')
+      ORDER BY id_a, id_b"""),
+    notes = "winnowing-blocked containment; twin brute-forces all pairs")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -765,7 +807,8 @@ object TextQueries {
       ORDER BY e.doc_id"""
     })
 
-  val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qTokenCount,
+  val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
+    qTokenCount,
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,

@@ -132,6 +132,36 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), "all chain members must label to the min id")
   }
 
+  test("containmentPairs equals brute-force padded-substring containment (sf0.001)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant a 60%-prefix slice for every 25th doc (the query-gate shape)
+    val withNorm = docs.withColumn("__norm",
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("__toks", split(col("__norm"), " "))
+      .withColumn("__ntok", size(col("__toks")))
+    val planted = withNorm.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat_ws(" ", slice(col("__toks"), lit(1),
+          greatest(lit(1), expr("(__ntok * 3) div 5")).cast("int"))).as("text"))
+    val all = docs.unionByName(planted)
+    val got = operators.Dedup.containmentPairs(all, "doc_id", "text",
+      k = 8, w = 4).as[(Long, Long)].collect().toSet
+    // brute force: every ordered pair, padded-substring verify, contained
+    // side must clear the fingerprint-eligibility token floor (k+w-1)
+    val norm = all.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("n"))
+      .withColumn("ntok", size(split(col("n"), " ")))
+    val brute = norm.as("a").crossJoin(norm.as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.ntok") >= 11 && col("a.ntok") >= col("b.ntok"))
+      .filter(contains(concat(lit(" "), col("a.n"), lit(" ")),
+        concat(lit(" "), col("b.n"), lit(" "))))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "planted slices must be found")
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
