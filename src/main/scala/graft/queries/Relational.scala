@@ -35,6 +35,54 @@ object Relational {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
 
+  /** A-ext — EXACT continuous percentiles per group. The percentile
+    * positions (0.25/0.5/0.75) are exact binary fractions and l_quantity is
+    * integer-valued, so every interpolation step (pos = p·(n−1), lower +
+    * frac·(higher−lower)) is exact IEEE arithmetic → bit-identical
+    * cross-engine. At 100 TB the same query runs as approx_percentile
+    * (t-digest, one pass, mergeable) — that path is approximate by nature;
+    * this is its exact oracle-able twin for the sizes where sort-based
+    * percentile is affordable. */
+  val qPercentiles = GQuery("q_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.25) AS p25,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.75) AS p75,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A-ext — ROLLUP grouping sets (the reference's report hierarchy —
+    * per-league plus all-leagues totals in one pass, weekly_report.json
+    * shape) as ONE aggregation: Spark expands the grouping sets map-side,
+    * still one shuffle. grouping_id() disambiguates subtotal levels and
+    * makes the sort keys non-null (NULLS FIRST/LAST trap). */
+  val qRollup = GQuery("q_rollup",
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("flag"), col("status")),
+    Some(s"""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COALESCE(l_returnflag, 'ALL') AS flag,
+        COALESCE(l_linestatus, 'ALL') AS status,
+        ${Det.sqlDsum("l_quantity")} AS sum_qty,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, flag, status"""))
+
   /** A1 — global scalar aggregates (streamlit_dashboard.py:128-144 table
     * stats: COUNT(*), MAX(collected_at)). */
   val qGlobalAgg = GQuery("q_global_agg",
@@ -433,7 +481,8 @@ object Relational {
       WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q1Agg, qGlobalAgg, qCondAgg, qMultikeyAgg,
+  val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup,
+    qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
