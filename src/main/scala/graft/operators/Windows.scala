@@ -12,6 +12,38 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
+  /** W-ext — gap-based SESSIONIZATION: events of one key separated by more
+    * than `gapMinutes` of event-time start a new session; per-session
+    * aggregates come out of the same two shuffles every windowed query pays
+    * (one hash partition on the key for lag + running sum, one for the
+    * session groupBy — and with the partial aggregate map-side combined).
+    * Boundary flags compare epoch-microsecond BIGINTs (exact cross-engine);
+    * the (ts, tiebreak) total order makes tied timestamps deterministic —
+    * ties can never split a session (gap 0), but the RUNNING sum that
+    * numbers sessions needs a total order to be reproducible.
+    * Output: (key, session_id 1..n, session_start, session_end, n_events,
+    * total_value). Streaming twin: `session_window` (StreamsSpec). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, valueCol: String, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val lagTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(lagTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(lagTs) > gapUs, 1L).otherwise(0L)
+    events
+      .withColumn("__new", isNew)
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        graft.Det.fmtTs(min(col(tsCol))).as("session_start"),
+        graft.Det.fmtTs(max(col(tsCol))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.Det.dsum(col(valueCol)).as("total_value"))
+      .orderBy(col(keyCol), col("session_id"))
+  }
+
   /** W1 — latest row per group (reference `upcoming_games_with_odds` view,
     * database_schema.sql:161-166): `ROW_NUMBER() OVER (PARTITION BY keys
     * ORDER BY ts DESC) = 1`. One shuffle on the partition keys. */

@@ -179,6 +179,34 @@ object WindowQueries {
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       ORDER BY o_orderkey"""))
 
+  /** W-ext — gap-based sessionization (30-min event-time gap, the
+    * reference's collection cadence): lag + running sum + session groupBy,
+    * all epoch-microsecond-exact. [[Windows.sessionize]]; the streaming
+    * formulation (`session_window`) is pinned equivalent in StreamsSpec. */
+  val qSessionize = GQuery("q_sessionize",
+    (s, d) => Windows.sessionize(Tables.events(s, d),
+      "user_id", "ts", "event_id", "value", gapMinutes = 30),
+    Some(s"""WITH lagd AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM lagd)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        ${Det.sqlFmtTs("MIN(ts)")} AS session_start,
+        ${Det.sqlFmtTs("MAX(ts)")} AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${Det.sqlDsum("value")} AS total_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
-    qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin)
+    qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
+    qSessionize)
 }

@@ -86,6 +86,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window stream matches the batch sessionize boundaries") {
+    // the streaming formulation of Windows.sessionize: same 30-min gap
+    // semantics, session start + event count must agree (session_window's
+    // `end` is last_event + gap by definition, so it is not compared)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = df.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "click", 1.0),
+      (4L, ts("2024-01-01 10:05:00"), 2L, "view", 1.0))
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-02 00:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .filter(col("user_id") < 9)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      val batch = graft.operators.Windows.sessionize(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "ts", "event_id", "value", gapMinutes = 30)
+        .select(col("user_id"),
+          to_timestamp(col("session_start")).as("session_start"),
+          col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 3) // (1: 10:00 x2), (1: 11:30), (2: 10:05)
+    } finally q.stop()
+  }
+
   test("slidingMovementAlert flags >threshold ranges in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
