@@ -32,4 +32,22 @@ class ApproxDistinctSpec extends SparkSpec {
       }
     }
   }
+
+  test("approx_percentile lands within ±1% RANK of the exact percentile") {
+    // t-digest-style sketches bound RANK error, not value error: the approx
+    // median must lie between the exact 49th and 51st percentiles. This is
+    // the scale path of q_percentiles (which pins the exact form).
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val rows = ev.groupBy(col("event_type"))
+      .agg(approx_percentile(col("value"), lit(0.5), lit(10000)).as("approx"),
+        percentile(col("value"), lit(0.49)).as("lo"),
+        percentile(col("value"), lit(0.51)).as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(a >= lo && a <= hi,
+        s"${r.getString(0)}: approx median $a outside exact rank band [$lo, $hi]")
+    }
+  }
 }
