@@ -45,6 +45,31 @@ object DecimalDotsExact {
     acc
   }
 
+  /** Margin under which the fast-double dot cannot be trusted to decide a
+    * sign or an ordering and the exact-decimal path must run. Bound: the
+    * decimal dot differs from the double fold by at most
+    * n·(half-ulp of the scale-18 rounding) + n·(fold rounding at the
+    * partial-sum magnitude) ≈ 64·5e-19 + 64·~2e-15 ≈ 2e-13 for unit-scale
+    * embeddings; 1e-9 is ~5000× that. Decisions with a larger gap are
+    * provably identical under either arithmetic; anything closer (including
+    * exact ties from planted duplicate vectors) falls through to decimal. */
+  private[functions] val FastMargin = 1e-9
+
+  private[functions] def dotDouble(x: Array[Double], w: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.length, w.length)
+    while (i < n) { s += x(i) * w(i); i += 1 }
+    s
+  }
+
+  private[functions] def decideSign(x: Array[Double], w: Array[Double]): Boolean = {
+    val fast = dotDouble(x, w)
+    if (fast > FastMargin) true
+    else if (fast < -FastMargin) false
+    else dotUnscaled(x, w).signum > 0
+  }
+
   private[functions] def readVec(input: Any, isFloat: Boolean): Array[Double] = {
     val v = input.asInstanceOf[ArrayData]
     val x = new Array[Double](v.numElements())
@@ -124,7 +149,9 @@ case class DecimalSigsAll(child: Expression,
       var sig = 0L
       var p = 0
       while (p < tables(t).length) {
-        if (dotUnscaled(x, tables(t)(p)).signum > 0) sig |= (1L << p)
+        // fast-double sign with exact-decimal fallback inside the margin —
+        // bit-identical to the all-decimal form (see FastMargin)
+        if (decideSign(x, tables(t)(p))) sig |= (1L << p)
         p += 1
       }
       out(t) = sig
@@ -153,13 +180,34 @@ case class DecimalArgTopK(child: Expression, matrix: Array[Array[Double]],
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = readVec(input, childIsFloat)
-    val dots = new Array[BigInteger](matrix.length)
+    // fast path: double dots; trust the ordering only where consecutive
+    // gaps clear the margin. The ranks that matter are 1..k and the k/k+1
+    // boundary — if any adjacent pair among them is closer than the margin,
+    // recompute EVERYTHING in exact decimal (rare: decision-boundary rows).
+    val fast = new Array[Double](matrix.length)
     var r = 0
-    while (r < matrix.length) { dots(r) = dotUnscaled(x, matrix(r)); r += 1 }
-    val order = (0 until matrix.length).sortWith { (a, b) =>
-      val c = dots(a).compareTo(dots(b))
-      if (c != 0) c > 0 else a < b // dot DESC, index ASC
+    while (r < matrix.length) { fast(r) = dotDouble(x, matrix(r)); r += 1 }
+    val fastOrder = (0 until matrix.length).sortWith { (a, b) =>
+      if (fast(a) != fast(b)) fast(a) > fast(b) else a < b
     }
+    val boundary = math.min(k, matrix.length - 1)
+    var safe = true
+    var i = 0
+    while (i < boundary && safe) {
+      if (fast(fastOrder(i)) - fast(fastOrder(i + 1)) < FastMargin) safe = false
+      i += 1
+    }
+    val order =
+      if (safe) fastOrder
+      else {
+        val dots = new Array[BigInteger](matrix.length)
+        var j = 0
+        while (j < matrix.length) { dots(j) = dotUnscaled(x, matrix(j)); j += 1 }
+        (0 until matrix.length).sortWith { (a, b) =>
+          val c = dots(a).compareTo(dots(b))
+          if (c != 0) c > 0 else a < b // dot DESC, index ASC
+        }
+      }
     ArrayData.toArrayData(order.take(k).toArray)
   }
 

@@ -296,12 +296,15 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some(s"""WITH golden(id_a, id_b, hamming) AS (VALUES
-        ${SimhashGolden.rows})
+    Some(s"""WITH golden(id_a, id_b, hamming, tl) AS (VALUES
+        ${SimhashGolden.rows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         CAST(hamming AS INTEGER) AS hamming
-      FROM golden ORDER BY id_a, id_b"""),
-    notes = "golden twin: independent Python brute-force (gen_simhash_golden.py)")
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY id_a, id_b"""),
+    notes = "golden twin: independent Python brute-force, per-SF sets keyed " +
+      "by the corpus text-length discriminator (gen_simhash_golden.py)")
 
   /** N-gram (word 3-gram) Jaccard near-dup pairs, LSH candidates + exact
     * verify. Same brute-force oracle construction as [[qMinhashPairs]],

@@ -55,27 +55,39 @@ def tokens(text: str):
     return [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.strip()) if t]
 
 
-def main(sf_dir: str) -> None:
-    tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    docs = list(zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()))
-    sigs = [(doc_id, simhash64(tokens(text.lower()))) for doc_id, text in docs]
-    # the query plants an exact copy of every 20th doc at an offset id
-    sigs += [(doc_id + 100000, sh) for doc_id, sh in sigs if doc_id % 20 == 0]
-    sigs.sort()
-    pairs = []
-    for i in range(len(sigs)):
-        for j in range(i + 1, len(sigs)):
-            d = bin(sigs[i][1] ^ sigs[j][1]).count("1")
-            if d <= 3:
-                pairs.append((sigs[i][0], sigs[j][0], d))
-    pairs.sort()
-    hist = {}
-    for _, _, d in pairs:
-        hist[d] = hist.get(d, 0) + 1
-    print(f"-- {len(pairs)} pairs, hamming histogram {sorted(hist.items())}",
-          file=sys.stderr)
-    print(",\n".join(f"({a}, {b}, {d})" for a, b, d in pairs))
+def main(sf_dirs) -> None:
+    # Each golden row is tagged with the corpus discriminator SUM(len(text))
+    # (distinct across the driver's scale factors), so ONE static twin SQL
+    # serves every SF: the twin computes the same sum over `documents` at
+    # run time and keeps only the matching rows.
+    all_rows = []
+    for sf_dir in sf_dirs:
+        tab = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        docs = list(zip(tab.column("doc_id").to_pylist(),
+                        tab.column("text").to_pylist()))
+        tag = sum(len(t) for _, t in docs)
+        sigs = [(doc_id, simhash64(tokens(text.lower())))
+                for doc_id, text in docs]
+        # the query plants an exact copy of every 20th doc at an offset id
+        sigs += [(doc_id + 100000, sh) for doc_id, sh in sigs
+                 if doc_id % 20 == 0]
+        sigs.sort()
+        pairs = []
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin(sigs[i][1] ^ sigs[j][1]).count("1")
+                if d <= 3:
+                    pairs.append((sigs[i][0], sigs[j][0], d))
+        pairs.sort()
+        hist = {}
+        for _, _, d in pairs:
+            hist[d] = hist.get(d, 0) + 1
+        print(f"-- {sf_dir}: tag={tag}, {len(pairs)} pairs, "
+              f"hamming histogram {sorted(hist.items())}", file=sys.stderr)
+        all_rows += [(a, b, d, tag) for a, b, d in pairs]
+    print(",\n".join(f"({a}, {b}, {d}, {t})" for a, b, d, t in all_rows))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1:])
