@@ -220,17 +220,13 @@ object Dedup {
     // cache = projection-collapse barrier: everything below reads the
     // normalized text / token attributes, not the regex pipeline
     val base = df.select(col(idCol).as("id"), norm.as("norm"))
-      .withColumn("toks", split(col("norm"), " "))
-      .withColumn("ntok", size(col("toks")))
+      .withColumn("ntok", size(split(col("norm"), " ")))
       .cache()
-    val gramHash = transform(
-      sequence(lit(1), col("ntok") - k + 1),
-      i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))))
+    // fused one-pass winnowing (gram hash + window min + distinct) — the
+    // compositional HOF pipeline was interpreted per gram and ~7× slower
     val fps = base.filter(col("ntok") >= minToks)
-      .withColumn("gh", gramHash)
-      .withColumn("fp", explode(array_distinct(transform(
-        sequence(lit(1), size(col("gh")) - w + 1),
-        j => array_min(slice(col("gh"), j, lit(w)))))))
+      .withColumn("fp", explode(
+        graft.functions.WinnowFingerprints.fps(col("norm"), k, w)))
       .select(col("id"), col("ntok"), col("fp"))
     // candidates: any shared fingerprint, container at least as long
     val cands = fps.select(col("id").as("id_a"), col("ntok").as("ntok_a"),
