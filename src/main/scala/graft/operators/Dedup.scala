@@ -245,6 +245,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** BOILERPLATE REMOVAL (CCNet/RefinedWeb-style cleaning): lines repeated
+    * across ≥ `minDocs` DISTINCT documents (footers, headers, nav chrome)
+    * are dropped from every document; per-doc output is the removed-line
+    * count and the cleaned text (as md5 — verifiable cross-engine without
+    * shipping full texts through the compare).
+    *
+    * Scale shape: one explode (lines ∝ corpus), one distinct-count
+    * aggregation on the line key (map-side partial), one hash join of lines
+    * against the (tiny, high-frequency-only) boilerplate set, one per-doc
+    * regroup. The line-frequency table is the only global state and its
+    * high-df tail is small by definition — this is the same job at 100 TB.
+    * Line order is restored from the ordinal captured at explode time, so
+    * the rebuild is deterministic. */
+  def boilerplateRemoval(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+    val freq = lines.groupBy(col("line"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("line"))
+    val flagged = lines.join(freq.withColumn("__boiler", lit(true)),
+        Seq("line"), "left")
+      .withColumn("__boiler", coalesce(col("__boiler"), lit(false)))
+    flagged.groupBy(col("id"))
+      .agg(
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(!col("__boiler"), struct(col("line_no"), col("line"))))),
+          s => s.getField("line")))).as("clean_md5"))
+      .orderBy(col("id"))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds —
     * the public MapReduce-CC construction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): the LONG-CHAIN path.

@@ -660,6 +660,67 @@ object TextQueries {
       ORDER BY id_a, id_b"""),
     notes = "winnowing-blocked containment; twin brute-forces all pairs")
 
+  /** Boilerplate removal (the training-data cleaning step similarity dedup
+    * can't do: a repeated FOOTER inside otherwise-distinct docs). Lines
+    * shared by ≥ 25 distinct docs are stripped; output is per-doc removed
+    * count + cleaned-text md5. The corpus has no line structure, so the
+    * gate PLANTS it: every 3rd doc gains one of two rotating footer lines
+    * (high df → removed) and every 50th doc a doc-unique note line (df = 1
+    * → kept) — both mirrored in the twin, which independently recomputes
+    * line frequencies, the strip, and the md5 of the rebuilt text. */
+  val qBoilerplate = GQuery("q_boilerplate",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n"),
+              when(col("doc_id") % 2 === 0,
+                lit("subscribe to our newsletter today"))
+                .otherwise(lit("all rights reserved worldwide"))))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0,
+            concat(col("text"), lit("\ndocument note "),
+              col("doc_id").cast("string")))
+            .otherwise(col("text")))
+      Dedup.boilerplateRemoval(planted, "doc_id", "text", minDocs = 25L)
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 50 = 0 THEN base2 || chr(10) || 'document note ' || CAST(doc_id AS VARCHAR)
+               ELSE base2 END AS text
+        FROM (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN text || chr(10) ||
+              (CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today'
+                    ELSE 'all rights reserved worldwide' END)
+                 ELSE text END AS base2
+          FROM documents)),
+      split_docs AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+      idx AS (
+        SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS line_no
+        FROM split_docs),
+      lines AS (
+        SELECT doc_id, CAST(line_no AS INTEGER) AS line_no,
+          ls[CAST(line_no AS INTEGER)] AS line
+        FROM idx),
+      boiler AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= 25),
+      flagged AS (
+        SELECT l.doc_id, l.line_no, l.line,
+          (b.line IS NOT NULL) AS is_boiler
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line)
+      SELECT doc_id,
+        CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+          FILTER (WHERE NOT is_boiler), '')) AS clean_md5
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
+    notes = "planted footers; twin recomputes line df, strip, and rebuilt-text md5")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -815,5 +876,6 @@ object TextQueries {
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
-    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qCurationPipeline)
+    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qBoilerplate,
+    qCurationPipeline)
 }

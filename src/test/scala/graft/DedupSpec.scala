@@ -162,6 +162,23 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "planted slices must be found")
   }
 
+  test("boilerplateRemoval strips high-df lines, keeps rare ones, preserves order") {
+    val docsIn = Seq(
+      (1L, "alpha\nFOOTER\nbeta"),
+      (2L, "gamma\nFOOTER"),
+      (3L, "FOOTER\ndelta"),
+      (4L, "unique one\nunique two")).toDF("doc_id", "text")
+    val out = operators.Dedup.boilerplateRemoval(docsIn, "doc_id", "text",
+        minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((1L, m("alpha\nbeta"))))   // order preserved
+    assert(out(2L) === ((1L, m("gamma"))))
+    assert(out(3L) === ((1L, m("delta"))))
+    assert(out(4L) === ((0L, m("unique one\nunique two")))) // untouched
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))
