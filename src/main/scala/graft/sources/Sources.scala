@@ -94,6 +94,43 @@ object Sources {
       .partitionBy("__p_date")
       .parquet(path)
 
+  /** S5-ext — warehouse COMPACTION: rewrite a date-partitioned warehouse so
+    * every partition holds `filesPerPartition` files (default 1). Streaming
+    * ingest appends a file per micro-batch per partition — the classic
+    * small-files accumulation that kills scan throughput and driver
+    * file-listing at 100 TB; periodic compaction is the standard remedy.
+    * One distributed job: repartition on (partition date, bounded salt) so
+    * each output partition dir is written by exactly `filesPerPartition`
+    * tasks, sorted within files; the rewrite lands in a temp dir first and
+    * swaps in atomically-per-partition (rename), so a crash mid-compaction
+    * never leaves a partition half-empty. */
+  def compactWarehouse(spark: SparkSession, path: String,
+      sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    require(filesPerPartition >= 1)
+    val df = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    val salt = if (sortCols.nonEmpty)
+      pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
+    else lit(0)
+    df.repartition(col("__p_date"), salt)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__p_date")
+      .parquet(tmp)
+    // per-partition swap: new dirs replace old dirs one rename at a time
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__p_date="))
+      .foreach { s =>
+        val target = new org.apache.hadoop.fs.Path(dst, s.getPath.getName)
+        fs.delete(target, true)
+        fs.rename(s.getPath, target)
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** S7 — webhook-style side-output sink: per-partition delivery through a
     * caller-supplied sender (Discord POST in the reference; a buffering
     * sender in tests — no network in the engine itself). Executor-side,

@@ -50,6 +50,28 @@ class FixtureStoreSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() === 2) // partition pruned away
   }
 
+  test("compactWarehouse: small files collapse to one per partition, data intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("whc").toString
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), i * 1.0))
+      .toDF("id", "ts", "v")
+    // three appends = at least three files in the one date partition
+    // (streaming-ingest accumulation shape)
+    Sources.writeWarehouse(mk(Seq(1L, 2L)), tmp, "ts", Seq("id"))
+    Sources.writeWarehouse(mk(Seq(3L, 4L)), tmp, "ts", Seq("id"))
+    Sources.writeWarehouse(mk(Seq(5L)), tmp, "ts", Seq("id"))
+    def files() = new java.io.File(tmp, "__p_date=2024-01-01").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() >= 3)
+    val before = spark.read.parquet(tmp).select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    Sources.compactWarehouse(spark, tmp, Seq("id"))
+    assert(files() === 1)
+    val after = spark.read.parquet(tmp).select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    assert(after === before)
+  }
+
   test("J5 pure-range join via date bucketing") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-05 12:00:00")),
