@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   *
   * The IMAGE path is REAL: [[ImageCodec]] (pure-JVM `javax.imageio`) PNG
   * encode/decode with exact pixel statistics, oracle-gated end-to-end by
-  * q_image_decode. Audio/video decode remains a STUB (`FakeCodec` — the JVM
-  * ships no audio/video codecs), clearly marked below. Everything
+  * q_image_decode. The AUDIO path is REAL too: [[AudioCodec]] (pure-JVM
+  * `javax.sound.sampled`) WAV/PCM encode/decode with exact sample
+  * statistics, oracle-gated by q_audio_decode. Video decode remains a STUB
+  * (`FakeCodec` — the JVM ships no video codec), clearly marked below.
+  * Everything
   * Spark-side is REAL and load-bearing at 100 TB: the schema, the
   * `mapPartitions` batch shape (one codec instance per partition, streamed
   * row iterator — the Scala analogue of `mapInPandas` batches), partition
@@ -42,13 +45,13 @@ object Multimodal {
   case class Frame(media_id: Long, frame_index: Int, frame_ms: Long,
       content: Array[Byte])
 
-  /** ======== STUB CODEC (audio/video only) ====================
-    * Deterministic fake decode for AUDIO/VIDEO: the JVM ships no codecs for
-    * those (images are handled for real by [[ImageCodec]]). The stub hashes
-    * byte blocks into a fixed-length float vector — the SHAPE of the real
-    * kernel (bytes → float[]), with deterministic output so tests are
-    * stable. Swap `FakeCodec` for an ffmpeg binding in production; nothing
-    * else changes. */
+  /** ======== STUB CODEC (video only) ==========================
+    * Deterministic fake decode for VIDEO: the JVM ships no video codec
+    * (images are handled for real by [[ImageCodec]], audio by
+    * [[AudioCodec]]). The stub hashes byte blocks into a fixed-length float
+    * vector — the SHAPE of the real kernel (bytes → float[]), with
+    * deterministic output so tests are stable. Swap `FakeCodec` for an
+    * ffmpeg binding in production; nothing else changes. */
   object FakeCodec {
     val featureDim = 16
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
@@ -100,6 +103,26 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Media table with REAL WAV payloads on the audio rows: audio-modality
+    * rows carry an actual RIFF/WAV stream ([[AudioCodec.synthWav]],
+    * deterministic 16-bit PCM from media_id) with meta rewritten to the true
+    * duration; image/video rows keep the opaque stub payload. Same
+    * mapPartitions batch shape as [[mediaWithRealImages]]. */
+  def mediaWithRealAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality == "audio") {
+          val n = (r.media_id % 400 + 100).toInt
+          val rate = 16000
+          r.copy(content = AudioCodec.synthWav(r.media_id, n, rate),
+            meta = r.meta.copy(format = "wav",
+              duration_ms = n * 1000L / rate, sample_rate = rate))
+        } else r
+      }
+    }.toDF()
+  }
+
   case class ImageStatsRow(media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
 
@@ -112,6 +135,23 @@ object Multimodal {
       rows.map { r =>
         val s = ImageCodec.decodeStats(r.content)
         ImageStatsRow(r.media_id, s.width, s.height, s.sum_r, s.sum_g, s.sum_b)
+      }
+    }
+  }
+
+  case class AudioStatsRow(media_id: Long, n_samples: Long,
+      sample_rate: Int, sum_amp: Long, sum_abs: Long, peak: Long)
+
+  /** REAL audio decode over the binary column: WAV parse + exact PCM sample
+    * statistics, per-partition streamed. Non-audio rows are filtered before
+    * decode. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): Dataset[AudioStatsRow] = {
+    import spark.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val s = AudioCodec.decodeStats(r.content)
+        AudioStatsRow(r.media_id, s.n_samples, s.sample_rate,
+          s.sum_amp, s.sum_abs, s.peak)
       }
     }
   }

@@ -755,6 +755,41 @@ object TextQueries {
       ORDER BY media_id"""),
     notes = "real javax.imageio decode; twin recomputes pixel sums analytically")
 
+  /** REAL audio decode end-to-end: audio-modality rows carry actual WAV
+    * payloads rendered from a pure integer 16-bit PCM formula of
+    * (media_id, i) ([[graft.operators.AudioCodec.synthWav]]); the engine
+    * decodes them with `javax.sound.sampled` and reduces to exact amplitude
+    * statistics. PCM-in-WAV is lossless, so the DuckDB twin recomputes the
+    * expected sums ANALYTICALLY from the same formula over a generated
+    * sample range — the whole encode → RIFF bytes → decode → feature path
+    * sits under the hash-exact gate. */
+  val qAudioDecode = GQuery("q_audio_decode",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.decodeAudio(s,
+          Multimodal.mediaWithRealAudio(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("sum_amp"), col("sum_abs"), col("peak"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH clips AS (
+        SELECT doc_id AS media_id, doc_id % 400 + 100 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      gi AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM clips),
+      samples AS (
+        SELECT media_id, n,
+          (media_id * 31 + i * 7919) % 65536 - 32768 AS s
+        FROM gi)
+      SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        16000 AS sample_rate,
+        CAST(SUM(s) AS BIGINT) AS sum_amp,
+        CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        CAST(MAX(ABS(s)) AS BIGINT) AS peak
+      FROM samples GROUP BY media_id, n
+      ORDER BY media_id"""),
+    notes = "real javax.sound.sampled decode; twin recomputes PCM sums analytically")
+
   /** The composite curation pipeline a training-data user actually runs:
     * quality gate → language-consistency gate → exact dedup (keep min id
     * per normalized text) → near-dup clustering (keep the canonical doc per
@@ -876,6 +911,6 @@ object TextQueries {
     qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
-    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qBoilerplate,
-    qCurationPipeline)
+    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
+    qBoilerplate, qCurationPipeline)
 }

@@ -63,6 +63,37 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width === (3 % 16 + 8) && r.height === (3 % 12 + 8))
   }
 
+  test("AudioCodec: WAV encode -> decode round-trips the exact PCM formula") {
+    import graft.operators.AudioCodec
+    Seq((0L, 100), (1L, 257), (99999L, 499)).foreach { case (id, n) =>
+      val stats = AudioCodec.decodeStats(AudioCodec.synthWav(id, n, 16000))
+      val samples = (0 until n).map(i => AudioCodec.sample(id, i).toLong)
+      assert(stats.n_samples === n.toLong)
+      assert(stats.sample_rate === 16000)
+      assert(stats.sum_amp === samples.sum)
+      assert(stats.sum_abs === samples.map(math.abs).sum)
+      assert(stats.peak === samples.map(math.abs).max)
+      // the formula actually exercises the signed range
+      assert(samples.min < 0 && samples.max > 0)
+    }
+  }
+
+  test("decodeAudio: real WAV payloads decode distributed, one row per clip") {
+    val withAudio = Multimodal.mediaWithRealAudio(spark,
+      Tables.documents(spark, sfDir))
+    val stats = Multimodal.decodeAudio(spark, withAudio)
+    val nAudio = media.filter(col("modality") === "audio").count()
+    assert(stats.count() === nAudio)
+    // WAV payloads are real: RIFF magic bytes present on every audio row
+    val magic = withAudio.filter(col("modality") === "audio")
+      .select(col("content")).as[Array[Byte]].head
+    assert(magic.take(4).map(_.toChar).mkString === "RIFF")
+    assert(magic.slice(8, 12).map(_.toChar).mkString === "WAVE")
+    // decoded length comes from the PARSED payload and matches the synth size
+    val r = stats.filter(col("media_id") === 1).head
+    assert(r.n_samples === (1 % 400 + 100).toLong)
+  }
+
   test("resize caps dimensions preserving aspect ratio") {
     val resized = Multimodal.resize(media, 100, 100)
     val over = resized.filter(col("meta.width") > 100 ||
