@@ -279,6 +279,80 @@ object Dedup {
       .orderBy(col("id"))
   }
 
+  /** BENCHMARK DECONTAMINATION: find training docs that share any word
+    * `n`-gram with a benchmark/eval set — the standard n-gram overlap rule
+    * (n=13 is the convention) an LLM data pipeline runs before training so
+    * eval questions don't leak into the corpus. Output: one row per
+    * contaminated (doc, benchmark item) pair with the count of distinct
+    * shared n-grams; the caller drops or audits flagged docs.
+    *
+    * Scale shape: the benchmark side is SMALL by nature (eval suites are
+    * ~10^5 items), so its distinct hashed grams BROADCAST; the corpus side
+    * is one streaming pass (explode → broadcast-hash-join → partial-agg
+    * groupBy) — no corpus shuffle at all before the tiny aggregation, no
+    * all-pairs anything. Grams cross the wire as 64-bit hashes, never
+    * strings (same collision trade as [[exactDuplicates]]). Docs or bench
+    * items shorter than `n` tokens yield no grams (a 13-gram can't exist
+    * in 12 tokens). */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    def grams(c: Column): Column = {
+      val toks = TextFeatures.wsTokens(lower(c))
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val docGrams = docs.select(col(idCol).as("doc_id"),
+      explode(grams(col(textCol))).as("g"))
+    val benchGrams = bench.select(col(benchIdCol).as("bench_id"),
+      explode(grams(col(benchTextCol))).as("g")).distinct()
+    // grams are already distinct WITHIN each doc and bench item, so a plain
+    // count after the join IS the distinct-shared-gram count
+    docGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** PARAGRAPH DEDUP (cross-doc, first-occurrence-wins): a paragraph that
+    * already appeared anywhere earlier in the corpus — same doc or a
+    * different one, compared after lower+trim normalization — is dropped;
+    * the FIRST occurrence in (id, position) order survives. This is the
+    * sub-document dedup step a training-data pipeline runs between
+    * whole-doc dedup (which misses shared passages in distinct docs) and
+    * boilerplate removal (which only strips HIGH-frequency lines —
+    * a passage pasted into two docs has df=2 and survives
+    * [[boilerplateRemoval]], but exactly one copy should survive here).
+    *
+    * Scale shape: one explode (paragraphs ∝ corpus), one shuffle on the
+    * 64-bit paragraph fingerprint (paragraph text never crosses the wire
+    * for winner election — same trade as [[exactDuplicates]]; a 64-bit
+    * collision could merge two distinct paragraphs, vanishingly unlikely
+    * and detectable by verify-on-read), one per-doc regroup to rebuild the
+    * cleaned text. Winner election is a rank-1 window inside each
+    * fingerprint bucket — buckets are tiny (dup-group size), so the sort
+    * is per-group, never global. Empty/whitespace paragraphs are exempt
+    * (every doc keeps its blank separators). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+    val keyed = paras.withColumn("__norm", lower(trim(col("para"))))
+      .withColumn("__pk", xxhash64(col("__norm")))
+    val w = Window.partitionBy(col("__pk")).orderBy(col("id"), col("pos"))
+    val flagged = keyed
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__dup", col("__norm") =!= "" && col("__rn") > 1)
+    flagged.groupBy(col("id"))
+      .agg(
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws("\n", transform(
+          array_sort(collect_list(
+            when(!col("__dup"), struct(col("pos"), col("para"))))),
+          s => s.getField("para")))).as("clean_md5"))
+      .orderBy(col("id"))
+  }
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR rounds —
     * the public MapReduce-CC construction (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): the LONG-CHAIN path.

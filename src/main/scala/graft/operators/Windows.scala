@@ -44,6 +44,37 @@ object Windows {
       .orderBy(col(keyCol), col("session_id"))
   }
 
+  /** W-ext — sessionization with a PER-KEY gap: each entity carries its own
+    * inactivity threshold from a config dimension (the reference's
+    * per-priority collection offsets — highest/high/medium entities have
+    * different cadences, so one global gap mis-splits). Same two shuffles as
+    * [[sessionize]]; the gap dim rides in on a BROADCAST join (config tables
+    * are small by nature — never let a config lookup add a shuffle).
+    * Unconfigured keys fall back to `defaultGapMinutes`. */
+  def sessionizeKeyedGap(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, valueCol: String, gaps: DataFrame,
+      gapMinutesCol: String, defaultGapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val gapUs = coalesce(col(gapMinutesCol),
+      lit(defaultGapMinutes)).cast("long") * 60L * 1000000L
+    val lagTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(lagTs.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(lagTs) > gapUs, 1L).otherwise(0L)
+    events
+      .join(broadcast(gaps), Seq(keyCol), "left")
+      .withColumn("__new", isNew)
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        graft.Det.fmtTs(min(col(tsCol))).as("session_start"),
+        graft.Det.fmtTs(max(col(tsCol))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        graft.Det.dsum(col(valueCol)).as("total_value"))
+      .orderBy(col(keyCol), col("session_id"))
+  }
+
   /** W1 — latest row per group (reference `upcoming_games_with_odds` view,
     * database_schema.sql:161-166): `ROW_NUMBER() OVER (PARTITION BY keys
     * ORDER BY ts DESC) = 1`. One shuffle on the partition keys. */

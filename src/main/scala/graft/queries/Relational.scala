@@ -83,6 +83,29 @@ object Relational {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY gid, flag, status"""))
 
+  /** A-ext — CUBE grouping sets (all 2^k subtotal combinations in ONE
+    * aggregation — the cross-dimensional report matrix the reference builds
+    * by re-querying per dimension). Same single-shuffle expansion as ROLLUP
+    * but 4 grouping sets; grouping_id() keeps the sort keys non-null. */
+  val qCube = GQuery("q_cube",
+    (s, d) => Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        Det.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("gid"), col("status"), col("priority")),
+    Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        ${Det.sqlDsum("o_totalprice")} AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority"""))
+
   /** A1 — global scalar aggregates (streamlit_dashboard.py:128-144 table
     * stats: COUNT(*), MAX(collected_at)). */
   val qGlobalAgg = GQuery("q_global_agg",
@@ -481,7 +504,7 @@ object Relational {
       WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup,
+  val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,

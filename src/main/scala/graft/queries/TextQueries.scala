@@ -721,6 +721,108 @@ object TextQueries {
       FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
     notes = "planted footers; twin recomputes line df, strip, and rebuilt-text md5")
 
+  /** Cross-doc PARAGRAPH dedup, first-occurrence-wins ([[Dedup
+    * .paragraphDedup]]): the sub-document pass between whole-doc dedup and
+    * boilerplate removal — a passage shared by just TWO docs survives the
+    * df-threshold boilerplate strip but exactly one copy survives here.
+    * The corpus has no paragraph structure, so the gate PLANTS it: every
+    * 5th doc gains a shared paragraph (and docs ≡3 mod 5 a case-variant of
+    * it — exercising the lower+trim normalization), every 13th doc the same
+    * tail paragraph TWICE (intra-doc dup). The twin independently recomputes
+    * winner election (rank-1 over (doc_id, pos) per normalized paragraph)
+    * and the md5 of the rebuilt text. */
+  val qParagraphDedup = GQuery("q_paragraph_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit("\ncommon paragraph alpha")))
+            .when(col("doc_id") % 5 === 3,
+              concat(col("text"), lit("\nCommon Paragraph Alpha")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"),
+              lit("\nrepeated tail paragraph\nrepeated tail paragraph")))
+            .otherwise(col("text")))
+      Dedup.paragraphDedup(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN base2 || chr(10) || 'repeated tail paragraph' || chr(10) || 'repeated tail paragraph'
+               ELSE base2 END AS text
+        FROM (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'common paragraph alpha'
+                 WHEN doc_id % 5 = 3 THEN text || chr(10) || 'Common Paragraph Alpha'
+                 ELSE text END AS base2
+          FROM documents)),
+      split_docs AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+      idx AS (
+        SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS line_no
+        FROM split_docs),
+      paras AS (
+        SELECT doc_id, CAST(line_no AS INTEGER) AS pos,
+          ls[CAST(line_no AS INTEGER)] AS para
+        FROM idx),
+      flagged AS (
+        SELECT doc_id, pos, para,
+          (lower(trim(para)) <> '' AND
+           ROW_NUMBER() OVER (PARTITION BY lower(trim(para))
+             ORDER BY doc_id, pos) > 1) AS is_dup
+        FROM paras)
+      SELECT doc_id,
+        CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
+        md5(COALESCE(string_agg(para, chr(10) ORDER BY pos)
+          FILTER (WHERE NOT is_dup), '')) AS clean_md5
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
+    notes = "planted shared/case-variant/intra-doc paragraphs; twin recomputes winner election and rebuilt-text md5")
+
+  /** Benchmark DECONTAMINATION ([[Dedup.contaminationPairs]]): the 13-gram
+    * overlap rule between the training corpus and an eval set. The harness
+    * derives the "benchmark" from the corpus itself — every 97th doc
+    * contributes its tokens 3..32 as an eval item — so each bench item
+    * contaminates at least its own source doc (plus any doc sharing the
+    * 13-token run: exact/near dups), making the gate non-vacuous with zero
+    * synthetic text. The twin brute-forces the distinct shared-gram count
+    * per (doc, bench item) from raw token arrays. */
+  val qDecontaminate = GQuery("q_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val toks = TextFeatures.wsTokens(lower(col("text")))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks, 3, 30)).as("btext"))
+      Dedup.contaminationPairs(docs, "doc_id", "text",
+          bench, "bench_id", "btext", n = 13)
+        .orderBy(col("doc_id"), col("bench_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        FROM documents),
+      bench AS (
+        SELECT doc_id AS bench_id, t[3:32] AS bt
+        FROM toks WHERE doc_id % 97 = 0),
+      bgram AS (
+        SELECT DISTINCT bench_id,
+          array_to_string(bt[CAST(i AS INTEGER):CAST(i AS INTEGER) + 12], ' ') AS gram
+        FROM (SELECT bench_id, bt, unnest(range(1, len(bt) - 11)) AS i
+              FROM bench WHERE len(bt) >= 13)),
+      dgram AS (
+        SELECT DISTINCT doc_id,
+          array_to_string(t[CAST(i AS INTEGER):CAST(i AS INTEGER) + 12], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 11)) AS i
+              FROM toks WHERE len(t) >= 13))
+      SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM dgram JOIN bgram USING (gram)
+      GROUP BY doc_id, bench_id
+      ORDER BY doc_id, bench_id"""),
+    notes = "13-gram decontamination; bench derived from the corpus; twin brute-forces shared-gram counts")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -912,5 +1014,5 @@ object TextQueries {
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
-    qBoilerplate, qCurationPipeline)
+    qBoilerplate, qParagraphDedup, qDecontaminate, qCurationPipeline)
 }

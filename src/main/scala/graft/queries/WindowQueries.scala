@@ -206,7 +206,47 @@ object WindowQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  /** W-ext — per-key-gap sessionization: the gap comes from a broadcast
+    * config dim (user_id % 3 → 5 / 30 / 120 min, mirrored in the twin), so
+    * aggressive-gap keys split into many short sessions and lazy-gap keys
+    * merge — a result a single global gap cannot produce. Every boundary
+    * decision is still an epoch-µs BIGINT compare (exact cross-engine). */
+  val qSessionizeKeyed = GQuery("q_sessionize_keyed",
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val gaps = events.select(col("user_id")).distinct()
+        .withColumn("gap_minutes",
+          when(col("user_id") % 3 === 0, 5)
+            .when(col("user_id") % 3 === 1, 30)
+            .otherwise(120))
+      Windows.sessionizeKeyedGap(events, "user_id", "ts", "event_id",
+        "value", gaps, "gap_minutes", defaultGapMinutes = 30)
+    },
+    Some(s"""WITH lagd AS (
+        SELECT user_id, event_id, ts, value,
+          (CASE user_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 30
+            ELSE 120 END) * CAST(60000000 AS BIGINT) AS gap_us,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >
+              (CASE user_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 30
+                ELSE 120 END) * CAST(60000000 AS BIGINT)
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, event_id, ts, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM lagd)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        ${Det.sqlFmtTs("MIN(ts)")} AS session_start,
+        ${Det.sqlFmtTs("MAX(ts)")} AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${Det.sqlDsum("value")} AS total_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""))
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
-    qSessionize)
+    qSessionize, qSessionizeKeyed)
 }

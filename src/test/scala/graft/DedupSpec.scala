@@ -179,6 +179,44 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((0L, m("unique one\nunique two")))) // untouched
   }
 
+  test("paragraphDedup: first occurrence wins across docs, normalized, blanks exempt") {
+    val docsIn = Seq(
+      (1L, "alpha\nshared passage\nbeta"),
+      (2L, "gamma\nShared Passage"),         // case-variant dup of doc 1's
+      (3L, "delta\n\nepsilon"),              // blank paragraph survives
+      (4L, "zeta\nzeta"),                    // intra-doc dup: second goes
+      (5L, "alpha")).toDF("doc_id", "text")  // dup of doc 1 paragraph 0
+    val out = operators.Dedup.paragraphDedup(docsIn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((0L, m("alpha\nshared passage\nbeta")))) // first: intact
+    assert(out(2L) === ((1L, m("gamma"))))
+    assert(out(3L) === ((0L, m("delta\n\nepsilon"))))
+    assert(out(4L) === ((1L, m("zeta"))))
+    assert(out(5L) === ((1L, m(""))))       // everything removed → empty md5
+  }
+
+  test("contaminationPairs flags docs sharing an n-gram with the bench set") {
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ") // 20-token run
+    val corpus = Seq(
+      (1L, s"intro words here $run trailing text"),   // contains the run
+      (2L, s"$run"),                                  // is exactly the run
+      (3L, "entirely unrelated words " + (1 to 20).map(i => s"other$i").mkString(" ")),
+      (4L, "short doc under thirteen tokens total here now"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, run)).toDF("bench_id", "btext")
+    val out = Dedup.contaminationPairs(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a 20-token run has 8 distinct 13-grams; docs 1 and 2 share all of them
+    assert(out === Map((1L, 100L) -> 8L, (2L, 100L) -> 8L))
+    // a bench item shorter than n yields no grams, flags nothing
+    val shortBench = Seq((200L, "only five tokens right here")).toDF("bench_id", "btext")
+    assert(Dedup.contaminationPairs(corpus, "doc_id", "text",
+      shortBench, "bench_id", "btext", n = 13).count() === 0L)
+  }
+
   test("simhash: identical docs → distance 0; near-dup small; distinct large") {
     val sh = docs.select(col("doc_id"),
       SimHash64.simhash64(TextFeatures.wsTokens(lower(col("text")))).as("sh"))

@@ -69,6 +69,27 @@ class WindowsSpec extends SparkSpec {
     assert(r.getAs[Double]("pct_change") === 100.0)
   }
 
+  test("sessionizeKeyedGap: per-key gap splits where global gap would not") {
+    // two keys, identical 10-minute event spacing; key 1 has a 5-min gap
+    // (every event starts a session), key 2 a 60-min gap (one session),
+    // key 3 is unconfigured and takes the 30-min default (one session)
+    val events = (1 to 3).flatMap { k =>
+      (0 until 4).map { i =>
+        (k * 10L + i, ts(f"2024-01-01 10:${i * 10}%02d:00"), k.toLong, 1.0)
+      }
+    }.toDF("event_id", "ts", "user_id", "value")
+    val gaps = Seq((1L, 5), (2L, 60)).toDF("user_id", "gap_minutes")
+    val out = Windows.sessionizeKeyedGap(events, "user_id", "ts", "event_id",
+      "value", gaps, "gap_minutes", defaultGapMinutes = 30)
+    val perKey = out.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perKey === Map(1L -> 4L, 2L -> 1L, 3L -> 1L))
+    // global-gap sessionize at 30 min cannot produce key 1's split
+    val global = Windows.sessionize(events, "user_id", "ts", "event_id",
+      "value", gapMinutes = 30)
+    assert(global.filter(col("user_id") === 1).count() === 1L)
+  }
+
   test("withLagMovement computes relative change per key") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "a", 10.0),
