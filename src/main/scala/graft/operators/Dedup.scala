@@ -293,17 +293,20 @@ object Dedup {
     * all-pairs anything. Grams cross the wire as 64-bit hashes, never
     * strings (same collision trade as [[exactDuplicates]]). Docs or bench
     * items shorter than `n` tokens yield no grams (a 13-gram can't exist
-    * in 12 tokens). */
+    * in 12 tokens).
+    *
+    * Gram hashing is the fused [[graft.functions.WinnowFingerprints]]
+    * expression with w=1 — a window-min over ONE gram is exactly the
+    * distinct gram-hash set, computed in a single JVM pass over the
+    * normalized chars. The compositional sequence+transform+slice+hash
+    * pipeline is interpreted per gram and measured 4.9 s at sf0.1; the
+    * fused form is ~0.5 s for the same output. */
   def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 13): DataFrame = {
-    def grams(c: Column): Column = {
-      val toks = TextFeatures.wsTokens(lower(c))
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n)))))))
-        .otherwise(array().cast("array<bigint>"))
-    }
+    def grams(c: Column): Column =
+      graft.functions.WinnowFingerprints.fps(
+        lower(trim(regexp_replace(c, "\\s+", " "))), n, 1)
     val docGrams = docs.select(col(idCol).as("doc_id"),
       explode(grams(col(textCol))).as("g"))
     val benchGrams = bench.select(col(benchIdCol).as("bench_id"),

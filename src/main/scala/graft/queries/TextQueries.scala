@@ -823,6 +823,66 @@ object TextQueries {
       ORDER BY doc_id, bench_id"""),
     notes = "13-gram decontamination; bench derived from the corpus; twin brute-forces shared-gram counts")
 
+  /** Deterministic ~20% corpus sample ([[graft.operators.Sampling
+    * .deterministicSample]]): the keep decision is a pure function of the
+    * row key (md5 hex prefix vs threshold), so the twin reproduces the
+    * EXACT row set — what RAND() < p can never gate. Map-side only, no
+    * shuffle. */
+  val qSampleDet = GQuery("q_sample_det",
+    (s, d) => graft.operators.Sampling.deterministicSample(
+        Tables.documents(s, d), "doc_id", permille = 200, salt = "graft")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+      ORDER BY doc_id"""),
+    notes = "md5-threshold deterministic sampling; twin reproduces the exact row set")
+
+  /** SOURCE MIXING: per-language deterministic rates (en 80%, de 30%,
+    * fr 10%, others 50%) — the data-mix recipe as ONE map-side CASE filter
+    * ([[graft.operators.Sampling.mixSample]]); the twin reproduces the
+    * exact mixed sample from the same hex thresholds. */
+  val qMixSample = GQuery("q_mix_sample",
+    (s, d) => graft.operators.Sampling.mixSample(
+        Tables.documents(s, d), "doc_id", "lang",
+        rates = Map("en" -> 800, "de" -> 300, "fr" -> 100),
+        defaultPermille = 500, salt = "mix")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+      WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        CASE lang WHEN 'en' THEN 'cccc' WHEN 'de' THEN '4ccc'
+          WHEN 'fr' THEN '1999' ELSE '8000' END
+      ORDER BY doc_id"""),
+    notes = "per-stratum md5-threshold mixing; twin reproduces the exact sample")
+
+  /** TOKEN-BUDGET PACKING ([[graft.operators.Sampling.packChunks]]):
+    * documents packed into ~2000-token training chunks per language, in
+    * doc_id order — deterministic window cumsum, so the twin recomputes the
+    * exact chunk assignment and totals. */
+  val qPackChunks = GQuery("q_pack_chunks",
+    (s, d) => graft.operators.Sampling.packChunks(
+        Tables.documents(s, d), "lang", "doc_id", "text", budget = 2000L)
+      .orderBy(col("lang"), col("chunk_id")),
+    Some("""WITH t AS (
+        SELECT lang, doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS ntok
+        FROM documents),
+      c AS (
+        SELECT lang, ntok,
+          SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT lang, chunk_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM (SELECT lang, ntok,
+        CAST((greatest(cum, 1) - 1) // 2000 AS BIGINT) AS chunk_id FROM c)
+      GROUP BY lang, chunk_id
+      ORDER BY lang, chunk_id"""),
+    notes = "per-language sequence packing; twin recomputes chunk assignment exactly")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -1014,5 +1074,6 @@ object TextQueries {
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
-    qBoilerplate, qParagraphDedup, qDecontaminate, qCurationPipeline)
+    qBoilerplate, qParagraphDedup, qDecontaminate,
+    qSampleDet, qMixSample, qPackChunks, qCurationPipeline)
 }

@@ -126,6 +126,54 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window with a dynamic gap matches batch sessionizeKeyedGap") {
+    // the streaming formulation of Windows.sessionizeKeyedGap: the gap is an
+    // EXPRESSION of the key (user 1 → 5 min, others → 60 min), so one stream
+    // sessionizes every entity class at its own cadence. Boundary-exact rows
+    // are avoided (batch splits on diff > gap, session_window on ≥).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    // session_window requires CalendarIntervalType (ANSI interval literals
+    // resolve to DayTimeIntervalType and are rejected) — cast from string
+    val gapExpr = when(col("user_id") === 1L,
+      expr("cast('5 minutes' as interval)"))
+      .otherwise(expr("cast('60 minutes' as interval)"))
+    val q = df.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gapExpr), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("keyed_sessions")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0), // >5 min → new
+      (3L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+      (4L, ts("2024-01-01 10:50:00"), 2L, "click", 1.0)) // ≤60 min → same
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-02 00:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("keyed_sessions")
+        .filter(col("user_id") < 9)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      val batch = graft.operators.Windows.sessionizeKeyedGap(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", "ts", "event_id", "value",
+          Seq((1L, 5)).toDF("user_id", "gap_minutes"), "gap_minutes",
+          defaultGapMinutes = 60)
+        .select(col("user_id"),
+          to_timestamp(col("session_start")).as("session_start"),
+          col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.size === 3) // user 1 splits (5-min gap); user 2 holds
+    } finally q.stop()
+  }
+
   test("slidingMovementAlert flags >threshold ranges in overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
