@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Reports {
 
+  /** COLUMN PROFILE: per-column null count, distinct count, min/max — the
+    * data-quality scan a pipeline runs on every new ingest batch
+    * (reference: validate_data.py's table checks, generalized per-column).
+    * ONE scan over the data: all columns' aggregates ride in a single
+    * `agg()` (countDistinct over several columns plans as one Expand job —
+    * rows × |cols|, still one shuffle round, never one job per column);
+    * the one-row result is exploded into the long (col_name, stats) shape
+    * driver-side-free. min/max are cast to string AFTER aggregation, so
+    * the scan runs on the native (comparable, codegen'd) column types. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").cast("string").as("min_s"),
+        col(s"__max_$c").cast("string").as("max_s"))
+    }
+    row.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** VOLUME VALIDATION (validate_data.py:20-76): per-entity row counts
+    * checked against expected [lo, hi] ranges — the "Fixtures 10-30, Odds
+    * 30-100" sanity oracle as one plan (union of single-row aggregates;
+    * each count is a metadata-cheap scan, no joins). */
+  def volumeCheck(tables: Seq[(String, DataFrame, Long, Long)]): DataFrame =
+    tables.map { case (name, df, lo, hi) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(name).as("entity"), col("n"),
+          lit(lo).as("lo"), lit(hi).as("hi"),
+          (col("n") >= lo && col("n") <= hi).as("ok"))
+    }.reduce(_ unionByName _).orderBy(col("entity"))
+
   /** weekly_report shape (yml:829-935): 7-day activity rollup. */
   def weeklyReport(events: DataFrame, now: java.sql.Timestamp): DataFrame = {
     val weekAgo = new java.sql.Timestamp(now.getTime - 7L * 86400_000L)

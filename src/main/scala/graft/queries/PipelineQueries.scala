@@ -315,7 +315,54 @@ object PipelineQueries {
         ${Det.sqlFmtTs("TIMESTAMP '2024-01-31'")} AS checked_at
       FROM agg"""))
 
+  /** Per-column data-quality profile ([[graft.operators.Reports.profile]])
+    * over events — null/distinct/min/max per column in ONE scan, the
+    * generalized form of validate_data.py's table checks. Profiled columns
+    * are long/string only (their string casts are byte-identical across
+    * engines; double/timestamp formatting is not). */
+  val qProfile = GQuery("q_profile",
+    (s, d) => graft.operators.Reports.profile(
+      Tables.events(s, d), Seq("user_id", "event_type")),
+    Some("""SELECT col_name, n_rows, n_nulls, n_distinct, min_s, max_s
+      FROM (
+        SELECT 'user_id' AS col_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(user_id) AS n_nulls,
+          COUNT(DISTINCT user_id) AS n_distinct,
+          CAST(MIN(user_id) AS VARCHAR) AS min_s,
+          CAST(MAX(user_id) AS VARCHAR) AS max_s
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*),
+          COUNT(*) - COUNT(event_type),
+          COUNT(DISTINCT event_type),
+          MIN(event_type), MAX(event_type)
+        FROM events)
+      ORDER BY col_name"""),
+    notes = "one-scan per-column profile; long/string columns only (cast parity)")
+
+  /** Volume validation ([[graft.operators.Reports.volumeCheck]]) — the
+    * reference's expected-range oracle (validate_data.py:69-73 'Fixtures
+    * 10-30, Odds 30-100...') over the testdata entities; ranges picked so
+    * both verdicts appear at sf0.01. */
+  val qValidate = GQuery("q_validate",
+    (s, d) => graft.operators.Reports.volumeCheck(Seq(
+      ("customer", Tables.customer(s, d), 100L, 10000000L),
+      ("events", Tables.events(s, d), 1000L, 100000000L),
+      ("nation", Tables.nation(s, d), 20L, 30L),
+      ("orders_tight", Tables.orders(s, d), 10L, 20L))),
+    Some("""SELECT entity, n, lo, hi, n BETWEEN lo AND hi AS ok FROM (
+        SELECT 'customer' AS entity, COUNT(*) AS n, CAST(100 AS BIGINT) AS lo,
+          CAST(10000000 AS BIGINT) AS hi FROM customer
+        UNION ALL
+        SELECT 'events', COUNT(*), 1000, 100000000 FROM events
+        UNION ALL
+        SELECT 'nation', COUNT(*), 20, 30 FROM nation
+        UNION ALL
+        SELECT 'orders_tight', COUNT(*), 10, 20 FROM orders)
+      ORDER BY entity"""),
+    notes = "expected-range volume validation; orders_tight range fails by design")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
-    qApproxDistinct, qWeeklyDaily, qHealthStatus)
+    qApproxDistinct, qWeeklyDaily, qHealthStatus, qProfile, qValidate)
 }

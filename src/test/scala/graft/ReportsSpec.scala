@@ -10,6 +10,33 @@ class ReportsSpec extends SparkSpec {
 
   val now: Timestamp = Timestamp.valueOf("2024-01-31 00:00:00")
 
+  test("profile: one row per column with nulls/distinct/min/max, one scan") {
+    val df = Seq(
+      (Some(3L), Some("b")),
+      (Some(1L), None),
+      (None, Some("a")),
+      (Some(3L), Some("a"))).toDF("k", "s")
+    val out = Reports.profile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out("k") === ((4L, 1L, 2L, "1", "3")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))
+    // single scan: exactly one relation in the plan
+    val scans = Reports.profile(df, Seq("k", "s")).queryExecution.optimizedPlan
+      .collect { case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l }
+    assert(scans.length === 1)
+  }
+
+  test("volumeCheck verdicts per entity range") {
+    val a = (1 to 25).toDF("x")
+    val b = (1 to 5).toDF("x")
+    val out = Reports.volumeCheck(Seq(
+        ("a", a, 10L, 30L), ("b", b, 10L, 30L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    assert(out === Map("a" -> ((25L, true)), "b" -> ((5L, false))))
+  }
+
   test("weeklyReport aggregates the 7-day window into one document row") {
     val r = Reports.weeklyReport(Tables.events(spark, sfDir), now)
     assert(r.count() === 1)
