@@ -32,4 +32,24 @@ class PlanRegressionSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontamination joins the bench grams by BROADCAST, never sort-merge") {
+    val plan = Registry.all.find(_.name == "q_decontaminate").get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "bench-gram join must broadcast (the corpus side must not shuffle)")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle the full corpus gram stream")
+  }
+
+  test("sampling queries stay map-side: no exchange before the filter") {
+    Seq("q_sample_det", "q_mix_sample").foreach { name =>
+      val df = Registry.all.find(_.name == name).get.run(spark, sfDir)
+      // the keep-filter itself plans as scan->filter; the only exchange
+      // allowed in the whole query is the final presentation sort
+      val exchanges = df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$name plans $exchanges exchanges (expect ≤1 for the output sort)")
+    }
+  }
 }
