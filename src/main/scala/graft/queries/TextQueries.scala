@@ -112,6 +112,64 @@ object TextQueries {
       FROM f ORDER BY doc_id"""
     })
 
+  /** Intra-doc REPETITION ratio (the Gopher-family quality signal this
+    * corpus-level dedup can't see: a doc that repeats ITSELF): fraction of
+    * word 3-grams that are repeats, n_distinct via the fused
+    * [[graft.functions.WinnowFingerprints]] expression at w=1. Every 11th
+    * doc gets a sentence appended TWICE (mirrored in the twin) so the
+    * signal is exercised; the division is a single exactly-rounded IEEE op
+    * on both engines. */
+  val qRepetition = GQuery("q_repetition",
+    (s, d) => {
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"),
+              lit(" the cat sat on the mat the cat sat on the mat")))
+            .otherwise(col("text")).as("text"))
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val nGrams = greatest(
+        TextFeatures.tokenCount(col("text")).cast("long") - 2L, lit(0L))
+      val nDistinct =
+        size(graft.functions.WinnowFingerprints.fps(norm, 3, 1)).cast("long")
+      planted
+        .select(col("doc_id"), nGrams.as("n_grams"), nDistinct.as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") > 0,
+            (col("n_grams") - col("n_distinct")).cast("double") /
+              col("n_grams").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+            THEN text || ' the cat sat on the mat the cat sat on the mat'
+            ELSE text END AS text
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+          string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+        FROM docs),
+      g AS (SELECT doc_id, greatest(len(tk) - 2, 0) AS n_grams FROM t),
+      dist AS (
+        SELECT doc_id, COUNT(DISTINCT gram) AS n_distinct FROM (
+          SELECT doc_id,
+            array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER) + 2], ' ') AS gram
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+                FROM t WHERE len(tk) >= 3))
+        GROUP BY doc_id)
+      SELECT g.doc_id,
+        CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+        CASE WHEN n_grams > 0
+          THEN CAST(n_grams - COALESCE(n_distinct, 0) AS DOUBLE) /
+            CAST(n_grams AS DOUBLE)
+          ELSE 0.0 END AS rep_ratio
+      FROM g LEFT JOIN dist USING (doc_id)
+      ORDER BY doc_id"""),
+    notes = "planted self-repetition; twin recomputes distinct-gram counts and the exact IEEE ratio")
+
   /** Language ID (stopword-ratio heuristic) cross-checked against the stored
     * lang column. HASH-EXACT oracle: the DuckDB twin is GENERATED from the
     * same stopword lists the fused expression uses (cannot drift), scoring
@@ -1070,7 +1128,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
-    qTextQuality, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
+    qTextQuality, qRepetition, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
