@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -46,6 +46,26 @@ object Streams {
         (col("max_v") - col("min_v")) / col("min_v") > threshold)
       .select(col("window.start").as("window_start"), col("user_id"),
         col("event_type"), col("min_v"), col("max_v"), col("n"))
+
+  /** Streaming sessionization with a PER-KEY gap (the stream twin of
+    * [[graft.operators.Windows.sessionizeKeyedGap]]): `session_window`
+    * takes the gap as an EXPRESSION of the row, so one stream sessionizes
+    * every entity class at its own cadence — no per-class topologies.
+    * `gapByKey` must produce CalendarIntervalType (ANSI interval literals
+    * resolve to DayTimeIntervalType and are rejected by session_window;
+    * build with `expr("cast('5 minutes' as interval)")`-style branches).
+    * State is bounded by the watermark as with any session window.
+    * Equivalence with the batch formulation is pinned in StreamsSpec. */
+  def sessionizeKeyedGap(events: DataFrame, keyCol: String,
+      gapByKey: Column): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gapByKey), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(27,6)")).cast("double").as("total_value"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
 
   /** Streaming exact dedup for ingest pipelines (the stream twin of
     * [[graft.operators.Dedup.exactDuplicates]]): fingerprint the normalized

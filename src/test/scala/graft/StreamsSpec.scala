@@ -139,11 +139,8 @@ class StreamsSpec extends SparkSpec {
     val gapExpr = when(col("user_id") === 1L,
       expr("cast('5 minutes' as interval)"))
       .otherwise(expr("cast('60 minutes' as interval)"))
-    val q = df.withWatermark("ts", "10 minutes")
-      .groupBy(session_window(col("ts"), gapExpr), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("session_window.start").as("session_start"),
-        col("n_events"))
+    val q = Streams.sessionizeKeyedGap(df, "user_id", gapExpr)
+      .select(col("user_id"), col("session_start"), col("n_events"))
       .writeStream.format("memory").queryName("keyed_sessions")
       .outputMode("append").start()
     val rows = Seq(
