@@ -170,6 +170,52 @@ object TextQueries {
       ORDER BY doc_id"""),
     notes = "planted self-repetition; twin recomputes distinct-gram counts and the exact IEEE ratio")
 
+  /** PII SCRUB ([[graft.functions.Redact]]): email/phone redaction with
+    * per-doc counts and the md5 of the scrubbed text. The corpus carries no
+    * PII, so the gate PLANTS it: every 17th doc gains a doc-unique email
+    * and a phone number (mirrored in the twin); emails replace first so a
+    * digit run inside a local part never leaks as a phone match. */
+  val qPiiScrub = GQuery("q_pii_scrub",
+    (s, d) => {
+      import graft.functions.Redact
+      val planted = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com or 415-555-0117")))
+            .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          Redact.emailCount(col("text")).cast("long").as("n_emails"),
+          Redact.phoneCount(col("text")).cast("long").as("n_phones"),
+          md5(Redact.scrub(col("text"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0
+            THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@example.com or 415-555-0117'
+            ELSE text END AS text
+        FROM documents),
+      scrubbed AS (
+        SELECT doc_id, text,
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+            'g') AS no_email
+        FROM docs)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(no_email,
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{4}')) AS BIGINT)
+          AS n_phones,
+        md5(regexp_replace(no_email,
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+          AS clean_md5
+      FROM scrubbed ORDER BY doc_id"""),
+    notes = "planted doc-unique PII; twin reproduces the scrub byte-for-byte")
+
   /** Language ID (stopword-ratio heuristic) cross-checked against the stored
     * lang column. HASH-EXACT oracle: the DuckDB twin is GENERATED from the
     * same stopword lists the fused expression uses (cannot drift), scoring
@@ -1010,6 +1056,121 @@ object TextQueries {
       ORDER BY media_id"""),
     notes = "real javax.sound.sampled decode; twin recomputes PCM sums analytically")
 
+  /** The EXPORT half of the training-data pipeline, composed end-to-end:
+    * quality gate → language-consistency gate → exact dedup → PII scrub →
+    * per-language mix sampling → token-budget packing. Complements
+    * [[qCurationPipeline]] (which proves the near-dup half); together the
+    * two composites cover the full curate-and-ship path. HASH-EXACT: the
+    * twin independently recomputes every stage — gates from the stopword
+    * lists, dedup winner election, the byte-exact scrub, the md5-threshold
+    * mix, and the packing cumsum. */
+  val qTrainingExport = GQuery("q_training_export",
+    (s, d) => {
+      import graft.functions.Redact
+      import graft.operators.Sampling
+      val docs = Tables.documents(s, d)
+      val gated = docs
+        .filter(TextFeatures.qualityScoreFast(col("text")) >= 0.75)
+        .filter(TextFeatures.langIdFast(col("text")) === col("lang"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val exactKept = Dedup.exactDuplicates(gated, "text", "doc_id")
+        .filter(!col("is_duplicate"))
+        .select(col("doc_id"), col("lang"),
+          Redact.scrub(col("text")).as("text"))
+      val mixed = Sampling.mixSample(exactKept, "doc_id", "lang",
+        rates = Map("en" -> 800, "de" -> 500), defaultPermille = 300,
+        salt = "export")
+      Sampling.packChunks(mixed, "lang", "doc_id", "text", budget = 1500L)
+        .orderBy(col("lang"), col("chunk_id"))
+    },
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      val langs = Seq(
+        "en" -> inList(TextFeatures.enStopwords),
+        "de" -> inList(TextFeatures.deStopwords),
+        "fr" -> inList(TextFeatures.frStopwords),
+        "es" -> inList(TextFeatures.esStopwords))
+      val hitCols = langs.map { case (l, list) =>
+        s"CAST(len(list_filter(toks, w -> w IN ($list))) AS DOUBLE) AS h_$l"
+      }.mkString(",\n          ")
+      val scoreCols = langs.map { case (l, _) =>
+        s"CASE WHEN n_toks > 0 THEN h_$l / n_toks ELSE 0.0 END AS s_$l"
+      }.mkString(",\n          ")
+      val bestExpr = "GREATEST(s_en, s_de, s_fr, s_es)"
+      val pick = langs.map { case (l, _) =>
+        s"WHEN s_$l = $bestExpr THEN '$l'"
+      }.mkString("\n               ")
+      s"""WITH t0 AS (
+        SELECT doc_id, text, lang,
+          CAST(len(text) AS DOUBLE) AS n_chars,
+          CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+            AS DOUBLE) AS n_punct,
+          list_transform(
+            list_filter(string_split_regex(text, '\\s+'), w -> len(w) > 0),
+            w -> lower(w)) AS toks
+        FROM documents),
+      t1 AS (
+        SELECT *, CAST(len(toks) AS DOUBLE) AS n_toks,
+          CAST(len(list_filter(toks, w -> w IN ($stop))) AS DOUBLE) AS n_stop,
+          $hitCols
+        FROM t0),
+      t2 AS (
+        SELECT *,
+          ((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3 AND n_chars / n_toks <= 12 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0 AS quality,
+          $scoreCols
+        FROM t1),
+      gated AS (
+        SELECT doc_id, lang, text FROM t2
+        WHERE quality >= 0.75
+          AND (CASE WHEN $bestExpr > 0 THEN
+                 CASE $pick
+                 END
+               ELSE 'und' END) = lang),
+      e AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+            MIN(doc_id) OVER (PARTITION BY
+              lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS keep
+          FROM gated) WHERE doc_id = keep),
+      scr AS (
+        SELECT doc_id, lang,
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>',
+              'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{4}', '<PHONE>',
+            'g') AS text
+        FROM e),
+      mixed AS (
+        SELECT doc_id, lang, text FROM scr
+        WHERE substr(md5('export:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE lang WHEN 'en' THEN 'cccc' WHEN 'de' THEN '8000'
+            ELSE '4ccc' END),
+      tok AS (
+        SELECT lang, doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS ntok
+        FROM mixed),
+      c AS (
+        SELECT lang, ntok,
+          SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tok)
+      SELECT lang, chunk_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM (SELECT lang, ntok,
+        CAST((greatest(cum, 1) - 1) // 1500 AS BIGINT) AS chunk_id FROM c)
+      GROUP BY lang, chunk_id
+      ORDER BY lang, chunk_id"""
+    },
+    notes = "export composite: gates + dedup + scrub + mix + pack, every stage recomputed by the twin")
+
   /** The composite curation pipeline a training-data user actually runs:
     * quality gate → language-consistency gate → exact dedup (keep min id
     * per normalized text) → near-dup clustering (keep the canonical doc per
@@ -1128,10 +1289,11 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
-    qTextQuality, qRepetition, qLangId, qFingerprint, qMinhashPairs, qNearDupGroups,
+    qTextQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
+    qMinhashPairs, qNearDupGroups,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
     qBoilerplate, qParagraphDedup, qDecontaminate,
-    qSampleDet, qMixSample, qPackChunks, qCurationPipeline)
+    qSampleDet, qMixSample, qPackChunks, qTrainingExport, qCurationPipeline)
 }
