@@ -301,12 +301,18 @@ object Dedup {
     * normalized chars. The compositional sequence+transform+slice+hash
     * pipeline is interpreted per gram and measured 4.9 s at sf0.1; the
     * fused form is ~0.5 s for the same output. */
+  /** Distinct hashed word n-grams of raw text (normalization + the fused
+    * [[graft.functions.WinnowFingerprints]] pass at w=1). Shared by batch
+    * [[contaminationPairs]] and the streaming decontamination semi-join
+    * ([[graft.streaming.Streams.decontaminateStream]]). */
+  def gramHashes(c: Column, n: Int): Column =
+    graft.functions.WinnowFingerprints.fps(
+      lower(trim(regexp_replace(c, "\\s+", " "))), n, 1)
+
   def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 13): DataFrame = {
-    def grams(c: Column): Column =
-      graft.functions.WinnowFingerprints.fps(
-        lower(trim(regexp_replace(c, "\\s+", " "))), n, 1)
+    def grams(c: Column): Column = gramHashes(c, n)
     val docGrams = docs.select(col(idCol).as("doc_id"),
       explode(grams(col(textCol))).as("g"))
     val benchGrams = bench.select(col(benchIdCol).as("bench_id"),

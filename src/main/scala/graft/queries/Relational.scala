@@ -106,6 +106,32 @@ object Relational {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY gid, status, priority"""))
 
+  /** A-ext — ARBITRARY grouping sets (the combinations a report actually
+    * wants, skipping the ones it doesn't — here (status), (priority), and
+    * grand total, but NOT (status, priority)): same one-shuffle Expand as
+    * ROLLUP/CUBE. The DataFrame API only exposes rollup/cube, so this goes
+    * through `spark.sql` GROUPING SETS over a temp view — SQL is a
+    * first-class way in, not a fallback. */
+  val qGroupingSets = GQuery("q_grouping_sets",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(s"""SELECT CAST(grouping_id() AS BIGINT) AS gid,
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          ${Det.sqlDsum("o_totalprice")} AS sum_price,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, status, priority""")
+    },
+    Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        ${Det.sqlDsum("o_totalprice")} AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, status, priority"""))
+
   /** A1 — global scalar aggregates (streamlit_dashboard.py:128-144 table
     * stats: COUNT(*), MAX(collected_at)). */
   val qGlobalAgg = GQuery("q_global_agg",
@@ -504,7 +530,7 @@ object Relational {
       WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY
       GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube,
+  val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,

@@ -67,6 +67,29 @@ object Streams {
         col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Streaming DECONTAMINATION (the stream twin of
+    * [[graft.operators.Dedup.contaminationPairs]]): flag incoming docs that
+    * share any word n-gram with a STATIC benchmark gram set — the check an
+    * ingest pipeline runs on every new document before it reaches the
+    * training store. Stream-static BROADCAST semi-join on hashed grams
+    * (the bench side is small by nature and never changes mid-run), so the
+    * per-batch cost is one gram pass + probe; the only state is the
+    * within-watermark dedup of flagged ids (a doc matching 50 grams must
+    * flag once).
+    *
+    * @param benchGrams static frame with a single `g: long` column —
+    *                   produce with [[graft.operators.Dedup.gramHashes]] +
+    *                   explode + distinct */
+  def decontaminateStream(docs: DataFrame, benchGrams: DataFrame,
+      n: Int = 13): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Dedup.gramHashes(col("text"), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+
   /** Streaming exact dedup for ingest pipelines (the stream twin of
     * [[graft.operators.Dedup.exactDuplicates]]): fingerprint the normalized
     * text and keep the FIRST arrival per fingerprint within the watermark

@@ -33,6 +33,28 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("count_min_sketch estimates: never under, over by at most eps*N") {
+    // The CMS guarantee is one-sided: estimate >= true count, and
+    // estimate <= true + eps*N with probability 1-delta. Pinned on the
+    // event_type frequency sketch (the heavy-hitters scale path — the
+    // exact top-k form is oracle-gated by q_topk/q_multikey_agg).
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val eps = 0.001
+    val n = ev.count()
+    val cms = ev.stat.countMinSketch(col("event_type"), eps, 0.01, seed = 42)
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (et, cnt) =>
+      val est = cms.estimateCount(et)
+      info(f"$et: est=$est exact=$cnt")
+      assert(est >= cnt, s"$et: CMS under-counted ($est < $cnt)")
+      assert(est <= cnt + (eps * n).toLong + 1,
+        s"$et: CMS over by more than eps*N ($est vs $cnt + ${(eps * n).toLong})")
+    }
+  }
+
   test("approx_percentile lands within ±1% RANK of the exact percentile") {
     // t-digest-style sketches bound RANK error, not value error: the approx
     // median must lie between the exact 49th and 51st percentiles. This is

@@ -243,6 +243,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags exactly the docs batch contamination flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, ts("2024-01-01 10:00:00"), s"intro words here $run trailing text"),
+      (2L, ts("2024-01-01 10:01:00"), run),
+      (3L, ts("2024-01-01 10:02:00"),
+        "entirely unrelated words " + (1 to 20).map(i => s"other$i").mkString(" ")))
+    val benchDf = Seq((100L, run)).toDF("bench_id", "btext")
+    val benchGrams = benchDf
+      .select(explode(operators.Dedup.gramHashes(col("btext"), 13)).as("g"))
+      .distinct()
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.decontaminateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), benchGrams)
+      .writeStream.format("memory").queryName("contaminated")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contaminated")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = operators.Dedup.contaminationPairs(
+          corpus.toDF("doc_id", "ts", "text"), "doc_id", "text",
+          benchDf, "bench_id", "btext", n = 13)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(1L, 2L)) // doc 3 shares no gram
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first arrival per fingerprint across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
