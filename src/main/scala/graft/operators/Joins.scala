@@ -65,4 +65,32 @@ object Joins {
       .filter(col(probeTs).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }
+
+  /** CDC MERGE (the warehouse upsert step — MERGE INTO semantics as one
+    * plan): apply a change set to a base table. A change row with the base's
+    * key REPLACES the base row; a change row with a new key INSERTS; a
+    * change row with `deleteCol` = true DELETES; base rows without a change
+    * pass through. `changes` must carry the base's schema plus the delete
+    * flag, with at most one change row per key (last-write-wins compaction
+    * of the change stream happens upstream — latestPerGroup is that
+    * operator).
+    *
+    * Scale shape: ONE full-outer hash join on the key — the standard CDC
+    * compaction; at scale both sides co-partition on the key (bucketed
+    * base tables make this shuffle-free on the base side), and the output
+    * is the rewritten partition set. */
+  def applyChanges(base: DataFrame, changes: DataFrame, key: String,
+      deleteCol: String): DataFrame = {
+    val dataCols = base.columns.filter(_ != key).toSeq
+    val b = base.select(col(key) +: dataCols.map(n => col(n).as(s"__b_$n")): _*)
+    val c = changes.select(col(key) +:
+      (dataCols.map(n => col(n).as(s"__c_$n")) :+
+        col(deleteCol).as("__del")): _*)
+    b.join(c, Seq(key), "full_outer")
+      // __del is non-null exactly when a change row exists for the key
+      .filter(col("__del").isNull || !col("__del"))
+      .select(col(key) +: dataCols.map(n =>
+        when(col("__del").isNotNull, col(s"__c_$n"))
+          .otherwise(col(s"__b_$n")).as(n)): _*)
+  }
 }

@@ -132,6 +132,45 @@ object Relational {
       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY gid, status, priority"""))
 
+  /** J-ext — CDC MERGE ([[graft.operators.Joins.applyChanges]]): apply an
+    * update/delete/insert change set to the orders table in one full-outer
+    * join. The change set is synthesized deterministically (every key ≡0
+    * mod 10 updated +100, ≡3 deleted, ≡7 re-inserted under key+10^8) and
+    * the twin recomputes the merge with the same three-way UNION. */
+  val qUpsert = GQuery("q_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d)
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("is_delete", lit(false))
+      val deletes = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("is_delete", lit(true))
+      val inserts = base.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("is_delete", lit(false))
+      val changes = updates.unionByName(deletes).unionByName(inserts)
+      graft.operators.Joins.applyChanges(base, changes, "o_orderkey",
+          "is_delete")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), Det.fmtTs(col("o_orderdate")).as("odate"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""WITH merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT * FROM orders
+        WHERE o_orderkey % 10 <> 0 AND o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+          o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 7)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        ${Det.sqlFmtTs("o_orderdate")} AS odate, o_orderpriority
+      FROM merged ORDER BY o_orderkey"""))
+
   /** A1 — global scalar aggregates (streamlit_dashboard.py:128-144 table
     * stats: COUNT(*), MAX(collected_at)). */
   val qGlobalAgg = GQuery("q_global_agg",
@@ -531,6 +570,7 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
+    qUpsert,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,

@@ -179,6 +179,36 @@ object WindowQueries {
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       ORDER BY o_orderkey"""))
 
+  /** J9-ext — as-of join with a STALENESS TOLERANCE: the matched quote must
+    * be within 7 days of the probe or the attributes null out ("stats as of
+    * kickoff, but only if fresh") — the guard that stops a year-old quote
+    * from silently enriching today's row. Same single-shuffle union-merge;
+    * the tolerance is a post-projection on the carried as-of timestamp,
+    * mirrored by the twin as a CASE over DuckDB's ASOF join. */
+  val qAsOfTolerance = GQuery("q_asof_tolerance",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val ev = Tables.events(s, d).withColumnRenamed("user_id", "o_custkey")
+      val j = Windows.asOfJoin(o, ev,
+        "o_custkey", "o_orderdate", "ts", Seq("value", "event_id", "ts"),
+        "event_id")
+      val within = unix_micros(col("o_orderdate")) -
+        unix_micros(col("asof_ts")) <= lit(604800000000L) // 7 days in µs
+      j.select(col("o_orderkey"),
+          when(within, col("asof_event_id")).as("event_id"),
+          when(within, col("asof_value")).as("value"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey,
+        CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 604800000000
+          THEN e.event_id END AS event_id,
+        CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= 604800000000
+          THEN e.value END AS value
+      FROM orders o ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o_orderkey"""))
+
   /** W-ext — gap-based sessionization (30-min event-time gap, the
     * reference's collection cadence): lag + running sum + session groupBy,
     * all epoch-microsecond-exact. [[Windows.sessionize]]; the streaming
@@ -248,5 +278,5 @@ object WindowQueries {
 
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
-    qSessionize, qSessionizeKeyed)
+    qAsOfTolerance, qSessionize, qSessionizeKeyed)
 }

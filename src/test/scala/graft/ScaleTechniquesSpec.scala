@@ -51,6 +51,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("applyChanges: update replaces, delete drops, insert adds, rest pass") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 99.0, false),  // update
+      (3L, "c", 30.0, true),   // delete
+      (9L, "new", 1.0, false)) // insert
+      .toDF("k", "s", "v", "is_delete")
+    val out = Joins.applyChanges(base, changes, "k", "is_delete")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map(
+      1L -> (("a", 10.0)),   // untouched base row passes through
+      2L -> (("B", 99.0)),   // change wins wholesale
+      9L -> (("new", 1.0)))) // inserted; 3 deleted
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     // heavily skewed probe: 10k rows of key 1, a few of others
     val probe = (Seq.fill(10000)(1L) ++ Seq(2L, 3L)).zipWithIndex
