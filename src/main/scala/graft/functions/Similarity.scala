@@ -56,8 +56,7 @@ object RatcliffObershelp {
           while (p < n) {
             val jj = positions.get(p)
             if (jj >= blo && jj < bhi) {
-              val prev = j2len.get(jj - 1)
-              val k = (if (prev == null) 0 else prev.intValue()) + 1
+              val k = j2len.getOrDefault(jj - 1, 0) + 1
               newJ2len.put(jj, k)
               if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
             }
