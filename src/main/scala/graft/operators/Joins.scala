@@ -46,7 +46,7 @@ object Joins {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       saltFactor: Int): DataFrame = {
     val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(probe.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val saltedBuild = build.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")

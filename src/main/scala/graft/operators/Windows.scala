@@ -155,7 +155,7 @@ object Windows {
       struct(attrCols.map(col): _*).as("__a"))
     val taggedLeft = left.select(
       (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        leftCols.map(col)): _*)
+        leftCols.toIndexedSeq.map(col)): _*)
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     // quotes with equal __ts are totally ordered by __tb (latest wins);
     // probe rows carry __tb = null and sort last within their (ts, side) slot
@@ -166,7 +166,7 @@ object Windows {
     val withAsof = unioned.withColumn("__asof",
       last(col("__a"), ignoreNulls = true).over(w))
     withAsof.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++
+      .select((leftCols.toIndexedSeq.map(col) ++
         attrCols.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 }
