@@ -174,6 +174,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // convergence via the exact label-sum: labels are min-propagated, so
+    // they only ever DECREASE — the sum is strictly monotone until the
+    // fixpoint, and sum equality ⟺ no label changed. One decimal aggregate
+    // per round instead of a join + filter + count (decimal(38,0): exact at
+    // any node count; a double sum could miss a small change in rounding).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -182,11 +190,10 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels
