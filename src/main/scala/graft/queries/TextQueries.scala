@@ -960,6 +960,59 @@ object TextQueries {
       ORDER BY doc_id"""),
     notes = "per-stratum md5-threshold mixing; twin reproduces the exact sample")
 
+  /** QUALITY-STRATIFIED sampling (soft quality pruning): docs ranked into
+    * quartiles per language by the oracle-proven quality score (total order
+    * via the doc_id tiebreak), then sampled at per-quartile rates — keep
+    * all of the best quartile, 50% of the next, down to 5% of the worst.
+    * The ntile window sorts WITHIN the language partition only (the
+    * partition key bounds the sort at scale); the keep decision is the same
+    * md5-threshold primitive, so the twin reproduces the exact row set. */
+  val qStratifiedSample = GQuery("q_stratified_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("__q"), col("doc_id"))
+      val tiled = Tables.documents(s, d)
+        .withColumn("__q", TextFeatures.qualityScoreFast(col("text")))
+        .withColumn("tile", ntile(4).over(w).cast("string"))
+      graft.operators.Sampling.mixSample(tiled, "doc_id", "tile",
+          rates = Map("4" -> 1000, "3" -> 500, "2" -> 200),
+          defaultPermille = 50, salt = "strat")
+        .select(col("doc_id"), col("lang"), col("tile").cast("long").as("tile"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(text) AS DOUBLE) AS n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+          CAST(len(text) - len(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+            AS DOUBLE) AS n_punct,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0 AND lower(t) IN ($stop))) AS DOUBLE) AS n_stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, lang,
+          ((CASE WHEN n_chars >= 100 AND n_chars <= 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END) > 0.05 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN n_toks > 0 AND n_chars / n_toks >= 3 AND n_chars / n_toks <= 12 THEN 1.0 ELSE 0.0 END)
+          ) / 4.0 AS quality
+        FROM f),
+      tiled AS (
+        SELECT doc_id, lang,
+          ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS tile
+        FROM q)
+      SELECT doc_id, lang, CAST(tile AS BIGINT) AS tile FROM tiled
+      WHERE tile = 4 OR
+        substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE tile WHEN 3 THEN '8000' WHEN 2 THEN '3333' ELSE '0ccc' END
+      ORDER BY doc_id"""
+    },
+    notes = "per-lang quality quartiles + per-stratum md5 sampling; twin reproduces the exact row set")
+
   /** TOKEN-BUDGET PACKING ([[graft.operators.Sampling.packChunks]]):
     * documents packed into ~2000-token training chunks per language, in
     * doc_id order — deterministic window cumsum, so the twin recomputes the
@@ -1295,5 +1348,6 @@ object TextQueries {
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
     qBoilerplate, qParagraphDedup, qDecontaminate,
-    qSampleDet, qMixSample, qPackChunks, qTrainingExport, qCurationPipeline)
+    qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
+    qCurationPipeline)
 }
