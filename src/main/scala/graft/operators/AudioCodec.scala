@@ -7,8 +7,8 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * external codec libraries): WAV/PCM encode and decode with exact
   * sample-statistics feature extraction. This replaces the stub on the AUDIO
   * path of the multimodal pipeline, the same move [[ImageCodec]] made for
-  * images; video remains stubbed ([[Multimodal.FakeCodec]]) because the JVM
-  * has no built-in video codec.
+  * images and [[VideoCodec]] for video (multi-frame GIF) — all three
+  * modalities decode for real.
   *
   * Verifiability: [[synthWav]] renders 16-bit PCM samples from a pure integer
   * formula of (media_id, i); PCM-in-WAV is lossless, so a REAL decode must

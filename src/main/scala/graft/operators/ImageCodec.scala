@@ -7,8 +7,9 @@ import javax.imageio.ImageIO
 /** REAL pure-JVM image codec (`javax.imageio` — ships with the JDK, no
   * external codec libraries): PNG encode and decode with pixel-statistics
   * feature extraction. This replaces the stub on the image path of the
-  * multimodal pipeline; audio/video remain stubbed ([[Multimodal.FakeCodec]])
-  * because the JVM has no built-in codecs for them.
+  * multimodal pipeline; [[AudioCodec]] (WAV/PCM) and [[VideoCodec]]
+  * (multi-frame GIF) do the same for audio and video — all three
+  * modalities decode for real.
   *
   * Verifiability: [[synthPng]] renders pixels from a pure integer formula of
   * (media_id, x, y); PNG is lossless, so a REAL decode must reproduce those

@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns + typed metadata struct, with decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The IMAGE path is REAL: [[ImageCodec]] (pure-JVM `javax.imageio`) PNG
-  * encode/decode with exact pixel statistics, oracle-gated end-to-end by
-  * q_image_decode. The AUDIO path is REAL too: [[AudioCodec]] (pure-JVM
-  * `javax.sound.sampled`) WAV/PCM encode/decode with exact sample
-  * statistics, oracle-gated by q_audio_decode. Video decode remains a STUB
-  * (`FakeCodec` — the JVM ships no video codec), clearly marked below.
-  * Everything
+  * ALL THREE modality decode paths are REAL pure-JVM codecs, each
+  * oracle-gated end-to-end: [[ImageCodec]] (`javax.imageio` PNG,
+  * q_image_decode), [[AudioCodec]] (`javax.sound.sampled` WAV/PCM,
+  * q_audio_decode), and [[VideoCodec]] (`javax.imageio` multi-frame
+  * animated GIF, q_video_decode). `FakeCodec` below is no longer a
+  * modality stub — it survives only as the generic bytes→features
+  * fallback for [[extractFeatures]]/[[sampleFrames]] over opaque
+  * payloads. Everything
   * Spark-side is REAL and load-bearing at 100 TB: the schema, the
   * `mapPartitions` batch shape (one codec instance per partition, streamed
   * row iterator — the Scala analogue of `mapInPandas` batches), partition
@@ -45,13 +46,13 @@ object Multimodal {
   case class Frame(media_id: Long, frame_index: Int, frame_ms: Long,
       content: Array[Byte])
 
-  /** ======== STUB CODEC (video only) ==========================
-    * Deterministic fake decode for VIDEO: the JVM ships no video codec
-    * (images are handled for real by [[ImageCodec]], audio by
-    * [[AudioCodec]]). The stub hashes byte blocks into a fixed-length float
-    * vector — the SHAPE of the real kernel (bytes → float[]), with
-    * deterministic output so tests are stable. Swap `FakeCodec` for an
-    * ffmpeg binding in production; nothing else changes. */
+  /** ======== GENERIC BYTE-FEATURE FALLBACK =====================
+    * Deterministic bytes→float[] reduction for OPAQUE payloads (formats
+    * with no JVM codec — mp4, webm, ...). Not a modality stub anymore:
+    * png/wav/gif decode for real above; this is the fallback feature
+    * kernel [[extractFeatures]] applies to anything else, with
+    * deterministic output so tests are stable. Swap for an ffmpeg binding
+    * in production; nothing else changes. */
   object FakeCodec {
     val featureDim = 16
     def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
@@ -106,7 +107,7 @@ object Multimodal {
   /** Media table with REAL WAV payloads on the audio rows: audio-modality
     * rows carry an actual RIFF/WAV stream ([[AudioCodec.synthWav]],
     * deterministic 16-bit PCM from media_id) with meta rewritten to the true
-    * duration; image/video rows keep the opaque stub payload. Same
+    * duration; image/video rows keep the opaque payload. Same
     * mapPartitions batch shape as [[mediaWithRealImages]]. */
   def mediaWithRealAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -121,6 +122,43 @@ object Multimodal {
         } else r
       }
     }.toDF()
+  }
+
+  /** Media table with REAL multi-frame GIF payloads on the video rows:
+    * video-modality rows carry an actual animated GIF
+    * ([[VideoCodec.synthGif]], deterministic indexed-grayscale frames from
+    * media_id) with meta rewritten to the true dimensions; image/audio rows
+    * keep the opaque stub payload. Same mapPartitions batch shape as
+    * [[mediaWithRealImages]]. */
+  def mediaWithRealVideo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality == "video") {
+          val nf = (r.media_id % 5 + 2).toInt
+          val w = (r.media_id % 12 + 6).toInt
+          val h = (r.media_id % 10 + 6).toInt
+          r.copy(content = VideoCodec.synthGif(r.media_id, nf, w, h),
+            meta = r.meta.copy(format = "gif", width = w, height = h,
+              duration_ms = nf * 100L))
+        } else r
+      }
+    }.toDF()
+  }
+
+  case class VideoFrameRow(media_id: Long, frame_index: Int, width: Int,
+      height: Int, sum_gray: Long)
+
+  /** REAL video decode over the binary column: GIF parse, one output row
+    * per frame with exact gray sums, per-partition streamed. Non-video
+    * rows are filtered before decode. */
+  def decodeVideo(spark: SparkSession, media: DataFrame): Dataset[VideoFrameRow] = {
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow].flatMap { r =>
+      VideoCodec.decodeStats(r.content).map(fs =>
+        VideoFrameRow(r.media_id, fs.frame_index, fs.width, fs.height,
+          fs.sum_gray))
+    }
   }
 
   case class ImageStatsRow(media_id: Long, width: Int, height: Int,

@@ -1109,6 +1109,43 @@ object TextQueries {
       ORDER BY media_id"""),
     notes = "real javax.sound.sampled decode; twin recomputes PCM sums analytically")
 
+  /** REAL video decode end-to-end — the LAST modality off the stub list:
+    * video rows carry actual multi-frame animated GIFs rendered from a pure
+    * integer formula over an identity grayscale palette
+    * ([[graft.operators.VideoCodec.synthGif]]); the engine decodes them
+    * frame by frame with `javax.imageio`. Indexed GIF is lossless (the
+    * source image lives in the palette, so no quantization can occur), so
+    * the DuckDB twin recomputes the expected per-frame gray sums
+    * ANALYTICALLY over a generated (frame, x, y) grid. */
+  val qVideoDecode = GQuery("q_video_decode",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.decodeVideo(s,
+          Multimodal.mediaWithRealVideo(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("frame_index"), col("width"),
+          col("height"), col("sum_gray"))
+        .orderBy(col("media_id"), col("frame_index"))
+    },
+    Some("""WITH vids AS (
+        SELECT doc_id AS media_id,
+          CAST(doc_id % 5 + 2 AS INTEGER) AS nf,
+          CAST(doc_id % 12 + 6 AS INTEGER) AS width,
+          CAST(doc_id % 10 + 6 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 = 2),
+      gf AS (SELECT media_id, width, height,
+        CAST(unnest(range(0, nf)) AS INTEGER) AS frame_index FROM vids),
+      gx AS (SELECT media_id, width, height, frame_index,
+        unnest(range(0, width)) AS x FROM gf),
+      gxy AS (SELECT media_id, width, height, frame_index, x,
+        unnest(range(0, height)) AS y FROM gx)
+      SELECT media_id, frame_index, width, height,
+        CAST(SUM((media_id * 31 + frame_index * 47 + x * 7 + y * 13) % 256)
+          AS BIGINT) AS sum_gray
+      FROM gxy GROUP BY media_id, frame_index, width, height
+      ORDER BY media_id, frame_index"""),
+    notes = "real javax.imageio animated-GIF decode; twin recomputes frame sums analytically")
+
   /** The EXPORT half of the training-data pipeline, composed end-to-end:
     * quality gate → language-consistency gate → exact dedup → PII scrub →
     * per-language mix sampling → token-budget packing. Complements
@@ -1347,6 +1384,7 @@ object TextQueries {
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
+    qVideoDecode,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
     qCurationPipeline)

@@ -94,6 +94,35 @@ class MultimodalSpec extends SparkSpec {
     assert(r.n_samples === (1 % 400 + 100).toLong)
   }
 
+  test("VideoCodec: GIF encode -> decode round-trips the exact frame formula") {
+    import graft.operators.VideoCodec
+    Seq((0L, 2, 6, 6), (5L, 4, 17, 9), (99999L, 6, 16, 12)).foreach {
+      case (id, nf, w, h) =>
+        val stats = VideoCodec.decodeStats(VideoCodec.synthGif(id, nf, w, h))
+        assert(stats.length === nf)
+        stats.foreach { fs =>
+          assert(fs.width === w && fs.height === h)
+          val expected = (for (y <- 0 until h; x <- 0 until w)
+            yield VideoCodec.gray(id, fs.frame_index, x, y).toLong).sum
+          assert(fs.sum_gray === expected)
+        }
+    }
+  }
+
+  test("decodeVideo: real GIF payloads decode distributed, one row per frame") {
+    val withVideo = Multimodal.mediaWithRealVideo(spark,
+      Tables.documents(spark, sfDir))
+    val frames = Multimodal.decodeVideo(spark, withVideo)
+    // GIF payloads are real: magic bytes present on every video row
+    val magic = withVideo.filter(col("modality") === "video")
+      .select(col("content")).as[Array[Byte]].head
+    assert(magic.take(6).map(_.toChar).mkString === "GIF89a")
+    // per-clip frame count comes from the PARSED payload
+    val r = frames.filter(col("media_id") === 2).collect()
+    assert(r.length === (2 % 5 + 2))
+    assert(r.map(_.frame_index).sorted.toSeq === (0 until r.length))
+  }
+
   test("resize caps dimensions preserving aspect ratio") {
     val resized = Multimodal.resize(media, 100, 100)
     val over = resized.filter(col("meta.width") > 100 ||
