@@ -208,6 +208,26 @@ object Multimodal {
     }
   }
 
+  /** REAL frame sampling over real video payloads: decode the GIF, keep
+    * every `stride`-th frame, and re-encode each kept frame as a STANDALONE
+    * single-frame GIF — a sampling stage's output must itself be valid,
+    * decodable media, not a byte slice. Explosion happens executor-side in
+    * the same flatMap batch shape; frame_ms comes from the synth cadence
+    * (100 ms/frame). Oracle-gated end-to-end by q_frame_sample (the
+    * re-encoded payloads are DECODED AGAIN and their sums compared to the
+    * analytic twin). */
+  def sampleFramesReal(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.filter(col("modality") === "video").as[MediaRow].flatMap { r =>
+      VideoCodec.decodeFrames(r.content).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (img, f) =>
+          Frame(r.media_id, f, f * 100L, VideoCodec.encodeFrame(img))
+        }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame (video), `stride`-th frames
     * only. Row explosion happens executor-side; the binary payload is
     * sliced per frame (stub: byte-range slices). */

@@ -61,6 +61,28 @@ object VideoCodec {
     bos.toByteArray
   }
 
+  /** Decode to raw frame images (for re-encode paths like frame
+    * sampling). */
+  def decodeFrames(bytes: Array[Byte]): Seq[BufferedImage] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(iis, false, true)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map(reader.read)
+    reader.dispose()
+    iis.close()
+    out
+  }
+
+  /** Re-encode ONE frame as a standalone single-frame GIF — the payload a
+    * frame-sampling stage emits must itself be valid, decodable media. The
+    * frame is already indexed, so the re-encode is lossless too. */
+  def encodeFrame(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
   final case class FrameStats(frame_index: Int, width: Int, height: Int,
       sum_gray: Long)
 

@@ -1146,6 +1146,49 @@ object TextQueries {
       ORDER BY media_id, frame_index"""),
     notes = "real javax.imageio animated-GIF decode; twin recomputes frame sums analytically")
 
+  /** REAL frame sampling end-to-end: every 2nd frame of each real video is
+    * re-encoded as a STANDALONE single-frame GIF
+    * ([[graft.operators.Multimodal.sampleFramesReal]]), then those emitted
+    * payloads are DECODED AGAIN and reduced to gray sums — proving the
+    * sampling stage outputs valid, lossless, correctly-selected media. The
+    * twin recomputes the expected sums analytically for exactly the
+    * stride-selected frames. */
+  val qFrameSample = GQuery("q_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, VideoCodec}
+      Multimodal.sampleFramesReal(s,
+          Multimodal.mediaWithRealVideo(s, Tables.documents(s, d)),
+          stride = 2)
+        .map { fr =>
+          val st = VideoCodec.decodeStats(fr.content)
+          require(st.length == 1, s"sampled payload has ${st.length} frames")
+          (fr.media_id, fr.frame_index, fr.frame_ms, st.head.sum_gray)
+        }
+        .toDF("media_id", "frame_index", "frame_ms", "sum_gray")
+        .orderBy(col("media_id"), col("frame_index"))
+    },
+    Some("""WITH vids AS (
+        SELECT doc_id AS media_id,
+          CAST(doc_id % 5 + 2 AS INTEGER) AS nf,
+          CAST(doc_id % 12 + 6 AS INTEGER) AS width,
+          CAST(doc_id % 10 + 6 AS INTEGER) AS height
+        FROM documents WHERE doc_id % 3 = 2),
+      gf AS (SELECT media_id, width, height,
+        CAST(unnest(range(0, nf)) AS INTEGER) AS frame_index FROM vids),
+      kept AS (SELECT * FROM gf WHERE frame_index % 2 = 0),
+      gx AS (SELECT media_id, width, height, frame_index,
+        unnest(range(0, width)) AS x FROM kept),
+      gxy AS (SELECT media_id, width, height, frame_index, x,
+        unnest(range(0, height)) AS y FROM gx)
+      SELECT media_id, frame_index,
+        CAST(frame_index AS BIGINT) * 100 AS frame_ms,
+        CAST(SUM((media_id * 31 + frame_index * 47 + x * 7 + y * 13) % 256)
+          AS BIGINT) AS sum_gray
+      FROM gxy GROUP BY media_id, frame_index
+      ORDER BY media_id, frame_index"""),
+    notes = "stride-sampled frames re-encoded standalone, re-decoded, sums vs analytic twin")
+
   /** The EXPORT half of the training-data pipeline, composed end-to-end:
     * quality gate → language-consistency gate → exact dedup → PII scrub →
     * per-language mix sampling → token-budget packing. Complements
@@ -1384,7 +1427,7 @@ object TextQueries {
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
-    qVideoDecode,
+    qVideoDecode, qFrameSample,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
     qCurationPipeline)
