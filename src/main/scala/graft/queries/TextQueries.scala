@@ -1189,6 +1189,54 @@ object TextQueries {
       ORDER BY media_id, frame_index"""),
     notes = "stride-sampled frames re-encoded standalone, re-decoded, sums vs analytic twin")
 
+  /** REAL image resize end-to-end: real PNGs are decoded, nearest-neighbor
+    * resampled under an aspect-preserving integer cap
+    * ([[graft.operators.Multimodal.resizeImagesReal]]), re-encoded, then
+    * DECODED AGAIN and reduced to channel sums. Nearest-neighbor's pure
+    * integer index arithmetic (sx = x·sw div dw) lets the twin recompute
+    * the expected sums over the sampled source grid — the whole decode →
+    * resample → encode → decode chain sits under the hash-exact gate.
+    * Source dims straddle the cap, so both the resample and the
+    * pass-through branch are exercised. */
+  val qImageResize = GQuery("q_image_resize",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.decodeImages(s,
+          Multimodal.resizeImagesReal(s,
+            Multimodal.mediaWithRealImages(s, Tables.documents(s, d)),
+            maxSide = 12))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH imgs AS (
+        SELECT doc_id AS media_id,
+          CAST(doc_id % 16 + 8 AS INTEGER) AS sw,
+          CAST(doc_id % 12 + 8 AS INTEGER) AS sh
+        FROM documents WHERE doc_id % 3 = 0),
+      dims AS (
+        SELECT media_id, sw, sh,
+          CASE WHEN greatest(sw, sh) <= 12 THEN sw
+            ELSE greatest(1, sw * 12 // greatest(sw, sh)) END AS dw,
+          CASE WHEN greatest(sw, sh) <= 12 THEN sh
+            ELSE greatest(1, sh * 12 // greatest(sw, sh)) END AS dh
+        FROM imgs),
+      gx AS (SELECT media_id, sw, sh, dw, dh,
+        unnest(range(0, dw)) AS x FROM dims),
+      gxy AS (SELECT media_id, sw, sh, dw, dh, x,
+        unnest(range(0, dh)) AS y FROM gx),
+      px AS (SELECT media_id, dw, dh,
+        x * sw // dw AS sx, y * sh // dh AS sy FROM gxy)
+      SELECT media_id, CAST(dw AS INTEGER) AS width,
+        CAST(dh AS INTEGER) AS height,
+        CAST(SUM((media_id * 31 + sx * 7 + sy * 13) % 256) AS BIGINT) AS sum_r,
+        CAST(SUM((media_id * 17 + sx * 5 + sy * 11) % 256) AS BIGINT) AS sum_g,
+        CAST(SUM((media_id * 23 + sx * 3 + sy * 19) % 256) AS BIGINT) AS sum_b
+      FROM px GROUP BY media_id, dw, dh
+      ORDER BY media_id"""),
+    notes = "nearest-neighbor resample re-decoded; twin recomputes sums over the sampled source grid")
+
   /** The EXPORT half of the training-data pipeline, composed end-to-end:
     * quality gate → language-consistency gate → exact dedup → PII scrub →
     * per-language mix sampling → token-budget packing. Complements
@@ -1427,7 +1475,7 @@ object TextQueries {
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
-    qVideoDecode, qFrameSample,
+    qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
     qCurationPipeline)
