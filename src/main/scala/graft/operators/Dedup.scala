@@ -398,6 +398,7 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var prevCount = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
@@ -422,12 +423,16 @@ object Dedup {
         .union(mins2.select(col("m").as("u"), col("c").as("v"))) // m < c
         .distinct()
         .localCheckpoint(true)
-      // fixed point of the alternation = identical canonical edge set
-      val cntOld = edges.count()
+      // fixed point of the alternation = identical canonical edge set:
+      // |A| = |B| ∧ |A ∪ B| = |A| ⟺ A = B (exact, unlike a hash-sum
+      // proxy). The previous round's count is carried, so the test costs
+      // one count on the new set + one on the union — not three.
+      val cntOld = prevCount
       val cntNew = ss.count()
       converged = cntNew == cntOld &&
         ss.union(edges).distinct().count() == cntOld
       edges = ss
+      prevCount = cntNew
       rounds += 1
     }
     // converged graph is a star per component: every edge is (min, member)

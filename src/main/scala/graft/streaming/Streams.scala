@@ -90,6 +90,18 @@ object Streams {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming PII SCRUB (the stream twin of [[graft.functions.Redact]]):
+    * redact emails/phones on every incoming doc before it reaches the
+    * training store. Completely STATELESS — a pure codegen'd projection,
+    * no watermark, no state store — which is the point: scrubbing belongs
+    * at ingest where it costs a map pass, not in a batch repair job after
+    * PII already landed. Emits per-doc redaction counts for monitoring. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("ts"),
+      graft.functions.Redact.emailCount(col("text")).cast("long").as("n_emails"),
+      graft.functions.Redact.phoneCount(col("text")).cast("long").as("n_phones"),
+      graft.functions.Redact.scrub(col("text")).as("text"))
+
   /** Streaming exact dedup for ingest pipelines (the stream twin of
     * [[graft.operators.Dedup.exactDuplicates]]): fingerprint the normalized
     * text and keep the FIRST arrival per fingerprint within the watermark

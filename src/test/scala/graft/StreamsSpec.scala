@@ -274,6 +274,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piiScrubStream redacts identically to the batch scrub, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "mail me at a.b@example.com today"),
+      (2L, ts("2024-01-01 10:01:00"), "call 415-555-0117 or 555-0123"),
+      (3L, ts("2024-01-01 10:02:00"), "nothing sensitive here"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.piiScrubStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val out = spark.table("scrubbed")
+        .select("doc_id", "n_emails", "n_phones", "text")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out(1L) === ((1L, 0L, "mail me at <EMAIL> today")))
+      assert(out(2L) === ((0L, 2L, "call <PHONE> or <PHONE>")))
+      assert(out(3L) === ((0L, 0L, "nothing sensitive here")))
+      // stateless: no state store operators in the executed plan
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+    } finally q.stop()
+  }
+
   test("streamingDedup keeps first arrival per fingerprint across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
