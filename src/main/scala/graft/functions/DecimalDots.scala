@@ -47,26 +47,37 @@ object DecimalDotsExact {
 
   /** Margin under which the fast-double dot cannot be trusted to decide a
     * sign or an ordering and the exact-decimal path must run. Bound: the
-    * decimal dot differs from the double fold by at most
-    * n·(half-ulp of the scale-18 rounding) + n·(fold rounding at the
-    * partial-sum magnitude) ≈ 64·5e-19 + 64·~2e-15 ≈ 2e-13 for unit-scale
-    * embeddings; 1e-9 is ~5000× that. Decisions with a larger gap are
-    * provably identical under either arithmetic; anything closer (including
-    * exact ties from planted duplicate vectors) falls through to decimal. */
-  private[functions] val FastMargin = 1e-9
+    * decimal dot differs from the double fold by at most n·(half-ulp of
+    * the scale-18 rounding) ≤ n·5e-19 plus the fold rounding, which scales
+    * with the MAGNITUDE of the partial sums — up to ~n·ulp(Σ|xᵢwᵢ|)
+    * (Σ|xᵢwᵢ| upper-bounds every partial sum). So the margin is computed
+    * per call from the accumulated |product| mass, with a 16× safety
+    * factor, and floored at 1e-9 — the unit-scale bound (~2e-13) × ~5000,
+    * preserving the documented behavior for unit embeddings. A larger
+    * margin only sends MORE decisions to the exact-decimal path, so it can
+    * never change a result relative to the all-decimal semantics — only
+    * guard it for large-magnitude (non-unit-norm) vectors, where a fixed
+    * absolute 1e-9 could silently trust a wrong fast sign/ordering. */
+  private[functions] def fastMargin(n: Int, sumAbs: Double): Double =
+    math.max(1e-9, 16.0 * n * math.ulp(sumAbs) + n * 1e-18)
 
-  private[functions] def dotDouble(x: Array[Double], w: Array[Double]): Double = {
+  /** (double-fold dot, Σ|xᵢwᵢ|) in one pass — the |product| mass feeds
+    * [[fastMargin]]. */
+  private[functions] def dotDoubleAbs(x: Array[Double],
+      w: Array[Double]): (Double, Double) = {
     var s = 0.0
+    var a = 0.0
     var i = 0
     val n = math.min(x.length, w.length)
-    while (i < n) { s += x(i) * w(i); i += 1 }
-    s
+    while (i < n) { val p = x(i) * w(i); s += p; a += math.abs(p); i += 1 }
+    (s, a)
   }
 
   private[functions] def decideSign(x: Array[Double], w: Array[Double]): Boolean = {
-    val fast = dotDouble(x, w)
-    if (fast > FastMargin) true
-    else if (fast < -FastMargin) false
+    val (fast, sumAbs) = dotDoubleAbs(x, w)
+    val m = fastMargin(math.min(x.length, w.length), sumAbs)
+    if (fast > m) true
+    else if (fast < -m) false
     else dotUnscaled(x, w).signum > 0
   }
 
@@ -150,7 +161,7 @@ case class DecimalSigsAll(child: Expression,
       var p = 0
       while (p < tables(t).length) {
         // fast-double sign with exact-decimal fallback inside the margin —
-        // bit-identical to the all-decimal form (see FastMargin)
+        // bit-identical to the all-decimal form (see fastMargin)
         if (decideSign(x, tables(t)(p))) sig |= (1L << p)
         p += 1
       }
@@ -185,16 +196,25 @@ case class DecimalArgTopK(child: Expression, matrix: Array[Array[Double]],
     // boundary — if any adjacent pair among them is closer than the margin,
     // recompute EVERYTHING in exact decimal (rare: decision-boundary rows).
     val fast = new Array[Double](matrix.length)
+    var maxSumAbs = 0.0
     var r = 0
-    while (r < matrix.length) { fast(r) = dotDouble(x, matrix(r)); r += 1 }
+    while (r < matrix.length) {
+      val (s, a) = dotDoubleAbs(x, matrix(r))
+      fast(r) = s
+      if (a > maxSumAbs) maxSumAbs = a
+      r += 1
+    }
     val fastOrder = (0 until matrix.length).sortWith { (a, b) =>
       if (fast(a) != fast(b)) fast(a) > fast(b) else a < b
     }
     val boundary = math.min(k, matrix.length - 1)
+    // comparing two rows compounds both rows' fold errors → 2× the
+    // single-dot margin at the worst row magnitude
+    val gapMargin = 2.0 * fastMargin(x.length, maxSumAbs)
     var safe = true
     var i = 0
     while (i < boundary && safe) {
-      if (fast(fastOrder(i)) - fast(fastOrder(i + 1)) < FastMargin) safe = false
+      if (fast(fastOrder(i)) - fast(fastOrder(i + 1)) < gapMargin) safe = false
       i += 1
     }
     val order =

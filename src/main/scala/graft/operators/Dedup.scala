@@ -58,25 +58,34 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      minJaccard: Double = 0.8): DataFrame =
+      minJaccard: Double = 0.8,
+      maxSigBroadcastBytes: Long = MaxSigBroadcastBytes): DataFrame =
     minhashPipeline(df, idCol, textCol, numHashes, bands, shingleSize,
-      minJaccard, keyed = false)
+      minJaccard, keyed = false, maxSigBroadcastBytes)
 
   /** [[minhashNearDupPairs]] with the verify stage re-reading text BY KEY
-    * from the source relation: only (id, signature) is ever cached — a few
-    * MB per million docs — and the candidate docs' text comes from a
-    * key-semi-join re-scan (at scale: a selective columnar read from the
-    * doc store, pushdown-visible in the plan). Same output, proven by
-    * DedupSpec's equivalence test. */
+    * from the source relation: only (id, signature) is ever cached —
+    * (numHashes+1)·8 B per doc, ~0.5 GB per million docs at 64 hashes —
+    * and the candidate docs' text comes from a key-semi-join re-scan (at
+    * scale: a selective columnar read from the doc store, pushdown-visible
+    * in the plan). Same output, proven by DedupSpec's equivalence test. */
   def minhashNearDupPairsKeyed(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      minJaccard: Double = 0.8): DataFrame =
+      minJaccard: Double = 0.8,
+      maxSigBroadcastBytes: Long = MaxSigBroadcastBytes): DataFrame =
     minhashPipeline(df, idCol, textCol, numHashes, bands, shingleSize,
-      minJaccard, keyed = true)
+      minJaccard, keyed = true, maxSigBroadcastBytes)
+
+  /** Broadcast budget for the signature-enrichment table in
+    * [[minhashPipeline]]. A signature row is (numHashes+1)·8 B — ~520 B at
+    * 64 hashes, i.e. ~0.5 GB per MILLION docs: fine for a bench slice,
+    * fatally past broadcastable for a real corpus. 64 MB keeps the
+    * broadcast under executor-overhead noise (~128k docs at 64 hashes). */
+  val MaxSigBroadcastBytes: Long = 64L << 20
 
   private def minhashPipeline(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, shingleSize: Int, minJaccard: Double,
-      keyed: Boolean): DataFrame = {
+      keyed: Boolean, maxSigBroadcastBytes: Long = MaxSigBroadcastBytes): DataFrame = {
     // 1. sign ONCE per doc with the fused rolling-shingle expression (no
     //    shingle arrays materialized; see MinHashTextSignature). The
     //    normalized text is computed by codegen'd builtins; only the final
@@ -108,10 +117,19 @@ object Dedup {
     // 3. cheap signature-estimate prefilter (matching minhash fraction ≈
     //    Jaccard); generous margin keeps recall, kills far pairs before the
     //    expensive exact set ops
-    // signatures are |docs| × numHashes longs — a few MB even at millions
-    // of docs — so the candidate-pair enrichment joins broadcast them
-    // instead of shuffling the (much larger) pair table twice
-    val sigs = broadcast(base.select(col("id"), col("sig")))
+    // signatures are |docs| × (numHashes+1) longs — ~0.5 GB per MILLION
+    // docs at 64 hashes — so broadcasting the table is only safe under a
+    // size gate. Below the gate, broadcasting avoids shuffling the (much
+    // larger) pair table twice; past it, the enrichment is a plain shuffle
+    // join on id — identical output (DedupSpec pins the equivalence),
+    // shuffle ∝ candidate pairs + corpus, which is the 100× posture. The
+    // row count comes from the already-cached `base` (the count also
+    // materializes the cache before its three downstream reuses).
+    val sigsPlain = base.select(col("id"), col("sig"))
+    val sigs =
+      if (base.count() * (numHashes + 1) * 8L <= maxSigBroadcastBytes)
+        broadcast(sigsPlain)
+      else sigsPlain
     val estScore = graft.functions.SignatureAgreement.agreement(
       col("sig_a"), col("sig_b")).cast("double") / lit(numHashes.toDouble)
     // cache: `strong` feeds both the candidate-id semi-join and the final
@@ -179,8 +197,11 @@ object Dedup {
     // fixpoint, and sum equality ⟺ no label changed. One decimal aggregate
     // per round instead of a join + filter + count (decimal(38,0): exact at
     // any node count; a double sum could miss a small change in rounding).
+    // SUM over zero rows is SQL NULL — an empty pair list (a corpus with no
+    // near-dups) must converge to an empty label set, not NPE.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0

@@ -102,8 +102,14 @@ object Sources {
     * One distributed job: repartition on (partition date, bounded salt) so
     * each output partition dir is written by exactly `filesPerPartition`
     * tasks, sorted within files; the rewrite lands in a temp dir first and
-    * swaps in atomically-per-partition (rename), so a crash mid-compaction
-    * never leaves a partition half-empty. */
+    * swaps in per partition with a RENAME-ASIDE protocol: live dir →
+    * `<tmp>/<partition>.bak`, tmp dir → live, then the .bak is dropped
+    * with the tmp root at the end. The old data is never deleted before
+    * the new dir is live, so a crash loses nothing: either the old dir is
+    * still live, or the new dir is live, or (inside the two-rename window
+    * of one partition) the old dir sits intact at the well-known .bak path
+    * and a re-run restores it. The .bak lives OUTSIDE the table path so a
+    * concurrent reader can never partition-parse it. */
   def compactWarehouse(spark: SparkSession, path: String,
       sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition >= 1)
@@ -117,18 +123,22 @@ object Sources {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__p_date")
       .parquet(tmp)
-    // per-partition swap: new dirs replace old dirs one rename at a time
+    // per-partition rename-aside swap (see scaladoc): old → .bak (under
+    // tmp, outside the table path), new → live; .baks die with the tmp root
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+    val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
+    fs.listStatus(tmpRoot)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__p_date="))
       .foreach { s =>
         val target = new org.apache.hadoop.fs.Path(dst, s.getPath.getName)
-        fs.delete(target, true)
+        val bak = new org.apache.hadoop.fs.Path(
+          tmpRoot, s.getPath.getName + ".bak")
+        if (fs.exists(target)) fs.rename(target, bak)
         fs.rename(s.getPath, target)
       }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(tmpRoot, true)
   }
 
   /** S7 — webhook-style side-output sink: per-partition delivery through a

@@ -62,6 +62,41 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("minhash signature broadcast is size-gated: past the gate, no broadcast, same pairs") {
+    val expected = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // gate at 0 bytes = the large-corpus posture: the signature table
+      // must NOT broadcast (neither by hint nor by the planner), and the
+      // output must be identical to the broadcast path
+      val gated = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5,
+        maxSigBroadcastBytes = 0L)
+      val got = gated.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected)
+      assert(!gated.queryExecution.executedPlan.toString
+          .contains("BroadcastExchange"),
+        "size-gated path must not broadcast the signature table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("nearDupGroups/Star: empty pair list converges to an empty label set") {
+    // SUM over zero rows is SQL NULL — must not NPE (a corpus with no
+    // near-dup pairs is a legitimate, indeed desirable, input)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.nearDupGroups(empty).count() === 0L)
+    assert(Dedup.nearDupGroupsStar(empty).count() === 0L)
+  }
+
   test("nearDupGroups: chains collapse to one component, min id canonical") {
     // 1-2-3-4 is a CHAIN (no direct 1-4 pair) → needs >1 propagation round;
     // 10-11 is a separate pair; 20-21-22 a star around 20
