@@ -2,7 +2,12 @@ package graft
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line (driver contract). Each query timed on a warmed JVM:
-  * one untimed warm-up pass of the flagship primes codegen + file listing. */
+  * one untimed warm-up pass of the flagship primes codegen + file listing.
+  *
+  * The same JSON line is also written WHOLE to a file
+  * (SPARK_GRAFT_BENCH_OUT, default `bench_out.json` in the cwd): with ~100
+  * per-query entries the stdout line is long enough that tail-capture
+  * truncates it mid-list — the file is the complete artifact of record. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,7 +35,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_OUT write failed: $e") }
     spark.stop()
   }
 }

@@ -141,8 +141,25 @@ object Windows {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, attrCols: Seq[String],
-      rightTiebreak: String): DataFrame = {
+      rightTiebreak: String): DataFrame =
+    asOfJoinKeys(left, right, Seq(key -> key), leftTs, rightTs, attrCols,
+      rightTiebreak)
+
+  /** J9-ext — MULTI-KEY as-of join: latest `right` row with rightTs <=
+    * leftTs per COMPOSITE key (e.g. per (team, league) instead of per
+    * team). Same union-merge formulation as [[asOfJoin]] — tag both sides,
+    * union, ONE shuffle on the key tuple, one sort pass — the shuffle key
+    * is just wider, so widening the key costs nothing at any scale (it
+    * only makes partitions more numerous and smaller).
+    *
+    * @param keys (left column, right column) pairs forming the equi-key;
+    *             the sides may name the key differently
+    */
+  def asOfJoinKeys(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], leftTs: String, rightTs: String,
+      attrCols: Seq[String], rightTiebreak: String): DataFrame = {
     val leftCols = left.columns
+    val kcols = keys.indices.map(i => s"__k$i")
     // side 0 = quote (right), side 1 = probe (left): on equal timestamps the
     // quote sorts first so it IS visible to the probe (<= semantics).
     // All attrCols ride in ONE struct so last(ignoreNulls) is all-or-nothing:
@@ -150,17 +167,19 @@ object Windows {
     // (never an older quote's value) — attributes always come from the SAME
     // as-of row.
     val taggedRight = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      col(rightTiebreak).as("__tb"),
-      struct(attrCols.map(col): _*).as("__a"))
+      (keys.zip(kcols).map { case ((_, rk), k) => col(rk).as(k) } ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          col(rightTiebreak).as("__tb"),
+          struct(attrCols.map(col): _*).as("__a"))): _*)
     val taggedLeft = left.select(
-      (col(key).as("__k") +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+      (keys.zip(kcols).map { case ((lk, _), k) => col(lk).as(k) } ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         leftCols.toIndexedSeq.map(col)): _*)
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
     // quotes with equal __ts are totally ordered by __tb (latest wins);
     // probe rows carry __tb = null and sort last within their (ts, side) slot
     // — irrelevant for ordering since probes contribute no __a.
-    val w = Window.partitionBy(col("__k"))
+    val w = Window.partitionBy(kcols.map(col): _*)
       .orderBy(asc("__ts"), asc("__side"), asc_nulls_last("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = unioned.withColumn("__asof",

@@ -209,6 +209,61 @@ object WindowQueries {
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       ORDER BY o_orderkey"""))
 
+  /** J9-ext — MULTI-KEY as-of join with PER-KEY tolerance: the probe key is
+    * (customer, event family) — the reference's per-team latest
+    * (streamlit_dashboard.py:222-227) generalized to per-(team, league) —
+    * and each event family carries its OWN staleness contract (clicks go
+    * stale in 2 days, signups stay fresh for 90). One shuffle on the wider
+    * key tuple ([[Windows.asOfJoinKeys]]); the tolerance is a family-keyed
+    * post-projection on the carried as-of timestamp, mirrored by the twin
+    * as a CASE over DuckDB's multi-equality ASOF join. */
+  val qAsOfMultikey = GQuery("q_asof_multikey",
+    (s, d) => {
+      val etype = when(col("o_orderkey") % 5 === 0, "click")
+        .when(col("o_orderkey") % 5 === 1, "error")
+        .when(col("o_orderkey") % 5 === 2, "purchase")
+        .when(col("o_orderkey") % 5 === 3, "signup")
+        .otherwise("view")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          etype.as("etype"))
+      val ev = Tables.events(s, d)
+      val j = Windows.asOfJoinKeys(o, ev,
+        Seq("o_custkey" -> "user_id", "etype" -> "event_type"),
+        "o_orderdate", "ts", Seq("value", "event_id", "ts"), "event_id")
+      val tolDays = when(col("etype") === "click", 2L)
+        .when(col("etype") === "error", 30L)
+        .when(col("etype") === "purchase", 7L)
+        .when(col("etype") === "signup", 90L)
+        .otherwise(1L)
+      val within = unix_micros(col("o_orderdate")) -
+        unix_micros(col("asof_ts")) <= tolDays * lit(86400000000L)
+      j.select(col("o_orderkey"), col("etype"),
+          when(within, col("asof_event_id")).as("event_id"),
+          when(within, col("asof_value")).as("value"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH probe AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+          CASE o_orderkey % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+            WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+            ELSE 'view' END AS etype
+        FROM orders),
+      tol AS (
+        SELECT *, (CASE etype WHEN 'click' THEN 2 WHEN 'error' THEN 30
+            WHEN 'purchase' THEN 7 WHEN 'signup' THEN 90 ELSE 1 END)
+            * CAST(86400000000 AS BIGINT) AS tol_us
+        FROM probe)
+      SELECT o_orderkey, etype,
+        CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= o.tol_us
+          THEN e.event_id END AS event_id,
+        CASE WHEN epoch_us(o.o_orderdate) - epoch_us(e.ts) <= o.tol_us
+          THEN e.value END AS value
+      FROM tol o ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND o.etype = e.event_type
+          AND e.ts <= o.o_orderdate
+      ORDER BY o_orderkey"""))
+
   /** W-ext — gap-based sessionization (30-min event-time gap, the
     * reference's collection cadence): lag + running sum + session groupBy,
     * all epoch-microsecond-exact. [[Windows.sessionize]]; the streaming
@@ -278,5 +333,5 @@ object WindowQueries {
 
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
-    qAsOfTolerance, qSessionize, qSessionizeKeyed)
+    qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed)
 }

@@ -56,6 +56,37 @@ class WindowsSpec extends SparkSpec {
     assert(r.getAs[Long]("asof_event_id") === 101L)
   }
 
+  test("asOfJoinKeys: composite key isolates families, sides may name keys differently") {
+    // same customer, two event families: the as-of match must come from the
+    // SAME family — a single-key join would leak family B's later quote
+    // into family A's probe
+    val probe = Seq(
+      (10L, 1L, "A", ts("2024-01-05 00:00:00")),
+      (11L, 1L, "B", ts("2024-01-05 00:00:00")),
+      (12L, 1L, "C", ts("2024-01-05 00:00:00"))) // family with no quotes
+      .toDF("o_orderkey", "cust", "fam", "o_orderdate")
+    val quotes = Seq(
+      (100L, 1L, "A", ts("2024-01-02 00:00:00"), 10.0),
+      (101L, 1L, "B", ts("2024-01-04 00:00:00"), 20.0),
+      (102L, 2L, "A", ts("2024-01-04 12:00:00"), 99.0)) // other customer
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Windows.asOfJoinKeys(probe, quotes,
+        Seq("cust" -> "user_id", "fam" -> "event_type"),
+        "o_orderdate", "ts", Seq("value", "event_id"), "event_id")
+      .orderBy("o_orderkey").collect()
+    assert(out.map(r => Option(r.getAs[java.lang.Double]("asof_value"))
+      .map(_.toDouble)).toSeq === Seq(Some(10.0), Some(20.0), None))
+    // single-key delegate unchanged: asOfJoin(key) ≡ asOfJoinKeys(Seq(key->key))
+    val single = Windows.asOfJoin(
+      probe.withColumnRenamed("cust", "user_id"), quotes, "user_id",
+      "o_orderdate", "ts", Seq("value", "event_id"), "event_id")
+      .orderBy("o_orderkey").collect()
+    // without the family key, every probe of customer 1 sees family B's
+    // 2024-01-04 quote (the latest regardless of family)
+    assert(single.map(_.getAs[Double]("asof_value")).toSeq
+      === Seq(20.0, 20.0, 20.0))
+  }
+
   test("firstLastPctChange: first/last by (ts, tiebreak)") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
