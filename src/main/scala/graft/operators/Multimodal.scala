@@ -272,6 +272,31 @@ object Multimodal {
     }.toDF()
   }
 
+  /** [[resizeImagesReal]] with the BILINEAR kernel
+    * ([[ImageCodec.resizeBilinear]]) — the production-default resampler.
+    * Same aspect-preserving integer target-dimension arithmetic and the
+    * same mapPartitions batch shape; only the per-pixel kernel differs.
+    * Interpolation is not SQL-replayable, so this path is golden-gated
+    * (MultimodalSpec) rather than oracle-gated. */
+  def resizeImagesBilinear(spark: SparkSession, media: DataFrame,
+      maxSide: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "image").as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.meta.width
+        val h = r.meta.height
+        val m = math.max(w, h)
+        if (m <= maxSide) r
+        else {
+          val dw = math.max(1, w * maxSide / m)
+          val dh = math.max(1, h * maxSide / m)
+          r.copy(content = ImageCodec.resizeBilinear(r.content, dw, dh),
+            meta = r.meta.copy(width = dw, height = dh))
+        }
+      }
+    }.toDF()
+  }
+
   /** Resize: metadata-level transform (stub keeps bytes, rewrites meta —
     * a real kernel would transcode in the same mapPartitions shape). */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {

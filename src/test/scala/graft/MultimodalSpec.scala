@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{ImageCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
@@ -121,6 +121,60 @@ class MultimodalSpec extends SparkSpec {
     val r = frames.filter(col("media_id") === 2).collect()
     assert(r.length === (2 % 5 + 2))
     assert(r.map(_.frame_index).sorted.toSeq === (0 until r.length))
+  }
+
+  test("bilinear resize matches the committed golden") {
+    // generated once by graft.tools.GenBilinearGolden and committed —
+    // interpolation arithmetic is not SQL-twin-replayable, so the recorded
+    // channel sums are the correctness pin for this kernel
+    val golden = Seq(
+      (3L, 24, 15, 8, 8, 5, 4948L, 5884L, 4852L),
+      (6L, 30, 18, 12, 12, 7, 10827L, 10430L, 11829L),
+      (9L, 17, 17, 5, 5, 5, 3449L, 2990L, 3175L),
+      (12L, 40, 10, 16, 16, 4, 8544L, 7488L, 9104L),
+      (33L, 9, 27, 6, 2, 6, 1331L, 1507L, 1467L))
+    golden.foreach { case (id, sw, sh, maxSide, ew, eh, er, eg, eb) =>
+      val png = ImageCodec.synthPng(id, sw, sh)
+      val m = math.max(sw, sh)
+      val out = ImageCodec.resizeBilinear(png,
+        math.max(1, sw * maxSide / m), math.max(1, sh * maxSide / m))
+      val s = ImageCodec.decodeStats(out)
+      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b)
+        === ((ew, eh, er, eg, eb)), s"golden mismatch for id=$id")
+    }
+  }
+
+  test("bilinear resize invariants: identity is exact, constant stays constant") {
+    // identity resize: every source coordinate lands exactly on a texel
+    // center (fx = fy = 0) → output raster is bit-identical to the source
+    val png = ImageCodec.synthPng(7L, 19, 13)
+    assert(ImageCodec.decodeStats(ImageCodec.resizeBilinear(png, 19, 13))
+      === ImageCodec.decodeStats(png))
+    // constant-color image: any blend of equal values is that value
+    val img = new java.awt.image.BufferedImage(20, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 20).foreach(y => (0 until 20).foreach(x =>
+      img.setRGB(x, y, (37 << 16) | (141 << 8) | 200)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = ImageCodec.decodeStats(ImageCodec.resizeBilinear(bos.toByteArray, 7, 3))
+    assert((s.width, s.height) === ((7, 3)))
+    assert((s.sum_r, s.sum_g, s.sum_b) === ((37L * 21, 141L * 21, 200L * 21)))
+  }
+
+  test("resizeImagesBilinear: distributed path caps dims, payloads re-decode") {
+    val withImages = Multimodal.mediaWithRealImages(spark,
+      Tables.documents(spark, sfDir))
+    val resized = Multimodal.resizeImagesBilinear(spark, withImages, 10)
+    val rows = resized.select(col("media_id"), col("content"),
+        col("meta.width"), col("meta.height"))
+      .as[(Long, Array[Byte], Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bytes, w, h) =>
+      assert(w <= 10 && h <= 10, s"media $id not capped: ${w}x$h")
+      val s = ImageCodec.decodeStats(bytes) // output is valid, decodable media
+      assert((s.width, s.height) === ((w, h)), s"meta/raster mismatch for $id")
+    }
   }
 
   test("resize caps dimensions preserving aspect ratio") {
