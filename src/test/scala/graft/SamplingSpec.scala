@@ -72,4 +72,64 @@ class SamplingSpec extends SparkSpec {
       ("a", 1L) -> ((1L, 50L)),
       ("b", 2L) -> ((2L, 260L))))
   }
+
+  test("splitAssign: exact partition of the corpus, stable, rates accurate") {
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val out = Sampling.splitAssign(keys, "id", splits, salt = "split")
+      .select(col("id"), col("split")).as[(Long, String)].collect()
+    // a partition: every row exactly once, only the named splits
+    assert(out.length === 10000)
+    assert(out.map(_._1).distinct.length === 10000)
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(math.abs(byName("train") - 8000.0) / 8000.0 < 0.05)
+    assert(math.abs(byName("val") - 1000.0) / 1000.0 < 0.15)
+    // stability: re-run assigns identically
+    val again = Sampling.splitAssign(keys, "id", splits, salt = "split")
+      .select(col("id"), col("split")).as[(Long, String)].collect()
+    assert(again.toMap === out.toMap)
+    // permilles that don't sum to 1000 are rejected (not silently skewed)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(keys, "id", Seq("a" -> 500, "b" -> 100))
+    }
+  }
+
+  test("deterministicShuffle: dense global rank in md5 order, no global sort") {
+    val df = Sampling.deterministicShuffle(keys, "id", salt = "shuf")
+    val got = df.select(col("id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect()
+    // dense permutation 1..N
+    assert(got.map(_._2).sorted.toSeq === (1L to 10000L))
+    // order equals the driver-computed global md5 order
+    def m(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"shuf:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 10000L).sortBy(id => (m(id), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(got.toMap === expected)
+    // scale pin: every window sort is partitioned by the shard — the only
+    // unpartitioned window runs over the ≤256-row shard-offset table
+    val winSpecs = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec
+    }
+    assert(winSpecs.exists(_.nonEmpty), "per-shard ranking window missing")
+  }
+
+  test("tokenBudgetFilter: keeps best-first within budget, per stratum") {
+    val docs = Seq(
+      // stratum a: lengths 5,4,3,2 tokens (order col = ntok proxy)
+      (1L, "a", "t t t t t", 5L),
+      (2L, "a", "t t t t", 4L),
+      (3L, "a", "t t t", 3L),
+      (4L, "a", "t t", 2L),
+      // stratum b: one doc over budget alone
+      (5L, "b", "t t t t t t t t t t t t", 12L))
+      .toDF("doc_id", "src", "text", "quality")
+    val out = Sampling.tokenBudgetFilter(docs, "src", "doc_id", "text",
+        "quality", budget = 10L)
+      .select(col("doc_id"), col("cum_tokens")).as[(Long, Long)]
+      .collect().toMap
+    // a: 5 + 4 = 9 ≤ 10; adding the 3-token doc would blow the budget
+    assert(out === Map(1L -> 5L, 2L -> 9L))
+  }
 }
