@@ -51,33 +51,45 @@ object DecimalDotsExact {
     * the scale-18 rounding) ≤ n·5e-19 plus the fold rounding, which scales
     * with the MAGNITUDE of the partial sums — up to ~n·ulp(Σ|xᵢwᵢ|)
     * (Σ|xᵢwᵢ| upper-bounds every partial sum). So the margin is computed
-    * per call from the accumulated |product| mass, with a 16× safety
-    * factor, and floored at 1e-9 — the unit-scale bound (~2e-13) × ~5000,
+    * per call from an upper bound on the |product| mass (callers pass the
+    * Cauchy–Schwarz bound ‖x‖·‖w‖ from norms precomputed OUTSIDE the dot
+    * loop — see [[norm2]]), with a 16× safety factor, and floored at
+    * 1e-9 — the unit-scale bound (~2e-13) × ~5000,
     * preserving the documented behavior for unit embeddings. A larger
     * margin only sends MORE decisions to the exact-decimal path, so it can
     * never change a result relative to the all-decimal semantics — only
     * guard it for large-magnitude (non-unit-norm) vectors, where a fixed
     * absolute 1e-9 could silently trust a wrong fast sign/ordering. */
-  private[functions] def fastMargin(n: Int, sumAbs: Double): Double =
-    math.max(1e-9, 16.0 * n * math.ulp(sumAbs) + n * 1e-18)
+  private[functions] def fastMargin(n: Int, sumAbsBound: Double): Double =
+    math.max(1e-9, 16.0 * n * math.ulp(sumAbsBound) + n * 1e-18)
 
-  /** (double-fold dot, Σ|xᵢwᵢ|) in one pass — the |product| mass feeds
-    * [[fastMargin]]. */
-  private[functions] def dotDoubleAbs(x: Array[Double],
-      w: Array[Double]): (Double, Double) = {
+  /** ‖x‖₂ — feeds [[fastMargin]] through the Cauchy–Schwarz bound
+    * Σ|xᵢwᵢ| ≤ ‖x‖·‖w‖, so callers precompute one norm per vector and one
+    * per (fixed) plane/centroid instead of accumulating |products| inside
+    * every dot loop (measured: the extra in-loop accumulation cost ~60% on
+    * the LSH sig path; the bound is looser than the exact Σ|xᵢwᵢ|, which
+    * only sends MORE borderline decisions to the exact path — never
+    * changes a result). */
+  private[functions] def norm2(x: Array[Double]): Double = {
     var s = 0.0
-    var a = 0.0
     var i = 0
-    val n = math.min(x.length, w.length)
-    while (i < n) { val p = x(i) * w(i); s += p; a += math.abs(p); i += 1 }
-    (s, a)
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
   }
 
-  private[functions] def decideSign(x: Array[Double], w: Array[Double]): Boolean = {
-    val (fast, sumAbs) = dotDoubleAbs(x, w)
-    val m = fastMargin(math.min(x.length, w.length), sumAbs)
-    if (fast > m) true
-    else if (fast < -m) false
+  private[functions] def dotDouble(x: Array[Double], w: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(x.length, w.length)
+    while (i < n) { s += x(i) * w(i); i += 1 }
+    s
+  }
+
+  private[functions] def decideSign(x: Array[Double], w: Array[Double],
+      margin: Double): Boolean = {
+    val fast = dotDouble(x, w)
+    if (fast > margin) true
+    else if (fast < -margin) false
     else dotUnscaled(x, w).signum > 0
   }
 
@@ -151,9 +163,13 @@ case class DecimalSigsAll(child: Expression,
   override def prettyName: String = "decimal_sigs"
 
   private lazy val childIsFloat = isFloatArray(child)
+  // plane norms are fixed per plan — computed once, reused for every row's
+  // Cauchy–Schwarz margin bound
+  private lazy val planeNorms: Array[Array[Double]] = tables.map(_.map(norm2))
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = readVec(input, childIsFloat)
+    val xn = norm2(x)
     val out = new Array[Long](tables.length)
     var t = 0
     while (t < tables.length) {
@@ -162,7 +178,8 @@ case class DecimalSigsAll(child: Expression,
       while (p < tables(t).length) {
         // fast-double sign with exact-decimal fallback inside the margin —
         // bit-identical to the all-decimal form (see fastMargin)
-        if (decideSign(x, tables(t)(p))) sig |= (1L << p)
+        val m = fastMargin(x.length, xn * planeNorms(t)(p))
+        if (decideSign(x, tables(t)(p), m)) sig |= (1L << p)
         p += 1
       }
       out(t) = sig
@@ -188,6 +205,7 @@ case class DecimalArgTopK(child: Expression, matrix: Array[Array[Double]],
   override def prettyName: String = "decimal_arg_topk"
 
   private lazy val childIsFloat = isFloatArray(child)
+  private lazy val maxRowNorm: Double = matrix.map(norm2).max
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = readVec(input, childIsFloat)
@@ -196,21 +214,16 @@ case class DecimalArgTopK(child: Expression, matrix: Array[Array[Double]],
     // boundary — if any adjacent pair among them is closer than the margin,
     // recompute EVERYTHING in exact decimal (rare: decision-boundary rows).
     val fast = new Array[Double](matrix.length)
-    var maxSumAbs = 0.0
     var r = 0
-    while (r < matrix.length) {
-      val (s, a) = dotDoubleAbs(x, matrix(r))
-      fast(r) = s
-      if (a > maxSumAbs) maxSumAbs = a
-      r += 1
-    }
+    while (r < matrix.length) { fast(r) = dotDouble(x, matrix(r)); r += 1 }
     val fastOrder = (0 until matrix.length).sortWith { (a, b) =>
       if (fast(a) != fast(b)) fast(a) > fast(b) else a < b
     }
     val boundary = math.min(k, matrix.length - 1)
     // comparing two rows compounds both rows' fold errors → 2× the
-    // single-dot margin at the worst row magnitude
-    val gapMargin = 2.0 * fastMargin(x.length, maxSumAbs)
+    // single-dot margin at the worst row magnitude (Cauchy–Schwarz bound
+    // from the precomputed norms)
+    val gapMargin = 2.0 * fastMargin(x.length, norm2(x) * maxRowNorm)
     var safe = true
     var i = 0
     while (i < boundary && safe) {

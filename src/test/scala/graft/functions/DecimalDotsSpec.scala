@@ -28,7 +28,8 @@ class DecimalDotsSpec extends AnyFunSuite {
   test("decideSign matches the all-decimal sign on large-magnitude near-cancelling vectors") {
     // magnitude ~1e15 products with near-total cancellation: the double
     // fold drifts by up to ~n·ulp(1e17) ≈ tens — far past any absolute
-    // 1e-9 margin. The relative margin must route these to the exact path.
+    // 1e-9 margin. The relative (Cauchy–Schwarz-bounded) margin must route
+    // these to the exact path.
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { trial =>
       val n = 64
@@ -36,11 +37,12 @@ class DecimalDotsSpec extends AnyFunSuite {
       val w0 = Array.fill(n)((rnd.nextDouble() - 0.5) * 2.0)
       // bend w to near-cancel the dot (projection removal in double — the
       // residual exact dot is small but generally nonzero)
-      val d = dotDoubleAbs(x, w0)._1
-      val xx = dotDoubleAbs(x, x)._1
+      val d = dotDouble(x, w0)
+      val xx = dotDouble(x, x)
       val w = Array.tabulate(n)(i => w0(i) - d / xx * x(i))
+      val m = fastMargin(n, norm2(x) * norm2(w))
       val exactPositive = dotUnscaled(x, w).signum > 0
-      assert(decideSign(x, w) === exactPositive, s"trial $trial diverged")
+      assert(decideSign(x, w, m) === exactPositive, s"trial $trial diverged")
     }
   }
 
@@ -50,8 +52,22 @@ class DecimalDotsSpec extends AnyFunSuite {
       val n = 64
       val x = Array.fill(n)(rnd.nextDouble() - 0.5)
       val w = Array.fill(n)(rnd.nextDouble() - 0.5)
+      val m = fastMargin(n, norm2(x) * norm2(w))
       val exactPositive = dotUnscaled(x, w).signum > 0
-      assert(decideSign(x, w) === exactPositive, s"trial $trial diverged")
+      assert(decideSign(x, w, m) === exactPositive, s"trial $trial diverged")
+    }
+  }
+
+  test("Cauchy–Schwarz margin bound dominates the exact |product| mass") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val n = 64
+      val x = Array.fill(n)((rnd.nextDouble() - 0.5) * 1e8)
+      val w = Array.fill(n)((rnd.nextDouble() - 0.5) * 1e4)
+      var sumAbs = 0.0
+      var i = 0
+      while (i < n) { sumAbs += math.abs(x(i) * w(i)); i += 1 }
+      assert(norm2(x) * norm2(w) >= sumAbs * (1 - 1e-12))
     }
   }
 }
