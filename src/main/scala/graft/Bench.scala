@@ -30,6 +30,12 @@ object Bench {
       }
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(s"BENCHDBG $name ${times.mkString(" ")}")
+      // drop this query's cached relations before the next one: ~50 of the
+      // 90+ queries cache a pipeline barrier, and letting those accumulate
+      // puts the whole storage pool under GC/eviction churn by the tail —
+      // the dominant source of run-to-run tail variance. Rep 2 still reuses
+      // rep 1's cache (the clear happens after both reps).
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
