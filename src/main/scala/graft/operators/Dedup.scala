@@ -163,6 +163,87 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** INCREMENTAL exact dedup: flag each INCOMING doc as `is_known` (its
+    * normalized fingerprint already exists in the reference corpus) and/or
+    * `is_duplicate` (a lower-id incoming doc in the same batch has the same
+    * fingerprint). This is how exact dedup actually runs in a production
+    * ingest loop: the corpus is already deduped, so only new-vs-corpus and
+    * new-vs-new comparisons happen — never a corpus self-join.
+    *
+    * Scale shape: corpus side reduces to DISTINCT fingerprints (64-bit
+    * longs — the only thing that crosses the wire, ~8 B/doc), one
+    * left-semi-shaped join against the incoming batch (typically tiny vs
+    * the corpus → the batch's fingerprint set is the natural broadcast
+    * side at real scale), one within-batch window. At 100 TB the corpus
+    * fingerprint set is a bucketed table maintained across ingests. */
+  def incrementalExact(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fp = TextFeatures.fingerprint(col(textCol))
+    val known = corpus.select(fp.as("__fp")).distinct()
+      .withColumn("__known", lit(true))
+    val w = Window.partitionBy(col("__fp"))
+    incoming.withColumn("__fp", fp)
+      .join(known, Seq("__fp"), "left")
+      .withColumn("is_known", coalesce(col("__known"), lit(false)))
+      .withColumn("is_duplicate", col(idCol) =!= min(col(idCol)).over(w))
+      .drop("__fp", "__known")
+  }
+
+  /** CROSS-CORPUS MinHash near-dup pairs: candidate pairs between an
+    * INCOMING batch and an EXISTING corpus only — never corpus×corpus.
+    * The LSH band join goes batch-side × corpus-side (shuffle ∝ both
+    * inputs' band rows, pair volume ∝ genuinely-similar mass), each
+    * survivor verified by exact shingle Jaccard like [[minhashNearDupPairs]].
+    * Output: (id_new, id_corpus, jaccard). At scale the corpus signatures
+    * are precomputed and stored; here they're derived in-plan from the
+    * same fused expression. */
+  def minhashCrossPairs(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      minJaccard: Double = 0.8): DataFrame = {
+    def norm(c: Column) = lower(trim(regexp_replace(c, "\\s+", " ")))
+    val sigExpr = graft.functions.MinHashTextSignature.minhashText(
+      norm(col(textCol)), shingleSize, numHashes)
+    // signatures cached per side; band rows carry IDS ONLY (the band
+    // explode multiplies whatever it carries by `bands` — see
+    // minhashPipeline). The batch sig table is small by nature and
+    // BROADCASTS into the estimate prefilter; the corpus sig table joins
+    // by shuffle on id (never broadcast — same reasoning as the size gate
+    // in minhashPipeline).
+    val newSigs = incoming.select(col(idCol).as("id_new"), sigExpr.as("sig_n"))
+      .cache()
+    val corpusSigs = corpus.select(col(idCol).as("id_corpus"),
+      sigExpr.as("sig_c")).cache()
+    def bandRows(sigs: DataFrame, idName: String, sigName: String) = sigs
+      .select(col(idName),
+        explode(lshBands(col(sigName), bands, numHashes)).as("bandrow"))
+      .select(col(idName), col("bandrow.band").as("band"),
+        col("bandrow.bucket").as("bucket"))
+    val estScore = graft.functions.SignatureAgreement.agreement(
+      col("sig_n"), col("sig_c")).cast("double") / lit(numHashes.toDouble)
+    val cands = bandRows(newSigs, "id_new", "sig_n")
+      .join(bandRows(corpusSigs, "id_corpus", "sig_c"), Seq("band", "bucket"))
+      .select(col("id_new"), col("id_corpus"))
+      .dropDuplicates("id_new", "id_corpus")
+      .join(broadcast(newSigs), Seq("id_new"))
+      .join(corpusSigs, Seq("id_corpus"))
+      .filter(estScore >= lit(minJaccard) - 0.2)
+      .select(col("id_new"), col("id_corpus"))
+      .cache()
+    def grams(df: DataFrame, idAs: String, gAs: String) = df
+      .select(col(idCol).as(idAs), col(textCol).as("__t"))
+      .join(cands.select(col(idAs)).distinct(), Seq(idAs), "left_semi")
+      .select(col(idAs), sort_array(
+        TextFeatures.shingles(col("__t"), shingleSize)).as(gAs))
+    cands
+      .join(grams(incoming, "id_new", "g_n"), Seq("id_new"))
+      .join(grams(corpus, "id_corpus", "g_c"), Seq("id_corpus"))
+      .withColumn("jaccard", graft.functions.JaccardSortedArrays
+        .jaccardSorted(col("g_n"), col("g_c")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_new"), col("id_corpus"), col("jaccard"))
+  }
+
   /** Near-duplicate GROUPS from a pair list: connected components by
     * iterative min-id label propagation — the step a dedup pipeline runs
     * AFTER pair generation, so "A≈B, B≈C" collapses to ONE canonical doc

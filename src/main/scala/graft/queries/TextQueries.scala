@@ -313,6 +313,95 @@ object TextQueries {
       WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** INCREMENTAL exact dedup ([[Dedup.incrementalExact]]): an ingest batch
+    * (every 4th doc, plus planted copies of corpus docs at +300000) flagged
+    * against the existing corpus — `is_known` (fingerprint already in the
+    * corpus) and `is_duplicate` (within-batch). This is the production
+    * shape of exact dedup: corpus-side reduces to distinct 64-bit
+    * fingerprints, never a corpus self-join. Twin groups on the normalized
+    * text itself (collision-equivalent to the engine's xxhash64 — the
+    * documented [[Dedup.exactDuplicates]] trade). */
+  val qDedupIncremental = GQuery("q_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      Dedup.incrementalExact(incoming, corpus, "doc_id", "text")
+        .select(col("doc_id"), col("is_known"), col("is_duplicate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH inc AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        FROM documents WHERE doc_id % 4 <> 0 AND doc_id % 20 = 1),
+      corp AS (
+        SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS n
+        FROM documents WHERE doc_id % 4 <> 0)
+      SELECT i.doc_id, (c.n IS NOT NULL) AS is_known,
+        i.doc_id <> MIN(i.doc_id) OVER (PARTITION BY i.n) AS is_duplicate
+      FROM inc i LEFT JOIN corp c ON i.n = c.n
+      ORDER BY i.doc_id"""),
+    notes = "incremental ingest dedup: batch vs corpus fingerprints + within-batch; planted known copies")
+
+  /** CROSS-CORPUS MinHash near-dup pairs ([[Dedup.minhashCrossPairs]]):
+    * the ingest batch LSH-paired against the existing corpus only — never
+    * corpus×corpus (the incremental posture at 100 TB: corpus signatures
+    * are precomputed state, pair volume ∝ batch-similar mass). Planted
+    * exact copies guarantee jaccard-1.0 pairs at any SF; the twin
+    * brute-forces cross-side 5-gram Jaccard like [[qMinhashPairs]]. */
+  val qMinhashCross = GQuery("q_minhash_cross",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text")))
+      Dedup.minhashCrossPairs(incoming, corpus, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+        .orderBy(col("id_new"), col("id_corpus"))
+    },
+    Some("""WITH inc AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text FROM documents
+        WHERE doc_id % 4 <> 0 AND doc_id % 20 = 1),
+      corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+      di AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM inc),
+      dc AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM corp),
+      si AS (SELECT doc_id, unnest(sh) AS g FROM di),
+      sc AS (SELECT doc_id, unnest(sh) AS g FROM dc),
+      inter AS (
+        SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, COUNT(*) AS ninter
+        FROM si a JOIN sc b ON a.g = b.g
+        GROUP BY 1, 2),
+      cni AS (SELECT doc_id, len(sh) AS n FROM di),
+      cnc AS (SELECT doc_id, len(sh) AS n FROM dc)
+      SELECT id_new, id_corpus,
+        CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN cni ca ON id_new = ca.doc_id
+      JOIN cnc cb ON id_corpus = cb.doc_id
+      WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
+      ORDER BY id_new, id_corpus"""),
+    notes = "batch-vs-corpus LSH pairs; twin brute-forces cross-side Jaccard; planted exact copies")
+
   /** Near-dup CLUSTERS: MinHash pairs → connected components → canonical
     * doc per cluster. HASH-EXACT oracle: DuckDB recomputes the pairs brute
     * force and closes them with a recursive CTE (transitive closure, min
@@ -1571,7 +1660,7 @@ object TextQueries {
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
-    qMinhashPairs, qNearDupGroups,
+    qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,

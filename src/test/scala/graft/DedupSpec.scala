@@ -89,6 +89,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalExact: known vs within-batch duplicate flags") {
+    val corpus = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha  beta gamma"),   // known (normalized match with 10)
+      (21L, "zeta eta"),            // new
+      (22L, "zeta eta"),            // within-batch dup of 21
+      (23L, "theta iota"))          // new, unique
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(incoming, corpus, "doc_id", "text")
+      .select("doc_id", "is_known", "is_duplicate")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      20L -> ((true, false)), 21L -> ((false, false)),
+      22L -> ((false, true)), 23L -> ((false, false))))
+  }
+
+  test("minhashCrossPairs equals the cross-boundary slice of the self-join variant") {
+    val corpus = docs.filter($"doc_id".isin(1L, 3L, 4L))
+    val incoming = docs.filter($"doc_id".isin(2L, 5L))
+    val cross = Dedup.minhashCrossPairs(incoming, corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .select("id_new", "id_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    spark.catalog.clearCache()
+    val plain = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val inc = Set(2L, 5L)
+    val expected = plain.flatMap { case (a, b, j) =>
+      if (inc(a) && !inc(b)) Some((a, b, j))
+      else if (inc(b) && !inc(a)) Some((b, a, j))
+      else None
+    }.toSet
+    assert(cross === expected)
+    assert(cross.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("nearDupGroups/Star: empty pair list converges to an empty label set") {
     // SUM over zero rows is SQL NULL — must not NPE (a corpus with no
     // near-dup pairs is a legitimate, indeed desirable, input)
