@@ -118,6 +118,26 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming INCREMENTAL dedup against a STATIC corpus (the stream twin
+    * of [[graft.operators.Dedup.incrementalExact]]): drop incoming docs
+    * whose fingerprint already exists in the corpus (stream-static
+    * LEFT-ANTI join — at scale the corpus fingerprint set is the bucketed
+    * table the batch ingest maintains), then first-arrival-wins within the
+    * watermark horizon for new-vs-new duplicates. Corpus membership is
+    * stateless per batch; only the within-horizon dedup holds state —
+    * the same bounded-state contract as [[streamingDedup]].
+    *
+    * @param corpusFps static frame with a single `__fp: long` column —
+    *                  produce with `TextFeatures.fingerprint` + distinct */
+  def incrementalDedupStream(docs: DataFrame, corpusFps: DataFrame,
+      tsCol: String, textCol: String, watermark: String): DataFrame =
+    docs.withColumn("__fp",
+        graft.functions.TextFeatures.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Per-key running state for ST5 (online-learning cache) / W2-on-streams:
     * last observed value per (user, type) via flatMapGroupsWithState,
     * emitting a movement record whenever the new value deviates more than

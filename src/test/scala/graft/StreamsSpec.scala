@@ -274,6 +274,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupStream passes exactly the batch survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, ts("2024-01-01 10:00:00"), "alpha  beta gamma"), // known → dropped
+      (21L, ts("2024-01-01 10:01:00"), "zeta eta"),          // survives
+      (22L, ts("2024-01-01 10:02:00"), "zeta eta"),          // in-batch dup → dropped
+      (23L, ts("2024-01-01 10:03:00"), "theta iota"))        // survives
+    val corpusFps = corpus.select(
+      functions.TextFeatures.fingerprint(col("text")).as("__fp")).distinct()
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), corpusFps, "ts", "text",
+        "1 hour")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("inc_dedup")
+        .select("doc_id").as[Long].collect().toSet
+      // batch twin: survivors are the not-known, not-duplicate incoming docs
+      val batch = operators.Dedup.incrementalExact(
+          incoming.toDF("doc_id", "ts", "text"), corpus, "doc_id", "text")
+        .filter(!col("is_known") && !col("is_duplicate"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(21L, 23L))
+    } finally q.stop()
+  }
+
   test("piiScrubStream redacts identically to the batch scrub, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
