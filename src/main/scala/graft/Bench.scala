@@ -20,10 +20,16 @@ object Bench {
     catch { case _: Throwable => () }
     try queries.Relational.q1Agg.run(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // best-of-2 per query: first run pays codegen compilation + JIT for
+    // optional dev filter (args(0): comma-separated names) and rep count
+    // (SPARK_GRAFT_BENCH_REPS) for isolating one query's timing
+    val only = args.lift(0).map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    // best-of-N per query: first run pays codegen compilation + JIT for
     // that plan shape; min is the stable figure rounds compare against
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -1,15 +1,21 @@
 package graft
 
-/** Scratch probe main for local iteration (not part of the driver contract). */
+import org.apache.spark.sql.functions._
+
+/** Scratch probe main for local iteration (not part of the driver contract).
+  * Edit freely: time a pipeline stage, print a plan, inspect a table. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.build("local[8]", "8")
-    val d = "/root/testdata/sf0.001"
-    val ev = Tables.events(spark, d)
-    ev.printSchema()
-    ev.show(3, false)
-    val li = Tables.lineitem(spark, d)
-    li.show(2, false)
+    val spark = GraftSession.build("local[32]", "32")
+    val d = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    t("docs count") {
+      System.err.println(Tables.documents(spark, d).count())
+    }
     spark.stop()
   }
 }

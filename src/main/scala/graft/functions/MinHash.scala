@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ExprBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** MinHash signature in ONE pass over the shingle array.
   *
@@ -175,6 +175,92 @@ case class JaccardSortedArrays(left: Expression, right: Expression)
 object JaccardSortedArrays {
   def jaccardSorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSortedArrays(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Distinct hashed shingle set of `text` as a SORTED array<long>: the
+  * rolling character n-gram windows, each FNV-1a-64 hashed (the same
+  * per-window hash [[MinHashTextSignature]] uses), deduped and sorted in
+  * one pass — no string array is ever materialized.
+  *
+  * Purpose: the exact-Jaccard verify stage. Jaccard over hashed sets
+  * equals Jaccard over string sets absent 64-bit collisions (P ≈ n²/2^65
+  * per doc — the same accepted trade as fingerprint-based exact dedup),
+  * while the rows that cross the verify joins shrink from ~13 B+overhead
+  * per shingle STRING to a flat 8 B/element long array, and the per-pair
+  * merge compares words instead of memcmp. Window semantics mirror
+  * TextFeatures.shingles: text shorter than the window yields one
+  * whole-text shingle (an empty text hashes the empty window), so the
+  * two formulations agree on every input. */
+case class HashedShingleSet(child: Expression, shingleSize: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val len = s.length
+    val nWindows = math.max(len - shingleSize + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < nWindows) {
+      var h = 0xcbf29ce484222325L
+      val end = math.min(i + shingleSize, len)
+      var j = i
+      while (j < end) {
+        val c = s.charAt(j)
+        h ^= (c & 0xffL); h *= 0x100000001b3L
+        h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShingleSet {
+  def hashedShingles(text: Column, shingleSize: Int): Column =
+    ExpressionUtils.column(HashedShingleSet(
+      ExpressionUtils.expression(text), shingleSize))
+}
+
+/** Exact Jaccard of two SORTED, DISTINCT long arrays — the word-compare
+  * twin of [[JaccardSortedArrays]] for hashed shingle sets. */
+case class JaccardSortedLongArrays(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    java.lang.Double.valueOf(
+      if (union == 0) 0.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object JaccardSortedLongArrays {
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSortedLongArrays(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
 

@@ -409,6 +409,87 @@ object Ann {
       .maxBy(_.predictedRecall)
   }
 
+  /** Exact per-group centroid of an embedding column, long form:
+    * one row per (group, dimension) with the decimal-exact mean and the
+    * group size. Long-form output keeps the result engine-comparable
+    * (no array-ordering ambiguity); a consumer that wants vectors back
+    * pivots with sort_array(collect_list(struct(dim, centroid))).
+    *
+    * Scale shape: posexplode expands rows×dim inside whole-stage codegen,
+    * then the partial (map-side) hash aggregate collapses each task to
+    * ≤ |groups|×dim rows before the single shuffle — wire bytes ∝
+    * partitions × |groups| × dim, independent of corpus row count, and no
+    * vector crosses the exchange.
+    *
+    * Exactness: each float component is scaled by 2^49 — an IEEE exponent
+    * shift, always exact — which turns every float with |v| ≥ 2^-26 (or 0)
+    * into an exact INTEGER (a float mantissa has 24 bits, so its lowest
+    * set bit is at ≥ 2^-49 whenever its magnitude is ≥ 2^-26; normalized
+    * embeddings live well inside that range). The integers accumulate in
+    * decimal(38,0) — exact to 10^38, partition-order independent, still
+    * map-side-combinable — and ONE double division at the end yields the
+    * mean. No base-10 rounding of a binary fraction ever happens, so the
+    * result is bit-identical across engines and cluster sizes. (A plain
+    * decimal(p,s) cast of the floats is NOT: a float with exactly s+1
+    * fractional bits lands on a decimal half and Spark's HALF_UP disagrees
+    * with round-half-even engines.) */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val twoTo49 = lit(562949953421312.0)
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("grp"), col("dim"))
+      .agg(
+        (sum((col("v").cast("double") * twoTo49).cast("decimal(38,0)"))
+            .cast("double") /
+          (count(lit(1)).cast("double") * twoTo49)).as("centroid"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Engine-portable L2 norm of a float-array column. The per-element
+    * square is EXACT in double (24-bit × 24-bit = 48-bit significand);
+    * the decimal cast uses scale 10 for two load-bearing reasons:
+    * (1) a square has an EVEN number of fractional bits, and a rounding
+    * tie at scale s needs exactly s+1 fractional digits — odd for s=10 —
+    * so no tie can ever occur (HALF_UP vs half-even engines agree);
+    * (2) for unit-scale vectors the sum's numerator stays < 2^53, so the
+    * decimal→double cast is one correctly-rounded conversion in every
+    * engine (an int128 numerator past 2^53 double-rounds in engines that
+    * convert hi/lo words separately). sqrt is IEEE-correctly-rounded.
+    * Net: the norm is bit-identical across engines and partition orders,
+    * with deterministic 1e-9-relative rounding of norm². */
+  def normExact(vec: Column): Column =
+    sqrt(
+      aggregate(
+        transform(vec, x => (x.cast("double") * x.cast("double"))
+          .cast("decimal(28,10)")),
+        lit(0).cast("decimal(28,10)"),
+        (acc, v) => (acc + v).cast("decimal(28,10)")).cast("double"))
+
+  /** L2-normalize an embedding column, long form (id, dim, u): one row
+    * per component, u = v / ‖v‖ with [[normExact]]'s portable norm — the
+    * division is a single correctly-rounded IEEE op, so unit components
+    * are bit-identical across engines. Map-side only: no shuffle, no
+    * vector crosses any exchange. */
+  def l2NormalizeLong(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), normExact(col(vecCol)).as("nrm"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("id"), col("dim"),
+        (col("v").cast("double") / col("nrm")).as("u"))
+
+  /** Symmetric int8 quantization with a per-vector max-abs scale, long
+    * form (id, dim, q, qscale): q = floor(v/max|v| · 127) ∈ [-127, 127].
+    * floor — unlike round — has no halfway ties, so the codes replay
+    * bit-exactly in any engine (a production variant may prefer rint;
+    * the bucket width is identical). Map-side only. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_max(transform(col(vecCol), v => abs(v))).cast("double").as("qscale"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("id"), col("dim"),
+        floor(col("v").cast("double") / col("qscale") * lit(127.0))
+          .cast("int").as("q"),
+        col("qscale"))
+
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,

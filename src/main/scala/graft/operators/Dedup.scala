@@ -140,25 +140,39 @@ object Dedup {
       .filter(estScore >= lit(minJaccard) - 0.2)
       .select("id_a", "id_b")
       .cache()
-    // 4. exact verification only on survivors. Shingle-set construction is
-    //    interpreter-evaluated (higher-order builtins are CodegenFallback)
-    //    and ~ms per doc — so build sets ONLY for docs that appear in a
-    //    surviving pair (semi-join first), not the whole corpus. keyed:
-    //    candidate text comes from a fresh by-key read of the source.
+    // 4. exact verification only on survivors — with HASHED shingle sets
+    //    (sorted array<long>; Jaccard-equal to string sets absent 64-bit
+    //    collisions, see HashedShingleSet). Two wins at candidate-set
+    //    density: the per-pair payload drops ~2× (flat longs vs string
+    //    offsets+bytes), and when the candidate gram table fits the
+    //    broadcast budget the pair rows stream through two broadcast hash
+    //    joins — NO array-carrying exchange at all (the string SMJ here
+    //    measured 11 s on a 125k-pair candidate set; broadcast+longs: <1 s).
+    //    Build sets ONLY for docs in a surviving pair (semi-join first).
+    //    keyed: candidate text comes from a fresh by-key read of the source.
     val candIds = strong.select(col("id_a").as("id"))
       .union(strong.select(col("id_b").as("id"))).distinct()
     val textSource =
       if (keyed) df.select(col(idCol).as("id"), col(textCol).as("text"))
       else base
-    val grams = textSource.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), sort_array(
-        TextFeatures.shingles(col("text"), shingleSize)).as("grams"))
+    val gramsPlain = textSource.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), graft.functions.HashedShingleSet.hashedShingles(
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))),
+        shingleSize).as("grams"))
       .cache()
+    // one cheap agg on the cached table: materializes it before the double
+    // use (un-populated caches race under one action) AND sizes the gate
+    val gramStats = gramsPlain.agg(
+      count(lit(1)).as("n"), sum(size(col("grams"))).as("els")).head()
+    val gramBytes = 16L * gramStats.getLong(0) +
+      8L * Option(gramStats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val grams = if (gramBytes <= maxSigBroadcastBytes) broadcast(gramsPlain)
+                else gramsPlain
     strong
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .withColumn("jaccard", graft.functions.JaccardSortedArrays
-        .jaccardSorted(col("g_a"), col("g_b")))
+      .withColumn("jaccard", graft.functions.JaccardSortedLongArrays
+        .jaccardSortedLong(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -214,6 +228,12 @@ object Dedup {
       .cache()
     val corpusSigs = corpus.select(col(idCol).as("id_corpus"),
       sigExpr.as("sig_c")).cache()
+    // materialize BOTH sig caches eagerly: each is reused by 2-3 downstream
+    // branches of one action, and un-populated caches race — concurrent
+    // stages each recompute the 64-hash signature expression (measured 10.5 s
+    // vs 1.7 s for the same-corpus pipeline, which materializes via its
+    // size-gate count)
+    newSigs.count(); corpusSigs.count()
     def bandRows(sigs: DataFrame, idName: String, sigName: String) = sigs
       .select(col(idName),
         explode(lshBands(col(sigName), bands, numHashes)).as("bandrow"))
@@ -230,16 +250,30 @@ object Dedup {
       .filter(estScore >= lit(minJaccard) - 0.2)
       .select(col("id_new"), col("id_corpus"))
       .cache()
-    def grams(df: DataFrame, idAs: String, gAs: String) = df
-      .select(col(idCol).as(idAs), col(textCol).as("__t"))
-      .join(cands.select(col(idAs)).distinct(), Seq(idAs), "left_semi")
-      .select(col(idAs), sort_array(
-        TextFeatures.shingles(col("__t"), shingleSize)).as(gAs))
+    cands.count() // eager for the same reason: 3 downstream branches
+    // exact verify over HASHED shingle sets with size-gated broadcast per
+    // side (see minhashPipeline step 4 — same plan shape, two sources).
+    // The sides stay separate tables: id_new and id_corpus are distinct id
+    // spaces, and at real scale the batch side is small while the corpus
+    // side is bounded by candidate-touched docs.
+    def grams(df: DataFrame, idAs: String, gAs: String) = {
+      val g = df
+        .select(col(idCol).as(idAs), col(textCol).as("__t"))
+        .join(cands.select(col(idAs)).distinct(), Seq(idAs), "left_semi")
+        .select(col(idAs), graft.functions.HashedShingleSet.hashedShingles(
+          lower(trim(regexp_replace(col("__t"), "\\s+", " "))),
+          shingleSize).as(gAs))
+        .cache()
+      val st = g.agg(count(lit(1)), sum(size(col(gAs)))).head()
+      val bytes = 16L * st.getLong(0) +
+        8L * Option(st.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (bytes <= MaxSigBroadcastBytes) broadcast(g) else g
+    }
     cands
       .join(grams(incoming, "id_new", "g_n"), Seq("id_new"))
       .join(grams(corpus, "id_corpus", "g_c"), Seq("id_corpus"))
-      .withColumn("jaccard", graft.functions.JaccardSortedArrays
-        .jaccardSorted(col("g_n"), col("g_c")))
+      .withColumn("jaccard", graft.functions.JaccardSortedLongArrays
+        .jaccardSortedLong(col("g_n"), col("g_c")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_new"), col("id_corpus"), col("jaccard"))
   }

@@ -566,6 +566,71 @@ object TextQueries {
       SELECT query_id, rank, id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** Per-label exact embedding centroid — the vector-aggregate primitive
+    * under IVF training, cluster profiling, and dataset condensation.
+    * Long-form (label, dim) rows so the decimal-exact mean hash-compares
+    * against the DuckDB twin; see [[Ann.groupCentroids]] for the
+    * shuffle-invariant shape. */
+  val qEmbedCentroid = GQuery("q_embed_centroid",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.groupCentroids(emb, "label", "embedding")
+        .select(col("grp").as("label"), col("dim").cast("long").as("dim"),
+          col("centroid"), col("n"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""SELECT label, ord - 1 AS dim,
+        CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS centroid,
+        COUNT(*) AS n
+      FROM (SELECT label, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** L2 normalization of the embedding corpus — the standard prep step
+    * before cosine ANN / dot-product retrieval. Long-form components so
+    * every unit value is hash-compared; see [[Ann.normExact]] for why the
+    * norm is bit-portable across engines. */
+  val qEmbedNormalize = GQuery("q_embed_normalize",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.l2NormalizeLong(emb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("dim").cast("long").as("dim"),
+          col("u"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some("""SELECT vec_id, ord - 1 AS dim,
+        CAST(v AS DOUBLE) / sqrt(CAST(list_sum(list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,10))))
+          AS DOUBLE)) AS u
+      FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+      ORDER BY vec_id, dim"""))
+
+  /** Symmetric int8 quantization of the embedding corpus (4× compression
+    * before ANN serving / index shipping). Codes and per-vector scale both
+    * hash-compared; floor-based bucketing makes the codes engine-exact. */
+  val qEmbedQuantize = GQuery("q_embed_quantize",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("dim").cast("long").as("dim"),
+          col("q"), col("qscale"))
+        .orderBy(col("vec_id"), col("dim"))
+    },
+    Some("""SELECT vec_id, ord - 1 AS dim,
+        CAST(FLOOR(CAST(v AS DOUBLE)
+            / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+            * 127.0) AS INTEGER) AS q,
+        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS qscale
+      FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+              generate_subscripts(embedding, 1) AS ord
+            FROM embeddings)
+      ORDER BY vec_id, dim"""))
+
   /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures +
     * query-adaptive multiprobe, configured by [[Ann.deriveLshConfig]] from
     * the corpus's measured neighbor cosine (≈0.25 on this synthetic corpus —
@@ -1661,7 +1726,8 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
-    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnLsh, qAnnIvf,
+    qSimhashPairs, qNgramJaccard, qCosineTopK, qEmbedCentroid,
+    qEmbedNormalize, qEmbedQuantize, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
     qVideoDecode, qFrameSample, qImageResize,

@@ -97,4 +97,33 @@ class AnnCandidatesSpec extends SparkSpec {
     assert(cands1.subsetOf(cands4), "nProbe=1 set must be inside nProbe=4 set")
     info(s"nProbe=1: ${cands1.size}, nProbe=4: ${cands4.size}")
   }
+
+  test("groupCentroids: partition-order independent, exact against driver-side fold") {
+    val base = Ann.groupCentroids(emb, "label", "embedding")
+      .orderBy("grp", "dim").collect()
+    val shuffled = Ann.groupCentroids(emb.repartition(7, col("vec_id")), "label", "embedding")
+      .orderBy("grp", "dim").collect()
+    assert(base.sameElements(shuffled),
+      "centroid bits changed under repartition — accumulation is order-dependent")
+    // exact reference: fold the same dyadic integers on the driver
+    val rows = emb.select(col("label"), col("embedding")).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    val twoTo49 = 562949953421312.0
+    val ref = byLabel.map { case (lbl, rs) =>
+      val vecs = rs.map(_.getSeq[Float](1))
+      val sums = Array.fill(vecs.head.size)(BigInt(0))
+      vecs.foreach { v =>
+        v.indices.foreach { i =>
+          val scaled = v(i).toDouble * twoTo49
+          assert(scaled == math.rint(scaled), "component below 2^-26: scaling not exact")
+          sums(i) += BigInt(scaled.toLong)
+        }
+      }
+      lbl -> sums.map(s => s.toDouble / (vecs.size.toDouble * twoTo49))
+    }
+    base.foreach { r =>
+      val (lbl, dim, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      assert(ref(lbl)(dim) == c, s"label=$lbl dim=$dim: $c vs ${ref(lbl)(dim)}")
+    }
+  }
 }
