@@ -46,4 +46,31 @@ object Salience {
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         col("df"), col("score"))
   }
+
+  /** Corpus vocabulary: the top-`k` terms by document frequency (ties:
+    * total term count desc, then term asc — a total order). The
+    * tokenizer-training / stopword-mining primitive of a text pipeline.
+    *
+    * Scale shape: explode+groupBy(doc, term) with map-side combine for tf,
+    * vocab-sized groupBy(term) for (df, tf_total), then a DISTRIBUTED
+    * top-k — orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k·partitions rows), NEVER a global sort or a
+    * single-partition window over the full vocabulary. The rank column is
+    * numbered AFTER the limit, over k rows. */
+  def vocabTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val top = vocab
+      .orderBy(desc("df"), desc("tf_total"), asc("term"))
+      .limit(k)
+    val w = Window.orderBy(desc("df"), desc("tf_total"), asc("term"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("term"), col("df"), col("tf_total"))
+  }
 }

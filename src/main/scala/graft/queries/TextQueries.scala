@@ -1294,6 +1294,30 @@ object TextQueries {
       FROM scored WHERE rnk <= 3 ORDER BY doc_id, rank"""),
     notes = "rational-idf TF-IDF: monotone-equivalent ranking, hash-exact score")
 
+  /** Corpus vocabulary: top-50 terms by document frequency with total
+    * occurrence counts — the tokenizer-training / stopword-mining
+    * primitive. Distributed top-k (TakeOrderedAndProject), no global
+    * sort; see [[graft.operators.Salience.vocabTopK]]. */
+  val qVocabTopk = GQuery("q_vocab_topk",
+    (s, d) => graft.operators.Salience.vocabTopK(
+        Tables.documents(s, d), "doc_id", "text", k = 50)
+      .orderBy(col("rank")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(tf) AS BIGINT) AS tf_total
+        FROM tf GROUP BY term),
+      ranked AS (SELECT term, df, tf_total,
+          ROW_NUMBER() OVER (ORDER BY df DESC, tf_total DESC, term) AS rnk
+        FROM vocab)
+      SELECT CAST(rnk AS BIGINT) AS rank, term, df, tf_total
+      FROM ranked WHERE rnk <= 50 ORDER BY rank"""),
+    notes = "corpus top-50 vocabulary by doc frequency; total-order tie-break")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -1733,5 +1757,6 @@ object TextQueries {
     qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
-    qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk)
+    qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
+    qVocabTopk)
 }
