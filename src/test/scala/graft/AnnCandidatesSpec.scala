@@ -126,4 +126,26 @@ class AnnCandidatesSpec extends SparkSpec {
       assert(ref(lbl)(dim) == c, s"label=$lbl dim=$dim: $c vs ${ref(lbl)(dim)}")
     }
   }
+
+  test("l2NormalizeLong: unit norms, quantizeInt8: code range and dequant error bound") {
+    val units = Ann.l2NormalizeLong(emb, "vec_id", "embedding")
+      .groupBy("id").agg(sum(col("u") * col("u")).as("sq"))
+      .select("sq").as[Double].collect()
+    units.foreach(sq => assert(math.abs(sq - 1.0) < 1e-9,
+      s"normalized vector has |u|^2 = $sq"))
+
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding")
+    val rng = q.agg(min(col("q")), max(col("q"))).head()
+    assert(rng.getInt(0) >= -127 && rng.getInt(1) <= 127,
+      s"codes out of range: ${rng.getInt(0)}..${rng.getInt(1)}")
+    // dequantized value is within one bucket (scale/127) of the source
+    val maxErr = q
+      .join(emb.select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "v"))), Seq("id", "dim"))
+      .select(max(abs(col("q") * col("qscale") / 127.0 - col("v"))))
+      .head().getDouble(0)
+    val maxScale = q.agg(max(col("qscale"))).head().getDouble(0)
+    assert(maxErr <= maxScale / 127.0 + 1e-12,
+      s"dequant error $maxErr exceeds bucket width ${maxScale / 127.0}")
+  }
 }
