@@ -73,4 +73,27 @@ object Salience {
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("term"), col("df"), col("tf_total"))
   }
+
+  /** Sequence encoding: map each document's first `maxLen` whitespace
+    * tokens to integer ids from a vocabulary table `(term, token_id)` —
+    * the corpus → token-id-sequence step a training exporter runs after
+    * vocabulary construction. Out-of-vocabulary tokens encode as 0 (the
+    * UNK convention). Long-form output (doc_id, pos, token_id) so every
+    * id is oracle-comparable.
+    *
+    * Scale shape: the token positions come from ONE posexplode of the
+    * empty-filtered token array (positions are final before the explode —
+    * no window needed), and the vocab join BROADCASTS: a vocabulary is
+    * bounded (10^4-10^6 terms) regardless of corpus size. Map-side only;
+    * the single shuffle is the output ordering. */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, maxLen: Int): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"),
+      t => t =!= lit(""))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(slice(toks, 1, maxLen)).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
 }

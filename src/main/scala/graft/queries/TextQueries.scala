@@ -1318,6 +1318,46 @@ object TextQueries {
       FROM ranked WHERE rnk <= 50 ORDER BY rank"""),
     notes = "corpus top-50 vocabulary by doc frequency; total-order tie-break")
 
+  /** Sequence encoding: first 32 tokens of every doc mapped to ids from
+    * the in-query top-50 vocabulary (OOV → 0) — the corpus →
+    * token-id-sequence step after vocabulary construction. The vocab
+    * BROADCASTS (bounded regardless of corpus size); encoding is
+    * map-side. */
+  val qTokenIds = GQuery("q_token_ids",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = graft.operators.Salience.vocabTopK(docs, "doc_id", "text", k = 50)
+        .select(col("term"), col("rank").as("token_id"))
+      graft.operators.Salience.encodeTokens(docs, "doc_id", "text", vocab,
+          maxLen = 32)
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(tf) AS BIGINT) AS tf_total
+        FROM tf GROUP BY term),
+      ranked AS (SELECT term,
+          ROW_NUMBER() OVER (ORDER BY df DESC, tf_total DESC, term) AS token_id
+        FROM vocab),
+      lists AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)[1:32] AS l
+        FROM documents),
+      seq AS (SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos,
+          unnest(l) AS term
+        FROM lists)
+      SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos,
+        COALESCE(r.token_id, 0) AS token_id
+      FROM seq s LEFT JOIN (SELECT * FROM ranked WHERE token_id <= 50) r
+        USING (term)
+      ORDER BY s.doc_id, s.pos"""),
+    notes = "token-id sequences from the in-query top-50 vocab; OOV encodes as 0")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -1758,5 +1798,5 @@ object TextQueries {
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk)
+    qVocabTopk, qTokenIds)
 }
