@@ -490,6 +490,41 @@ object Ann {
           .cast("int").as("q"),
         col("qscale"))
 
+  /** Distance-to-centroid outlier mining: for each group, the `k` vectors
+    * FARTHEST from the group's exact centroid — the hard-example /
+    * mislabel-detection primitive of embedding curation. Output:
+    * (grp, rank, id, dist2) with dist2 = Σ_d (v_d − c_d)².
+    *
+    * Scale shape: centroids come from [[groupCentroids]] (wire ∝
+    * groups×dim) and join back BROADCAST — a centroid table is bounded by
+    * |groups|×dim regardless of corpus size — onto the posexploded
+    * components (map-side), then one partial-aggregated groupBy(id) and a
+    * per-group top-k window. No vector crosses any exchange at full width.
+    *
+    * Exactness: v_d (exact float→double), c_d, their difference and its
+    * square are each single correctly-rounded IEEE ops — deterministic in
+    * any engine; the squares accumulate in decimal(28,12), which is
+    * partition-order independent, tie-free in practice (a full-53-bit
+    * mantissa square would need ~25 trailing decimal zeros to land on a
+    * rounding tie), and keeps the sum's numerator below 2^53 so the final
+    * decimal→double cast is a single conversion everywhere. */
+  def centroidOutliers(df: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col("grp"), col("dim"), col("centroid"))
+    val comp = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val d = col("v").cast("double") - col("centroid")
+    val dist = comp.join(broadcast(cents), Seq("grp", "dim"))
+      .groupBy(col("grp"), col("id"))
+      .agg(sum((d * d).cast("decimal(28,12)")).cast("double").as("dist2"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(desc("dist2"), asc("id"))
+    dist.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("id"), col("dist2"))
+  }
+
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,

@@ -631,6 +631,43 @@ object TextQueries {
             FROM embeddings)
       ORDER BY vec_id, dim"""))
 
+  /** Per-cluster outliers: the 3 vectors farthest from their label's
+    * exact centroid — hard-example / mislabel mining over embeddings.
+    * Every distance bit is oracle-compared; the twin recomputes the
+    * dyadic-exact centroids and the decimal-accumulated distances. */
+  val qCentroidOutliers = GQuery("q_centroid_outliers",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.centroidOutliers(emb, "vec_id", "label", "embedding", k = 3)
+        .select(col("grp").as("label"), col("rank"), col("id"), col("dist2"))
+        .orderBy(col("label"), col("rank"))
+    },
+    Some("""WITH comp AS (
+        SELECT vec_id, label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, dim,
+          CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS c
+        FROM comp GROUP BY 1, 2),
+      dist AS (
+        SELECT comp.label, vec_id,
+          CAST(SUM(CAST((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
+            AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+        FROM comp JOIN cent ON comp.label = cent.label AND comp.dim = cent.dim
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT label, vec_id, dist2,
+          ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY dist2 DESC, vec_id) AS rnk
+        FROM dist)
+      SELECT label, CAST(rnk AS BIGINT) AS rank, vec_id AS id, dist2
+      FROM ranked WHERE rnk <= 3
+      ORDER BY label, rank"""),
+    notes = "top-3 farthest-from-centroid per label; exact centroid + decimal distance")
+
   /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures +
     * query-adaptive multiprobe, configured by [[Ann.deriveLshConfig]] from
     * the corpus's measured neighbor cosine (≈0.25 on this synthetic corpus —
@@ -1791,7 +1828,7 @@ object TextQueries {
     qTextQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qEmbedCentroid,
-    qEmbedNormalize, qEmbedQuantize, qAnnLsh, qAnnIvf,
+    qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
     qVideoDecode, qFrameSample, qImageResize,
