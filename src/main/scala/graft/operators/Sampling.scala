@@ -160,4 +160,26 @@ object Sampling {
       .groupBy(col(partCol), col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
   }
+
+  /** ADAPTIVE quality thresholding: keep each group's rows whose score
+    * clears that GROUP'S OWN `p`-quantile — per-language/per-source
+    * percentile cutoffs instead of one global constant, so a strict
+    * filter on a high-resource language doesn't annihilate a low-resource
+    * one. The cutoff is percentile_disc (SQL standard: the least score
+    * whose cumulative distribution ≥ p) — an actual data value, no
+    * interpolation arithmetic, hence engine-exact.
+    *
+    * Scale shape: ONE sort-based aggregate per group computes the cutoffs
+    * (group-local, never a global sort), the cutoff table is broadcast
+    * (bounded by |groups|), and the filter itself is map-side. At 100 TB
+    * the same plan runs with approx_percentile(score, p, eps) when an
+    * epsilon on the threshold is acceptable. */
+  def adaptiveQualityFilter(df: DataFrame, groupCol: String,
+      scoreCol: Column, p: Double): DataFrame = {
+    val scored = df.withColumn("score", scoreCol)
+    val cuts = scored.groupBy(col(groupCol)).agg(
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY score)").as("cutoff"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .filter(col("score") >= col("cutoff"))
+  }
 }

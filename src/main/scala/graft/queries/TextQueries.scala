@@ -112,6 +112,45 @@ object TextQueries {
       FROM f ORDER BY doc_id"""
     })
 
+  /** ADAPTIVE quality curation: keep the docs whose English-stopword
+    * ratio clears their own LANGUAGE'S 0.6-quantile — per-group
+    * percentile cutoffs instead of a global constant. The discrete
+    * quantile is an actual data value (no interpolation), the cutoff
+    * table broadcasts, and the filter is map-side; the twin recomputes
+    * the cutoff from the SQL-standard CUME_DIST ≥ p definition. */
+  val qAdaptiveQuality = GQuery("q_adaptive_quality",
+    (s, d) => graft.operators.Sampling.adaptiveQualityFilter(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+        "lang", TextFeatures.stopwordRatioEnFast(col("text")), p = 0.6)
+      .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
+      .orderBy(col("doc_id")),
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH f AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0)) AS DOUBLE) AS n_toks,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0 AND lower(t) IN ($stop))) AS DOUBLE) AS n_stop
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          CASE WHEN n_toks > 0 THEN n_stop / n_toks ELSE 0.0 END AS score
+        FROM f),
+      cd AS (
+        SELECT doc_id, lang, score,
+          CUME_DIST() OVER (PARTITION BY lang ORDER BY score) AS c
+        FROM scored),
+      cuts AS (
+        SELECT lang, MIN(score) FILTER (WHERE c >= 0.6) AS cutoff
+        FROM cd GROUP BY lang)
+      SELECT s.doc_id, s.lang, s.score, cuts.cutoff
+      FROM scored s JOIN cuts USING (lang)
+      WHERE s.score >= cuts.cutoff
+      ORDER BY s.doc_id"""
+    },
+    notes = "per-language discrete-quantile cutoff; twin derives it from CUME_DIST")
+
   /** Intra-doc REPETITION ratio (the Gopher-family quality signal this
     * corpus-level dedup can't see: a doc that repeats ITSELF): fraction of
     * word 3-grams that are repeats, n_distinct via the fused
@@ -1825,7 +1864,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
-    qTextQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
+    qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qAnnLsh, qAnnIvf,
