@@ -525,6 +525,32 @@ object Ann {
       .select(col("grp"), col("rank"), col("id"), col("dist2"))
   }
 
+  /** Per-(group, dimension) cluster variance around the exact centroid —
+    * the compactness / feature-spread profile of a labeled embedding
+    * corpus (which clusters are tight, which dimensions carry signal).
+    * Output: (grp, dim, centroid, variance, n) long form.
+    *
+    * Same exactness discipline as [[centroidOutliers]]: the centroid is
+    * dyadic-exact, each (v−c)² is deterministic IEEE, and the squares
+    * accumulate per (group, dim) in decimal(28,12) — the numerator stays
+    * < 2^53 for group sums of unit-scale squares, so both the
+    * accumulation and the final cast are engine-portable. Two passes over
+    * the components (mean, then spread), each ONE partial-aggregated
+    * shuffle; the centroid table joins back broadcast. */
+  def clusterVariance(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col("grp"), col("dim"), col("centroid"))
+    val comp = df.select(col(groupCol).as("grp"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val d = col("v").cast("double") - col("centroid")
+    comp.join(broadcast(cents), Seq("grp", "dim"))
+      .groupBy(col("grp"), col("dim"))
+      .agg(first(col("centroid")).as("centroid"),
+        (sum((d * d).cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("variance"),
+        count(lit(1)).as("n"))
+  }
+
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       dim: Int, nPlanes: Int, k: Int, multiProbeBits: Int = 8,

@@ -707,6 +707,37 @@ object TextQueries {
       ORDER BY label, rank"""),
     notes = "top-3 farthest-from-centroid per label; exact centroid + decimal distance")
 
+  /** Cluster compactness: per-(label, dim) variance around the exact
+    * centroid — which clusters are tight and which dimensions spread.
+    * Centroid, variance, and count all hash-compared. */
+  val qClusterVariance = GQuery("q_cluster_variance",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.clusterVariance(emb, "label", "embedding")
+        .select(col("grp").as("label"), col("dim").cast("long").as("dim"),
+          col("centroid"), col("variance"), col("n"))
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""WITH comp AS (
+        SELECT label,
+          generate_subscripts(embedding, 1) - 1 AS dim,
+          unnest(embedding) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, dim,
+          CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS c
+        FROM comp GROUP BY 1, 2)
+      SELECT comp.label, comp.dim AS dim, ANY_VALUE(c) AS centroid,
+        CAST(SUM(CAST((CAST(v AS DOUBLE) - c) * (CAST(v AS DOUBLE) - c)
+            AS DECIMAL(28,12))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS variance,
+        COUNT(*) AS n
+      FROM comp JOIN cent ON comp.label = cent.label AND comp.dim = cent.dim
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    notes = "per-(label,dim) variance around the dyadic-exact centroid")
+
   /** LSH-bucketed ANN (the 100 TB path): hyperplane signatures +
     * query-adaptive multiprobe, configured by [[Ann.deriveLshConfig]] from
     * the corpus's measured neighbor cosine (≈0.25 on this synthetic corpus —
@@ -1867,7 +1898,8 @@ object TextQueries {
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
     qSimhashPairs, qNgramJaccard, qCosineTopK, qEmbedCentroid,
-    qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qAnnLsh, qAnnIvf,
+    qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
+    qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
     qVideoDecode, qFrameSample, qImageResize,
