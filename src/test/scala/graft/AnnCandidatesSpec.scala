@@ -148,4 +148,21 @@ class AnnCandidatesSpec extends SparkSpec {
     assert(maxErr <= maxScale / 127.0 + 1e-12,
       s"dequant error $maxErr exceeds bucket width ${maxScale / 127.0}")
   }
+
+  test("centroidOutliers and clusterVariance: bit-stable under repartition") {
+    val o1 = Ann.centroidOutliers(emb, "vec_id", "label", "embedding", k = 3)
+      .orderBy("grp", "rank").collect()
+    val o2 = Ann.centroidOutliers(emb.repartition(11, col("vec_id")),
+        "vec_id", "label", "embedding", k = 3)
+      .orderBy("grp", "rank").collect()
+    assert(o1.sameElements(o2), "outlier ranking changed under repartition")
+    val v1 = Ann.clusterVariance(emb, "label", "embedding")
+      .orderBy("grp", "dim").collect()
+    val v2 = Ann.clusterVariance(emb.repartition(11, col("vec_id")),
+        "label", "embedding")
+      .orderBy("grp", "dim").collect()
+    assert(v1.sameElements(v2), "variance bits changed under repartition")
+    // variance is nonnegative and zero only for constant dims
+    v1.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
 }
