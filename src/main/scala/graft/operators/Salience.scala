@@ -74,6 +74,31 @@ object Salience {
       .select(col("rank"), col("term"), col("df"), col("tf_total"))
   }
 
+  /** Adjacent-token pair counts — the pair-frequency step a BPE-style
+    * tokenizer trainer iterates (count pairs → merge the best → repeat)
+    * and the bigram table of an n-gram LM. Top-`k` pairs by count (ties:
+    * pair lexicographic — total order).
+    *
+    * Scale shape: pairs come from ONE posexplode of each doc's token
+    * array zipped with its tail (map-side; no self-join of a token
+    * table), then a single partial-aggregated groupBy and a distributed
+    * top-k (TakeOrderedAndProject). */
+  def pairCounts(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val pairs = df
+      .select(explode(zip_with(slice(toks, 1, Int.MaxValue - 1),
+        slice(toks, 2, Int.MaxValue - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+      .filter(col("p.t2").isNotNull)
+    val counted = pairs.groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = counted.orderBy(desc("cnt"), asc("t1"), asc("t2")).limit(k)
+    val w = Window.orderBy(desc("cnt"), asc("t1"), asc("t2"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("t1"), col("t2"), col("cnt"))
+  }
+
   /** Sequence encoding: map each document's first `maxLen` whitespace
     * tokens to integer ids from a vocabulary table `(term, token_id)` —
     * the corpus → token-id-sequence step a training exporter runs after

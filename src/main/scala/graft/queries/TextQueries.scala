@@ -1465,6 +1465,47 @@ object TextQueries {
       ORDER BY s.doc_id, s.pos"""),
     notes = "token-id sequences from the in-query top-50 vocab; OOV encodes as 0")
 
+  /** Adjacent-token pair counts (top 50): the pair-frequency step of
+    * BPE-style tokenizer training and the bigram table of an n-gram LM.
+    * Pairs come from one map-side zip of each doc's token array with its
+    * own tail — never a token-table self-join. */
+  val qPairCounts = GQuery("q_pair_counts",
+    (s, d) => graft.operators.Salience.pairCounts(
+        Tables.documents(s, d), "doc_id", "text", k = 50)
+      .orderBy(col("rank")),
+    Some("""WITH lists AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+          t -> len(t) > 0) AS l
+        FROM documents),
+      pairs AS (
+        SELECT unnest(l[1:len(l)-1]) AS t1, unnest(l[2:len(l)]) AS t2
+        FROM lists),
+      counted AS (
+        SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2),
+      ranked AS (
+        SELECT t1, t2, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, t1, t2) AS rnk
+        FROM counted)
+      SELECT CAST(rnk AS BIGINT) AS rank, t1, t2, cnt
+      FROM ranked WHERE rnk <= 50 ORDER BY rank"""),
+    notes = "top-50 adjacent-token pairs; BPE pair-count / bigram-LM step")
+
+  /** Corpus length histogram: doc counts per 100-char band — the length
+    * distribution a corpus profile reports next to Reports.profile's
+    * min/max. floor-banded (exact integer arithmetic), one
+    * partial-aggregated shuffle. */
+  val qLengthHistogram = GQuery("q_length_histogram",
+    (s, d) => Tables.documents(s, d)
+      .select(floor(length(col("text")) / 100).cast("long").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("band")),
+    Some("""SELECT CAST(FLOOR(len(text) / 100) AS BIGINT) AS band,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY band"""),
+    notes = "doc-length distribution in 100-char bands")
+
   /** REAL image decode end-to-end: image-modality rows carry actual PNG
     * payloads rendered from a pure integer pixel formula of (media_id, x, y)
     * ([[graft.operators.ImageCodec.synthPng]]); the engine decodes them with
@@ -1906,5 +1947,5 @@ object TextQueries {
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds)
+    qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram)
 }
