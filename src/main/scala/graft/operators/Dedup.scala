@@ -47,6 +47,23 @@ object Dedup {
     }: _*)
   }
 
+  /** Corpus LSH band table (id_corpus, band, bucket) — the precomputed
+    * static side a streaming or incremental ingest joins its own band
+    * rows against ([[graft.streaming.Streams.nearDupCandidateStream]]).
+    * At 100 TB this is a maintained bucketed table, re-derived here
+    * in-plan from the fused signature expression. */
+  def corpusBandTable(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val sig = graft.functions.MinHashTextSignature.minhashText(
+      norm, shingleSize, numHashes)
+    corpus.select(col(idCol).as("id_corpus"), sig.as("__sig"))
+      .select(col("id_corpus"),
+        explode(lshBands(col("__sig"), bands, numHashes)).as("b"))
+      .select(col("id_corpus"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * Pipeline: shingle → signature → bands → explode → self-join per bucket
     * (id_a < id_b) → dedup candidate pair → verify true shingle Jaccard ≥

@@ -138,6 +138,36 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup candidate flagging against a STATIC corpus (the
+    * stream twin of [[graft.operators.Dedup.minhashCrossPairs]]'s
+    * candidate stage): each incoming doc is signed with the fused MinHash
+    * expression, exploded to its (band, bucket) keys, and stream-static
+    * inner-joined against the corpus's precomputed band table
+    * ([[graft.operators.Dedup.corpusBandTable]] — at scale, a maintained
+    * bucketed table). A (new, corpus) pair emits once per watermark
+    * horizon (`dropDuplicatesWithinWatermark` collapses multi-band hits —
+    * the same bounded-state contract as [[streamingDedup]]). Exact
+    * Jaccard verification stays a batch job over the emitted candidates:
+    * it needs corpus text, and candidates are the bounded set. */
+  def nearDupCandidateStream(docs: DataFrame, corpusBands: DataFrame,
+      tsCol: String, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+      watermark: String = "10 minutes"): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "\\s+", " ")))
+    val sig = graft.functions.MinHashTextSignature.minhashText(
+      norm, shingleSize, numHashes)
+    docs.select(col(idCol).as("id_new"), col(tsCol).as("__ts"), sig.as("__sig"))
+      .select(col("id_new"), col("__ts"),
+        explode(graft.operators.Dedup.lshBands(col("__sig"), bands, numHashes))
+          .as("b"))
+      .select(col("id_new"), col("__ts"), col("b.band").as("band"),
+        col("b.bucket").as("bucket"))
+      .join(corpusBands, Seq("band", "bucket"))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark("id_new", "id_corpus")
+      .select(col("id_new"), col("id_corpus"))
+  }
+
   /** Per-key running state for ST5 (online-learning cache) / W2-on-streams:
     * last observed value per (user, type) via flatMapGroupsWithState,
     * emitting a movement record whenever the new value deviates more than

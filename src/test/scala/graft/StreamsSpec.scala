@@ -306,6 +306,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidateStream flags exactly the batch band collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely different corpus content about databases and planning"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, ts("2024-01-01 10:00:00"),
+        "the quick brown fox jumps over the lazy dog again and again"), // exact copy → all bands collide
+      (21L, ts("2024-01-01 10:01:00"),
+        "completely unrelated text with no overlap whatsoever in shingles"))
+    val corpusBands = operators.Dedup.corpusBandTable(corpus, "doc_id", "text")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Streams.nearDupCandidateStream(
+        mem.toDF().toDF("doc_id", "ts", "text"), corpusBands,
+        "ts", "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_cand")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_cand")
+        .as[(Long, Long)].collect().toSet
+      // batch twin: the same band tables joined statically
+      val incomingBands = operators.Dedup.corpusBandTable(
+          incoming.toDF("doc_id", "ts", "text"), "doc_id", "text")
+        .withColumnRenamed("id_corpus", "id_new")
+      val batch = incomingBands.join(corpusBands, Seq("band", "bucket"))
+        .select(col("id_new"), col("id_corpus"))
+        .distinct().as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.contains((20L, 10L)), "exact copy must collide")
+      assert(!streamed.exists(_._1 == 21L), "unrelated doc must not collide")
+    } finally q.stop()
+  }
+
   test("piiScrubStream redacts identically to the batch scrub, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
