@@ -962,6 +962,94 @@ object TextQueries {
       ORDER BY id_a, id_b"""
     })
 
+  /** PARAPHRASE mining — the hybrid text+embedding curation diagnostic:
+    * pairs that are EMBEDDING-near (cosine > 0.99 within an exact-decimal
+    * LSH bucket) but LEXICALLY far (shingle Jaccard < 0.3) — semantically
+    * duplicate content that string dedup can never see. Planted pairs
+    * reuse a doc's embedding with its NEIGHBOR's text (same semantics by
+    * construction, different surface), mirrored in the twin. Blocking and
+    * two-phase cosine are [[qEmbeddingNearDup]]'s; the lexical check runs
+    * on hashed shingle sets over the candidate pairs only. */
+  val qParaphraseMining = GQuery("q_paraphrase_mining",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("text"))
+      val donor = docs.select((col("doc_id") + 1).as("vec_id"),
+        col("text").as("t2"))
+      val planted = joined.filter(col("vec_id") % 20 === 0)
+        .join(donor, Seq("vec_id"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          col("t2").as("text"))
+      val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+      val e = joined.unionByName(planted)
+        .withColumn("bucket", Ann.hyperplaneSigExact(col("embedding"),
+          NeardupDim, NeardupPlanes))
+        .withColumn("grams",
+          graft.functions.HashedShingleSet.hashedShingles(norm, 5))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("v_a"), col("grams").as("g_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("v_b"), col("grams").as("g_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .filter(Ann.cosineFast(col("v_a"), col("v_b")) > 0.989)
+        .filter(Ann.cosine(col("v_a"), col("v_b")) > 0.99)
+        .withColumn("jaccard", graft.functions.JaccardSortedLongArrays
+          .jaccardSortedLong(col("g_a"), col("g_b")))
+        .filter(col("jaccard") < 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some {
+      val planes = Ann.hyperplanes(NeardupDim, NeardupPlanes)
+      def proj(plane: Seq[Double]): String = {
+        val lst = plane.map(w => if (w > 0) "1.0" else "-1.0").mkString(", ")
+        s"""list_sum(list_transform(list_zip(embedding, [$lst]),
+           p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))"""
+      }
+      val bucket = planes.zipWithIndex.map { case (pl, i) =>
+        s"(CASE WHEN ${proj(pl)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString("\n        + ")
+      val sh = """list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5)))"""
+      s"""WITH src AS (
+        SELECT e.vec_id, e.embedding, d.text
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      corpus AS (
+        SELECT vec_id, embedding, text FROM src
+        UNION ALL
+        SELECT s.vec_id + 100000, s.embedding, d2.text
+        FROM src s JOIN documents d2 ON d2.doc_id = s.vec_id - 1
+        WHERE s.vec_id % 20 = 0),
+      sig AS (
+        SELECT vec_id, embedding, $sh AS sh,
+          ($bucket) AS bucket
+        FROM corpus),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(a.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(b.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          > 0.99),
+      scored AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            AS jaccard
+        FROM cand)
+      SELECT id_a, id_b, jaccard FROM scored
+      WHERE jaccard < 0.3
+      ORDER BY id_a, id_b"""
+    },
+    notes = "embedding-near, lexically-far pairs; planted same-embedding/neighbor-text copies")
+
   /** Multimodal plumbing: binary media table synthesized from documents,
     * features via per-partition stub codec (mapPartitions — the mapInPandas
     * batch shape). The PLUMBING outputs (id routing, modality assignment,
@@ -1942,7 +2030,7 @@ object TextQueries {
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
-    qEmbeddingNearDup, qMediaFeatures, qImageDecode, qAudioDecode,
+    qEmbeddingNearDup, qParaphraseMining, qMediaFeatures, qImageDecode, qAudioDecode,
     qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
