@@ -605,6 +605,42 @@ object TextQueries {
       SELECT query_id, rank, id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** Top-k retrieval over int8-quantized vectors — the serving path after
+    * quantization. Integer dot products: every score is exact integer
+    * arithmetic, so ranking AND scores are hash-gated with no decimal
+    * machinery. */
+  val qAnnQuantized = GQuery("q_ann_quantized",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.quantizedTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH qv AS (
+        SELECT vec_id,
+          list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)
+            / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+            * 127.0) AS BIGINT)) AS q,
+          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS s
+        FROM embeddings),
+      scored AS (
+        SELECT b.vec_id AS query_id, a.vec_id AS id,
+          list_sum(list_transform(list_zip(a.q, b.q),
+            p -> p[1] * p[2])) AS dot,
+          CAST(list_sum(list_transform(list_zip(a.q, b.q),
+            p -> p[1] * p[2])) AS DOUBLE) * a.s * b.s / 16129.0 AS score
+        FROM qv a, qv b WHERE b.vec_id < 5),
+      ranked AS (
+        SELECT query_id, id, dot, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS rnk
+        FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, id,
+        CAST(dot AS BIGINT) AS dot, score
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rank"""),
+    notes = "dequantized-dot top-k over int8 codes; exact integer dot + 3-op rescale")
+
   /** Per-label exact embedding centroid — the vector-aggregate primitive
     * under IVF training, cluster profiling, and dataset condensation.
     * Long-form (label, dim) rows so the decimal-exact mean hash-compares
@@ -2026,7 +2062,7 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
-    qSimhashPairs, qNgramJaccard, qCosineTopK, qEmbedCentroid,
+    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnQuantized, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,

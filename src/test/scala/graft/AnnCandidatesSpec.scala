@@ -165,4 +165,23 @@ class AnnCandidatesSpec extends SparkSpec {
     // variance is nonnegative and zero only for constant dims
     v1.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
+
+  test("quantizedTopK: int8 retrieval recalls the exact cosine top-k") {
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Ann.quantizedTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(quant(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-10 recall of int8 retrieval: $mean%.2f")
+    // int8 keeps ~2 decimal digits per component; on this corpus the
+    // top-10 neighborhood survives quantization almost entirely
+    assert(mean >= 0.8, f"int8 recall $mean%.2f below contract 0.8")
+  }
 }
