@@ -16,7 +16,8 @@ class PlanRegressionSpec extends SparkSpec {
   // for q_tfidf_topk the broadcast side is the 1-row corpus count)
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
-    "q_substring_conf", "q_cosine_topk", "q_tfidf_topk")
+    "q_substring_conf", "q_cosine_topk", "q_tfidf_topk",
+    "q_ann_quantized")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
