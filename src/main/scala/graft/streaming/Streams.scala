@@ -168,6 +168,27 @@ object Streams {
       .select(col("id_new"), col("id_corpus"))
   }
 
+  /** Streaming CURATION INGEST — the stream twin of the training-export
+    * pipeline's front half, composed from the proven pieces: quality +
+    * language gates (stateless single-pass expressions), incremental
+    * exact dedup against the static corpus fingerprint set plus
+    * first-arrival-wins within the watermark horizon, then the stateless
+    * PII scrub. The ONLY stateful operator is the bounded within-horizon
+    * dedup — everything else is a map pass, so the pipeline sustains
+    * ingest-rate throughput and its state never grows with corpus size.
+    * Docs emerge curated, deduplicated, and scrubbed — ready for the
+    * training store; batch compaction handles beyond-horizon duplicates
+    * (same contract as [[streamingDedup]]). */
+  def curationIngestStream(docs: DataFrame, corpusFps: DataFrame,
+      tsCol: String, textCol: String, langCol: String,
+      minQuality: Double = 0.75, watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs
+      .filter(graft.functions.TextFeatures.qualityScoreFast(col(textCol)) >= minQuality)
+      .filter(graft.functions.TextFeatures.langIdFast(col(textCol)) === col(langCol))
+    incrementalDedupStream(gated, corpusFps, tsCol, textCol, watermark)
+      .withColumn(textCol, graft.functions.Redact.scrub(col(textCol)))
+  }
+
   /** Per-key running state for ST5 (online-learning cache) / W2-on-streams:
     * last observed value per (user, type) via flatMapGroupsWithState,
     * emitting a movement record whenever the new value deviates more than

@@ -342,6 +342,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationIngestStream: gates, dedups, and scrubs like the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog while the other " +
+      "animals watch from the shade of a very old tree near the river bank"
+    val corpus = Seq((10L, good + " one more closing sentence for the corpus"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, ts("2024-01-01 10:00:00"), good + " with an extra tail", "en"),
+      (21L, ts("2024-01-01 10:01:00"), "zxqv kjhg wwnn", "en"),            // low quality
+      (22L, ts("2024-01-01 10:02:00"), good + " with an extra tail", "de"), // wrong lang
+      (23L, ts("2024-01-01 10:03:00"),
+        good + " one more closing sentence for the corpus", "en"),          // known → dropped
+      (24L, ts("2024-01-01 10:04:00"), good + " with an extra tail", "en"), // in-batch dup
+      (25L, ts("2024-01-01 10:05:00"),
+        good + " and you can mail a.b@example.com about it", "en"))         // survives, scrubbed
+    val corpusFps = corpus.select(
+      functions.TextFeatures.fingerprint(col("text")).as("__fp")).distinct()
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streams.curationIngestStream(
+        mem.toDF().toDF("doc_id", "ts", "text", "lang"), corpusFps,
+        "ts", "text", "lang", watermark = "1 hour")
+      .writeStream.format("memory").queryName("curated_ingest")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_ingest")
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      // batch composition of the same stages
+      val inc = incoming.toDF("doc_id", "ts", "text", "lang")
+      val gated = inc
+        .filter(functions.TextFeatures.qualityScoreFast(col("text")) >= 0.75)
+        .filter(functions.TextFeatures.langIdFast(col("text")) === col("lang"))
+      val batch = operators.Dedup.incrementalExact(gated, corpus, "doc_id", "text")
+        .filter(!col("is_known") && !col("is_duplicate"))
+        .withColumn("text", functions.Redact.scrub(col("text")))
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed.keySet === Set(20L, 25L))
+      assert(streamed(25L).contains("<EMAIL>") && !streamed(25L).contains("@"))
+    } finally q.stop()
+  }
+
   test("piiScrubStream redacts identically to the batch scrub, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
