@@ -369,6 +369,139 @@ object Ann {
   case class LshConfig(nPlanes: Int, nTables: Int, multiProbeBits: Int,
       predictedRecall: Double, predictedCandidateFraction: Double)
 
+  /** Product-quantizer training: per-subspace L2 Lloyd on the SAME
+    * deterministic bounded sample discipline as [[trainIvfCentroids]]
+    * (ordered ids, capped size, fixed rounds, first-k init). Returns
+    * numSub codebooks of k centroids of subDim doubles each. Everything
+    * downstream ships them as plan literals — no stored model. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      numSub: Int, k: Int, sampleMod: Int = 7, iters: Int = 8,
+      maxSample: Int = 20000): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .filter(col(idCol) % sampleMod === 0)
+      .orderBy(col(idCol))
+      .limit(maxSample)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"numSub must divide dim $dim")
+    val subDim = dim / numSub
+    (0 until numSub).map { m =>
+      val subs = sample.map(v => v.slice(m * subDim, (m + 1) * subDim))
+      var cents = subs.take(k).map(_.clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val t = s(i) - cents(c)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += s(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            val out = new Array[Double](subDim)
+            var i = 0
+            while (i < subDim) { out(i) = sums(c)(i) / counts(c); i += 1 }
+            out
+          }
+        }
+        it += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** Augment a PQ codebook for exact L2-argmin-as-dot-argmax: row j
+    * becomes (c_j, −‖c_j‖²/2), so that dot((s,1), row_j) =
+    * s·c_j − ‖c_j‖²/2, whose argmax over j equals argmin_j ‖s − c_j‖²
+    * (the ‖s‖² term is constant in j). The bias is computed here in a
+    * fixed fold order, and the SAME doubles are inlined in the twin. */
+  def augmentCodebook(codebook: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    codebook.map { c =>
+      var n2 = 0.0
+      c.foreach(x => n2 += x * x)
+      c :+ (-n2 / 2.0)
+    }
+
+  /** PQ encode: per subspace m, the id of the L2-nearest codebook
+    * centroid — long form (id, m, code). The argmin runs as
+    * [[graft.functions.DecimalDotsExact.argTopK]] over the AUGMENTED
+    * codebook (see [[augmentCodebook]]) on the subvector with a 1.0f
+    * appended, so every code is exact-decimal reproducible cross-engine.
+    * Map-side only (the codebooks are plan literals). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.DecimalDotsExact
+    val subDim = codebooks.head.head.size
+    val codeCols = codebooks.zipWithIndex.map { case (cb, m) =>
+      val aug = augmentCodebook(cb)
+      val sub = concat(slice(col(vecCol), m * subDim + 1, subDim),
+        array(lit(1.0f)))
+      element_at(DecimalDotsExact.argTopK(sub, aug, 1), 1)
+        .cast("long").as(s"__c$m")
+    }
+    df.select(col(idCol).as("id") +: codeCols: _*)
+      .select(col("id"), posexplode(array(
+        (0 until codebooks.size).map(m => col(s"__c$m")): _*))
+        .as(Seq("m", "code")))
+      .select(col("id"), col("m").cast("long").as("m"), col("code"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query scores every doc as
+    * Σ_m dot(q_m, codebook_m[code_m(doc)]) — the classic ADC dot
+    * approximation of q·x read from 16-entry lookup tables instead of
+    * the full vectors. Scores accumulate and RANK in exact decimal (no
+    * double conversion anywhere — a decimal(38,18) sum's int128 would
+    * double-round in hi/lo-word engines), so the ranking is hash-exact;
+    * the output carries ranks only, like [[cosineTopK]]'s oracle shape.
+    *
+    * Scale shape: codes are 8 longs per doc (the 4-byte-payload PQ
+    * promise); the per-(query, m, j) table is numQueries×numSub×k rows
+    * and BROADCASTS; one shuffle groups the 8 contributions per
+    * (query, doc); WindowGroupLimit prunes the per-query ranking
+    * map-side. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    import graft.functions.DecimalDotsExact
+    val subDim = codebooks.head.head.size
+    val codes = pqEncode(corpus, idCol, vecCol, codebooks)
+    val tables = queries.select(col(queryIdCol).as("query_id") +:
+        codebooks.zipWithIndex.map { case (cb, m) =>
+          DecimalDotsExact.dots(
+            slice(col(queryVecCol), m * subDim + 1, subDim), cb).as(s"__t$m")
+        }: _*)
+      .select(col("query_id"), posexplode(array(
+        (0 until codebooks.size).map(m => col(s"__t$m")): _*))
+        .as(Seq("m", "tbl")))
+      .select(col("query_id"), col("m").cast("long").as("m"),
+        posexplode(col("tbl")).as(Seq("code", "contrib")))
+      .select(col("query_id"), col("m"), col("code").cast("long").as("code"),
+        col("contrib"))
+    val scored = codes.join(broadcast(tables), Seq("m", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("score"), asc("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"))
+  }
+
   /** Derive (nPlanes, nTables, multiProbeBits) from the corpus's neighbor
     * structure. `neighborCos` is the cosine of the neighbors that must be
     * found (measure it: k-th best cosine of a sampled brute-force top-k —

@@ -641,6 +641,103 @@ object TextQueries {
       ORDER BY query_id, rank"""),
     notes = "dequantized-dot top-k over int8 codes; exact integer dot + 3-op rescale")
 
+  /** PQ encode: every vector's 8 codebook codes — the 4-byte compressed
+    * representation a PQ index stores per vector (64 floats → 8 nibbles).
+    * Codes are exact-decimal argmins over the COMMITTED codebooks
+    * ([[graft.operators.PqModel]]); the twin inlines the same augmented
+    * matrices and replays every argmin bit-for-bit. */
+  val qPqEncode = GQuery("q_pq_encode",
+    (s, d) => Ann.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+        graft.operators.PqModel.codebooks)
+      .select(col("id").as("vec_id"), col("m"), col("code"))
+      .orderBy(col("vec_id"), col("m")),
+    Some {
+      import graft.operators.PqModel
+      val sub = PqModel.subDim
+      val branches = PqModel.codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        Ann.augmentCodebook(cb).zipWithIndex.map { case (row, j) =>
+          val lst = row.map(java.lang.Double.toString).mkString(", ")
+          val a = m * sub + 1
+          val b = m * sub + sub
+          s"""SELECT vec_id, $m AS m, $j AS j,
+            list_sum(list_transform(
+              list_zip(list_concat(embedding[$a:$b], [CAST(1.0 AS FLOAT)]), [$lst]),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS d
+          FROM embeddings"""
+        }
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH dots AS (
+        $branches)
+      SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(j AS BIGINT) AS code FROM (
+        SELECT vec_id, m, j,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS r
+        FROM dots) WHERE r = 1
+      ORDER BY vec_id, m"""
+    },
+    notes = "PQ codes vs committed codebooks; twin replays every exact argmin")
+
+  /** PQ asymmetric-distance top-k: queries score the COMPRESSED corpus
+    * through 16-entry lookup tables (classic ADC). Scores accumulate and
+    * rank entirely in exact decimal — ranks-only output like
+    * [[qCosineTopK]]. */
+  val qPqTopk = GQuery("q_pq_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.pqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          graft.operators.PqModel.codebooks, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      import graft.operators.PqModel
+      val sub = PqModel.subDim
+      val enc = PqModel.codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        Ann.augmentCodebook(cb).zipWithIndex.map { case (row, j) =>
+          val lst = row.map(java.lang.Double.toString).mkString(", ")
+          val a = m * sub + 1
+          val b = m * sub + sub
+          s"""SELECT vec_id, $m AS m, $j AS j,
+            list_sum(list_transform(
+              list_zip(list_concat(embedding[$a:$b], [CAST(1.0 AS FLOAT)]), [$lst]),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS d
+          FROM embeddings"""
+        }
+      }.mkString("\n        UNION ALL\n        ")
+      val tbl = PqModel.codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (row, j) =>
+          val lst = row.map(java.lang.Double.toString).mkString(", ")
+          val a = m * sub + 1
+          val b = m * sub + sub
+          s"""SELECT vec_id AS query_id, $m AS m, $j AS j,
+            list_sum(list_transform(list_zip(embedding[$a:$b], [$lst]),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18)))) AS contrib
+          FROM embeddings WHERE vec_id < 5"""
+        }
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH encdots AS (
+        $enc),
+      codes AS (
+        SELECT vec_id AS id, m, j AS code FROM (
+          SELECT vec_id, m, j,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d DESC, j) AS r
+          FROM encdots) WHERE r = 1),
+      tables AS (
+        $tbl),
+      scored AS (
+        SELECT t.query_id, c.id, SUM(t.contrib) AS score
+        FROM codes c JOIN tables t ON c.m = t.m AND c.code = t.j
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, id) AS rnk
+        FROM scored)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rank, id
+      FROM ranked WHERE rnk <= 10
+      ORDER BY query_id, rank"""
+    },
+    notes = "ADC ranks over committed codebooks; decimal-ranked, ranks-only output")
+
   /** Per-label exact embedding centroid — the vector-aggregate primitive
     * under IVF training, cluster profiling, and dataset condensation.
     * Long-form (label, dim) rows so the decimal-exact mean hash-compares
@@ -2062,7 +2159,8 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
-    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnQuantized, qEmbedCentroid,
+    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnQuantized,
+    qPqEncode, qPqTopk, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,

@@ -166,6 +166,32 @@ class AnnCandidatesSpec extends SparkSpec {
     v1.foreach(r => assert(r.getDouble(3) >= 0.0))
   }
 
+  test("pqEncode covers all subspaces; pqTopK recall vs exact cosine reported") {
+    import graft.operators.PqModel
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", PqModel.codebooks)
+    val n = emb.count()
+    assert(codes.count() === n * PqModel.numSub, "one code per (vector, subspace)")
+    val rng = codes.agg(min(col("code")), max(col("code"))).head()
+    assert(rng.getLong(0) >= 0 && rng.getLong(1) < PqModel.k, "codes in [0, k)")
+    // ADC recall vs exact cosine: PQ at 8x16 is deliberately lossy — pin a
+    // floor, report the measured value
+    val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Ann.pqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", PqModel.codebooks, k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.toSeq.map { q =>
+      exact(q).intersect(pq(q)).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-10 recall of PQ ADC (8 subspaces x 16 codes): $mean%.2f")
+    assert(mean >= 0.2,
+      f"PQ recall $mean%.2f collapsed — codebooks or ADC path broken")
+  }
+
   test("quantizedTopK: int8 retrieval recalls the exact cosine top-k") {
     val exact = Ann.cosineTopK(emb, "vec_id", "embedding",
         queries, "vec_id", "embedding", k = 10)
