@@ -557,8 +557,10 @@ object Ann {
     * Exactness: each float component is scaled by 2^49 — an IEEE exponent
     * shift, always exact — which turns every float with |v| ≥ 2^-26 (or 0)
     * into an exact INTEGER (a float mantissa has 24 bits, so its lowest
-    * set bit is at ≥ 2^-49 whenever its magnitude is ≥ 2^-26; normalized
-    * embeddings live well inside that range). The integers accumulate in
+    * set bit is at ≥ 2^-49 whenever its magnitude is ≥ 2^-26; components
+    * BELOW 2^-26 are flushed to zero in-plan — see [[FlushThreshold]] —
+    * so the property holds by construction, mirrored exactly by the
+    * oracle twins). The integers accumulate in
     * decimal(38,0) — exact to 10^38, partition-order independent, still
     * map-side-combinable — and ONE double division at the end yields the
     * mean. No base-10 rounding of a binary fraction ever happens, so the
@@ -568,15 +570,29 @@ object Ann {
     * with round-half-even engines.) */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val twoTo49 = lit(562949953421312.0)
+    // the |v| ≥ 2^-26 precondition is ENFORCED in-plan, not assumed:
+    // components below it (where v·2^49 stops being an integer and
+    // HALF_UP vs half-even engines can disagree) are flushed to zero by
+    // the same exact comparison on both engine and twin, so the
+    // bit-identical contract holds on arbitrary input, not just corpora
+    // that happen to satisfy the precondition. At 2^-26 ≈ 1.5e-8 the
+    // flush is ~1e-8 absolute error per component — far below any
+    // embedding signal, and deterministic.
+    val vd = col("v").cast("double")
+    val flushed = when(abs(vd) < lit(FlushThreshold), lit(0.0)).otherwise(vd)
     df.select(col(groupCol).as("grp"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("grp"), col("dim"))
       .agg(
-        (sum((col("v").cast("double") * twoTo49).cast("decimal(38,0)"))
+        (sum((flushed * twoTo49).cast("decimal(38,0)"))
             .cast("double") /
           (count(lit(1)).cast("double") * twoTo49)).as("centroid"),
         count(lit(1)).as("n"))
   }
+
+  /** 2^-26: below this magnitude a float·2^49 is no longer an exact
+    * integer (see [[groupCentroids]]); components under it flush to 0. */
+  val FlushThreshold: Double = math.pow(2, -26)
 
   /** Engine-portable L2 norm of a float-array column. The per-element
     * square is EXACT in double (24-bit × 24-bit = 48-bit significand);
@@ -601,25 +617,31 @@ object Ann {
   /** L2-normalize an embedding column, long form (id, dim, u): one row
     * per component, u = v / ‖v‖ with [[normExact]]'s portable norm — the
     * division is a single correctly-rounded IEEE op, so unit components
-    * are bit-identical across engines. Map-side only: no shuffle, no
-    * vector crosses any exchange. */
+    * are bit-identical across engines.
+    * Map-side only: no shuffle, no vector crosses any exchange. An
+    * all-zero vector has norm 0; its components map to 0 (not NaN) — the
+    * twin mirrors the same rule. */
   def l2NormalizeLong(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), normExact(col(vecCol)).as("nrm"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("id"), col("dim"),
-        (col("v").cast("double") / col("nrm")).as("u"))
+        when(col("nrm") === 0, lit(0.0))
+          .otherwise(col("v").cast("double") / col("nrm")).as("u"))
 
   /** Symmetric int8 quantization with a per-vector max-abs scale, long
     * form (id, dim, q, qscale): q = floor(v/max|v| · 127) ∈ [-127, 127].
     * floor — unlike round — has no halfway ties, so the codes replay
     * bit-exactly in any engine (a production variant may prefer rint;
-    * the bucket width is identical). Map-side only. */
+    * the bucket width is identical). An all-zero vector has qscale 0:
+    * its codes are 0 (not NaN/Infinity) — twin mirrors the rule.
+    * Map-side only. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         array_max(transform(col(vecCol), v => abs(v))).cast("double").as("qscale"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
       .select(col("id"), col("dim"),
-        floor(col("v").cast("double") / col("qscale") * lit(127.0))
+        when(col("qscale") === 0, lit(0)).otherwise(
+            floor(col("v").cast("double") / col("qscale") * lit(127.0)))
           .cast("int").as("q"),
         col("qscale"))
 
@@ -690,7 +712,8 @@ object Ann {
   def quantizeInt8Vec(vec: Column): Column = {
     val qscale = array_max(transform(vec, v => abs(v))).cast("double")
     transform(vec, v =>
-      floor(v.cast("double") / qscale * lit(127.0)).cast("int"))
+      when(qscale === 0, lit(0)).otherwise(
+        floor(v.cast("double") / qscale * lit(127.0))).cast("int"))
   }
 
   /** Top-k retrieval over INT8-QUANTIZED vectors — the serving path after

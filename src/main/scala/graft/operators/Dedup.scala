@@ -231,16 +231,19 @@ object Dedup {
   def minhashCrossPairs(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8,
+      maxSigBroadcastBytes: Long = MaxSigBroadcastBytes): DataFrame = {
     def norm(c: Column) = lower(trim(regexp_replace(c, "\\s+", " ")))
     val sigExpr = graft.functions.MinHashTextSignature.minhashText(
       norm(col(textCol)), shingleSize, numHashes)
     // signatures cached per side; band rows carry IDS ONLY (the band
     // explode multiplies whatever it carries by `bands` — see
-    // minhashPipeline). The batch sig table is small by nature and
-    // BROADCASTS into the estimate prefilter; the corpus sig table joins
-    // by shuffle on id (never broadcast — same reasoning as the size gate
-    // in minhashPipeline).
+    // minhashPipeline). The batch sig table is USUALLY small and then
+    // broadcasts into the estimate prefilter — but only under the same
+    // size gate as minhashPipeline (a bulk-backfill batch of millions of
+    // docs is (numHashes+1)·8 B per doc and would blow the broadcast
+    // budget); past the gate it joins by shuffle on id, like the corpus
+    // sig table always does.
     val newSigs = incoming.select(col(idCol).as("id_new"), sigExpr.as("sig_n"))
       .cache()
     val corpusSigs = corpus.select(col(idCol).as("id_corpus"),
@@ -250,7 +253,11 @@ object Dedup {
     // stages each recompute the 64-hash signature expression (measured 10.5 s
     // vs 1.7 s for the same-corpus pipeline, which materializes via its
     // size-gate count)
-    newSigs.count(); corpusSigs.count()
+    val newCount = newSigs.count(); corpusSigs.count()
+    val newSigsGated =
+      if (newCount * (numHashes + 1) * 8L <= maxSigBroadcastBytes)
+        broadcast(newSigs)
+      else newSigs
     def bandRows(sigs: DataFrame, idName: String, sigName: String) = sigs
       .select(col(idName),
         explode(lshBands(col(sigName), bands, numHashes)).as("bandrow"))
@@ -262,7 +269,7 @@ object Dedup {
       .join(bandRows(corpusSigs, "id_corpus", "sig_c"), Seq("band", "bucket"))
       .select(col("id_new"), col("id_corpus"))
       .dropDuplicates("id_new", "id_corpus")
-      .join(broadcast(newSigs), Seq("id_new"))
+      .join(newSigsGated, Seq("id_new"))
       .join(corpusSigs, Seq("id_corpus"))
       .filter(estScore >= lit(minJaccard) - 0.2)
       .select(col("id_new"), col("id_corpus"))

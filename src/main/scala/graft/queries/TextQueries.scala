@@ -618,9 +618,12 @@ object TextQueries {
     },
     Some("""WITH qv AS (
         SELECT vec_id,
-          list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)
-            / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-            * 127.0) AS BIGINT)) AS q,
+          list_transform(embedding, v -> CASE
+            WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) = 0
+              THEN 0
+            ELSE CAST(FLOOR(CAST(v AS DOUBLE)
+              / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+              * 127.0) AS BIGINT) END) AS q,
           CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS s
         FROM embeddings),
       scored AS (
@@ -752,7 +755,9 @@ object TextQueries {
         .orderBy(col("label"), col("dim"))
     },
     Some("""SELECT label, ord - 1 AS dim,
-        CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+        CAST(SUM(CAST((CASE WHEN abs(CAST(v AS DOUBLE)) < 1.4901161193847656e-8
+              THEN 0.0 ELSE CAST(v AS DOUBLE) END) * 562949953421312.0
+            AS DECIMAL(38,0))) AS DOUBLE)
           / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS centroid,
         COUNT(*) AS n
       FROM (SELECT label, unnest(embedding) AS v,
@@ -774,10 +779,12 @@ object TextQueries {
         .orderBy(col("vec_id"), col("dim"))
     },
     Some("""SELECT vec_id, ord - 1 AS dim,
-        CAST(v AS DOUBLE) / sqrt(CAST(list_sum(list_transform(embedding,
-            x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,10))))
-          AS DOUBLE)) AS u
-      FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+        CASE WHEN nrm = 0 THEN 0.0 ELSE CAST(v AS DOUBLE) / nrm END AS u
+      FROM (SELECT vec_id,
+              sqrt(CAST(list_sum(list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,10))))
+                AS DOUBLE)) AS nrm,
+              unnest(embedding) AS v,
               generate_subscripts(embedding, 1) AS ord
             FROM embeddings)
       ORDER BY vec_id, dim"""))
@@ -794,11 +801,13 @@ object TextQueries {
         .orderBy(col("vec_id"), col("dim"))
     },
     Some("""SELECT vec_id, ord - 1 AS dim,
-        CAST(FLOOR(CAST(v AS DOUBLE)
-            / CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-            * 127.0) AS INTEGER) AS q,
-        CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS qscale
-      FROM (SELECT vec_id, embedding, unnest(embedding) AS v,
+        CASE WHEN qscale = 0 THEN 0
+          ELSE CAST(FLOOR(CAST(v AS DOUBLE) / qscale * 127.0) AS INTEGER)
+        END AS q,
+        qscale
+      FROM (SELECT vec_id,
+              CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS qscale,
+              unnest(embedding) AS v,
               generate_subscripts(embedding, 1) AS ord
             FROM embeddings)
       ORDER BY vec_id, dim"""))
@@ -821,7 +830,9 @@ object TextQueries {
         FROM embeddings),
       cent AS (
         SELECT label, dim,
-          CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+          CAST(SUM(CAST((CASE WHEN abs(CAST(v AS DOUBLE)) < 1.4901161193847656e-8
+                THEN 0.0 ELSE CAST(v AS DOUBLE) END) * 562949953421312.0
+              AS DECIMAL(38,0))) AS DOUBLE)
             / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS c
         FROM comp GROUP BY 1, 2),
       dist AS (
@@ -858,7 +869,9 @@ object TextQueries {
         FROM embeddings),
       cent AS (
         SELECT label, dim,
-          CAST(SUM(CAST(CAST(v AS DOUBLE) * 562949953421312.0 AS DECIMAL(38,0))) AS DOUBLE)
+          CAST(SUM(CAST((CASE WHEN abs(CAST(v AS DOUBLE)) < 1.4901161193847656e-8
+                THEN 0.0 ELSE CAST(v AS DOUBLE) END) * 562949953421312.0
+              AS DECIMAL(38,0))) AS DOUBLE)
             / (CAST(COUNT(*) AS DOUBLE) * 562949953421312.0) AS c
         FROM comp GROUP BY 1, 2)
       SELECT comp.label, comp.dim AS dim, ANY_VALUE(c) AS centroid,

@@ -108,13 +108,37 @@ object Sources {
     * the new dir is live, so a crash loses nothing: either the old dir is
     * still live, or the new dir is live, or (inside the two-rename window
     * of one partition) the old dir sits intact at the well-known .bak path
-    * and a re-run restores it. The .bak lives OUTSIDE the table path so a
-    * concurrent reader can never partition-parse it. */
+    * and a re-run restores it FIRST — orphaned .baks are renamed back to
+    * the live table before the Overwrite write can touch the tmp root.
+    * The .bak lives OUTSIDE the table path so a concurrent reader can
+    * never partition-parse it. */
   def compactWarehouse(spark: SparkSession, path: String,
       sortCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition >= 1)
-    val df = spark.read.parquet(path)
     val tmp = path.stripSuffix("/") + ".compact.tmp"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
+    // CRASH RECOVERY — must run BEFORE the Overwrite write below: a crash
+    // inside a prior run's two-rename window leaves the ONLY copy of a
+    // partition at <tmp>/<partition>.bak, and Overwrite deletes the tmp
+    // root. Restore any orphaned .bak whose live dir is absent; a .bak
+    // whose live dir exists is from after the second rename (the new data
+    // is already live) and is dropped with the tmp root as usual.
+    if (fs.exists(tmpRoot)) {
+      fs.listStatus(tmpRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.endsWith(".bak"))
+        .foreach { s =>
+          val live = new org.apache.hadoop.fs.Path(
+            dst, s.getPath.getName.stripSuffix(".bak"))
+          if (!fs.exists(live))
+            require(fs.rename(s.getPath, live),
+              s"compactWarehouse recovery: rename ${s.getPath} -> $live failed")
+        }
+    }
+    // read AFTER recovery so restored partitions are part of the rewrite
+    val df = spark.read.parquet(path)
     val salt = if (sortCols.nonEmpty)
       pmod(xxhash64(sortCols.map(col): _*), lit(filesPerPartition))
     else lit(0)
@@ -124,19 +148,26 @@ object Sources {
       .partitionBy("__p_date")
       .parquet(tmp)
     // per-partition rename-aside swap (see scaladoc): old → .bak (under
-    // tmp, outside the table path), new → live; .baks die with the tmp root
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val tmpRoot = new org.apache.hadoop.fs.Path(tmp)
+    // tmp, outside the table path), new → live; .baks die with the tmp
+    // root. HDFS/posix rename reports failure by returning false, not by
+    // throwing — every rename is checked, and a failed live-install is
+    // rolled back (.bak → live) so the partition is never left absent.
     fs.listStatus(tmpRoot)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__p_date="))
       .foreach { s =>
         val target = new org.apache.hadoop.fs.Path(dst, s.getPath.getName)
         val bak = new org.apache.hadoop.fs.Path(
           tmpRoot, s.getPath.getName + ".bak")
-        if (fs.exists(target)) fs.rename(target, bak)
-        fs.rename(s.getPath, target)
+        if (fs.exists(target))
+          require(fs.rename(target, bak),
+            s"compactWarehouse: rename-aside $target -> $bak failed")
+        if (!fs.rename(s.getPath, target)) {
+          val rolledBack = !fs.exists(bak) || fs.rename(bak, target)
+          throw new java.io.IOException(
+            s"compactWarehouse: install ${s.getPath} -> $target failed" +
+              (if (rolledBack) " (old data rolled back to live)"
+               else s" AND rollback failed — old data is at $bak"))
+        }
       }
     fs.delete(tmpRoot, true)
   }

@@ -128,6 +128,16 @@ class DedupSpec extends SparkSpec {
     assert(cross === expected)
     assert(cross.nonEmpty)
     spark.catalog.clearCache()
+    // past the broadcast budget the batch-side enrichment joins by
+    // shuffle — identical output (same gate-equivalence contract as
+    // minhashPipeline's): force the gate shut with a zero budget
+    val gated = Dedup.minhashCrossPairs(incoming, corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5,
+        maxSigBroadcastBytes = 0L)
+      .select("id_new", "id_corpus", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gated === expected)
+    spark.catalog.clearCache()
   }
 
   test("nearDupGroups/Star: empty pair list converges to an empty label set") {

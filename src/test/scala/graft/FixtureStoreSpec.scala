@@ -72,6 +72,34 @@ class FixtureStoreSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compactWarehouse: re-run recovers a partition stranded at .bak by a mid-swap crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("whr").toString
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
+      .toDF("id", "ts", "v")
+    Sources.writeWarehouse(rows, tmp, "ts", Seq("id"))
+    val before = spark.read.parquet(tmp).select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    assert(before.size === 2)
+    // simulate a crash INSIDE the two-rename window of day 1: the live dir
+    // has been renamed aside to <tmp>/<partition>.bak and nothing replaced
+    // it yet — the .bak is the ONLY copy of that partition
+    val tmpRoot = new java.io.File(tmp + ".compact.tmp")
+    assert(tmpRoot.mkdirs())
+    val live = new java.io.File(tmp, "__p_date=2024-01-01")
+    val bak = new java.io.File(tmpRoot, "__p_date=2024-01-01.bak")
+    assert(live.renameTo(bak))
+    assert(!live.exists())
+    // the documented recovery is "re-run compaction": it must restore the
+    // .bak BEFORE its Overwrite write deletes the tmp root
+    Sources.compactWarehouse(spark, tmp, Seq("id"))
+    val after = spark.read.parquet(tmp).select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    assert(after === before)
+    assert(!tmpRoot.exists())
+  }
+
   test("J5 pure-range join via date bucketing") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-05 12:00:00")),
