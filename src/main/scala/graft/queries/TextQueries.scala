@@ -890,7 +890,8 @@ object TextQueries {
     * weak locality, so the tuner maximizes recall inside a relaxed candidate
     * budget; see LshRecallSpec for the measurement and the clustered-data
     * case where 0.9 recall @ ≤15% candidates holds). Approximate by
-    * construction → rows-only. */
+    * construction but fully deterministic — gated hash-exact against the
+    * committed [[AnnGolden]] top-k (determinism + regression pin). */
   val qAnnLsh = GQuery("q_ann_lsh",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -904,12 +905,15 @@ object TextQueries {
         .select(col("query_id"), col("rank"), col("id"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None, notes = "rows-only: approximate ANN (auto-tuned LSH)")
+    Some(AnnGolden.oracle(AnnGolden.lshRows)),
+    notes = "approximate ANN (auto-tuned LSH); hash-exact vs committed " +
+      "deterministic golden (AnnGolden), recall pinned in LshRecallSpec")
 
   /** IVF ANN (the clustered-corpus scale path, complementing hyperplane
     * LSH): spherical k-means coarse quantizer trained on a deterministic
     * sample, one-bucket assignment per corpus vector, nProbe probing, exact
-    * re-rank. Approximate by construction → rows-only; recall pinned in
+    * re-rank. Approximate by construction but deterministic — gated
+    * hash-exact against the committed [[AnnGolden]] top-k; recall pinned in
     * LshRecallSpec (≥0.9 at ~10% candidates on clustered data). */
   val qAnnIvf = GQuery("q_ann_ivf",
     (s, d) => {
@@ -922,7 +926,9 @@ object TextQueries {
         .select(col("query_id"), col("rank"), col("id"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None, notes = "rows-only: approximate ANN (IVF)")
+    Some(AnnGolden.oracle(AnnGolden.ivfRows)),
+    notes = "approximate ANN (IVF); hash-exact vs committed deterministic " +
+      "golden (AnnGolden), recall pinned in LshRecallSpec")
 
   // ---- ANN candidate-set oracles ------------------------------------
   // The ANN top-k output is approximate by construction (rows-only), but
