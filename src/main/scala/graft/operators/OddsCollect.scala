@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** F11 — `collect_odds_data_enhanced` (enhanced_mapping.py:787-909): the
@@ -68,17 +69,47 @@ object OddsCollect {
       .drop("home_mapping", "away_mapping")
   }
 
-  /** N6 — team-event detection from lineups: documented stub in the
-    * reference too (database_integration.py:334-356 is a placeholder that
-    * never fires). The engine ships the schema and a no-op transform so the
-    * downstream contract (team_events table, J5 event-impact join) is real. */
-  def detectTeamEvents(lineupRows: DataFrame): DataFrame =
-    lineupRows.select(
-      col("team_id"),
-      col("player_id"),
-      lit("lineup_change").as("event_type"),
-      lit(null).cast("string").as("event_description"),
-      lit("minor").as("severity"),
-      col("collected_at").as("detected_at"))
-      .limit(0) // no detection heuristic defined by the reference either
+  /** N6 — team-event detection from lineups. The reference's own detector
+    * is an empty placeholder (database_integration.py:334-356: "Could
+    * implement logic to detect when expected players are missing ...
+    * Comparison with previous lineups"); this implements exactly that
+    * MINIMAL documented intent: for each team's consecutive fixtures
+    * (ordered by fixture time), a player who STARTED the previous fixture
+    * but is absent from the current lineup raises a `missing_starter`
+    * event (the injury/suspension signal the placeholder describes).
+    *
+    * Input: (team_id, fixture_id, fixture_ts, player_id) lineup rows.
+    * Output: (team_id, fixture_id, player_id, event_type,
+    *          event_description, severity, detected_at).
+    *
+    * Scale shape: the fixture sequence window runs over DISTINCT fixtures
+    * (rows ∝ fixtures, not lineup entries); the roster set-diff is one
+    * left-anti join keyed (team, seq, player) — both sides shuffle once on
+    * the key, partial-aggregated, linear in lineup rows, no per-team
+    * cross product. */
+  def detectTeamEvents(lineups: DataFrame): DataFrame = {
+    val fx = lineups.select("team_id", "fixture_id", "fixture_ts").distinct()
+    val w = Window.partitionBy(col("team_id"))
+      .orderBy(col("fixture_ts"), col("fixture_id"))
+    val seqd = fx.withColumn("seq", row_number().over(w))
+    // previous fixture's roster, re-keyed to the fixture that FOLLOWS it
+    val prevRoster = lineups
+      .join(seqd, Seq("team_id", "fixture_id", "fixture_ts"))
+      .select(col("team_id"), (col("seq") + 1).as("seq"),
+        col("player_id"), col("fixture_id").as("prev_fixture"))
+    val curFx = seqd.select(col("team_id"), col("seq"),
+      col("fixture_id"), col("fixture_ts"))
+    val curRoster = lineups
+      .join(seqd, Seq("team_id", "fixture_id", "fixture_ts"))
+      .select(col("team_id"), col("seq"), col("player_id"))
+    prevRoster.join(curFx, Seq("team_id", "seq"))
+      .join(curRoster, Seq("team_id", "seq", "player_id"), "left_anti")
+      .select(col("team_id"), col("fixture_id"), col("player_id"),
+        lit("missing_starter").as("event_type"),
+        concat(lit("started fixture "), col("prev_fixture"),
+          lit(", absent from fixture "), col("fixture_id"))
+          .as("event_description"),
+        lit("minor").as("severity"),
+        col("fixture_ts").as("detected_at"))
+  }
 }

@@ -265,6 +265,78 @@ object PipelineQueries {
       .orderBy(col("event_type")),
     None, notes = "rows-only: approximate HLL sketch")
 
+  /** Sketch-family heavy hitters — keys with frequency ≥ 5% of the table,
+    * WITHOUT an exact groupBy over the full key domain: Misra–Gries
+    * candidates (`df.stat.freqItems`, one distributed pass, candidate set
+    * bounded by 1/support = 20 regardless of key cardinality or corpus
+    * size) + count-min-sketch estimates (one more distributed pass; the
+    * sketch is KB-sized and mergeable). The CMS filter prunes MG's false
+    * positives; NO FALSE NEGATIVES by construction — an item with true
+    * frequency ≥ support survives MG, and CMS never under-counts, so it
+    * passes the ≥ support·N cut. Both driver-side values are bounded by
+    * the support constant, not the data (the q_approx_distinct posture).
+    * Approximate counts → rows-only; the one-sided error contract
+    * (no-under-count, over ≤ eps·N, candidate completeness) is pinned in
+    * ApproxDistinctSpec. Exact twin of the top-k form: q_topk. */
+  val qHeavyHitters = GQuery("q_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val support = 0.05
+      val n = ev.count()
+      val cms = ev.stat.countMinSketch(col("event_type"),
+        eps = 1e-4, confidence = 0.99, seed = 42)
+      val cands = ev.stat.freqItems(Seq("event_type"), support)
+        .head.getSeq[String](0)
+      cands.map(k => (k, cms.estimateCount(k)))
+        .filter(_._2 >= (support * n).toLong)
+        .toDF("event_type", "est_count")
+        .orderBy(col("event_type"))
+    },
+    None, notes = "rows-only: CMS+Misra-Gries heavy hitters, one-sided " +
+      "error pinned in ApproxDistinctSpec")
+
+  /** N6 — team-event detection over synthetic "lineups": orders are a
+    * team's (customer's) fixtures in date order, a fixture's lineup is its
+    * lineitem part keys; a part that appears in the previous order but
+    * not the current one is a `missing_starter` event. Exercises
+    * [[graft.operators.OddsCollect.detectTeamEvents]] end-to-end under
+    * the hash gate (sequence window + roster set-diff). */
+  val qTeamEvents = GQuery("q_team_events",
+    (s, d) => {
+      val lu = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("team_id"),
+          col("o_orderkey").as("fixture_id"),
+          col("o_orderdate").as("fixture_ts"),
+          col("l_partkey").as("player_id"))
+        .distinct()
+      graft.operators.OddsCollect.detectTeamEvents(lu)
+        .orderBy(col("team_id"), col("detected_at"), col("fixture_id"),
+          col("player_id"))
+    },
+    Some("""WITH lu AS (
+        SELECT DISTINCT o_custkey AS team_id, o_orderkey AS fixture_id,
+          o_orderdate AS fixture_ts, l_partkey AS player_id
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      fx AS (
+        SELECT team_id, fixture_id, fixture_ts,
+          ROW_NUMBER() OVER (PARTITION BY team_id
+            ORDER BY fixture_ts, fixture_id) AS seq
+        FROM (SELECT DISTINCT team_id, fixture_id, fixture_ts FROM lu))
+      SELECT p.team_id, cur.fixture_id, p.player_id,
+        'missing_starter' AS event_type,
+        'started fixture ' || pf.fixture_id ||
+          ', absent from fixture ' || cur.fixture_id AS event_description,
+        'minor' AS severity,
+        cur.fixture_ts AS detected_at
+      FROM fx pf
+      JOIN fx cur ON cur.team_id = pf.team_id AND cur.seq = pf.seq + 1
+      JOIN lu p ON p.team_id = pf.team_id AND p.fixture_id = pf.fixture_id
+      WHERE NOT EXISTS (SELECT 1 FROM lu c WHERE c.team_id = cur.team_id
+        AND c.fixture_id = cur.fixture_id AND c.player_id = p.player_id)
+      ORDER BY p.team_id, cur.fixture_ts, cur.fixture_id, p.player_id"""))
+
   /** Report slice (SURVEY.md §1.1 derived documents): weekly daily
     * breakdown — the weekly_report.json inner table. */
   val qWeeklyDaily = GQuery("q_weekly_daily",
@@ -364,5 +436,6 @@ object PipelineQueries {
 
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
-    qApproxDistinct, qWeeklyDaily, qHealthStatus, qProfile, qValidate)
+    qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
+    qHealthStatus, qProfile, qValidate)
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * exact count. Pinned here at two scale factors so a regression in the
   * sketch config (or an accidental rsd change) fails loudly. */
 class ApproxDistinctSpec extends SparkSpec {
+  import spark.implicits._
 
   private def relErrors(dir: String): Seq[(String, Long, Long, Double)] = {
     val ev = Tables.events(spark, dir)
@@ -52,6 +53,29 @@ class ApproxDistinctSpec extends SparkSpec {
       assert(est >= cnt, s"$et: CMS under-counted ($est < $cnt)")
       assert(est <= cnt + (eps * n).toLong + 1,
         s"$et: CMS over by more than eps*N ($est vs $cnt + ${(eps * n).toLong})")
+    }
+  }
+
+  test("q_heavy_hitters: complete above support, one-sided count error") {
+    // End-to-end contract of the registry query (MG candidates + CMS
+    // estimates): every key with true frequency >= support appears (no
+    // false negatives — MG keeps all above-support keys, CMS never
+    // under-counts, so the >= support*N cut cannot drop them), and each
+    // reported estimate is within [true, true + eps*N].
+    val d = "/root/testdata/sf0.01"
+    val out = graft.queries.PipelineQueries.qHeavyHitters.run(spark, d)
+      .as[(String, Long)].collect().toMap
+    val ev = Tables.events(spark, d)
+    val n = ev.count()
+    val exact = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heavy = exact.filter(_._2 >= (0.05 * n).toLong)
+    assert(heavy.nonEmpty)
+    heavy.foreach { case (k, cnt) =>
+      assert(out.contains(k), s"heavy key $k missing from q_heavy_hitters")
+      assert(out(k) >= cnt, s"$k: CMS under-counted (${out(k)} < $cnt)")
+      assert(out(k) <= cnt + (1e-4 * n).toLong + 1,
+        s"$k: estimate ${out(k)} over by more than eps*N vs $cnt")
     }
   }
 

@@ -7,6 +7,25 @@ import org.apache.spark.sql.functions._
 class OddsCollectSpec extends SparkSpec {
   import spark.implicits._
 
+  test("N6 detectTeamEvents: starter absent from the NEXT fixture raises missing_starter") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // team 1: fixtures 10 (players 100,101) → 11 (101,102) → 12 (102)
+    //   ⇒ 100 missing at 11; 101 missing at 12
+    // team 2: single fixture ⇒ nothing (no previous lineup to diff)
+    val lineups = Seq(
+      (1L, 10L, ts(1), 100L), (1L, 10L, ts(1), 101L),
+      (1L, 11L, ts(8), 101L), (1L, 11L, ts(8), 102L),
+      (1L, 12L, ts(15), 102L),
+      (2L, 20L, ts(1), 900L))
+      .toDF("team_id", "fixture_id", "fixture_ts", "player_id")
+    val out = graft.operators.OddsCollect.detectTeamEvents(lineups)
+      .select("team_id", "fixture_id", "player_id", "event_type", "severity")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(out === Set(
+      (1L, 11L, 100L, "missing_starter", "minor"),
+      (1L, 12L, 101L, "missing_starter", "minor")))
+  }
+
   test("F11: payload gains _mapping_metadata; Man Utd maps via normalization") {
     val payloadJson =
       """{"fixture_id": 9001,
