@@ -82,26 +82,34 @@ object OddsCollect {
     * Output: (team_id, fixture_id, player_id, event_type,
     *          event_description, severity, detected_at).
     *
-    * Scale shape: the fixture sequence window runs over DISTINCT fixtures
-    * (rows ∝ fixtures, not lineup entries); the roster set-diff is one
-    * left-anti join keyed (team, seq, player) — both sides shuffle once on
-    * the key, partial-aggregated, linear in lineup rows, no per-team
-    * cross product. */
+    * Scale shape: the fixture sequence comes from dense_rank directly
+    * over lineup rows (identical to numbering distinct fixtures, without
+    * a separate distinct+join); the sequenced relation is CACHED — the
+    * operator's materialization point, same posture as the curation
+    * pipeline's curated store: three downstream branches (prev roster,
+    * current roster, fixture list) read it, and without the cache each
+    * re-runs the upstream lineup build + team shuffle + window (measured
+    * 3× recompute; AQE does not collapse the identical subtrees, and
+    * since Spark 3.3 joins re-shuffle on the full key set regardless of
+    * the team_id partitioning). A lineup table is fixtures×squad-size —
+    * bounded far below corpus scale, safe to pin. Downstream: one
+    * left-anti roster set-diff keyed (team, seq, player), linear in
+    * lineup rows, no per-team cross product. */
   def detectTeamEvents(lineups: DataFrame): DataFrame = {
-    val fx = lineups.select("team_id", "fixture_id", "fixture_ts").distinct()
     val w = Window.partitionBy(col("team_id"))
       .orderBy(col("fixture_ts"), col("fixture_id"))
-    val seqd = fx.withColumn("seq", row_number().over(w))
+    val seqd = lineups.withColumn("seq", dense_rank().over(w)).cache()
+    // materialize BEFORE the multi-branch action: concurrent stages race
+    // an un-populated cache and each recompute the window pipeline (same
+    // hazard minhashCrossPairs documents)
+    seqd.count()
     // previous fixture's roster, re-keyed to the fixture that FOLLOWS it
-    val prevRoster = lineups
-      .join(seqd, Seq("team_id", "fixture_id", "fixture_ts"))
+    val prevRoster = seqd
       .select(col("team_id"), (col("seq") + 1).as("seq"),
         col("player_id"), col("fixture_id").as("prev_fixture"))
     val curFx = seqd.select(col("team_id"), col("seq"),
-      col("fixture_id"), col("fixture_ts"))
-    val curRoster = lineups
-      .join(seqd, Seq("team_id", "fixture_id", "fixture_ts"))
-      .select(col("team_id"), col("seq"), col("player_id"))
+      col("fixture_id"), col("fixture_ts")).distinct()
+    val curRoster = seqd.select(col("team_id"), col("seq"), col("player_id"))
     prevRoster.join(curFx, Seq("team_id", "seq"))
       .join(curRoster, Seq("team_id", "seq", "player_id"), "left_anti")
       .select(col("team_id"), col("fixture_id"), col("player_id"),
