@@ -2085,6 +2085,14 @@ object TextQueries {
       val nonCanonical = Dedup.nearDupGroups(pairs.select(col("id_a"), col("id_b")))
         .filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"))
+      // the one SortMergeJoin in this plan (PLANS.md), and deliberately so:
+      // nonCanonical is the non-canonical slice of every near-dup
+      // component — proportional to the corpus's duplicate RATE (easily
+      // 20-40% of a web corpus), not bounded by any dimension table, so a
+      // static broadcast here is the same 100×-killer class the minhash
+      // size gate exists for. Shuffled anti-join on the 8-byte key is the
+      // scale-right default; AQE demotes it to broadcast at runtime when
+      // the measured build side is actually small.
       exactKept.join(nonCanonical, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
