@@ -256,14 +256,18 @@ object PipelineQueries {
       ORDER BY fixture_id, bookmaker, home_odds, draw_odds, away_odds"""))
 
   /** A5 scale path — approx_count_distinct (HLL++): the 100 TB variant of
-    * COUNT(DISTINCT). Approximate by design → rows-only check; the exact
-    * twin is q_count_distinct. */
+    * COUNT(DISTINCT). Approximate by design but DETERMINISTIC (hash-based
+    * sketch, order-independent merge) — gated hash-exact against the
+    * committed [[SketchGolden]]; the ±5% error contract vs the exact
+    * count (q_count_distinct) stays pinned in ApproxDistinctSpec. */
   val qApproxDistinct = GQuery("q_approx_distinct",
     (s, d) => Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .orderBy(col("event_type")),
-    None, notes = "rows-only: approximate HLL sketch")
+    Some(SketchGolden.oracle(SketchGolden.approxRows, "approx_users")),
+    notes = "approximate HLL sketch; hash-exact vs committed deterministic " +
+      "golden, error bound spec-pinned")
 
   /** Sketch-family heavy hitters — keys with frequency ≥ 5% of the table,
     * WITHOUT an exact groupBy over the full key domain: Misra–Gries
@@ -275,7 +279,9 @@ object PipelineQueries {
     * frequency ≥ support survives MG, and CMS never under-counts, so it
     * passes the ≥ support·N cut. Both driver-side values are bounded by
     * the support constant, not the data (the q_approx_distinct posture).
-    * Approximate counts → rows-only; the one-sided error contract
+    * Approximate counts, but deterministic (CMS cells are exact sums;
+    * MG has no evictions at this cardinality) — gated hash-exact against
+    * the committed [[SketchGolden]]; the one-sided error contract
     * (no-under-count, over ≤ eps·N, candidate completeness) is pinned in
     * ApproxDistinctSpec. Exact twin of the top-k form: q_topk. */
   val qHeavyHitters = GQuery("q_heavy_hitters",
@@ -293,8 +299,9 @@ object PipelineQueries {
         .toDF("event_type", "est_count")
         .orderBy(col("event_type"))
     },
-    None, notes = "rows-only: CMS+Misra-Gries heavy hitters, one-sided " +
-      "error pinned in ApproxDistinctSpec")
+    Some(SketchGolden.oracle(SketchGolden.hhRows, "est_count")),
+    notes = "CMS+Misra-Gries heavy hitters; hash-exact vs committed " +
+      "deterministic golden, one-sided error pinned in ApproxDistinctSpec")
 
   /** N6 — team-event detection over synthetic "lineups": orders are a
     * team's (customer's) fixtures in date order, a fixture's lineup is its
