@@ -182,4 +182,70 @@ object Sampling {
     scored.join(broadcast(cuts), Seq(groupCol))
       .filter(col("score") >= col("cutoff"))
   }
+
+  /** TEMPERATURE RESAMPLING (multilingual / multi-source balancing): keep
+    * each stratum at rate √(n_min / n_g) — the α = 0.5 temperature recipe
+    * that up-weights low-resource strata (the smallest stratum keeps
+    * everything, a 100× larger one keeps 10%) without a hand-written rate
+    * map. α is FIXED at 0.5 on purpose: the rate is computed with sqrt,
+    * which is IEEE-correctly-rounded in every engine, where a generic
+    * pow(p, α) is not — so the keep-set replays bit-exactly cross-engine.
+    * The per-row decision is the same md5-threshold primitive as
+    * [[keepHash]]; the rate→threshold conversion multiplies by 65536
+    * (a power of two — EXACT scaling, no rounding) and floors.
+    *
+    * Scale shape: one partial-aggregated count per stratum (bounded
+    * table), rates broadcast back, decision map-side — the corpus itself
+    * never shuffles. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    // min over an UNPARTITIONED window: the counts table is bounded by
+    // |strata|, so the single-partition frame is fine and avoids the
+    // 1-row cross join a scalar-aggregate join would plan (the registry
+    // locks cartesians/BNLJ out)
+    val rates = counts
+      .withColumn("__min", min(col("__cnt")).over(Window.partitionBy()))
+      .withColumn("__rate",
+        sqrt(col("__min").cast("double") / col("__cnt").cast("double")))
+      .select(col(stratumCol), col("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(col("__rate") >= 1.0 ||
+        substring(md5(concat(lit(salt), lit(":"),
+          col(idCol).cast("string"))), 1, 4) <
+          lower(lpad(hex(floor(col("__rate") * 65536.0)), 4, "0")))
+      .drop("__rate")
+  }
+
+  /** SLIDING-WINDOW CHUNKING: split each document's whitespace tokens
+    * into fixed-size windows with overlap (`window` tokens every `stride`
+    * tokens, stride ≤ window) — the tokenize-and-chunk step that turns
+    * curated documents into training sequences, with the overlap
+    * preserving cross-boundary context. Output long form:
+    * (doc_id, chunk_id, start, n_tokens, chunk_text); tail chunks may be
+    * short (every stride offset below the token count emits), empty docs
+    * emit nothing.
+    *
+    * Scale shape: pure map-side — tokenize, explode the stride sequence,
+    * slice; no shuffle anywhere, output rows ∝ tokens/stride. */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = filter(split(col(textCol), "\\s+"),
+      w => length(w) > 0)
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("start") + 1, lit(window)))
+      .filter(size(col("__chunk")) > 0)
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

@@ -1514,6 +1514,59 @@ object TextQueries {
     },
     notes = "per-lang quality quartiles + per-stratum md5 sampling; twin reproduces the exact row set")
 
+  /** TEMPERATURE RESAMPLING ([[graft.operators.Sampling.temperatureSample]]):
+    * per-language keep rate √(n_min/n_lang) — α=0.5 multilingual
+    * balancing. sqrt and the ×65536 threshold scaling are both exact /
+    * correctly-rounded in every engine, so the twin recomputes the EXACT
+    * keep-set from raw counts. */
+  val qTemperatureSample = GQuery("q_temperature_sample",
+    (s, d) => graft.operators.Sampling.temperatureSample(
+        Tables.documents(s, d), "doc_id", "lang", salt = "temp")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      m AS (SELECT MIN(cnt) AS mn FROM c),
+      r AS (SELECT lang,
+              sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) AS rate
+            FROM c, m)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE rate >= 1.0
+         OR substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+            printf('%04x', CAST(FLOOR(rate * 65536.0) AS BIGINT))
+      ORDER BY doc_id"""),
+    notes = "alpha=0.5 temperature balancing; twin reproduces the exact keep-set")
+
+  /** SLIDING-WINDOW CHUNKING ([[graft.operators.Sampling.slidingChunks]]):
+    * 64-token windows every 32 tokens over each document — the
+    * tokenize-and-chunk step before training export; every chunk's text
+    * hash-compared. Map-side only. */
+  val qChunkSliding = GQuery("q_chunk_sliding",
+    (s, d) => graft.operators.Sampling.slidingChunks(
+        Tables.documents(s, d), "doc_id", "text", window = 64, stride = 32)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, toks,
+          unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS start
+        FROM t),
+      c AS (
+        SELECT doc_id, start,
+          list_slice(toks, start + 1, start + 64) AS chunk
+        FROM s)
+      SELECT doc_id, CAST(start / 32 AS BIGINT) AS chunk_id,
+        CAST(start AS BIGINT) AS start,
+        CAST(len(chunk) AS BIGINT) AS n_tokens,
+        array_to_string(chunk, ' ') AS chunk_text
+      FROM c WHERE len(chunk) > 0
+      ORDER BY doc_id, chunk_id"""),
+    notes = "sliding token windows with overlap; chunk text hash-exact")
+
   /** TOKEN-BUDGET PACKING ([[graft.operators.Sampling.packChunks]]):
     * documents packed into ~2000-token training chunks per language, in
     * doc_id order — deterministic window cumsum, so the twin recomputes the
@@ -2194,7 +2247,8 @@ object TextQueries {
     qEmbeddingNearDup, qParaphraseMining, qMediaFeatures, qImageDecode, qAudioDecode,
     qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qDecontaminate,
-    qSampleDet, qMixSample, qStratifiedSample, qPackChunks, qTrainingExport,
+    qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
+    qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram)
 }

@@ -132,4 +132,43 @@ class SamplingSpec extends SparkSpec {
     // a: 5 + 4 = 9 ≤ 10; adding the 3-token doc would blow the budget
     assert(out === Map(1L -> 5L, 2L -> 9L))
   }
+
+  test("temperatureSample: min stratum kept whole, 4x stratum near sqrt-rate, reproducible") {
+    val df = ((0L until 500L).map(i => (i, "small")) ++
+      (1000L until 3000L).map(i => (i, "big"))).toDF("id", "grp")
+    val kept = Sampling.temperatureSample(df, "id", "grp")
+      .select("id", "grp").as[(Long, String)].collect()
+    val small = kept.count(_._2 == "small")
+    val big = kept.count(_._2 == "big")
+    assert(small === 500) // rate 1.0: the smallest stratum keeps everything
+    // big stratum rate = sqrt(500/2000) = 0.5; md5 threshold is uniform
+    assert(math.abs(big / 2000.0 - 0.5) < 0.05, s"big kept $big of 2000")
+    // deterministic: the exact same row set on re-run
+    val again = Sampling.temperatureSample(df, "id", "grp")
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(kept.toSet === again.toSet)
+  }
+
+  test("temperatureSample: equal strata all keep rate 1.0") {
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 200L).map(i => (i, "b"))).toDF("id", "grp")
+    assert(Sampling.temperatureSample(df, "id", "grp").count() === 200)
+  }
+
+  test("slidingChunks: window/stride offsets, short tails, empty docs skipped") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "   "), (3L, "solo")).toDF("doc_id", "text")
+    val out = Sampling.slidingChunks(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 4L), (1L, 2L, 4L), (2L, 4L, 4L), (3L, 6L, 4L), (4L, 8L, 2L)))
+    assert(d1.head._5 === "t0 t1 t2 t3")
+    assert(d1.last._5 === "t8 t9")     // short tail kept
+    assert(!out.exists(_._1 == 2L))    // whitespace-only doc: no chunks
+    assert(out.filter(_._1 == 3L).map(_._5).toSeq === Seq("solo"))
+  }
 }
