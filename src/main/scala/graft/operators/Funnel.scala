@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream — "how many users did
+  * step₁, then step₂, then step₃, in order". The reference's phase
+  * pipeline (early_odds → pre_match → team_news → final_data,
+  * `/root/reference/.github/workflows/football-data-pipeline.yml:190-210`)
+  * is exactly this shape per fixture; this is the user-journey
+  * generalization every analytics stack ships.
+  */
+object Funnel {
+
+  /** For each user, step i is REACHED at the earliest event of type
+    * `steps(i)` at-or-after the reach time of step i−1 (events totally
+    * ordered by (ts, idCol) — an equal-timestamp pair resolves by event
+    * id, so the result is deterministic). Output: one row per step with
+    * the count of users that reached it — by construction non-increasing.
+    *
+    * Scale shape: ONE shuffle on the user key. The per-step reach times
+    * are running-window minima over the SAME (partitionBy user, orderBy
+    * ts, id) spec — step i's qualifier reads step i−1's running min, so
+    * Catalyst plans a chain of Window operators that all reuse one
+    * exchange + one sort (each child's ordering already satisfies the
+    * next window's requirement; `.explain` shows a single Exchange).
+    * The per-user reduction and the final step-count aggregation are
+    * map-side-combined counts — bytes on the wire ∝ users, then ∝ steps.
+    * No self-join of the event table (the textbook funnel-as-k-way-join
+    * shuffles the corpus k times and explodes on skewed users). */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: empty step list")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var cur = events.select(col(userCol).as("user_id"),
+      col(tsCol).as("ts"), col(typeCol).as("etype"), col(idCol).as("eid"))
+    steps.zipWithIndex.foreach { case (st, i) =>
+      val prevOk = if (i == 0) lit(true) else col(s"r${i - 1}").isNotNull
+      cur = cur
+        .withColumn(s"hit$i", when(col("etype") === st && prevOk, col("ts")))
+        .withColumn(s"r$i", min(col(s"hit$i")).over(w))
+    }
+    val perUser = cur.groupBy(col("user_id"))
+      .agg(steps.indices.map(i => min(col(s"hit$i")).as(s"u$i")).head,
+        steps.indices.tail.map(i => min(col(s"hit$i")).as(s"u$i")): _*)
+    val totals = perUser.agg(
+      count(col("u0")).as("s0"),
+      steps.indices.tail.map(i => count(col(s"u$i")).as(s"s$i")): _*)
+    totals.select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit((i + 1).toLong).as("step"), lit(st).as("step_name"),
+          col(s"s$i").as("users"))
+      }: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.users"))
+      .orderBy(col("step"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction — the retrieval-side primitive of a text
+  * pipeline (BM25-style search, contamination lookup, citation tracing all
+  * start from term → postings). The reference keeps per-team/bookmaker
+  * lookup dicts in memory (`/root/reference/enhanced_mapping.py:109-192`);
+  * this is the corpus-scale generalization: term statistics plus a bounded
+  * posting sample per term.
+  */
+object Index {
+
+  /** Build an inverted index over whitespace tokens: per term, the
+    * document frequency `df`, collection frequency `cf`, and the first
+    * `maxPostings` postings in doc-id order rendered `"doc:tf,..."`.
+    * Terms with `df < minDf` are pruned (hapax noise).
+    *
+    * Scale shape: ONE corpus explode → (doc, term) tf groupBy (map-side
+    * partial combine eats per-doc duplicates), then ONE term groupBy that
+    * computes df, cf, AND the capped posting sample together — the sample
+    * via [[graft.functions.PostingsAgg]], a bounded typed Aggregator whose
+    * map-side partials ship ≤ maxPostings entries per term per partition.
+    * That bound is the load-bearing choice: a window-rank cap would route
+    * a stopword's ENTIRE corpus-scale posting set through one partition
+    * (skewed straggler), while here the term shuffle is ∝ vocab·k no
+    * matter how skewed df is. At production scale the full (uncapped)
+    * posting file would be written as doc-id-sorted shards instead —
+    * this operator is the stats + head-sample view of it. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, maxPostings: Int = 20): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val postAgg = udaf(new graft.functions.PostingsAgg(maxPostings))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        postAgg(col("doc_id"), col("tf")).as("postings"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** Collocation mining: adjacent token pairs ranked by the PMI-monotone
+    * lift `c_ab / (c_a · c_b)`. Full PMI is `log(c_ab·N²/(Np·c_a·c_b))`,
+    * but for a FIXED corpus the `N²/Np` factor and the log are both
+    * strictly monotone, so ranking by `c_ab/(c_a·c_b)` ranks identically —
+    * and that score is one IEEE double multiply + one divide of exact
+    * integers (counts < 2⁵³), correctly rounded and bit-identical in every
+    * engine, where libm's log would not be. Pairs below `minCount` are
+    * dropped (PMI is noise on rare pairs), top `k` kept.
+    *
+    * Scale shape: pairs from ONE map-side tail-zip of each doc's token
+    * array (never a token self-join, same as [[Salience.pairCounts]]);
+    * unigram counts from one explode+groupBy. Both joins BROADCAST the
+    * unigram table — a vocabulary is bounded regardless of corpus size.
+    * Top-k is a distributed TakeOrderedAndProject; rank is numbered on
+    * the ≤k survivors only. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val pairs = df
+      .select(explode(zip_with(slice(toks, 1, Int.MaxValue - 1),
+        slice(toks, 2, Int.MaxValue - 1),
+        (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+      .filter(col("p.t2").isNotNull)
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = df.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val scored = pairs
+      .join(broadcast(uni.select(col("term").as("t1"), col("c").as("c_a"))),
+        Seq("t1"))
+      .join(broadcast(uni.select(col("term").as("t2"), col("c").as("c_b"))),
+        Seq("t2"))
+      .withColumn("lift", col("c_ab").cast("double") /
+        (col("c_a").cast("double") * col("c_b").cast("double")))
+    val top = scored
+      .orderBy(desc("lift"), asc("t1"), asc("t2")).limit(k)
+    val w = Window.orderBy(desc("lift"), asc("t1"), asc("t2"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("t1"), col("t2"), col("c_ab"),
+        col("c_a"), col("c_b"), col("lift"))
+  }
+}

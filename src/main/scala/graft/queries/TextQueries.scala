@@ -2235,6 +2235,68 @@ object TextQueries {
       ORDER BY e.doc_id"""
     })
 
+  /** INVERTED INDEX ([[graft.operators.Index.invertedIndex]]): per-term
+    * df/cf plus the first-20-postings sample in doc-id order — the
+    * retrieval primitive. Posting lists are capped BEFORE the list agg so
+    * no group is unbounded; the twin replays the identical cap. */
+  val qInvertedIndex = GQuery("q_inverted_index",
+    (s, d) => graft.operators.Index.invertedIndex(
+        Tables.documents(s, d), "doc_id", "text", minDf = 2L,
+        maxPostings = 20)
+      .orderBy(col("term")),
+    Some("""WITH tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM (
+          SELECT doc_id,
+            unnest(list_filter(string_split_regex(trim(text), '\s+'),
+              w -> len(w) > 0)) AS term
+          FROM documents)
+        GROUP BY term, doc_id),
+      stats AS (
+        SELECT term, COUNT(*) AS df, SUM(tf) AS cf
+        FROM tf GROUP BY term HAVING COUNT(*) >= 2),
+      p AS (
+        SELECT term, array_to_string(list_slice(
+          list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+            ORDER BY doc_id), 1, 20), ',') AS postings
+        FROM tf GROUP BY term)
+      SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+        postings
+      FROM stats JOIN p USING (term)
+      ORDER BY term"""),
+    notes = "term stats + bounded posting sample; postings string hash-exact")
+
+  /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
+    * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
+    * with one multiply + one divide of exact integer counts, so the score
+    * itself sits under the hash gate (libm log would not). */
+  val qCollocations = GQuery("q_collocations",
+    (s, d) => graft.operators.Index.collocations(
+        Tables.documents(s, d), "text", minCount = 5L, k = 100),
+    Some("""WITH t AS (
+        SELECT list_filter(string_split_regex(trim(text), '\s+'),
+          w -> len(w) > 0) AS toks
+        FROM documents),
+      ix AS (
+        SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+      pc AS (
+        SELECT toks[i] AS t1, toks[i + 1] AS t2, COUNT(*) AS c_ab
+        FROM ix GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      uni AS (
+        SELECT u AS term, COUNT(*) AS c
+        FROM (SELECT unnest(toks) AS u FROM t) GROUP BY u),
+      sc AS (
+        SELECT t1, t2, c_ab, a.c AS c_a, b.c AS c_b,
+          CAST(c_ab AS DOUBLE) / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+            AS lift
+        FROM pc JOIN uni a ON pc.t1 = a.term JOIN uni b ON pc.t2 = b.term)
+      SELECT CAST(row_number() OVER (ORDER BY lift DESC, t1, t2) AS BIGINT)
+          AS rank,
+        t1, t2, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+        CAST(c_b AS BIGINT) AS c_b, lift
+      FROM sc ORDER BY lift DESC, t1, t2 LIMIT 100"""),
+    notes = "PMI-monotone lift from exact integer counts; score hash-exact")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -2250,5 +2312,6 @@ object TextQueries {
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram)
+    qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
+    qInvertedIndex, qCollocations)
 }

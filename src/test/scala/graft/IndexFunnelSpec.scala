@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{Funnel, Index}
+import org.apache.spark.sql.functions._
+
+class IndexFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- inverted index -----------------------------------------------------
+
+  test("invertedIndex: df/cf/postings on a known corpus") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b"),
+      (3L, "c c c"),
+      (4L, "a")).toDF("doc_id", "text")
+    val idx = Index.invertedIndex(docs, "doc_id", "text",
+      minDf = 2L, maxPostings = 20)
+      .orderBy("term").as[(String, Long, Long, String)].collect()
+    assert(idx === Seq(
+      ("a", 3L, 4L, "1:2,2:1,4:1"),
+      ("b", 2L, 2L, "1:1,2:1"),
+      ("c", 2L, 4L, "1:1,3:3")))
+  }
+
+  test("invertedIndex: posting cap keeps the smallest doc ids") {
+    val docs = (1L to 50L).map(i => (i, "x")).toDF("doc_id", "text")
+    val idx = Index.invertedIndex(docs, "doc_id", "text",
+      minDf = 2L, maxPostings = 5)
+      .as[(String, Long, Long, String)].collect()
+    assert(idx.length === 1)
+    val (_, df, cf, postings) = idx.head
+    assert(df === 50L && cf === 50L)
+    assert(postings === "1:1,2:1,3:1,4:1,5:1") // capped, doc-id order
+  }
+
+  test("invertedIndex: minDf prunes hapax terms") {
+    val docs = Seq((1L, "common rare1"), (2L, "common rare2"))
+      .toDF("doc_id", "text")
+    val terms = Index.invertedIndex(docs, "doc_id", "text",
+      minDf = 2L, maxPostings = 20)
+      .select("term").as[String].collect()
+    assert(terms === Array("common"))
+  }
+
+  // --- collocations -------------------------------------------------------
+
+  test("collocations: lift ranks the exclusive pair first") {
+    // "x y" always adjacent and exclusive; "a b" adjacent but a,b frequent
+    val docs = Seq.tabulate(6)(i =>
+      (i.toLong, "x y a b a c b c a b")).toDF("doc_id", "text")
+    val out = Index.collocations(docs, "text", minCount = 5L, k = 10)
+      .as[(Long, String, String, Long, Long, Long, Double)].collect()
+    assert(out.head._2 === "x" && out.head._3 === "y")
+    // exact lift: c_ab=6, c_a=6, c_b=6 -> 6/36
+    assert(out.head._7 === 6.0 / 36.0)
+    // ranks dense 1..n, lifts non-increasing
+    assert(out.map(_._1).toSeq === (1L to out.length))
+    assert(out.sliding(2).forall(p =>
+      p.length < 2 || p(0)._7 >= p(1)._7))
+  }
+
+  test("collocations: minCount drops rare pairs") {
+    val docs = Seq((1L, "p q"), (2L, "p q"), (3L, "r s"))
+      .toDF("doc_id", "text")
+    val pairs = Index.collocations(docs, "text", minCount = 2L, k = 10)
+      .select("t1", "t2").as[(String, String)].collect()
+    assert(pairs === Array(("p", "q")))
+  }
+
+  // --- funnel -------------------------------------------------------------
+
+  private def ev(rows: (Long, Long, String, Long)*) =
+    rows.toDF("user_id", "tsec", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("tsec")).as("ts"),
+        col("event_type"), col("event_id"))
+
+  test("funnelSteps: order matters — step events before step-1 don't count") {
+    val events = ev(
+      // user 1: full in-order funnel
+      (1L, 10L, "signup", 1L), (1L, 20L, "view", 2L),
+      (1L, 30L, "purchase", 3L),
+      // user 2: purchase BEFORE view -> reaches step 2 only
+      (2L, 10L, "signup", 4L), (2L, 15L, "purchase", 5L),
+      (2L, 20L, "view", 6L),
+      // user 3: no signup -> reaches nothing
+      (3L, 10L, "view", 7L), (3L, 20L, "purchase", 8L))
+    val out = Funnel.funnelSteps(events, "user_id", "ts", "event_type",
+      "event_id", Seq("signup", "view", "purchase"))
+      .as[(Long, String, Long)].collect()
+    assert(out === Seq(
+      (1L, "signup", 2L), (2L, "view", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnelSteps: equal timestamps resolve by event id") {
+    // signup and view at the SAME ts: view's event_id is higher, so the
+    // running min at the view row already sees the signup -> counts
+    val ordered = ev((1L, 10L, "signup", 1L), (1L, 10L, "view", 2L))
+    val o = Funnel.funnelSteps(ordered, "user_id", "ts", "event_type",
+      "event_id", Seq("signup", "view")).as[(Long, String, Long)].collect()
+    assert(o === Seq((1L, "signup", 1L), (2L, "view", 1L)))
+    // reversed ids: view sorts BEFORE the signup -> step 2 not reached
+    val reversed = ev((1L, 10L, "signup", 2L), (1L, 10L, "view", 1L))
+    val r = Funnel.funnelSteps(reversed, "user_id", "ts", "event_type",
+      "event_id", Seq("signup", "view")).as[(Long, String, Long)].collect()
+    assert(r === Seq((1L, "signup", 1L), (2L, "view", 0L)))
+  }
+
+  test("funnelSteps: counts are non-increasing on real data") {
+    val out = Funnel.funnelSteps(Tables.events(spark, sfDir), "user_id",
+      "ts", "event_type", "event_id", Seq("signup", "view", "purchase"))
+      .as[(Long, String, Long)].collect()
+    assert(out.length === 3)
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
+    assert(out.head._3 > 0)
+  }
+}
