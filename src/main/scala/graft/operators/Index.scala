@@ -44,6 +44,41 @@ object Index {
       .select(col("term"), col("df"), col("cf"), col("postings"))
   }
 
+  /** Multi-term keyword retrieval: documents ranked by
+    * `Σ_terms tf · ((N·10⁶) div df)` — TF-IDF with a RATIONAL idf under
+    * integer floor division, so each per-term weight, each contribution,
+    * and the summed score are exact integers, bit-identical in any engine
+    * (BM25's log-idf ranks the same way but libm's log is not
+    * cross-engine reproducible). The 10⁶ scale keeps idf resolution when
+    * df ≈ N. Scores accumulate in DECIMAL(38,0): tf·w can exceed int64 at
+    * corpus scale (N=10¹⁰ → w≈10¹⁶, tf≈10³).
+    *
+    * Scale shape: the term filter lands BEFORE the tf groupBy, so the
+    * shuffle carries only query-term postings (∝ Σ df of the query terms,
+    * not the corpus); term weights derive from that same tiny table and
+    * BROADCAST back onto it; corpus size N rides in as a 1-row broadcast.
+    * Top-k is a distributed TakeOrderedAndProject. */
+  def keywordSearch(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 50): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val n = df.agg(count(lit(1)).as("n"))
+    val weights = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), expr("(n * 1000000) div df").as("w"))
+    val scored = tf.join(broadcast(weights), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf").cast("decimal(38,0)") *
+        col("w").cast("decimal(38,0)")).cast("decimal(38,0)").as("score"))
+    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Collocation mining: adjacent token pairs ranked by the PMI-monotone
     * lift `c_ab / (c_a · c_b)`. Full PMI is `log(c_ab·N²/(Np·c_a·c_b))`,
     * but for a FIXED corpus the `N²/Np` factor and the log are both

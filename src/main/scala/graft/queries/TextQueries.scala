@@ -2265,6 +2265,36 @@ object TextQueries {
       ORDER BY term"""),
     notes = "term stats + bounded posting sample; postings string hash-exact")
 
+  /** KEYWORD SEARCH ([[graft.operators.Index.keywordSearch]]): multi-term
+    * TF-IDF retrieval with a rational idf under integer floor division —
+    * every score an exact integer, hash-comparable. Term filter pushed
+    * before the tf shuffle; weights broadcast. */
+  val qKeywordSearch = GQuery("q_keyword_search",
+    (s, d) => graft.operators.Index.keywordSearch(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("join", "filter", "scan"), k = 50),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> len(w) > 0)) AS term
+        FROM documents),
+      q AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t
+        WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      w AS (
+        SELECT term, (n.n * 1000000) // COUNT(*) AS w
+        FROM q, n GROUP BY term, n.n),
+      sc AS (
+        SELECT doc_id,
+          SUM(CAST(tf AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS s
+        FROM q JOIN w USING (term) GROUP BY doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+          AS rank,
+        doc_id, CAST(s AS DECIMAL(38,0)) AS score
+      FROM sc ORDER BY s DESC, doc_id LIMIT 50"""),
+    notes = "rational-idf retrieval; integer scores hash-exact")
+
   /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
     * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
     * with one multiply + one divide of exact integer counts, so the score
@@ -2313,5 +2343,5 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
-    qInvertedIndex, qCollocations)
+    qInvertedIndex, qCollocations, qKeywordSearch)
 }

@@ -209,6 +209,49 @@ object Streams {
       ts: java.sql.Timestamp, prev_value: Double, value: Double,
       rel_change: Double)
 
+  /** STREAMING FUNNEL — the incremental twin of
+    * [[graft.operators.Funnel.funnelSteps]]: per-user state is just the
+    * next-expected-step index; an arriving event of that type advances it
+    * and emits an advance record. The batch operator's "earliest step-i
+    * event at-or-after the step-(i−1) reach" is exactly this greedy
+    * in-order scan, so on in-order delivery the stream's final per-user
+    * step equals the batch reach count (pinned in StreamsSpec across
+    * multiple micro-batches).
+    *
+    * Intra-batch order is restored by the same (ts, event_id) sort the
+    * batch windows use (flatMapGroupsWithState gives no intra-group
+    * order); ACROSS batches the scan is order-of-arrival — late
+    * out-of-order events can under-count a funnel step, the standard
+    * trade of an O(1)-state streaming funnel (the alternative, buffering
+    * events until a watermark, is [[jobStateMachine]]'s shape).
+    * State per user is ONE int regardless of event volume. */
+  case class FunnelAdvance(user_id: Long, step: Long, step_name: String,
+      ts: java.sql.Timestamp)
+
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_type"),
+        col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[Int]) =>
+          val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._4))
+          var next = state.getOption.getOrElse(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          sorted.foreach { e =>
+            if (next < steps.length && e._3 == steps(next)) {
+              out += FunnelAdvance(uid, (next + 1).toLong, steps(next), e._2)
+              next += 1
+            }
+          }
+          state.update(next)
+          out.iterator
+      }.toDF()
+  }
+
   def movementDetector(spark: SparkSession, events: DataFrame,
       threshold: Double): DataFrame = {
     import spark.implicits._

@@ -43,6 +43,19 @@ class IndexFunnelSpec extends SparkSpec {
     assert(terms === Array("common"))
   }
 
+  test("keywordSearch: exact integer scores, multi-term sum, rank order") {
+    // N=4 docs; df(join)=2 -> w=2_000_000; df(scan)=1 -> w=4_000_000
+    val docs = Seq(
+      (1L, "join join scan"), (2L, "join"), (3L, "other"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Index.keywordSearch(docs, "doc_id", "text",
+      Seq("join", "scan"), k = 10)
+      .select(col("rank"), col("doc_id"), col("score").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    // doc 1: 2*2M + 1*4M = 8M; doc 2: 1*2M = 2M; docs 3,4 unmatched
+    assert(out === Seq((1L, 1L, 8000000L), (2L, 2L, 2000000L)))
+  }
+
   // --- collocations -------------------------------------------------------
 
   test("collocations: lift ranks the exclusive pair first") {

@@ -433,4 +433,52 @@ class StreamsSpec extends SparkSpec {
       assert(kept === Set(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("funnelStream advances per-user state across batches, matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val steps = Seq("signup", "view", "purchase")
+    val q = Streams.funnelStream(spark, df, steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 signs up and views; user 2's purchase arrives
+      // BEFORE any signup (must not advance); user 3 signs up
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "signup", 1L),
+        (1L, ts("2024-01-01 10:05:00"), "view", 2L),
+        (2L, ts("2024-01-01 10:00:00"), "purchase", 3L),
+        (3L, ts("2024-01-01 10:00:00"), "signup", 4L))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (state step=2 must survive the batch
+      // boundary); user 2 signs up (starts at step 1)
+      mem.addData(
+        (1L, ts("2024-01-01 11:00:00"), "purchase", 5L),
+        (2L, ts("2024-01-01 11:00:00"), "signup", 6L))
+      q.processAllAvailable()
+      val adv = spark.table("funnel_stream")
+        .select("user_id", "step", "step_name")
+        .as[(Long, Long, String)].collect().toSeq
+      // per-step reach counts == batch funnelSteps on the union of batches
+      val streamCounts = adv.groupBy(_._2).view.mapValues(_.size).toMap
+      val all = Seq(
+        (1L, ts("2024-01-01 10:00:00"), "signup", 1L),
+        (1L, ts("2024-01-01 10:05:00"), "view", 2L),
+        (2L, ts("2024-01-01 10:00:00"), "purchase", 3L),
+        (3L, ts("2024-01-01 10:00:00"), "signup", 4L),
+        (1L, ts("2024-01-01 11:00:00"), "purchase", 5L),
+        (2L, ts("2024-01-01 11:00:00"), "signup", 6L))
+        .toDF("user_id", "ts", "event_type", "event_id")
+      val batch = graft.operators.Funnel.funnelSteps(all, "user_id", "ts",
+        "event_type", "event_id", steps)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+      assert(streamCounts.getOrElse(1L, 0) === batch(1L).toInt) // 3 signups
+      assert(streamCounts.getOrElse(2L, 0) === batch(2L).toInt) // 1 view
+      assert(streamCounts.getOrElse(3L, 0) === batch(3L).toInt) // 1 purchase
+      // user 2's early purchase never advanced it past step 1
+      assert(adv.filter(_._1 == 2L).map(_._3) === Seq("signup"))
+    } finally q.stop()
+  }
 }
