@@ -29,8 +29,13 @@ object Funnel {
     * map-side-combined counts — bytes on the wire ∝ users, then ∝ steps.
     * No self-join of the event table (the textbook funnel-as-k-way-join
     * shuffles the corpus k times and explodes on skewed users). */
+  /** `maxGapUs`: when set, step i (i ≥ 1) only counts within that many
+    * microseconds of the step-(i−1) reach time — "signed up, then viewed
+    * within an hour". The gap test is an epoch-µs BIGINT compare, exact
+    * in every engine. */
   def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, idCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, idCol: String, steps: Seq[String],
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnelSteps: empty step list")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("eid"))
@@ -38,7 +43,13 @@ object Funnel {
     var cur = events.select(col(userCol).as("user_id"),
       col(tsCol).as("ts"), col(typeCol).as("etype"), col(idCol).as("eid"))
     steps.zipWithIndex.foreach { case (st, i) =>
-      val prevOk = if (i == 0) lit(true) else col(s"r${i - 1}").isNotNull
+      val prevOk =
+        if (i == 0) lit(true)
+        else maxGapUs match {
+          case Some(gap) => col(s"r${i - 1}").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col(s"r${i - 1}")) <= gap
+          case None => col(s"r${i - 1}").isNotNull
+        }
       cur = cur
         .withColumn(s"hit$i", when(col("etype") === st && prevOk, col("ts")))
         .withColumn(s"r$i", min(col(s"hit$i")).over(w))

@@ -79,6 +79,38 @@ object Joins {
     * compaction; at scale both sides co-partition on the key (bucketed
     * base tables make this shuffle-free on the base side), and the output
     * is the rewritten partition set. */
+  /** SCD-type-2 history builder: collapse an event stream into validity
+    * intervals per key — one row per VALUE CHANGE, carrying
+    * [valid_from, valid_to) and an is_current flag (open intervals get
+    * the 9999-12-31 high date, the standard SCD2 sentinel — and a
+    * deterministic, hashable value where a NULL's cross-engine handling
+    * is not). [[applyChanges]] is the SCD1 companion (latest-wins merge);
+    * this keeps the full history a training-data audit or time-travel
+    * join needs.
+    *
+    * Scale shape: ONE shuffle on the key columns — the change-detection
+    * lag and the interval-closing lead are windows over the SAME
+    * (partitionBy keys, orderBy ts, id) spec, and the lead runs on the
+    * change-filtered subset, which preserves the key partitioning (the
+    * second Window reuses the exchange; only the sort re-runs on the
+    * smaller filtered set). No joins, no self-union. */
+  def scd2History(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol), col(idCol))
+    val highDate = "9999-12-31 00:00:00.000000"
+    df.withColumn("__pv", lag(col(valueCol), 1).over(w))
+      .filter(col("__pv").isNull || col(valueCol) =!= col("__pv"))
+      .withColumn("__vt", lead(col(tsCol), 1).over(w))
+      .select(keys ++ Seq(
+        col(valueCol),
+        graft.Det.fmtTs(col(tsCol)).as("valid_from"),
+        coalesce(graft.Det.fmtTs(col("__vt")), lit(highDate))
+          .as("valid_to"),
+        col("__vt").isNull.cast("boolean").as("is_current")): _*)
+  }
+
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       deleteCol: String): DataFrame = {
     val dataCols = base.columns.filter(_ != key).toSeq

@@ -137,6 +137,36 @@ object Relational {
     * join. The change set is synthesized deterministically (every key ≡0
     * mod 10 updated +100, ≡3 deleted, ≡7 re-inserted under key+10^8) and
     * the twin recomputes the merge with the same three-way UNION. */
+  /** J-ext SCD2 ([[graft.operators.Joins.scd2History]]): value-change
+    * validity intervals per (user, event_type) — the full-history
+    * companion of q_upsert's latest-wins merge. One shuffle; open
+    * intervals carry the 9999-12-31 sentinel so every output cell is
+    * non-null and hash-comparable. */
+  val qScd2 = GQuery("q_scd2",
+    (s, d) => Joins.scd2History(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("value")),
+    Some(s"""WITH lagd AS (
+        SELECT user_id, event_type, ts, event_id, value,
+          LAG(value) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS pv
+        FROM events),
+      ch AS (SELECT * FROM lagd WHERE pv IS NULL OR value <> pv),
+      iv AS (
+        SELECT user_id, event_type, value, ts,
+          LEAD(ts) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS vt
+        FROM ch)
+      SELECT user_id, event_type, value,
+        ${Det.sqlFmtTs("ts")} AS valid_from,
+        COALESCE(${Det.sqlFmtTs("vt")}, '9999-12-31 00:00:00.000000')
+          AS valid_to,
+        (vt IS NULL) AS is_current
+      FROM iv
+      ORDER BY user_id, event_type, valid_from, valid_to, value"""),
+    notes = "SCD2 validity intervals; change-collapse + interval close in one shuffle")
+
   val qUpsert = GQuery("q_upsert",
     (s, d) => {
       val base = Tables.orders(s, d)
@@ -570,7 +600,7 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
-    qUpsert,
+    qUpsert, qScd2,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,

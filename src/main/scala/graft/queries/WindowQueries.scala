@@ -377,7 +377,54 @@ object WindowQueries {
       ORDER BY step"""),
     notes = "ordered 3-step funnel; chained running-min windows, one shuffle")
 
+  /** Time-bounded funnel: step i must land within 12 h of the step-(i−1)
+    * reach — every gap test an epoch-µs BIGINT compare, exact
+    * cross-engine. Same one-exchange window chain as q_funnel. */
+  val qFunnelWindowed = GQuery("q_funnel_windowed",
+    (s, d) => graft.operators.Funnel.funnelSteps(
+      Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
+      Seq("signup", "view", "purchase"), maxGapUs = Some(43200000000L)),
+    Some("""WITH e AS (
+        SELECT user_id, ts, event_type, event_id FROM events),
+      s0 AS (
+        SELECT *, CASE WHEN event_type = 'signup' THEN ts END AS hit0
+        FROM e),
+      r0 AS (
+        SELECT *, MIN(hit0) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r0
+        FROM s0),
+      s1 AS (
+        SELECT *, CASE WHEN event_type = 'view' AND r0 IS NOT NULL
+          AND epoch_us(ts) - epoch_us(r0) <= 43200000000
+          THEN ts END AS hit1
+        FROM r0),
+      r1 AS (
+        SELECT *, MIN(hit1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1
+        FROM s1),
+      s2 AS (
+        SELECT *, CASE WHEN event_type = 'purchase' AND r1 IS NOT NULL
+          AND epoch_us(ts) - epoch_us(r1) <= 43200000000
+          THEN ts END AS hit2
+        FROM r1),
+      per AS (
+        SELECT user_id, MIN(hit0) AS u0, MIN(hit1) AS u1, MIN(hit2) AS u2
+        FROM s2 GROUP BY user_id),
+      tot AS (
+        SELECT COUNT(u0) AS c0, COUNT(u1) AS c1, COUNT(u2) AS c2 FROM per)
+      SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        CAST(c0 AS BIGINT) AS users FROM tot
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'view', CAST(c1 AS BIGINT) FROM tot
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', CAST(c2 AS BIGINT) FROM tot
+      ORDER BY step"""),
+    notes = "12h-gap funnel; epoch-us integer gap tests, one user-key exchange")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
-    qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel)
+    qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel,
+    qFunnelWindowed)
 }

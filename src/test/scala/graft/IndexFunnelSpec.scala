@@ -119,6 +119,20 @@ class IndexFunnelSpec extends SparkSpec {
     assert(r === Seq((1L, "signup", 1L), (2L, "view", 0L)))
   }
 
+  test("funnelSteps: maxGapUs bounds the step window") {
+    // view 2h after signup: inside a 3h gap, outside a 1h gap
+    val events = ev(
+      (1L, 0L, "signup", 1L), (1L, 7200L, "view", 2L),
+      (2L, 0L, "signup", 3L), (2L, 1800L, "view", 4L))
+    def counts(gap: Option[Long]) =
+      Funnel.funnelSteps(events, "user_id", "ts", "event_type", "event_id",
+        Seq("signup", "view"), gap)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(counts(None) === Map(1L -> 2L, 2L -> 2L))
+    assert(counts(Some(3L * 3600 * 1000000L)) === Map(1L -> 2L, 2L -> 2L))
+    assert(counts(Some(1L * 3600 * 1000000L)) === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("funnelSteps: counts are non-increasing on real data") {
     val out = Funnel.funnelSteps(Tables.events(spark, sfDir), "user_id",
       "ts", "event_type", "event_id", Seq("signup", "view", "purchase"))

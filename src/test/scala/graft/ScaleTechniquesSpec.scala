@@ -68,6 +68,33 @@ class ScaleTechniquesSpec extends SparkSpec {
       9L -> (("new", 1.0)))) // inserted; 3 deleted
   }
 
+  test("scd2History: change-collapse, interval chaining, high-date current row") {
+    val ev = Seq(
+      // key (1,"x"): 10.0 -> 10.0 (no change, collapsed) -> 20.0
+      (1L, "x", "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "x", "2024-01-01 11:00:00", 2L, 10.0),
+      (1L, "x", "2024-01-01 12:00:00", 3L, 20.0),
+      // key (2,"y"): single version, stays current
+      (2L, "y", "2024-01-01 09:00:00", 4L, 5.0))
+      .toDF("user_id", "event_type", "tss", "event_id", "value")
+      .select(col("user_id"), col("event_type"),
+        col("tss").cast("timestamp").as("ts"), col("event_id"), col("value"))
+    val out = Joins.scd2History(ev, Seq("user_id", "event_type"), "ts",
+      "event_id", "value")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Double, String, String, Boolean)].collect()
+    assert(out === Seq(
+      (1L, "x", 10.0, "2024-01-01 10:00:00.000000",
+        "2024-01-01 12:00:00.000000", false),
+      (1L, "x", 20.0, "2024-01-01 12:00:00.000000",
+        "9999-12-31 00:00:00.000000", true),
+      (2L, "y", 5.0, "2024-01-01 09:00:00.000000",
+        "9999-12-31 00:00:00.000000", true)))
+    // intervals chain: each closed valid_to equals the successor's
+    // valid_from; exactly one current row per key
+    assert(out.count(_._6) === 2)
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     // heavily skewed probe: 10k rows of key 1, a few of others
     val probe = (Seq.fill(10000)(1L) ++ Seq(2L, 3L)).zipWithIndex
