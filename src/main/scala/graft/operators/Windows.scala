@@ -139,6 +139,118 @@ object Windows {
     * @param rightTs   event-time column on `right`
     * @param attrCols  columns of `right` carried to the output (prefixed asof_)
     */
+  /** Cohort retention matrix: users bucketed by first-seen week, then for
+    * each (cohort_week, week_offset) the count of cohort members active
+    * that week — the canonical retention triangle. Weeks are Monday-start
+    * `date_trunc('week', …)` in both engines; the offset is an exact
+    * integer day-diff div 7.
+    *
+    * Scale shape: the cohort week is a per-user window min over ONE user
+    * shuffle; the (user, cohort, week) de-dup groupBy reuses that same
+    * user-hashed exchange prefix, and the final (cohort, offset) count is
+    * map-side-combined — bytes on the wire ∝ users·active-weeks, then
+    * ∝ cohort·offset cells. No join back of a per-user aggregate. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val wUser = Window.partitionBy(col(userCol))
+    val cells = events.select(col(userCol).as("user_id"),
+        date_trunc("week", col(tsCol)).as("week"))
+      .withColumn("cohort_week", min(col("week")).over(wUser))
+      .select(col("user_id"), col("cohort_week"), col("week")).distinct()
+      .withColumn("week_offset",
+        expr("datediff(week, cohort_week) div 7").cast("long"))
+    cells.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(graft.Det.fmtDate(col("cohort_week")).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  /** Time-range rolling aggregate: per key, count and deterministic sum
+    * of `valCol` over the trailing `windowUs` microseconds at every event
+    * — a RANGE window over the epoch-µs axis (a ROWS frame counts rows,
+    * not time; this is the 7-day-moving-average shape). Sum is exact
+    * decimal then one double cast ([[graft.Det.dsum]] discipline), so the
+    * result hash-matches any engine. One shuffle on the key; both frame
+    * aggregates share one window spec and one sort. */
+  def rollingRange(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, 0)
+    events.select(col(keyCol), col(tsCol), col(idCol), col(valCol))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win",
+        sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+          .over(w).cast("double"))
+      .select(col(keyCol), col(idCol), graft.Det.fmtTs(col(tsCol)).as("ts"),
+        col("n_win"), col("sum_win"))
+  }
+
+  /** Variable-duration INTERVAL MERGE (gaps-and-islands): each row opens an
+    * interval [start, start + duration) and per key all transitively
+    * overlapping intervals collapse into one island. Unlike gap-based
+    * [[sessionize]] (fixed horizon from the PREVIOUS event), a long interval
+    * can swallow many later-starting shorter ones — so the island test is
+    * start ≥ running-max-of-END over all PRIOR rows (half-open: touching
+    * at the boundary does not merge), not a lag gap. Both the
+    * running max and the island-numbering running sum share one key exchange
+    * and one sort; the island groupBy is map-side combined. All boundary
+    * math is epoch-µs BIGINT (exact cross-engine).
+    *
+    * @param durUsCol expression yielding the interval length in µs (must be
+    *                 exact integer arithmetic for cross-engine hashing)
+    */
+  def intervalMerge(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, durUsCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__start_us"), col(tiebreakCol))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__start_us", unix_micros(col(tsCol)))
+      .withColumn("__end_us", col("__start_us") + durUsCol)
+      .withColumn("__prev_max_end", max(col("__end_us")).over(prior))
+      .withColumn("__new", when(col("__prev_max_end").isNull ||
+        col("__start_us") >= col("__prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island_id", sum(col("__new")).over(run))
+      .groupBy(col(keyCol), col("island_id"))
+      .agg(
+        min(col("__start_us")).as("island_start_us"),
+        max(col("__end_us")).as("island_end_us"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy(col(keyCol), col("island_id"))
+  }
+
+  /** LAST-TOUCH ATTRIBUTION: each conversion event is credited to the most
+    * recent non-conversion event of the same key within `horizonUs`, else
+    * 'none'. The carry is a `last(..., ignoreNulls)` over ROWS UNBOUNDED
+    * PRECEDING..1 PRECEDING — one key exchange, one sort, no self-join
+    * (the naive formulation is an as-of self-join; the window form reuses
+    * the exchange every other per-key query pays). Totally ordered on
+    * (epoch-µs, tiebreak) so same-µs rows attribute identically everywhere.
+    * Output: conversions per attributed channel. */
+  def lastTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+      tiebreakCol: String, typeCol: String, conversionType: String,
+      horizonUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    val touchUs = when(col(typeCol) =!= conversionType, col("__us"))
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__touch_us", last(touchUs, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+      .withColumn("channel",
+        when(col("__touch_us").isNotNull &&
+          col("__us") - col("__touch_us") <= horizonUs, col("__touch"))
+          .otherwise(lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("channel"))
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, attrCols: Seq[String],
       rightTiebreak: String): DataFrame =

@@ -599,11 +599,136 @@ object Relational {
       WHERE ts >= TIMESTAMP '2024-01-31' - INTERVAL 15 DAY
       GROUP BY event_type ORDER BY event_type"""))
 
+  /** A-ext — MODE per group with a deterministic tie-break: the most
+    * frequent order priority per month, ties broken lexicographically.
+    * Spark's `mode()` agg is tie-nondeterministic — a count + row_number
+    * formulation makes the answer total: one groupBy shuffle (map-side
+    * combined) then a window over the tiny (month, priority) count table.
+    * At 100 TB the second shuffle moves #groups rows, not #rows. */
+  val qModePriority = GQuery("q_mode_priority",
+    (s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("month"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(Det.fmtDate(col("month")).as("month"),
+          col("o_orderpriority").as("mode_priority"), col("n").as("n_orders"))
+        .orderBy(col("month"))
+    },
+    Some("""WITH c AS (
+        SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1, 2),
+      r AS (
+        SELECT month, o_orderpriority, n, ROW_NUMBER() OVER (
+            PARTITION BY month ORDER BY n DESC, o_orderpriority) AS rk
+        FROM c)
+      SELECT strftime(month, '%Y-%m-%d') AS month,
+        o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n_orders
+      FROM r WHERE rk = 1 ORDER BY month"""),
+    notes = "deterministic mode; count shuffle then window over #groups rows")
+
+  /** A-ext — WINSORIZED MEAN: per-group robust mean with tails clipped at
+    * explicit rank-based p10/p90 cut points. The cuts are the element at
+    * row ceil(p·n) of the (value, orderkey, linenumber) total order — a
+    * discrete percentile both engines compute identically (quantile_disc
+    * definitions differ across engines; an explicit rank does not). Clipped
+    * values stay integers so the decimal mean is exact. Plan: one key
+    * exchange for rank+count (two window fns, one sort), a #groups-row cut
+    * table BROADCAST back, one final map-side-combined agg. At 100 TB the
+    * cuts swap to approx_percentile; this is the exact oracle-able form. */
+  val qWinsorize = GQuery("q_winsorize",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      val cuts = ranked.groupBy(col("l_returnflag"))
+        .agg(
+          max(when(col("r") === ceil(lit(0.1) * col("n")).cast("long"),
+            col("l_quantity"))).as("p_lo"),
+          max(when(col("r") === ceil(lit(0.9) * col("n")).cast("long"),
+            col("l_quantity"))).as("p_hi"))
+      Tables.lineitem(s, d)
+        .join(broadcast(cuts), Seq("l_returnflag"))
+        .withColumn("clipped",
+          least(greatest(col("l_quantity"), col("p_lo")), col("p_hi")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max(col("p_lo")).cast("long").as("p_lo"),
+          max(col("p_hi")).cast("long").as("p_hi"),
+          Det.davg(col("clipped")).as("win_mean"),
+          sum(when(col("l_quantity") < col("p_lo"), 1L)
+            .when(col("l_quantity") > col("p_hi"), 1L)
+            .otherwise(0L)).as("n_clipped"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH rk AS (
+        SELECT l_returnflag, l_quantity,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY l_quantity, l_orderkey, l_linenumber) AS r,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      cuts AS (
+        SELECT l_returnflag,
+          MAX(CASE WHEN r = CAST(ceil(0.1 * n) AS BIGINT)
+            THEN l_quantity END) AS p_lo,
+          MAX(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+            THEN l_quantity END) AS p_hi
+        FROM rk GROUP BY l_returnflag)
+      SELECT li.l_returnflag,
+        CAST(c.p_lo AS BIGINT) AS p_lo, CAST(c.p_hi AS BIGINT) AS p_hi,
+        (CAST(SUM(CAST(LEAST(GREATEST(li.l_quantity, c.p_lo), c.p_hi)
+            AS DECIMAL(27,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE)) AS win_mean,
+        CAST(SUM(CASE WHEN li.l_quantity < c.p_lo THEN 1
+          WHEN li.l_quantity > c.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped
+      FROM lineitem li JOIN cuts c USING (l_returnflag)
+      GROUP BY li.l_returnflag, c.p_lo, c.p_hi
+      ORDER BY li.l_returnflag"""),
+    notes = "rank-based p10/p90 clip; cuts broadcast back, exact decimal mean")
+
+  /** J-ext — SALTED SKEW JOIN ([[Joins.saltedJoin]]) oracle-gated: the
+    * fact side salted into 8 sub-keys, the build side replicated ×8, so a
+    * single hot key spreads over 8 reducers — semantically IDENTICAL to
+    * the plain equi-join, which is exactly what the DuckDB twin runs.
+    * AQE splits skewed partitions; salting is the in-plan fix for one
+    * pathological KEY, and this gate pins that it never changes results. */
+  val qSaltedJoin = GQuery("q_salted_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      val os = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      Joins.saltedJoin(li, os, "k", saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${Det.sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    notes = "salt x8 spreads hot keys; oracle is the plain join - equivalence gate")
+
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qUpsert, qScd2,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
-    qJsonExtract, qDateArith, qRetention)
+    qJsonExtract, qDateArith, qRetention,
+    qModePriority, qWinsorize, qSaltedJoin)
 }

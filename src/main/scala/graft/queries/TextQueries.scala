@@ -2327,6 +2327,34 @@ object TextQueries {
       FROM sc ORDER BY lift DESC, t1, t2 LIMIT 100"""),
     notes = "PMI-monotone lift from exact integer counts; score hash-exact")
 
+  /** EQUI-DEPTH LENGTH BINS: NTILE(8) over (n_chars, doc_id) per language —
+    * the curriculum-bucketing / length-balanced-batch shape. NTILE's
+    * remainder-to-early-buckets rule is engine-standard, and the (n_chars,
+    * doc_id) total order makes bucket edges deterministic on ties. One key
+    * exchange for the window, then a map-side-combined (lang, bin) agg.
+    * At 100 TB the same shape runs off approx percentile edges; this is
+    * the exact oracle-able form. */
+  val qNtileBins = GQuery("q_ntile_bins",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("bin", ntile(8).over(w).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH b AS (
+        SELECT lang, n_chars, CAST(NTILE(8) OVER (PARTITION BY lang
+          ORDER BY n_chars, doc_id) AS BIGINT) AS bin
+        FROM documents)
+      SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      FROM b GROUP BY lang, bin ORDER BY lang, bin"""),
+    notes = "equi-depth curriculum bins; deterministic NTILE edges, one exchange")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -2343,5 +2371,5 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
-    qInvertedIndex, qCollocations, qKeywordSearch)
+    qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins)
 }

@@ -423,8 +423,111 @@ object WindowQueries {
       ORDER BY step"""),
     notes = "12h-gap funnel; epoch-us integer gap tests, one user-key exchange")
 
+  /** COHORT RETENTION ([[Windows.cohortRetention]]): the canonical
+    * retention triangle — first-seen week × week offset × active users.
+    * Monday-start week truncation and integer day-diff div 7 are exact
+    * in both engines. */
+  val qCohortRetention = GQuery("q_cohort_retention",
+    (s, d) => Windows.cohortRetention(Tables.events(s, d), "user_id", "ts")
+      .orderBy(col("cohort_week"), col("week_offset")),
+    Some("""WITH c AS (
+        SELECT user_id, date_trunc('week', ts) AS week,
+          MIN(date_trunc('week', ts)) OVER (PARTITION BY user_id)
+            AS cohort_week
+        FROM events),
+      cells AS (SELECT DISTINCT user_id, cohort_week, week FROM c)
+      SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+          AS week_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM cells GROUP BY cells.cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""),
+    notes = "retention triangle; user-window min + de-dup reuse one exchange")
+
+  /** TIME-RANGE ROLLING WINDOW ([[Windows.rollingRange]]): trailing-7-day
+    * count + exact-decimal sum per user at every event — a RANGE frame
+    * over epoch-µs (peers-inclusive, so deterministic even on timestamp
+    * ties, unlike a ROWS frame). */
+  val qRollingWindow = GQuery("q_rolling_window",
+    (s, d) => Windows.rollingRange(Tables.events(s, d), "user_id", "ts",
+        "event_id", "value", windowUs = 604800000000L)
+      .orderBy(col("user_id"), col("event_id")),
+    Some(s"""SELECT user_id, event_id,
+        ${Det.sqlFmtTs("ts")} AS ts,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+        CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id"""),
+    notes = "7-day trailing RANGE window; decimal-exact sum, peer-safe frame")
+
+  /** VARIABLE-DURATION INTERVAL MERGE ([[Windows.intervalMerge]]): each
+    * event opens a [ts, ts + value minutes) interval; transitively
+    * overlapping intervals per user collapse to islands via a
+    * running-max-of-end test (a long interval swallows later shorter ones —
+    * a lag-gap CANNOT express this). value is 2-dp exact, so the duration
+    * decimal multiply is an exact integer µs in both engines. */
+  val qIntervalMerge = GQuery("q_interval_merge",
+    (s, d) => Windows.intervalMerge(Tables.events(s, d), "user_id", "ts",
+        "event_id",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(27, 6))
+          * lit(60000000L)).cast("long"))
+      .orderBy(col("user_id"), col("island_id")),
+    Some("""WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS start_us,
+          epoch_us(ts)
+            + CAST(CAST(value AS DECIMAL(27,6)) * 60000000 AS BIGINT)
+            AS end_us
+        FROM events),
+      flags AS (
+        SELECT user_id, event_id, start_us, end_us,
+          CASE WHEN MAX(end_us) OVER wp IS NULL
+                 OR start_us >= MAX(end_us) OVER wp THEN 1 ELSE 0 END
+            AS is_new
+        FROM iv
+        WINDOW wp AS (PARTITION BY user_id ORDER BY start_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      isl AS (
+        SELECT user_id, start_us, end_us,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id
+            ORDER BY start_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS island_id
+        FROM flags)
+      SELECT user_id, island_id,
+        MIN(start_us) AS island_start_us, MAX(end_us) AS island_end_us,
+        CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM isl GROUP BY user_id, island_id
+      ORDER BY user_id, island_id"""),
+    notes = "variable-duration gaps-and-islands; running-max-of-end, one exchange")
+
+  /** LAST-TOUCH ATTRIBUTION ([[Windows.lastTouchAttribution]]): purchases
+    * credited to the most recent non-purchase event within 7 days, else
+    * 'none' — ignoreNulls last() over a PRECEDING-only ROWS frame, no
+    * as-of self-join. */
+  val qAttribution = GQuery("q_attribution",
+    (s, d) => Windows.lastTouchAttribution(Tables.events(s, d), "user_id",
+      "ts", "event_id", "event_type", "purchase", 604800000000L),
+    Some("""WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase'
+              THEN event_type END IGNORE NULLS) OVER w AS touch,
+          LAST_VALUE(CASE WHEN event_type <> 'purchase'
+              THEN epoch_us(ts) END IGNORE NULLS) OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 604800000000
+          THEN touch ELSE 'none' END AS channel,
+        CAST(COUNT(*) AS BIGINT) AS n_conversions
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel"""),
+    notes = "7d last-touch; ignoreNulls carry over one user exchange, no self-join")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel,
-    qFunnelWindowed)
+    qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
+    qAttribution)
 }

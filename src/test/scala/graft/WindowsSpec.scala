@@ -133,4 +133,105 @@ class WindowsSpec extends SparkSpec {
     assert(out.length === 1)
     assert(math.abs(out.head.getAs[Double]("rel_change") - 0.2) < 1e-12)
   }
+
+  test("cohortRetention: two cohorts, offsets count returning users only") {
+    // user 1 starts week of Jan 1 (Mon), active weeks 0 and 2
+    // user 2 starts week of Jan 8, active weeks 0 and 1
+    // user 3 starts week of Jan 1, active week 0 only
+    val df = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      (2L, ts("2024-01-09 10:00:00")), (2L, ts("2024-01-15 10:00:00")),
+      (3L, ts("2024-01-04 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Windows.cohortRetention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Long, Long)].collect()
+    assert(out === Seq(
+      ("2024-01-01", 0L, 2L), // users 1 and 3 in week 0
+      ("2024-01-01", 2L, 1L), // user 1 returns at offset 2
+      ("2024-01-08", 0L, 1L),
+      ("2024-01-08", 1L, 1L)))
+  }
+
+  test("rollingRange: trailing frame includes boundary, excludes older") {
+    val win = 3600000000L // 1 hour in us
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, 2.0), // exactly 1h later: inside
+      (1L, ts("2024-01-01 12:00:01"), 3L, 4.0)) // 1h1s after #2: only itself
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Windows.rollingRange(df, "user_id", "ts", "event_id",
+      "value", win).orderBy("event_id")
+      .select("event_id", "n_win", "sum_win")
+      .as[(Long, Long, Double)].collect()
+    assert(out === Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 1L, 4.0)))
+  }
+
+  test("intervalMerge: a long interval swallows later shorter ones") {
+    // user 1: [10:00, +60m) swallows [10:10, +5m) AND [10:30, +5m);
+    //         [11:30, +10m) starts a new island (11:30 > 11:00 end)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 60.0),
+      (1L, ts("2024-01-01 10:10:00"), 2L, 5.0),
+      (1L, ts("2024-01-01 10:30:00"), 3L, 5.0),
+      (1L, ts("2024-01-01 11:30:00"), 4L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Windows.intervalMerge(df, "user_id", "ts", "event_id",
+        (col("value") * 60000000L).cast("long"))
+      .select("island_id", "n_intervals").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L), (2L, 1L)))
+    // a lag-gap sessionizer would split after event 3 (gap 10:35→11:30 vs
+    // the true island end 11:00) — the running-max-of-end must not
+  }
+
+  test("intervalMerge: exact end boundary does NOT merge (half-open)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 30.0),
+      (1L, ts("2024-01-01 10:30:00"), 2L, 30.0)) // starts exactly at prev end
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Windows.intervalMerge(df, "user_id", "ts", "event_id",
+        (col("value") * 60000000L).cast("long"))
+      .select("island_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("lastTouchAttribution: horizon cutoff and preceding-only carry") {
+    val horizon = 3600000000L // 1h
+    val df = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 1L, "click"),
+      (1L, ts("2024-01-01 10:00:00"), 2L, "purchase"), // ← click, 30m old
+      (1L, ts("2024-01-01 13:00:00"), 3L, "purchase"), // click 3.5h old → none
+      (2L, ts("2024-01-01 10:00:00"), 4L, "purchase"), // no prior touch → none
+      (2L, ts("2024-01-01 10:30:00"), 5L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 6L, "purchase")) // ← view
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Windows.lastTouchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", "purchase", horizon)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("click" -> 1L, "none" -> 2L, "view" -> 1L))
+  }
+
+  test("lastTouchAttribution: a purchase is never its own touch") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Windows.lastTouchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", "purchase", 3600000000L)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("none" -> 2L))
+  }
+
+  test("rollingRange: timestamp ties are peers — same frame for both rows") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:00:00"), 2L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Windows.rollingRange(df, "user_id", "ts", "event_id",
+      "value", 1000000L).select("event_id", "n_win", "sum_win")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // RANGE frame: both peer rows see both rows
+    assert(out === Seq((1L, 2L, 3.0), (2L, 2L, 3.0)))
+  }
 }
