@@ -67,4 +67,29 @@ object Funnel {
       .select(col("r.step"), col("r.step_name"), col("r.users"))
       .orderBy(col("step"))
   }
+
+  /** EVENT TRANSITION MATRIX (first-order Markov counts): for every
+    * consecutive (prev_type → type) pair within a user's totally-ordered
+    * stream, the transition count and the row-conditional probability
+    * p = n / Σ_to n — one IEEE divide of two exact integers, so the double
+    * is bit-identical cross-engine. The lag rides the same one user-key
+    * exchange every per-user window pays; the (from, to) agg and the
+    * per-from total agg are map-side-combined, and the #types² matrix is
+    * joined to its #types row-total table BROADCAST. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Derived report documents (SURVEY.md §1.1 last row) — the reference's
   * batch report generators (dashboard_data.json, weekly_report.json,
@@ -135,4 +136,89 @@ object Reports {
         col("rel_change"), Det.fmtTs(col("ts")).as("ts_s"))
       .orderBy(desc("ts_s"), col("event_id")).limit(10)
   }
+
+  /** Z-SCORE ANOMALY SUMMARY: per-group mean, population std, and the
+    * count of rows beyond `k` standard deviations — the distribution
+    * monitor a pipeline runs per ingest batch.
+    *
+    * Determinism: the sums are exact decimals (values are 2-dp, squares
+    * 4-dp — both exact in DECIMAL), and the variance is assembled from
+    * their DOUBLE casts with a FIXED IEEE op order
+    * `(n·A − B²)/n²` then `sqrt` — every step exactly rounded, so both
+    * engines produce bit-identical std and make identical |x−mean| > k·std
+    * decisions. NOT mathematically exact — engine-identical, which is
+    * what the hash gate needs.
+    *
+    * Plan: one map-side-combined groupBy for the moments, the #groups-row
+    * stats table BROADCAST back, one final agg. Two scans; at 100 TB the
+    * first-pass moment table is cached or the two aggs fuse into one scan
+    * with windowed moments if the group count is bounded. */
+  def zscoreAnomalies(df: DataFrame, groupCol: String, valCol: String,
+      k: Double): DataFrame = {
+    val d2 = col(valCol).cast(DecimalType(13, 2))
+    val stats = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d2 * d2).cast("double").as("a2"),
+        Det.dsum(col(valCol)).as("b1"))
+      .withColumn("mean", col("b1") / col("n").cast("double"))
+      .withColumn("std", sqrt(
+        (col("n").cast("double") * col("a2") - col("b1") * col("b1"))
+          / (col("n").cast("double") * col("n").cast("double"))))
+      .select(col(groupCol), col("n"), col("mean"), col("std"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("mean")).as("mean"),
+        max(col("std")).as("std"),
+        sum(when(abs(col(valCol) - col("mean")) > lit(k) * col("std"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .orderBy(col(groupCol))
+  }
+
+  /** TEMPORAL DRIFT: per-group row count and deterministic mean on each
+    * side of a split instant, plus the after/before volume ratio — the
+    * train/serve distribution-shift check. ONE scan, one map-side-combined
+    * agg; the ratio is a single IEEE divide of exact counts. */
+  def temporalDrift(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, splitAt: java.sql.Timestamp): DataFrame = {
+    val before = col(tsCol) < lit(splitAt)
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(when(before, 1L).otherwise(0L)).as("n_before"),
+        sum(when(!before, 1L).otherwise(0L)).as("n_after"),
+        (sum(when(before, col(valCol).cast(DecimalType(27, 6))))
+          .cast("double") /
+          sum(when(before, 1L).otherwise(0L)).cast("double"))
+          .as("mean_before"),
+        (sum(when(!before, col(valCol).cast(DecimalType(27, 6))))
+          .cast("double") /
+          sum(when(!before, 1L).otherwise(0L)).cast("double"))
+          .as("mean_after"))
+      .withColumn("volume_ratio",
+        col("n_after").cast("double") / col("n_before").cast("double"))
+      .orderBy(col(groupCol))
+  }
+
+  /** ROLLING 7-DAY ACTIVE USERS: for every day d, the distinct users and
+    * event count in [d−6, d] — the WAU curve. A RANGE window cannot hold a
+    * COUNT DISTINCT, so each event FANS OUT to the ≤7 days it supports
+    * (`sequence` + `explode` — expansion factor = window length, bounded
+    * and map-side) and a day-keyed distinct agg does the rest: Spark plans
+    * count_distinct as the two-level Expand aggregate, partials map-side.
+    * Days with no trailing-window events simply don't appear; the last 6
+    * emitted days trail past the final event by construction. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowDays: Int): DataFrame =
+    events
+      .select(col(userCol).as("user_id"), explode(sequence(
+        to_date(col(tsCol)),
+        date_add(to_date(col(tsCol)), windowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        count(lit(1)).as("n_events"))
+      .select(Det.fmtDate(col("day")).as("day"), col("n_active"),
+        col("n_events"))
+      .orderBy(col("day"))
 }

@@ -441,8 +441,100 @@ object PipelineQueries {
       ORDER BY entity"""),
     notes = "expected-range volume validation; orders_tight range fails by design")
 
+  /** FIRST-ORDER TRANSITION MATRIX ([[graft.operators.Funnel
+    * .transitionMatrix]]): per-user consecutive (prev → next) event-type
+    * counts + row-conditional probability — the Markov view of the event
+    * stream. p is one IEEE divide of exact integers. */
+  val qTransitionMatrix = GQuery("q_transition_matrix",
+    (s, d) => graft.operators.Funnel.transitionMatrix(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type"),
+    Some("""WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type,
+          event_type AS to_type
+        FROM events),
+      m AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, SUM(n) AS n_from FROM m GROUP BY 1)
+      SELECT m.from_type, m.to_type, CAST(m.n AS BIGINT) AS n,
+        CAST(m.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      FROM m JOIN t USING (from_type)
+      ORDER BY m.from_type, m.to_type"""),
+    notes = "Markov counts; lag reuses the user exchange, totals broadcast back")
+
+  /** Z-SCORE ANOMALY SUMMARY ([[graft.operators.Reports.zscoreAnomalies]]):
+    * per-type mean/std from exact decimal moments assembled in a FIXED
+    * IEEE op order, so the std and every |x−mean| > 3σ decision are
+    * bit-identical cross-engine. */
+  val qAnomalyZscore = GQuery("q_anomaly_zscore",
+    (s, d) => graft.operators.Reports.zscoreAnomalies(
+      Tables.events(s, d), "event_type", "value", k = 3.0),
+    Some("""WITH stats AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(13,2))
+            * CAST(value AS DECIMAL(13,2))) AS DOUBLE) AS a2,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS b1
+        FROM events GROUP BY event_type),
+      st AS (
+        SELECT event_type, n, b1 / CAST(n AS DOUBLE) AS mean,
+          sqrt((CAST(n AS DOUBLE) * a2 - b1 * b1)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS std
+        FROM stats)
+      SELECT e.event_type, CAST(MAX(st.n) AS BIGINT) AS n,
+        MAX(st.mean) AS mean, MAX(st.std) AS std,
+        CAST(SUM(CASE WHEN abs(e.value - st.mean) > 3.0 * st.std
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM events e JOIN st USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type"""),
+    notes = "3-sigma monitor; moments map-side, stats broadcast back, 2 scans")
+
+  /** TEMPORAL DRIFT ([[graft.operators.Reports.temporalDrift]]): volume
+    * and mean on each side of a split instant in ONE scan — the
+    * train/serve distribution-shift check. */
+  val qDrift = GQuery("q_drift",
+    (s, d) => graft.operators.Reports.temporalDrift(
+      Tables.events(s, d), "event_type", "ts", "value",
+      java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+    Some("""SELECT event_type,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_before,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_after,
+        (CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS DOUBLE)) AS mean_before,
+        (CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS DOUBLE)) AS mean_after,
+        (CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS DOUBLE)
+          / CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS DOUBLE)) AS volume_ratio
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    notes = "one-scan before/after split; ratio one IEEE divide of exact counts")
+
+  /** ROLLING 7-DAY ACTIVES ([[graft.operators.Reports.rollingActiveUsers]]):
+    * WAU per day via bounded day fan-out (a RANGE window cannot hold a
+    * COUNT DISTINCT) — expansion factor = window length, map-side. */
+  val qRollingActive = GQuery("q_rolling_active",
+    (s, d) => graft.operators.Reports.rollingActiveUsers(
+      Tables.events(s, d), "user_id", "ts", windowDays = 7),
+    Some("""WITH fan AS (
+        SELECT user_id, unnest(generate_series(CAST(ts AS DATE),
+          CAST(ts AS DATE) + 6, INTERVAL 1 DAY)) AS day
+        FROM events)
+      SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM fan GROUP BY 1 ORDER BY day"""),
+    notes = "WAU curve; 7x day fan-out then day-keyed distinct, partials map-side")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
-    qHealthStatus, qProfile, qValidate)
+    qHealthStatus, qProfile, qValidate,
+    qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive)
 }

@@ -133,6 +133,38 @@ class IndexFunnelSpec extends SparkSpec {
     assert(counts(Some(1L * 3600 * 1000000L)) === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("transitionMatrix: counts and conditional probabilities on a toy stream") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: a→b→a ; user 2: a→b  ⇒ from a: b×2 (p=1.0); from b: a×1 (p=1.0)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, t("2024-01-01 10:02:00"), 3L, "a"),
+      (2L, t("2024-01-01 10:00:00"), 4L, "a"),
+      (2L, t("2024-01-01 10:01:00"), 5L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitionMatrix(df, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transitionMatrix: no cross-user transitions; ties break on event id") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "x"),
+      (2L, t("2024-01-01 10:00:01"), 2L, "y"), // different user — no x→y
+      (3L, t("2024-01-01 10:00:00"), 3L, "p"), // same ts as next row:
+      (3L, t("2024-01-01 10:00:00"), 4L, "q")) // id order ⇒ p→q, never q→p
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.transitionMatrix(df, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out === Seq(("p", "q", 1L, 1.0)))
+  }
+
   test("funnelSteps: counts are non-increasing on real data") {
     val out = Funnel.funnelSteps(Tables.events(spark, sfDir), "user_id",
       "ts", "event_type", "event_id", Seq("signup", "view", "purchase"))

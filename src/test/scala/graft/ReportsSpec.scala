@@ -85,4 +85,61 @@ class ReportsSpec extends SparkSpec {
     assert(txt.startsWith("[") && txt.endsWith("]"))
     assert(txt.contains("rel_change"))
   }
+
+  test("zscoreAnomalies: known distribution, one clear outlier flagged") {
+    // group g: values 1..9 plus one 100 outlier. With population std the
+    // max attainable z for n=10 is sqrt(n-1) = 3, so k=3 can never flag
+    // anything at this n; the outlier's z is 85.5/28.6 ≈ 2.99 > 2.5 while
+    // every other point is ≤ 0.48.
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val out = Reports.zscoreAnomalies(df, "grp", "v", k = 2.5).collect().head
+    val n = vals.length
+    val mean = vals.sum / n
+    val variance = vals.map(x => (x - mean) * (x - mean)).sum / n
+    assert(out.getAs[Long]("n") === n.toLong)
+    assert(math.abs(out.getAs[Double]("mean") - mean) < 1e-9)
+    assert(math.abs(out.getAs[Double]("std") - math.sqrt(variance)) < 1e-9)
+    assert(out.getAs[Long]("n_anomalies") === 1L) // only the 100
+  }
+
+  test("zscoreAnomalies: constant group has std 0 and no anomalies") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("grp", "v")
+    val out = Reports.zscoreAnomalies(df, "grp", "v", k = 3.0).collect().head
+    assert(out.getAs[Double]("std") === 0.0)
+    assert(out.getAs[Long]("n_anomalies") === 0L)
+  }
+
+  test("temporalDrift: counts and means split at the instant (>= goes after)") {
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-10 00:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-16 00:00:00"), 4.0), // boundary → after
+      ("a", Timestamp.valueOf("2024-01-20 00:00:00"), 8.0))
+      .toDF("grp", "ts", "v")
+    val out = Reports.temporalDrift(df, "grp", "ts", "v",
+      Timestamp.valueOf("2024-01-16 00:00:00")).collect().head
+    assert(out.getAs[Long]("n_before") === 1L)
+    assert(out.getAs[Long]("n_after") === 2L)
+    assert(out.getAs[Double]("mean_before") === 2.0)
+    assert(out.getAs[Double]("mean_after") === 6.0)
+    assert(out.getAs[Double]("volume_ratio") === 2.0)
+  }
+
+  test("rollingActiveUsers: each event supports the next windowDays days") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-02 11:00:00")))
+      .toDF("user_id", "ts")
+    val out = Reports.rollingActiveUsers(df, "user_id", "ts", windowDays = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_events")))).toMap
+    // day 01: only user 1; days 02-03: both users (3 events); day 04: the
+    // two 01-02 events have aged out of nothing yet — window covers 02-04
+    assert(out("2024-01-01") === ((1L, 1L)))
+    assert(out("2024-01-02") === ((2L, 3L)))
+    assert(out("2024-01-03") === ((2L, 3L)))
+    assert(out("2024-01-04") === ((2L, 2L))) // only the two day-02 events
+    assert(!out.contains("2024-01-05"))
+  }
 }
