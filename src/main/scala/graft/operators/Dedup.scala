@@ -539,6 +539,40 @@ object Dedup {
     * every id appearing in a pair. Prefer [[nearDupGroups]] for shallow
     * dedup graphs (stars/cliques — fewer total shuffles); use this when
     * components can be deep (transitive similarity chains). */
+  /** CLUSTER REPRESENTATIVE SELECTION — the step that turns near-dup
+    * CLUSTERS into a deduplicated CORPUS: for every connected component
+    * of the near-dup graph keep exactly one document (the
+    * highest-quality member, ties to the smallest id — a total order, so
+    * the choice is deterministic), and keep every unclustered document
+    * untouched. Returns (idCol, cluster_id, cluster_size, kept) for
+    * every input doc: `kept` marks the representative / singleton rows,
+    * so the caller can either filter the corpus or audit what a filter
+    * would drop.
+    *
+    * Plan: components from [[nearDupGroups]] (ids only — never text);
+    * the docs⋈labels join is a LEFT join on id (clustered ids are a
+    * small fraction of the corpus; AQE broadcasts the label side when it
+    * measures small, and a 100 TB corpus shuffles on id, its natural
+    * key); the per-cluster argmax is one window over cluster_id, whose
+    * partition count is the component count, not the corpus size —
+    * singletons take the size-1 fast path in the same frame. */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val labels = nearDupGroups(pairs)
+      .select(col("id").as(idCol), col("label"))
+    val labeled = docs.select(col(idCol), col(qualityCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col(idCol)))
+    val w = Window.partitionBy(col("cluster_id"))
+    val rank = row_number().over(w.orderBy(desc(qualityCol), col(idCol)))
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("kept", (rank === 1).cast("boolean"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("kept"))
+      .orderBy(col(idCol))
+  }
+
   def nearDupGroupsStar(pairs: DataFrame, maxIter: Int = 64): DataFrame =
     nearDupGroupsStarCounted(pairs, maxIter)._1
 

@@ -68,26 +68,53 @@ object Funnel {
       .orderBy(col("step"))
   }
 
+  /** FREQUENT SEQUENCE MINING (order-3): the top-k most frequent
+    * CONSECUTIVE event-type trigrams across all user streams — the
+    * "what paths do users actually take" query. Two lags ride the same
+    * single per-user exchange every per-user window pays; the trigram
+    * count is map-side-combined; the top-k is a TakeOrderedAndProject
+    * (no global sort), totally ordered by (n DESC, steps ASC) so the
+    * cut is deterministic, with rank numbered AFTER the limit on the
+    * collapsed k-row result. */
+  def frequentSequences(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val top = events
+      .withColumn("s1", lag(col(typeCol), 2).over(w))
+      .withColumn("s2", lag(col(typeCol), 1).over(w))
+      .where(col("s1").isNotNull)
+      .groupBy(col("s1"), col("s2"), col(typeCol).as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("s1"), col("s2"), col("s3"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(Window.orderBy(
+        desc("n"), col("s1"), col("s2"), col("s3"))).cast("long"))
+      .select(col("rank"), col("s1"), col("s2"), col("s3"), col("n"))
+      .orderBy(col("rank"))
+  }
+
   /** EVENT TRANSITION MATRIX (first-order Markov counts): for every
     * consecutive (prev_type → type) pair within a user's totally-ordered
     * stream, the transition count and the row-conditional probability
     * p = n / Σ_to n — one IEEE divide of two exact integers, so the double
     * is bit-identical cross-engine. The lag rides the same one user-key
-    * exchange every per-user window pays; the (from, to) agg and the
-    * per-from total agg are map-side-combined, and the #types² matrix is
-    * joined to its #types row-total table BROADCAST. */
+    * exchange every per-user window pays; the (from, to) agg is
+    * map-side-combined, and the per-from row total is a WINDOW SUM over
+    * the already-aggregated #types² matrix — no self-join, no second
+    * scan of the pair stream (a totals groupBy + join would recompute
+    * the whole lag subtree: Spark does not share common subplans). */
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(idCol))
-    val pairs = events
+    events
       .withColumn("from_type", lag(col(typeCol), 1).over(w))
       .where(col("from_type").isNotNull)
       .groupBy(col("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = pairs.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"),
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
       .orderBy(col("from_type"), col("to_type"))

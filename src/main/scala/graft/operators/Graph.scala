@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists (the near-dup component finder lives
+  * in [[Dedup.nearDupGroups]]; this file holds the value-propagation
+  * family). */
+object Graph {
+
+  /** FIXED-POINT PAGERANK, bit-exact by construction: a fixed number of
+    * damped propagation rounds over a weighted edge list, computed
+    * entirely in SCALED-INTEGER (fixed-point, 10^12) arithmetic —
+    * integer sums are associative, so the result is independent of
+    * partitioning, shuffle order, and engine: no IEEE-summation
+    * nondeterminism to paper over, which is what makes the query
+    * hash-exact against a SQL twin with zero floating-point caveats.
+    *
+    * Semantics per round (damping d = dampingPermille/1000, n nodes):
+    *   share_u   = rank_u div out_u              (integer floor div)
+    *   contrib_v = Σ_{u→v} share_u · w_uv        (exact: ≤ rank_u each)
+    *   rank'_v   = (1000−d')·SCALE div (1000·n) + d'·contrib_v div 1000
+    * Dangling-node mass decays (the standard simplification); ranks are
+    * reported both as the exact fixed-point integer and as rank_fp/10^12
+    * in double (one exactly-rounded IEEE divide).
+    *
+    * Overflow-safe at ANY scale: share_u·w_uv ≤ rank_u (because
+    * w_uv ≤ out_u), so every per-node sum is bounded by the total mass
+    * SCALE = 10^12 ≪ 2^63.
+    *
+    * Plan: out-degrees are one map-side-combined agg; each round is one
+    * join of the rank table (|nodes| rows) to the edge list on src + one
+    * groupBy dst — both shuffle on the node key and AQE broadcasts the
+    * rank side when it measures small (event-type graphs: tens of
+    * nodes; web graphs: co-partitioned shuffle joins, the canonical
+    * Pregel shape). `iterations` is a FIXED unrolled count — the plan
+    * depth is known at submit time, no driver-side convergence loop. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 3,
+      dampingPermille: Int = 850): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, "iterations in [1,8]")
+    val Scale = 1000000000000L // 10^12
+    // Spark does not share common subplans: without materialization the
+    // unrolled loop re-derives edges/nodes/outDeg per round and the plan
+    // tree grows ×iterations. localCheckpoint (the nearDupGroups
+    // discipline, Dedup.scala) truncates each round to a materialized
+    // scan — edge list once, node-sized tables per round.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    // n as a 1-row broadcast literal table, never a driver collect
+    val nRow = nodes.agg(count(lit(1)).as("__n"))
+    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint(true)
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"${Scale}L div __n").as("rank_fp"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.join(e, ranks("node") === e("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (expr("rank_fp div out_w") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"(${1000 - dampingPermille}L * ${Scale}L) div (1000L * __n)")
+            + expr(s"(${dampingPermille}L * coalesce(contrib, 0L)) div 1000L"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("node"))
+  }
+}

@@ -111,6 +111,64 @@ object Joins {
         col("__vt").isNull.cast("boolean").as("is_current")): _*)
   }
 
+  /** BLOOM-PRUNED SEMI-JOIN: filter the big probe side through a
+    * Bloom filter built from the small side's keys BEFORE the exact
+    * semi-join pays its shuffle — the runtime-filter pattern
+    * (DPP / Spark's runtime bloom-filter join) as an explicit operator.
+    *
+    * Build: each build key sets `numHashes` bits of an `numBits`-wide
+    * bitmap (positions from seeded xxhash64). The bitmap is kept SPARSE —
+    * a word→bits map with at most min(numBits/64, numHashes·|build|)
+    * entries aggregated by map-side-combined bit_or — and crossed onto
+    * the probe as a 1-row broadcast. Probe rows whose bits are not all
+    * set are dropped before the semi-join shuffle; the exact left-semi
+    * join then removes Bloom false positives, so the RESULT is
+    * bit-identical to the plain semi-join (false negatives are
+    * impossible). The oracle for the registered query is therefore the
+    * PLAIN semi-join — the equivalence IS the contract, like saltedJoin.
+    *
+    * 100 TB shape: the broadcast is bounded by numBits/8 bytes
+    * regardless of build-side cardinality; the probe-side scan+filter is
+    * map-side (no shuffle added), and every pruned row is shuffle volume
+    * the semi-join no longer pays. With the default 2^20 bits and k=3
+    * the filter stays useful to ~10^5 build keys (~1% fpp). */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame =
+    bloomPrefilter(probe, build, probeKey, buildKey, numBits, numHashes)
+      .join(build.select(col(buildKey).as(probeKey)), Seq(probeKey),
+        "left_semi")
+
+  /** The Bloom stage of [[bloomSemiJoin]] alone: `probe` rows whose key
+    * bits are all set in the build-side bitmap (superset of the true
+    * matches — false positives possible, false negatives not). Exposed
+    * so the pruning behavior is testable and so callers can hang a
+    * DIFFERENT exact join (inner, as-of) behind the same prefilter. */
+  def bloomPrefilter(probe: DataFrame, build: DataFrame, probeKey: String,
+      buildKey: String, numBits: Int = 1 << 20,
+      numHashes: Int = 3): DataFrame = {
+    require(numBits % 64 == 0, "numBits must be a multiple of 64")
+    def positions(key: Column): Seq[Column] =
+      (1 to numHashes).map(i =>
+        pmod(xxhash64(lit(i), key), lit(numBits.toLong)))
+    def maskOf(pos: Column): Column =
+      call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+    val bloom = build
+      .select(explode(array(positions(col(buildKey)): _*)).as("__pos"))
+      .select((col("__pos") / 64).cast("int").as("__word"),
+        maskOf(col("__pos")).as("__mask"))
+      .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__bits"))
+      .agg(map_from_entries(collect_list(struct(col("__word"),
+        col("__bits")))).as("__bloom"))
+    val hit = positions(col(probeKey)).map { p =>
+      (coalesce(element_at(col("__bloom"), (p / 64).cast("int")), lit(0L))
+        .bitwiseAND(maskOf(p))) =!= 0L
+    }.reduce(_ && _)
+    probe.crossJoin(broadcast(bloom))
+      .filter(hit)
+      .drop("__bloom")
+  }
+
   def applyChanges(base: DataFrame, changes: DataFrame, key: String,
       deleteCol: String): DataFrame = {
     val dataCols = base.columns.filter(_ != key).toSeq

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -199,6 +200,42 @@ object Reports {
       .withColumn("volume_ratio",
         col("n_after").cast("double") / col("n_before").cast("double"))
       .orderBy(col(groupCol))
+  }
+
+  /** EWMA (α = 1/2) OVER THE DAILY SERIES: per-group exponentially
+    * weighted moving average of the daily value sum, the smoothed
+    * monitoring curve. α = 1/2 makes every weight a POWER OF TWO, so
+    * the whole average is computed in EXACT integer-weighted decimal
+    * arithmetic over a bounded `lookback`-day window:
+    * S = Σ_k x_{t-k}·2^(L-1-k) and N = Σ_k 2^(L-1-k) (missing lags drop
+    * out of both), with ewma = S/N — the 2^-(L-1) normalizations cancel,
+    * leaving ONE IEEE divide of two exactly-representable magnitudes.
+    * Bit-identical cross-engine; the truncation error vs the unbounded
+    * EWMA is ≤ 2^-(L-1) of the value scale (2^-15 ≈ 3e-5 relative at
+    * the default).
+    *
+    * Plan: daily rollup is one map-side-combined agg; the L lags ride
+    * ONE per-group window exchange (codegen'd — no self-join, no
+    * explode); wire cost ∝ groups × days. */
+  def ewmaDaily(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, lookback: Int = 16): DataFrame = {
+    require(lookback >= 1 && lookback <= 20, "lookback in [1,20]")
+    val daily = df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(DecimalType(18, 6))).as("x"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+    val terms = (0 until lookback).map { k =>
+      val weight = 1L << (lookback - 1 - k)
+      val xk = lag(col("x"), k).over(w)
+      (when(xk.isNotNull, xk * lit(weight)).otherwise(lit(0L)),
+        when(xk.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val s = terms.map(_._1).reduce(_ + _)
+    val n = terms.map(_._2).reduce(_ + _)
+    daily
+      .withColumn("ewma", s.cast("double") / n.cast("double"))
+      .select(col(groupCol), Det.fmtDate(col("day")).as("day"),
+        col("x").cast("double").as("daily_sum"), col("ewma"))
+      .orderBy(col(groupCol), col("day"))
   }
 
   /** ROLLING 7-DAY ACTIVE USERS: for every day d, the distinct users and

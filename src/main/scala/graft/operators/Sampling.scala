@@ -228,6 +228,29 @@ object Sampling {
     *
     * Scale shape: pure map-side — tokenize, explode the stride sequence,
     * slice; no shuffle anywhere, output rows ∝ tokens/stride. */
+  /** PER-SOURCE QUOTA CAP: keep at most `maxPerGroup` rows per group,
+    * chosen by DETERMINISTIC md5 rank over the row key (not arrival
+    * order, not RAND()) — the per-domain cap every web-scale corpus
+    * applies so that no single crawl source dominates the training mix.
+    * The kept subset is a pure function of (salt, key), stable across
+    * engines, runs and partitionings, and UNIFORM within each group.
+    *
+    * Plan: one shuffle on the group key for the per-group row_number.
+    * At 100 TB a pathological mega-domain makes that partition hot; the
+    * mitigation is the [[keepHash]] composition — pre-thin the known
+    * heavy groups with an estimated permille ≥ the cap before the exact
+    * rank (false-keeps are re-cut by the rank; nothing under-counts the
+    * cap) — or AQE skew-split, since the window is per-group
+    * independent. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxPerGroup: Int, salt: String = "cap"): DataFrame = {
+    val rank = row_number().over(Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+        col(idCol)))
+    df.withColumn("__r", rank).filter(col("__r") <= maxPerGroup)
+      .drop("__r")
+  }
+
   def slidingChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,

@@ -532,9 +532,116 @@ object PipelineQueries {
       FROM fan GROUP BY 1 ORDER BY day"""),
     notes = "WAU curve; 7x day fan-out then day-keyed distinct, partials map-side")
 
+  /** FREQUENT SEQUENCE MINING ([[graft.operators.Funnel
+    * .frequentSequences]]): top-25 consecutive event-type trigrams across
+    * all user streams — distributed top-k (TakeOrderedAndProject), rank
+    * numbered after the limit. */
+  val qSeqMining = GQuery("q_seq_mining",
+    (s, d) => graft.operators.Funnel.frequentSequences(
+      Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+      k = 25),
+    Some("""WITH lagged AS (
+        SELECT
+          LAG(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS s1,
+          LAG(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS s2,
+          event_type AS s3
+        FROM events),
+      cnt AS (SELECT s1, s2, s3, COUNT(*) AS n FROM lagged
+        WHERE s1 IS NOT NULL GROUP BY 1, 2, 3),
+      top AS (SELECT * FROM cnt ORDER BY n DESC, s1, s2, s3 LIMIT 25)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2, s3) AS BIGINT)
+          AS rank,
+        s1, s2, s3, CAST(n AS BIGINT) AS n
+      FROM top ORDER BY rank"""),
+    notes = "trigram paths; two lags on one user exchange, top-k without global sort")
+
+  /** EWMA α=1/2 ([[graft.operators.Reports.ewmaDaily]]): exponentially
+    * weighted daily smoothing where every weight is a POWER OF TWO, so
+    * S and N are exact decimals/integers and the average is ONE IEEE
+    * divide — hash-exact with no floating-point caveats. The twin
+    * re-derives the same bounded window via a rank self-join (a SUM
+    * aggregate, immune to DuckDB's chained-addition width cap). */
+  val qEwma = GQuery("q_ewma",
+    (s, d) => graft.operators.Reports.ewmaDaily(
+      Tables.events(s, d), "event_type", "ts", "value", lookback = 16),
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(18,6))) AS x
+        FROM events GROUP BY 1, 2),
+      rn AS (SELECT event_type, day, x,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS r
+        FROM daily),
+      acc AS (
+        SELECT a.event_type, a.day, a.x,
+          SUM(b.x * CAST(power(2, 15 - (a.r - b.r)) AS BIGINT)) AS s,
+          SUM(CAST(power(2, 15 - (a.r - b.r)) AS BIGINT)) AS n
+        FROM rn a JOIN rn b
+          ON a.event_type = b.event_type AND b.r BETWEEN a.r - 15 AND a.r
+        GROUP BY 1, 2, 3)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        CAST(x AS DOUBLE) AS daily_sum,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS ewma
+      FROM acc ORDER BY event_type, day"""),
+    notes = "dyadic-weight EWMA; 16 lags ride one window exchange, zero FP summation")
+
+  /** FIXED-POINT PAGERANK ([[graft.operators.Graph.pageRankFixedPoint]]):
+    * 3 damped rounds over the event-type transition graph in
+    * scaled-integer arithmetic — integer sums are associative, so the
+    * result is partitioning- and engine-independent by construction.
+    * The twin unrolls the same three rounds with DuckDB's `//`. */
+  val qPagerank = GQuery("q_pagerank",
+    (s, d) => {
+      val edges = graft.operators.Funnel.transitionMatrix(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(col("from_type"), col("to_type"), col("n"))
+      graft.operators.Graph.pageRankFixedPoint(edges,
+        "from_type", "to_type", "n", iterations = 3)
+    },
+    Some("""WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type,
+          event_type AS to_type
+        FROM events),
+      e AS (
+        SELECT from_type AS src, to_type AS dst, COUNT(*) AS w
+        FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      outd AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1000000000000 // nn.n AS rank_fp
+        FROM nodes CROSS JOIN nn),
+      c1 AS (SELECT e.dst AS node, SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r0 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r1 AS (SELECT nodes.node,
+          150000000000000 // (1000 * nn.n)
+            + (850 * COALESCE(c1.ct, 0)) // 1000 AS rank_fp
+        FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+      c2 AS (SELECT e.dst AS node, SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r1 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r2 AS (SELECT nodes.node,
+          150000000000000 // (1000 * nn.n)
+            + (850 * COALESCE(c2.ct, 0)) // 1000 AS rank_fp
+        FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+      c3 AS (SELECT e.dst AS node, SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r2 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r3 AS (SELECT nodes.node,
+          150000000000000 // (1000 * nn.n)
+            + (850 * COALESCE(c3.ct, 0)) // 1000 AS rank_fp
+        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+      SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+        CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+      FROM r3 ORDER BY node"""),
+    notes = "scaled-int PageRank: associative sums, no IEEE nondeterminism; oracle unrolls 3 rounds")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
-    qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive)
+    qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
+    qSeqMining, qEwma, qPagerank)
 }

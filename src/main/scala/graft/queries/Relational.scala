@@ -723,6 +723,34 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     notes = "salt x8 spreads hot keys; oracle is the plain join - equivalence gate")
 
+  /** BLOOM-PRUNED SEMI-JOIN ([[Joins.bloomSemiJoin]]): the runtime-filter
+    * pattern as an explicit operator — a fixed-width bitmap built from the
+    * selective build side prunes the probe BEFORE the semi-join shuffle.
+    * Like q_salted_join, the oracle is the PLAIN semi-join: Bloom false
+    * positives are removed by the exact join, false negatives are
+    * impossible, so the equivalence IS the contract. */
+  val qBloomJoin = GQuery("q_bloom_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"))
+      val os = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"))
+      Joins.bloomSemiJoin(li, os, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+        ${Det.sqlDsum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    notes = "bloom bitmap broadcast prunes probe pre-shuffle; oracle is the plain semi-join")
+
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qUpsert, qScd2,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
@@ -730,5 +758,5 @@ object Relational {
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
-    qModePriority, qWinsorize, qSaltedJoin)
+    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin)
 }

@@ -489,6 +489,79 @@ object TextQueries {
       SELECT c.id AS doc_id, c.label AS canonical_id, z.cluster_size
       FROM comp c JOIN sizes z USING (label) ORDER BY doc_id"""))
 
+  /** CLUSTER REPRESENTATIVE SELECTION ([[Dedup.clusterRepresentatives]]):
+    * the step that turns near-dup clusters into a deduplicated corpus —
+    * keep exactly one doc per connected component (max n_chars, ties to
+    * the smallest id) and every singleton. The twin re-derives the
+    * components with the same recursive-CTE min-label construction as
+    * q_neardup_groups, then replays the argmax. */
+  val qClusterRep = GQuery("q_cluster_rep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairsKeyed(docs,
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
+        minJaccard = 0.5)
+      Dedup.clusterRepresentatives(docs,
+        pairs.select(col("id_a"), col("id_b")), "doc_id", "n_chars")
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+      labeled AS (
+        SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+      sized AS (
+        SELECT doc_id, cluster_id,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM labeled)
+      SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        rn = 1 AS kept
+      FROM sized ORDER BY doc_id"""),
+    notes = "dedup keep-best: component argmax + singletons; ids-only joins")
+
+  /** PER-SOURCE QUOTA CAP ([[graft.operators.Sampling.capPerGroup]]):
+    * at most N docs per source by deterministic md5 rank — the
+    * anti-domination cap on crawl sources. Stable across engines and
+    * partitionings; md5 is the cross-engine rank. */
+  val qDomainCap = GQuery("q_domain_cap",
+    (s, d) => graft.operators.Sampling.capPerGroup(
+        Tables.documents(s, d), "source", "doc_id", maxPerGroup = 15)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, n_chars FROM ranked
+      WHERE rn <= 15 ORDER BY doc_id"""),
+    notes = "per-domain cap; one group-key shuffle, md5 rank engine-stable")
+
   /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 3, candidate
     * generation by 16-bit block bucketing — the classic 64-bit/4-block/k=3
     * design (Manku et al., WWW'07): k ≤ 3 differing bits cannot touch all 4
@@ -2371,5 +2444,6 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
-    qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins)
+    qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins,
+    qClusterRep, qDomainCap)
 }

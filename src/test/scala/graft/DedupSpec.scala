@@ -334,4 +334,28 @@ class DedupSpec extends SparkSpec {
     assert(out(1) === ((2, 3L, 1.0))) // parallel, tie broken by id
     assert(out(2)._3 === 0.0)
   }
+
+  test("clusterRepresentatives: keep-best per component plus singletons") {
+    // components {1,2,3} (chain) and {10,11}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val d = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 10L), (11L, 99L),
+      (20L, 5L)).toDF("doc_id", "n_chars")
+    val out = Dedup.clusterRepresentatives(d, pairs, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 10L, 11L, 20L))
+    // component labels are min-propagated ids
+    assert(out.filter(r => Set(1L, 2L, 3L).contains(r._1))
+      .forall(r => r._2 === 1L && r._3 === 3L))
+    // best quality 90 is shared by 2 and 3: smaller id 2 wins the tie
+    assert(out.filter(r => Set(1L, 2L, 3L).contains(r._1) && r._4)
+      .map(_._1) === Seq(2L))
+    assert(out.find(_._1 == 11L).get === ((11L, 10L, 2L, true)))
+    assert(out.find(_._1 == 10L).get === ((10L, 10L, 2L, false)))
+    assert(out.find(_._1 == 20L).get === ((20L, 20L, 1L, true)))
+    // exactly one kept row per cluster
+    val perCluster = out.groupBy(_._2).map { case (_, rs) =>
+      rs.count(_._4)
+    }
+    assert(perCluster.forall(_ == 1))
+  }
 }

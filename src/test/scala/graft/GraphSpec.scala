@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankFixedPoint: hand-computed 2-node cycle") {
+    // a ⇄ b, unit weights, n=2: ranks stay at the uniform fixpoint
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "t", "w")
+    val out = Graph.pageRankFixedPoint(edges, "s", "t", "w", iterations = 3)
+      .as[(String, Long, Double)].collect()
+      .map { case (n, fp, r) => n -> ((fp, r)) }.toMap
+    // r0 = 10^12/2 = 5e11 each; contrib = 5e11; next =
+    // 150e12 div 2000 + 850*5e11 div 1000 = 75e9 + 425e9 = 5e11 — fixpoint
+    assert(out("a")._1 === 500000000000L)
+    assert(out("b")._1 === 500000000000L)
+    assert(out("a")._2 === 0.5)
+  }
+
+  test("pageRankFixedPoint: star graph concentrates rank on the sink") {
+    // a→d, b→d, c→d, d→a : d collects 3 shares, a gets d's mass back
+    val edges = Seq(("a", "d", 1L), ("b", "d", 1L), ("c", "d", 1L),
+      ("d", "a", 1L)).toDF("s", "t", "w")
+    val out = Graph.pageRankFixedPoint(edges, "s", "t", "w", iterations = 3)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out("d") > out("a"))          // sink beats its satellite
+    assert(out("a") > out("b"))          // a is fed by d; b only teleports
+    assert(out("b") === out("c"))        // symmetric leaves identical (exact)
+    // total mass bounded by SCALE (dangling decay can only lose mass)
+    assert(out.values.sum <= 1000000000000L)
+  }
+
+  test("pageRankFixedPoint: deterministic across repartitioning") {
+    val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 5L),
+      ("a", "c", 1L)).toDF("s", "t", "w")
+    val r1 = Graph.pageRankFixedPoint(edges, "s", "t", "w")
+      .as[(String, Long, Double)].collect().toSeq
+    val r2 = Graph.pageRankFixedPoint(edges.repartition(7), "s", "t", "w")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r1 === r2)
+  }
+}

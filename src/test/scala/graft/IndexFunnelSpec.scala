@@ -165,6 +165,27 @@ class IndexFunnelSpec extends SparkSpec {
     assert(out === Seq(("p", "q", 1L, 1.0)))
   }
 
+  test("frequentSequences: trigram counts respect user boundaries and rank order") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: a b c a b c  → trigrams abc, bca, cab, abc
+    // user 2: a b c        → abc
+    val rows = Seq("a", "b", "c", "a", "b", "c").zipWithIndex.map {
+      case (e, i) => (1L, t(f"2024-01-01 10:0$i%d:00"), i.toLong, e)
+    } ++ Seq("a", "b", "c").zipWithIndex.map {
+      case (e, i) => (2L, t(f"2024-01-01 10:0$i%d:00"), (10 + i).toLong, e)
+    }
+    val out = graft.operators.Funnel.frequentSequences(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type", k = 10)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out.head === ((1L, "a", "b", "c", 3L)))
+    assert(out.map(_._5) === out.map(_._5).sorted.reverse) // n descending
+    assert(out.map(_._1) === (1L to out.length.toLong))    // dense ranks
+    assert(out.map(r => (r._2, r._3, r._4)).toSet ===
+      Set(("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")))
+  }
+
   test("funnelSteps: counts are non-increasing on real data") {
     val out = Funnel.funnelSteps(Tables.events(spark, sfDir), "user_id",
       "ts", "event_type", "event_id", Seq("signup", "view", "purchase"))

@@ -13,11 +13,12 @@ class PlanRegressionSpec extends SparkSpec {
 
   // intentional broadcast cross joins (candidates/queries side is tiny and
   // explicitly broadcast; scoring every pair is the operator's semantics —
-  // for q_tfidf_topk the broadcast side is the 1-row corpus count)
+  // for q_tfidf_topk the broadcast side is the 1-row corpus count; for
+  // q_bloom_join and q_pagerank it is the 1-row bloom bitmap / node count)
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
     "q_substring_conf", "q_cosine_topk", "q_tfidf_topk",
-    "q_ann_quantized", "q_keyword_search")
+    "q_ann_quantized", "q_keyword_search", "q_bloom_join", "q_pagerank")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>

@@ -125,6 +125,26 @@ class ReportsSpec extends SparkSpec {
     assert(out.getAs[Double]("volume_ratio") === 2.0)
   }
 
+  test("ewmaDaily: dyadic weights reproduce the closed-form average") {
+    // one group, three days with daily sums 8, 4, 2
+    val df = Seq(
+      ("g", Timestamp.valueOf("2024-01-01 01:00:00"), 3.0),
+      ("g", Timestamp.valueOf("2024-01-01 02:00:00"), 5.0),
+      ("g", Timestamp.valueOf("2024-01-02 01:00:00"), 4.0),
+      ("g", Timestamp.valueOf("2024-01-03 01:00:00"), 2.0))
+      .toDF("grp", "ts", "v")
+    val out = Reports.ewmaDaily(df, "grp", "ts", "v", lookback = 16)
+      .as[(String, String, Double, Double)].collect().toSeq
+    assert(out.map(_._2) === Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    assert(out.map(_._3) === Seq(8.0, 4.0, 2.0))
+    // day1: only itself → 8; day2: (4·2^15 + 8·2^14)/(2^15+2^14) = 16/3
+    // day3: (2·2^15 + 4·2^14 + 8·2^13)/(2^15+2^14+2^13) = 24/7
+    assert(out(0)._4 === 8.0)
+    assert(out(1)._4 === (4.0 * 32768 + 8.0 * 16384) / (32768 + 16384))
+    assert(out(2)._4 ===
+      (2.0 * 32768 + 4.0 * 16384 + 8.0 * 8192) / (32768 + 16384 + 8192))
+  }
+
   test("rollingActiveUsers: each event supports the next windowDays days") {
     val df = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00")),

@@ -171,4 +171,20 @@ class SamplingSpec extends SparkSpec {
     assert(!out.exists(_._1 == 2L))    // whitespace-only doc: no chunks
     assert(out.filter(_._1 == 3L).map(_._5).toSeq === Seq("solo"))
   }
+
+  test("capPerGroup: caps each group, keeps small groups whole, stable") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      Seq((200L, "small"), (201L, "small"))).toDF("id", "grp")
+    val out = Sampling.capPerGroup(df, "grp", "id", maxPerGroup = 10)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)]
+      .collect().toMap
+    assert(byGrp("big") === 10L)
+    assert(byGrp("small") === 2L)
+    // determinism: same subset on re-run (pure function of salt+key)
+    val again = Sampling.capPerGroup(df, "grp", "id", maxPerGroup = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out.select("id").as[Long].collect().toSet === again)
+    // the kept subset is md5-ranked, not just the lowest ids
+    assert(again.filter(_ <= 100L) !== (1L to 10L).toSet)
+  }
 }

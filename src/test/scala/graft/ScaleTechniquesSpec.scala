@@ -111,4 +111,35 @@ class ScaleTechniquesSpec extends SparkSpec {
       .select(countDistinct(col("__salt"))).head.getLong(0)
     assert(saltSpread > 1)
   }
+
+  test("bloomSemiJoin equals the plain semi-join on real data") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val os = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000).select(col("o_orderkey"))
+    val bloomed = Joins.bloomSemiJoin(li, os, "l_orderkey", "o_orderkey")
+    val plain = li.join(os.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+    assert(bloomed.count() === plain.count())
+    assert(bloomed.agg(sum(col("l_orderkey"))).head.getLong(0) ===
+      plain.agg(sum(col("l_orderkey"))).head.getLong(0))
+  }
+
+  test("bloom prefilter prunes probe rows before the exact join") {
+    // tiny build side: the bitmap rejects almost every foreign probe key
+    // pre-join (expected fp ~ (k*|build|/m)^k ~ 1e-16 per probe here)
+    val probe = (1L to 10000L).toDF("k")
+    val build = Seq(42L, 99L).toDF("bk")
+    assert(Joins.bloomSemiJoin(probe, build, "k", "bk").count() === 2L)
+    // the bloom STAGE alone already prunes: its pass-set is a superset
+    // of the 2 true matches but far below the 10k probe rows
+    val passed = Joins.bloomPrefilter(probe, build, "k", "bk").count()
+    assert(passed >= 2L && passed <= 10L)
+  }
+
+  test("bloomSemiJoin with all-matching build degrades to the plain result") {
+    val probe = (1L to 500L).toDF("k")
+    val build = (1L to 500L).toDF("bk")
+    assert(Joins.bloomSemiJoin(probe, build, "k", "bk").count() === 500L)
+  }
 }
