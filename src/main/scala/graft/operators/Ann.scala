@@ -82,6 +82,82 @@ object Ann {
       .select("query_id", "rank", "id", "cos")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * query vector, the k most-similar corpus vectors with a DIFFERENT
+    * label (high-similarity wrong-class examples are the negatives that
+    * actually teach a metric model). Same plan shape as [[cosineTopK]] —
+    * broadcast queries, label filter BEFORE any scoring (the pruned rows
+    * never pay the dot product), fast-double prescreen with map-side
+    * WindowGroupLimit, exact-decimal rescore of the k+32 survivors.
+    * Output: (query_id, rank, id, neg_label, cos). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
+    val joined = corpus.select(col(idCol).as("id"),
+        col(labelCol).as("neg_label"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryLabelCol).as("__ql"), col(queryVecCol).as("__q"))))
+      .filter(col("neg_label") =!= col("__ql"))
+      .withColumn("__fastcos", cosineFast(col("__v"), col("__q")))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__fastcos"), asc("id"))
+    val pruned = joined.withColumn("__r0", row_number().over(w0))
+      .filter(col("__r0") <= k + 32)
+    val scored = pruned
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+      .select(col("query_id"), col("id"), col("neg_label"), col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "neg_label", "cos")
+  }
+
+  /** MATRYOSHKA (truncated-prefix) TWO-STAGE RETRIEVAL: stage 1 ranks
+    * the corpus by cosine over only the FIRST `prefixDim` components
+    * (the cheap representation — at 100 TB this is the stage that reads
+    * a narrow column / a truncated index) and keeps `kCand` candidates;
+    * stage 2 rescores ONLY those candidates with the full-dimension
+    * exact cosine and keeps k. The operator's contract is
+    * DETERMINISTIC REPLAY, not full-recall equivalence: both stage
+    * boundaries are exact-decimal ranked with total tie-breaks, so an
+    * oracle can re-derive candidate set and final ranking bit-for-bit
+    * (recall vs full-dim search is a measured property, spec-pinned —
+    * like LSH/IVF).
+    *
+    * Plan: one broadcast of the query set; the full-width array is
+    * carried only by the ≤ kCand+32 per-partition survivors of the
+    * prefix prescreen (map-side WindowGroupLimit); stage-2 scoring
+    * touches kCand rows per query. */
+  def matryoshkaTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      prefixDim: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, "kCand must be >= k")
+    val joined = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("__q"))))
+      .withColumn("__pv", slice(col("__v"), 1, prefixDim))
+      .withColumn("__pq", slice(col("__q"), 1, prefixDim))
+      .withColumn("__pfast", cosineFast(col("__pv"), col("__pq")))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__pfast"), asc("id"))
+    val prescreened = joined.withColumn("__r0", row_number().over(w0))
+      .filter(col("__r0") <= kCand + 32)
+      .withColumn("__pcos", cosine(col("__pv"), col("__pq")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__pcos"), asc("id"))
+    val cands = prescreened.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= kCand)
+    val rescored = cands
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+      .select(col("query_id"), col("id"), col("cos"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    rescored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cos")
+  }
+
   /** The ±1 hyperplane matrix for one table, derived ONCE at plan time from
     * SplitMix64 (deterministic, reproducible cluster-wide, no stored model)
     * and shipped as a literal. */

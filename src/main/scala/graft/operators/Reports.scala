@@ -202,6 +202,27 @@ object Reports {
       .orderBy(col(groupCol))
   }
 
+  /** MEDIAN ABSOLUTE DEVIATION per group — the robust scale estimator
+    * (unlike std, one wild outlier moves MAD by at most one rank step):
+    * mad = median(|x − median(x)|). Two exact-percentile aggregations:
+    * the per-group medians (a #groups-row table) come back BROADCAST and
+    * the deviations re-aggregate in a second pass — the same two-scan
+    * shape as zscoreAnomalies, and like it the interpolation arithmetic
+    * is plain IEEE on exactly-representable inputs, bit-identical
+    * cross-engine (pinned by q_percentiles). At 100 TB the exact
+    * percentile is the documented approx_percentile swap. */
+  def groupMad(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    df.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("med")).as("median"),
+        percentile(abs(col(valCol) - col("med")), lit(0.5)).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy(col(groupCol))
+  }
+
   /** EWMA (α = 1/2) OVER THE DAILY SERIES: per-group exponentially
     * weighted moving average of the daily value sum, the smoothed
     * monitoring curve. α = 1/2 makes every weight a POWER OF TWO, so

@@ -723,6 +723,22 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     notes = "salt x8 spreads hot keys; oracle is the plain join - equivalence gate")
 
+  /** MEDIAN ABSOLUTE DEVIATION ([[graft.operators.Reports.groupMad]]):
+    * the robust scale estimator — two exact-percentile passes, medians
+    * broadcast back. Interpolation arithmetic pinned by q_percentiles. */
+  val qMad = GQuery("q_mad",
+    (s, d) => graft.operators.Reports.groupMad(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity"),
+    Some("""WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        FROM lineitem GROUP BY 1)
+      SELECT l.l_returnflag, MAX(m.med) AS median,
+        quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""),
+    notes = "robust scale: median + MAD, two scans, #groups-row broadcast")
+
   /** BLOOM-PRUNED SEMI-JOIN ([[Joins.bloomSemiJoin]]): the runtime-filter
     * pattern as an explicit operator — a fixed-width bitmap built from the
     * selective build side prunes the probe BEFORE the semi-join shuffle.
@@ -758,5 +774,5 @@ object Relational {
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
-    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin)
+    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad)
 }

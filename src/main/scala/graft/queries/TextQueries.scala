@@ -562,6 +562,99 @@ object TextQueries {
       WHERE rn <= 15 ORDER BY doc_id"""),
     notes = "per-domain cap; one group-key shuffle, md5 rank engine-stable")
 
+  /** HARD-NEGATIVE MINING ([[Ann.hardNegatives]]): top-10 most-similar
+    * DIFFERENT-label corpus vectors per query — the contrastive-training
+    * negatives. Exact-decimal cosine ranking, label filter before any
+    * scoring; twin replays the filtered brute force. */
+  val qHardNegatives = GQuery("q_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label",
+          k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"), col("neg_label"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, label AS ql, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS id, e.label AS neg_label,
+          CAST(list_sum(list_transform(
+              list_zip(e.embedding, q.qv),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(e.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(q.qv,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS cos
+        FROM embeddings e, q WHERE e.label <> q.ql),
+      ranked AS (
+        SELECT query_id, id, neg_label,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+        FROM scored)
+      SELECT query_id, rank, id, neg_label FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""),
+    notes = "contrastive negatives: wrong-label filter precedes scoring, queries broadcast")
+
+  /** MATRYOSHKA TWO-STAGE RETRIEVAL ([[Ann.matryoshkaTopK]]): 16-dim
+    * prefix cosine selects 50 candidates, full 64-dim cosine rescores to
+    * top-10 — deterministic-replay contract (both stage boundaries
+    * exact-decimal ranked); the twin re-derives candidate set AND final
+    * ranking; recall vs full-dim search spec-pinned (AnnCandidatesSpec). */
+  val qMatryoshka = GQuery("q_matryoshka",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.matryoshkaTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          prefixDim = 16, kCand = 50, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("id"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 5),
+      pre AS (
+        SELECT q.query_id, e.vec_id AS id, e.embedding AS ev, q.qv,
+          CAST(list_sum(list_transform(
+              list_zip(e.embedding[1:16], q.qv[1:16]),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(e.embedding[1:16],
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(q.qv[1:16],
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS pcos
+        FROM embeddings e, q),
+      cand AS (
+        SELECT query_id, id, ev, qv FROM (
+          SELECT query_id, id, ev, qv,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY pcos DESC, id) AS r1
+          FROM pre) WHERE r1 <= 50),
+      resc AS (
+        SELECT query_id, id,
+          CAST(list_sum(list_transform(
+              list_zip(ev, qv),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(ev,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(qv,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS cos
+        FROM cand),
+      ranked AS (
+        SELECT query_id, id,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+        FROM resc)
+      SELECT query_id, rank, id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""),
+    notes = "truncated-prefix prescreen + full rescore; deterministic replay both stages")
+
   /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 3, candidate
     * generation by 16-bit block bucketing — the classic 64-bit/4-block/k=3
     * design (Manku et al., WWW'07): k ≤ 3 differing bits cannot touch all 4
@@ -2445,5 +2538,5 @@ object TextQueries {
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins,
-    qClusterRep, qDomainCap)
+    qClusterRep, qDomainCap, qHardNegatives, qMatryoshka)
 }

@@ -210,4 +210,48 @@ class AnnCandidatesSpec extends SparkSpec {
     // top-10 neighborhood survives quantization almost entirely
     assert(mean >= 0.8, f"int8 recall $mean%.2f below contract 0.8")
   }
+
+  test("hardNegatives: no same-label result, subset of filtered brute force") {
+    val hn = Ann.hardNegatives(emb, "vec_id", "embedding", "label",
+        queries, "vec_id", "embedding", "label", k = 10)
+      .select("query_id", "rank", "id", "neg_label")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    val qLabels = queries.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    assert(hn.nonEmpty)
+    assert(hn.forall { case (q, _, _, nl) => nl != qLabels(q) })
+    // ranks are dense 1..10 per query
+    hn.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted === (1 to 10))
+    }
+    // a hard negative can never beat the full top-k's same-id entry: the
+    // negatives are the top of the label-filtered score order, so each is
+    // also present in a large-enough unfiltered top-k
+    val full = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 120)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(hn.forall { case (q, _, id, _) => full.contains((q, id)) })
+  }
+
+  test("matryoshka: deterministic across repartitioning, recall measured") {
+    val m1 = Ann.matryoshkaTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", prefixDim = 16, kCand = 50, k = 10)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)]
+      .collect().toSeq
+    val m2 = Ann.matryoshkaTopK(emb.repartition(13), "vec_id", "embedding",
+        queries, "vec_id", "embedding", prefixDim = 16, kCand = 50, k = 10)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(m1 === m2)
+    val full = Ann.cosineTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mine = m1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = full.keys.toSeq.map(q =>
+      (mine(q) & full(q)).size.toDouble / full(q).size)
+    val mean = recalls.sum / recalls.size
+    info(f"mean top-10 recall of 16/64-dim matryoshka (kCand=50): $mean%.2f")
+    assert(mean >= 0.5, f"matryoshka recall $mean%.2f below contract 0.5")
+  }
 }

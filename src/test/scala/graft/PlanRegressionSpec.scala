@@ -18,7 +18,8 @@ class PlanRegressionSpec extends SparkSpec {
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
     "q_substring_conf", "q_cosine_topk", "q_tfidf_topk",
-    "q_ann_quantized", "q_keyword_search", "q_bloom_join", "q_pagerank")
+    "q_ann_quantized", "q_keyword_search", "q_bloom_join", "q_pagerank",
+    "q_hard_negatives", "q_matryoshka")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>

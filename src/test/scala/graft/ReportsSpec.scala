@@ -125,6 +125,17 @@ class ReportsSpec extends SparkSpec {
     assert(out.getAs[Double]("volume_ratio") === 2.0)
   }
 
+  test("groupMad: robust to the outlier that wrecks the std") {
+    // 1..9 with a 1000 outlier: median 5.5, deviations |x-5.5| =
+    // 4.5,3.5,...,0.5,0.5,...,4.5,994.5 → MAD = 2.5 (std would be ~298)
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val out = Reports.groupMad(vals.map(("g", _)).toDF("grp", "v"),
+      "grp", "v").collect().head
+    assert(out.getAs[Double]("median") === 5.5)
+    assert(out.getAs[Double]("mad") === 2.5)
+    assert(out.getAs[Long]("n") === 10L)
+  }
+
   test("ewmaDaily: dyadic weights reproduce the closed-form average") {
     // one group, three days with daily sums 8, 4, 2
     val df = Seq(
