@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation-strategy operators: explicit plan shapes for the
+  * aggregations where the DEFAULT shape stops working at scale —
+  * skewed distinct counts, incremental rollup maintenance, and
+  * distribution normalization. */
+object Aggregates {
+
+  /** TWO-PHASE DISTINCT COUNT — the skew-safe shape for
+    * COUNT(DISTINCT v) GROUP BY k when one key dominates: phase 1
+    * dedups on the COMPOSITE (k, v) key, so the heavy shuffle spreads a
+    * hot k across the v dimension instead of funneling it to one
+    * partition; phase 2 is a plain count over the already-thin distinct
+    * set. Same result as countDistinct by definition (the oracle IS the
+    * plain COUNT(DISTINCT) — equivalence contract, like saltedJoin);
+    * the value is the explicit, composable plan: phase 1 can take a
+    * salt, a pre-filter, or feed several downstream aggregations. */
+  def twoPhaseDistinct(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    df.select(col(keyCol), col(valCol)).distinct()
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_distinct"))
+      .orderBy(col(keyCol))
+
+  /** PARTIAL-AGGREGATE MAINTENANCE (incremental rollup): the daily
+    * partial table a 100 TB pipeline maintains incrementally — exact
+    * DECIMAL sums and counts per (group, day). Decimal addition is
+    * associative, so re-aggregating partials to any coarser grain is
+    * EXACTLY equal to aggregating the raw stream — the equivalence
+    * [[weeklyFromDaily]]'s oracle pins. One map-side-combined agg. */
+  def dailyPartials(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String): DataFrame =
+    df.groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast(DecimalType(27, 6))).as("sum_dec"))
+
+  /** Weekly rollup FROM THE DAILY PARTIALS — the incremental-view
+    * read path (merge partials, never re-scan raw): counts add, decimal
+    * sums add exactly; the double cast happens once at the edge, so the
+    * result is bit-identical to a direct weekly aggregation of the raw
+    * table. Week key = Monday-start date_trunc, formatted for the hash
+    * gate. */
+  def weeklyFromDaily(daily: DataFrame, groupCol: String): DataFrame =
+    daily
+      .groupBy(col(groupCol),
+        graft.Det.fmtDate(date_trunc("week", col("day"))).as("week"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_dec")).cast("double").as("sum_val"))
+      .orderBy(col(groupCol), col("week"))
+
+  /** QUANTILE NORMALIZATION to a REFERENCE distribution (batch-effect
+    * correction: after it, every group's values follow the reference
+    * group's distribution regardless of the group's own location/
+    * scale). The reference is the LARGEST group (ties to the smaller
+    * name — total order); the mapping sends a row at group rank r of n
+    * to the reference's order statistic at bucket b = ⌊(2r−1)·B/(2n)⌋,
+    * i.e. the reference value at rank ⌈b·n_ref/B⌉ — ALL cut arithmetic
+    * is INTEGER (ceil(a/b) = (a+b−1) div b), the one double produced
+    * (the percent position p) is a single IEEE divide: nothing here
+    * depends on engine interpolation rules (the winsorize convention —
+    * percentile_cont/quantile_cont interpolate in different op orders
+    * across engines and diverge in the last ulp).
+    *
+    * Plan: per-group rank+count ride one group-key window exchange
+    * (group-bounded sorts, no global sort of the data); the reference
+    * pick is a #groups-row aggregate; the B+1-row grid is extracted by
+    * a broadcast rank join against the reference group's ranked rows
+    * and broadcast back onto every row. At 100 TB the grid swaps to
+    * approx_percentile over the reference group — same B+1-row
+    * broadcast, approximate cuts. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, buckets: Int = 100): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(idCol), col(groupCol), col(valCol))
+      .withColumn("__r", row_number().over(
+        wg.orderBy(col(valCol), col(idCol))))
+      .withColumn("__n", count(lit(1)).over(wg))
+    // reference group: most rows, deterministic tie-break on the name
+    val ref = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(desc("__cnt"), col(groupCol))))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol).as("__refg"))
+    val refRanked = ranked
+      .join(broadcast(ref), ranked(groupCol) === col("__refg"))
+    // grid: the reference's value at integer rank ceil(b·n_ref/B),
+    // b = 0..B (b=0 clamps to rank 1)
+    val ks = refRanked.filter(col("__r") === 1)
+      .select(explode(sequence(lit(0L), lit(buckets.toLong))).as("bucket"),
+        col("__n").as("__nref"))
+      .withColumn("__target", greatest(lit(1L),
+        expr(s"(bucket * __nref + ${buckets - 1}) div $buckets")))
+    val grid = broadcast(ks)
+      .join(refRanked, col("__target") === refRanked("__r"))
+      .select(col("bucket"), col(valCol).as("norm_val"))
+    ranked
+      .withColumn("p",
+        (lit(2) * col("__r") - 1).cast("double")
+          / (lit(2) * col("__n")).cast("double"))
+      .withColumn("bucket", expr(s"((2 * __r - 1) * $buckets) div (2 * __n)"))
+      .join(broadcast(grid), Seq("bucket"))
+      .select(col(idCol), col(groupCol), col(valCol), col("p"),
+        col("norm_val"))
+      .orderBy(col(idCol))
+  }
+}

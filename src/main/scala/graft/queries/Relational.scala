@@ -723,6 +723,71 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     notes = "salt x8 spreads hot keys; oracle is the plain join - equivalence gate")
 
+  /** TWO-PHASE DISTINCT ([[graft.operators.Aggregates.twoPhaseDistinct]]):
+    * the skew-safe COUNT(DISTINCT) shape — composite-key dedup spreads a
+    * hot group across the value dimension; oracle is the plain
+    * COUNT(DISTINCT): equivalence IS the contract. */
+  val qTwophaseDistinct = GQuery("q_twophase_distinct",
+    (s, d) => graft.operators.Aggregates.twoPhaseDistinct(
+      Tables.events(s, d), "event_type", "user_id"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    notes = "explicit composite-key dedup then count; skew-safe distinct shape")
+
+  /** PARTIAL-AGGREGATE MAINTENANCE ([[graft.operators.Aggregates
+    * .dailyPartials]] → [[graft.operators.Aggregates.weeklyFromDaily]]):
+    * weekly rollup computed FROM the daily partial table — decimal sums
+    * are associative, so the merge path is bit-identical to aggregating
+    * raw, which the oracle (direct weekly over raw events) pins. */
+  val qReaggregate = GQuery("q_reaggregate",
+    (s, d) => graft.operators.Aggregates.weeklyFromDaily(
+      graft.operators.Aggregates.dailyPartials(
+        Tables.events(s, d), "event_type", "ts", "value"), "event_type"),
+    Some("""SELECT event_type,
+        strftime(date_trunc('week', CAST(ts AS DATE)), '%Y-%m-%d') AS week,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_val
+      FROM events GROUP BY 1, 2 ORDER BY event_type, week"""),
+    notes = "incremental rollup: weekly from daily partials == weekly from raw, exactly")
+
+  /** QUANTILE NORMALIZATION ([[graft.operators.Aggregates
+    * .quantileNormalize]]): map each group's values onto the LARGEST
+    * group's distribution via exact integer rank cuts — no engine
+    * interpolation anywhere (the winsorize convention). */
+  val qQuantileNorm = GQuery("q_quantile_norm",
+    (s, d) => graft.operators.Aggregates.quantileNormalize(
+      Tables.events(s, d), "event_type", "event_id", "value"),
+    Some("""WITH ranked AS (
+        SELECT event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS r,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events),
+      ref AS (SELECT event_type AS refg FROM (
+          SELECT event_type,
+            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rk
+          FROM events GROUP BY event_type) WHERE rk = 1),
+      refranked AS (
+        SELECT rr.r, rr.n, rr.value FROM ranked rr
+        JOIN ref ON rr.event_type = ref.refg),
+      targets AS (
+        SELECT k.bucket,
+          greatest(1, (k.bucket * m.nref + 99) // 100) AS target
+        FROM (SELECT unnest(range(0, 101)) AS bucket) k
+        CROSS JOIN (SELECT DISTINCT n AS nref FROM refranked) m),
+      grid AS (
+        SELECT t.bucket, rr.value AS norm_val
+        FROM targets t JOIN refranked rr ON rr.r = t.target),
+      pos AS (
+        SELECT event_id, event_type, value,
+          CAST(2 * r - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE) AS p,
+          ((2 * r - 1) * 100) // (2 * n) AS bucket
+        FROM ranked)
+      SELECT pos.event_id, pos.event_type, pos.value, pos.p, grid.norm_val
+      FROM pos JOIN grid USING (bucket)
+      ORDER BY pos.event_id"""),
+    notes = "normalize to the largest group's distribution; integer rank cuts only")
+
   /** MEDIAN ABSOLUTE DEVIATION ([[graft.operators.Reports.groupMad]]):
     * the robust scale estimator — two exact-percentile passes, medians
     * broadcast back. Interpolation arithmetic pinned by q_percentiles. */
@@ -774,5 +839,6 @@ object Relational {
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
-    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad)
+    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
+    qTwophaseDistinct, qReaggregate, qQuantileNorm)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Aggregates
+import org.apache.spark.sql.functions._
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("twoPhaseDistinct equals the built-in countDistinct") {
+    val ev = Tables.events(spark, sfDir)
+    val two = Aggregates.twoPhaseDistinct(ev, "event_type", "user_id")
+      .as[(String, Long)].collect().toMap
+    val ref = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(two === ref)
+  }
+
+  test("weekly rollup from daily partials equals direct weekly, bit-for-bit") {
+    val ev = Tables.events(spark, sfDir)
+    val merged = Aggregates.weeklyFromDaily(
+        Aggregates.dailyPartials(ev, "event_type", "ts", "value"),
+        "event_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val direct = ev.groupBy(col("event_type"),
+        Det.fmtDate(date_trunc("week", to_date(col("ts")))).as("week"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_val"))
+      .orderBy(col("event_type"), col("week"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(merged === direct) // doubles compared exactly: decimal sums merge exactly
+  }
+
+  test("quantileNormalize: reference group maps onto itself, others onto it") {
+    // group a (reference, 6 rows ascending), group b shifted by +1000
+    val df = ((1 to 6).map(v => (v.toLong, "a", v.toDouble)) ++
+      (1 to 3).map(v => ((10 + v).toLong, "b", 1000.0 + v)))
+      .toDF("id", "grp", "v")
+    val out = Aggregates.quantileNormalize(df, "grp", "id", "v")
+      .as[(Long, String, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4, r._5))).toMap
+    // every normalized value is drawn from the reference group's values
+    assert(out.values.forall { case (_, _, nv) => (1 to 6).map(_.toDouble).contains(nv) })
+    // group b's shifted values land on reference order stats by rank:
+    // rank 1/3 → p=1/6 → bucket 16 → target ceil(16·6/100)=1 → 1.0
+    // rank 2/3 → p=3/6 → bucket 50 → target 3 → 3.0
+    // rank 3/3 → p=5/6 → bucket 83 → target ceil(83·6/100)=5 → 5.0
+    assert(out(11L)._3 === 1.0)
+    assert(out(12L)._3 === 3.0)
+    assert(out(13L)._3 === 5.0)
+    // the mapping is monotone in rank within every group
+    val byGrp = out.toSeq.sortBy(_._1).groupBy(_._2._1)
+    byGrp.values.foreach { rs =>
+      val nvs = rs.map(_._2._3)
+      assert(nvs === nvs.sorted)
+    }
+  }
+}
