@@ -35,6 +35,47 @@ object Graph {
     * nodes; web graphs: co-partitioned shuffle joins, the canonical
     * Pregel shape). `iterations` is a FIXED unrolled count — the plan
     * depth is known at submit time, no driver-side convergence loop. */
+  /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT per node. Edges are
+    * first CANONICALIZED (undirected, deduped, self-loops dropped,
+    * src < dst) — the standard orientation trick: each triangle
+    * {a<b<c} is found exactly once as (a,b)⋈(b,c)⋈(a,c), so the join
+    * volume is bounded by Σ deg²(ordered), not deg³. Per-node triangle
+    * membership re-projects each found triangle to its three corners
+    * (a union, map-side); the coefficient 2·t/(d·(d−1)) is one IEEE
+    * divide of exact integers. Plan: two self-joins + one agg, all on
+    * node keys — the canonical distributed triangle shape; nodes with
+    * degree < 2 report coefficient 0 (no possible triangle).
+    * Output: (node, degree, n_tri, clustering). */
+  def triangles(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+    val e = raw.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // reused by 3 joins + the degree agg
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.v") === col("bc.u"))
+      .join(e.as("ac"),
+        col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("bc.v").as("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          (lit(2) * coalesce(col("n_tri"), lit(0L))).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .as("clustering"))
+      .orderBy(col("node"))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 3,
       dampingPermille: Int = 850): DataFrame = {

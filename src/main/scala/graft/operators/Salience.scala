@@ -121,4 +121,32 @@ object Salience {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
+
+  /** FLESCH READING-EASE SCORE per document — the classic readability
+    * heuristic a curation pipeline uses as a cheap quality feature:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences = [.!?] runs (min 1) and syllables = vowel-group count
+    * per document (the standard approximation). Every input is an
+    * integer regex count and the score is a FIXED IEEE op order, so the
+    * double is bit-identical cross-engine. One scan, map-side only —
+    * embarrassingly parallel at any corpus size. */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = size(filter(split(trim(col(textCol)), "\\s+"),
+      t => t =!= lit(""))).cast("long")
+    val sentences = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syllables = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("long")
+    df.select(col(idCol).as("doc_id"), words.as("words"),
+        sentences.as("sentences"), syllables.as("syllables"))
+      .filter(col("words") > 0)
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("words").cast("double")
+            / col("sentences").cast("double"))
+          - lit(84.6) * (col("syllables").cast("double")
+            / col("words").cast("double")))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -638,10 +638,49 @@ object PipelineQueries {
       FROM r3 ORDER BY node"""),
     notes = "scaled-int PageRank: associative sums, no IEEE nondeterminism; oracle unrolls 3 rounds")
 
+  /** TRIANGLES + CLUSTERING COEFFICIENT ([[graft.operators.Graph
+    * .triangles]]) over the undirected event-type transition graph —
+    * canonical a<b<c orientation finds each triangle once; coefficient
+    * is one IEEE divide of exact integers. */
+  val qTriangles = GQuery("q_triangles",
+    (s, d) => {
+      val edges = graft.operators.Funnel.transitionMatrix(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .select(col("from_type"), col("to_type"))
+      graft.operators.Graph.triangles(edges, "from_type", "to_type")
+    },
+    Some("""WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS src,
+          event_type AS dst
+        FROM events),
+      m AS (SELECT DISTINCT src, dst FROM pairs
+        WHERE src IS NOT NULL AND src <> dst),
+      e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM m),
+      deg AS (SELECT node, COUNT(*) AS degree FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+      tri AS (
+        SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        FROM e ab JOIN e bc ON ab.v = bc.u
+        JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      pn AS (SELECT node, COUNT(*) AS n_tri FROM (
+          SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY 1)
+      SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+        CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+        CASE WHEN deg.degree < 2 THEN 0.0
+          ELSE CAST(2 * COALESCE(pn.n_tri, 0) AS DOUBLE)
+            / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END AS clustering
+      FROM deg LEFT JOIN pn USING (node) ORDER BY node"""),
+    notes = "orientation-bounded triangle join; per-node corners via union, one agg")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
-    qSeqMining, qEwma, qPagerank)
+    qSeqMining, qEwma, qPagerank, qTriangles)
 }

@@ -655,6 +655,28 @@ object TextQueries {
       ORDER BY query_id, rank"""),
     notes = "truncated-prefix prescreen + full rescore; deterministic replay both stages")
 
+  /** FLESCH READABILITY ([[graft.operators.Salience.readability]]):
+    * integer regex counts + one fixed IEEE op order — map-side only. */
+  val qReadability = GQuery("q_readability",
+    (s, d) => graft.operators.Salience.readability(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""WITH counts AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0)) AS BIGINT) AS words,
+          CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+            AS BIGINT) AS sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS syllables
+        FROM documents)
+      SELECT doc_id, words, sentences, syllables,
+        206.835
+          - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+          - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+          AS flesch
+      FROM counts WHERE words > 0 ORDER BY doc_id"""),
+    notes = "readability quality feature; counts are regex-integer, score fixed IEEE order")
+
   /** SimHash near-dup pairs: 64-bit signature, Hamming ≤ 3, candidate
     * generation by 16-bit block bucketing — the classic 64-bit/4-block/k=3
     * design (Manku et al., WWW'07): k ≤ 3 differing bits cannot touch all 4
@@ -2538,5 +2560,5 @@ object TextQueries {
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins,
-    qClusterRep, qDomainCap, qHardNegatives, qMatryoshka)
+    qClusterRep, qDomainCap, qHardNegatives, qMatryoshka, qReadability)
 }

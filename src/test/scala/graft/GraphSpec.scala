@@ -33,6 +33,27 @@ class GraphSpec extends SparkSpec {
     assert(out.values.sum <= 1000000000000L)
   }
 
+  test("triangles: known graph — one triangle plus a pendant edge") {
+    // a-b-c triangle, plus d hanging off a. Directions/dups must not matter.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "a"),
+      ("a", "d")).toDF("s", "t")
+    val out = Graph.triangles(edges, "s", "t")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") === ((3L, 1L, 2.0 / 6.0))) // deg 3: b, c, d
+    assert(out("b") === ((2L, 1L, 1.0)))
+    assert(out("c") === ((2L, 1L, 1.0)))
+    assert(out("d") === ((1L, 0L, 0.0)))       // degree < 2 → 0
+  }
+
+  test("triangles: triangle-free graph reports all zeros") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "t")
+    val out = Graph.triangles(path, "s", "t")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.forall(_._3 === 0L))
+    assert(out.forall(_._4 === 0.0))
+  }
+
   test("pageRankFixedPoint: deterministic across repartitioning") {
     val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 5L),
       ("a", "c", 1L)).toDF("s", "t", "w")

@@ -66,4 +66,21 @@ class TextStatsSpec extends SparkSpec {
       .option("leagues", "39").option("days", "2").load()
     assert(df.count() === 20)
   }
+
+  test("readability: hand-computed Flesch on a toy doc; empty doc dropped") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences
+      (2L, "   "))                        // no words → dropped
+      .toDF("doc_id", "text")
+    val out = graft.operators.Salience.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L))
+    val (_, words, sentences, syllables, flesch) = out.head
+    assert(words === 6L)
+    assert(sentences === 2L)
+    // vowel groups: e,a,a,e,o,a = 6 ("The"→e, "cat"→a, "sat"→a,
+    // "The"→e, "dog"→o, "ran"→a)
+    assert(syllables === 6L)
+    assert(flesch === 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
+  }
 }
