@@ -53,6 +53,56 @@ object Aggregates {
         sum(col("sum_dec")).cast("double").as("sum_val"))
       .orderBy(col(groupCol), col("week"))
 
+  /** CO-OCCURRENCE (market-basket) PAIR MINING: the top-k item pairs
+    * that appear together in the most baskets. Baskets collapse to a
+    * SORTED DISTINCT item array first (one shuffle on the basket key),
+    * then pairs are generated MAP-SIDE inside the array (ordered i<j —
+    * each unordered pair once, never an item-table self-join, the
+    * pairCounts discipline): the expansion is Σ b²/2 over basket SIZES,
+    * bounded by `maxItems` per basket, not corpus². Top-k is a
+    * TakeOrderedAndProject under a total (n DESC, a, b) order, rank
+    * numbered after the limit. */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int, maxItems: Int = 64): DataFrame = {
+    val baskets = df.groupBy(col(basketCol))
+      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxItems)
+        .as("__items"))
+    val pairs = baskets.select(explode(flatten(
+      expr("""transform(__items, (x, i) ->
+                transform(slice(__items, i + 2, size(__items)),
+                  y -> struct(x AS a, y AS b)))"""))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val top = pairs.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), col("a"), col("b"))).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  /** RATIO-TO-REPORT (contribution analysis): per-group totals plus
+    * each group's share of the grand total. The grand total is a window
+    * sum over the ALREADY-AGGREGATED #groups-row table (the
+    * single-partition window touches #groups rows, not the corpus);
+    * decimal sums keep both numerator and denominator exact, the share
+    * is one IEEE divide. */
+  def ratioToReport(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val agged = df.groupBy(col(groupCol))
+      .agg(sum(col(valCol).cast(DecimalType(27, 6))).as("__dec"),
+        count(lit(1)).as("n"))
+    agged
+      .withColumn("__tot", sum(col("__dec")).over(
+        Window.partitionBy()))
+      .select(col(groupCol), col("n"),
+        col("__dec").cast("double").as("sum_val"),
+        (col("__dec").cast("double") / col("__tot").cast("double"))
+          .as("share"))
+      .orderBy(col(groupCol))
+  }
+
   /** QUANTILE NORMALIZATION to a REFERENCE distribution (batch-effect
     * correction: after it, every group's values follow the reference
     * group's distribution regardless of the group's own location/

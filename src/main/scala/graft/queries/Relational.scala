@@ -788,6 +788,45 @@ object Relational {
       ORDER BY pos.event_id"""),
     notes = "normalize to the largest group's distribution; integer rank cuts only")
 
+  /** CO-OCCURRENCE MINING ([[graft.operators.Aggregates.coOccurrence]]):
+    * top-25 part pairs by order co-occurrence — baskets collapse to
+    * sorted arrays, pairs generated map-side (never an item self-join),
+    * distributed top-k. */
+  val qCopurchase = GQuery("q_copurchase",
+    (s, d) => graft.operators.Aggregates.coOccurrence(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", k = 25),
+    Some("""WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      cnt AS (SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+      top AS (SELECT * FROM cnt ORDER BY n DESC, a, b LIMIT 25)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, a, b) AS BIGINT)
+          AS rank,
+        a, b, CAST(n AS BIGINT) AS n
+      FROM top ORDER BY rank"""),
+    notes = "market-basket pairs; in-array generation bounds expansion by basket size")
+
+  /** RATIO-TO-REPORT ([[graft.operators.Aggregates.ratioToReport]]):
+    * per-priority revenue share of the grand total — the window total
+    * runs over the #groups-row aggregate, not the corpus. */
+  val qContribution = GQuery("q_contribution",
+    (s, d) => graft.operators.Aggregates.ratioToReport(
+      Tables.orders(s, d), "o_orderpriority", "o_totalprice"),
+    Some("""WITH g AS (
+        SELECT o_orderpriority, COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS dec
+        FROM orders GROUP BY 1),
+      t AS (SELECT SUM(dec) AS tot FROM g)
+      SELECT g.o_orderpriority, CAST(g.n AS BIGINT) AS n,
+        CAST(g.dec AS DOUBLE) AS sum_val,
+        CAST(g.dec AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+      FROM g, t ORDER BY g.o_orderpriority"""),
+    notes = "contribution analysis; grand total windowed over the aggregate only")
+
   /** MEDIAN ABSOLUTE DEVIATION ([[graft.operators.Reports.groupMad]]):
     * the robust scale estimator — two exact-percentile passes, medians
     * broadcast back. Interpolation arithmetic pinned by q_percentiles. */
@@ -840,5 +879,5 @@ object Relational {
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
-    qTwophaseDistinct, qReaggregate, qQuantileNorm)
+    qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution)
 }

@@ -30,6 +30,31 @@ class AggregatesSpec extends SparkSpec {
     assert(merged === direct) // doubles compared exactly: decimal sums merge exactly
   }
 
+  test("coOccurrence: in-array pair generation equals the self-join, ordered") {
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "y"), // dup ignored
+      (2L, "x"), (2L, "y"), (3L, "x"), (3L, "y"))
+      .toDF("basket", "item")
+    val out = Aggregates.coOccurrence(df, "basket", "item", k = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // (x,y) in 3 baskets; (x,z), (y,z) in 1
+    assert(out.head === ((1L, "x", "y", 3L)))
+    assert(out.map(r => (r._2, r._3, r._4)).toSet ===
+      Set(("x", "y", 3L), ("x", "z", 1L), ("y", "z", 1L)))
+    // pairs are always lexicographically ordered a < b
+    assert(out.forall(r => r._2 < r._3))
+  }
+
+  test("ratioToReport: shares sum to 1 exactly on decimal totals") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Aggregates.ratioToReport(ev, "event_type", "value")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    val totalN = ev.count()
+    assert(out.map(_._2).sum === totalN)
+    // exact decimal numerators over an exact decimal total: shares sum
+    // to 1 within one ulp per group
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-12)
+  }
+
   test("quantileNormalize: reference group maps onto itself, others onto it") {
     // group a (reference, 6 rows ascending), group b shifted by +1000
     val df = ((1 to 6).map(v => (v.toLong, "a", v.toDouble)) ++

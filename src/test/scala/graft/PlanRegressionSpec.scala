@@ -14,11 +14,11 @@ class PlanRegressionSpec extends SparkSpec {
   // intentional broadcast cross joins (candidates/queries side is tiny and
   // explicitly broadcast; scoring every pair is the operator's semantics —
   // for q_tfidf_topk the broadcast side is the 1-row corpus count; for
-  // q_bloom_join and q_pagerank it is the 1-row bloom bitmap / node count)
+  // q_pagerank it is the 1-row node-count table)
   val bnljAllowed: Set[String] = Set(
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
     "q_substring_conf", "q_cosine_topk", "q_tfidf_topk",
-    "q_ann_quantized", "q_keyword_search", "q_bloom_join", "q_pagerank",
+    "q_ann_quantized", "q_keyword_search", "q_pagerank",
     "q_hard_negatives", "q_matryoshka")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
