@@ -53,6 +53,47 @@ object Aggregates {
         sum(col("sum_dec")).cast("double").as("sum_val"))
       .orderBy(col(groupCol), col("week"))
 
+  /** LINEAR FIT + PEARSON CORRELATION per group (the SQL `regr_slope`/
+    * `regr_intercept`/`corr` family) from EXACT DECIMAL MOMENTS: x is
+    * cast to DECIMAL(13,2) and y to DECIMAL(13,2), so Σx, Σy, Σxy, Σx²,
+    * Σy² are exact (4-dp products) and order-independent; the closed
+    * forms are then assembled in a FIXED IEEE op order —
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+    *   intercept = (Σy − slope·Σx) / n
+    *   corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx·Σx) · √(n·Σy²−Σy·Σy))
+    * — every step exactly rounded on identical inputs, so the doubles
+    * are bit-identical cross-engine (the zscoreAnomalies discipline).
+    * Degenerate variance (constant x or y) reports slope/corr 0 rather
+    * than NaN, mirrored in the twin. ONE map-side-combined aggregation;
+    * the built-in `corr`/`regr_slope` aggs average incrementally and
+    * are NOT portable bit-for-bit — that is why the moments are
+    * explicit. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dx = col(xCol).cast(DecimalType(13, 2))
+    val dy = col(yCol).cast(DecimalType(13, 2))
+    val agged = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sx"),
+        sum(dy).cast("double").as("sy"),
+        sum(dx * dy).cast("double").as("sxy"),
+        sum(dx * dx).cast("double").as("sx2"),
+        sum(dy * dy).cast("double").as("sy2"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val vx = nD * col("sx2") - col("sx") * col("sx")
+    val vy = nD * col("sy2") - col("sy") * col("sy")
+    agged
+      .withColumn("slope", when(vx === 0.0, lit(0.0)).otherwise(num / vx))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / nD)
+      .withColumn("corr", when(vx === 0.0 || vy === 0.0, lit(0.0))
+        .otherwise(num / (sqrt(vx) * sqrt(vy))))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"),
+        col("corr"))
+      .orderBy(col(groupCol))
+  }
+
   /** CO-OCCURRENCE (market-basket) PAIR MINING: the top-k item pairs
     * that appear together in the most baskets. Baskets collapse to a
     * SORTED DISTINCT item array first (one shuffle on the basket key),

@@ -638,6 +638,42 @@ object PipelineQueries {
       FROM r3 ORDER BY node"""),
     notes = "scaled-int PageRank: associative sums, no IEEE nondeterminism; oracle unrolls 3 rounds")
 
+  /** LINEAR FIT + CORRELATION ([[graft.operators.Aggregates.linearFit]]):
+    * value ~ hour-of-day OLS per event type from exact decimal moments
+    * assembled in a fixed IEEE op order — the regr_slope/corr family,
+    * portable bit-for-bit (built-in corr aggs average incrementally and
+    * are not). */
+  val qLinreg = GQuery("q_linreg",
+    (s, d) => graft.operators.Aggregates.linearFit(
+      Tables.events(s, d).withColumn("hour_x", hour(col("ts"))),
+      "event_type", "hour_x", "value"),
+    Some("""WITH m AS (
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(hour(ts) AS DECIMAL(13,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value AS DECIMAL(13,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(hour(ts) AS DECIMAL(13,2))
+            * CAST(value AS DECIMAL(13,2))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(hour(ts) AS DECIMAL(13,2))
+            * CAST(hour(ts) AS DECIMAL(13,2))) AS DOUBLE) AS sx2,
+          CAST(SUM(CAST(value AS DECIMAL(13,2))
+            * CAST(value AS DECIMAL(13,2))) AS DOUBLE) AS sy2
+        FROM events GROUP BY 1),
+      k AS (
+        SELECT event_type, n, sx, sy,
+          CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+          CAST(n AS DOUBLE) * sx2 - sx * sx AS vx,
+          CAST(n AS DOUBLE) * sy2 - sy * sy AS vy
+        FROM m),
+      s AS (
+        SELECT *, CASE WHEN vx = 0 THEN 0.0 ELSE num / vx END AS slope
+        FROM k)
+      SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+        (sy - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+        CASE WHEN vx = 0 OR vy = 0 THEN 0.0
+          ELSE num / (sqrt(vx) * sqrt(vy)) END AS corr
+      FROM s ORDER BY event_type"""),
+    notes = "regression as one agg; exact moments, fixed-order IEEE assembly")
+
   /** TRIANGLES + CLUSTERING COEFFICIENT ([[graft.operators.Graph
     * .triangles]]) over the undirected event-type transition graph —
     * canonical a<b<c orientation finds each triangle once; coefficient
@@ -682,5 +718,5 @@ object PipelineQueries {
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
-    qSeqMining, qEwma, qPagerank, qTriangles)
+    qSeqMining, qEwma, qPagerank, qTriangles, qLinreg)
 }
