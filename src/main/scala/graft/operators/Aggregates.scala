@@ -16,15 +16,20 @@ object Aggregates {
     * dedups on the COMPOSITE (k, v) key, so the heavy shuffle spreads a
     * hot k across the v dimension instead of funneling it to one
     * partition; phase 2 is a plain count over the already-thin distinct
-    * set. Same result as countDistinct by definition (the oracle IS the
-    * plain COUNT(DISTINCT) — equivalence contract, like saltedJoin);
-    * the value is the explicit, composable plan: phase 1 can take a
-    * salt, a pre-filter, or feed several downstream aggregations. */
+    * set. Phase 2 counts `count(valCol)`, not `count(*)`: SQL's
+    * COUNT(DISTINCT v) ignores NULLs, and distinct() keeps one
+    * (k, NULL) row per key — counting the COLUMN skips that row while
+    * still emitting every key (an all-NULL key reports 0, exactly as
+    * GROUP BY would), so the countDistinct equivalence holds for
+    * nullable valCol too (the oracle IS the plain COUNT(DISTINCT) —
+    * equivalence contract, like saltedJoin). The value is the
+    * explicit, composable plan: phase 1 can take a salt, a
+    * pre-filter, or feed several downstream aggregations. */
   def twoPhaseDistinct(df: DataFrame, keyCol: String,
       valCol: String): DataFrame =
     df.select(col(keyCol), col(valCol)).distinct()
       .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count(col(valCol)).as("n_distinct"))
       .orderBy(col(keyCol))
 
   /** PARTIAL-AGGREGATE MAINTENANCE (incremental rollup): the daily

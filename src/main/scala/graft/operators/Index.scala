@@ -50,8 +50,13 @@ object Index {
     * and the summed score are exact integers, bit-identical in any engine
     * (BM25's log-idf ranks the same way but libm's log is not
     * cross-engine reproducible). The 10⁶ scale keeps idf resolution when
-    * df ≈ N. Scores accumulate in DECIMAL(38,0): tf·w can exceed int64 at
-    * corpus scale (N=10¹⁰ → w≈10¹⁶, tf≈10³).
+    * df ≈ N. Scores accumulate in DECIMAL(38,0) — tf·w can exceed int64 at
+    * corpus scale (N=10¹⁰ → w≈10¹⁶, tf≈10³) — but the RESULT column is
+    * BIGINT: a top-k score that genuinely overflowed int64 would mean
+    * N·10⁶·tf > 9·10¹⁸, i.e. beyond any real corpus, and a bigint output
+    * hashes identically across engines where decimal128 representations
+    * do not (pyarrow Decimal vs DuckDB float64 — the one round-5 gate
+    * failure was exactly this).
     *
     * Scale shape: the term filter lands BEFORE the tf groupBy, so the
     * shuffle carries only query-term postings (∝ Σ df of the query terms,
@@ -72,7 +77,7 @@ object Index {
     val scored = tf.join(broadcast(weights), Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf").cast("decimal(38,0)") *
-        col("w").cast("decimal(38,0)")).cast("decimal(38,0)").as("score"))
+        col("w").cast("decimal(38,0)")).cast("long").as("score"))
     val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
     val w = Window.orderBy(desc("score"), asc("doc_id"))
     top.withColumn("rank", row_number().over(w).cast("long"))

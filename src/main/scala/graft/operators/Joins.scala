@@ -100,8 +100,15 @@ object Joins {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys: _*).orderBy(col(tsCol), col(idCol))
     val highDate = "9999-12-31 00:00:00.000000"
+    // change detection must be NULL-safe: `=!=` is NULL when either side
+    // is NULL, which would silently drop a change to/from NULL. <=> is
+    // the null-safe equality; the first row per key is identified by
+    // row_number (lag(value) IS NULL cannot distinguish "no previous
+    // row" from "previous value was NULL").
     df.withColumn("__pv", lag(col(valueCol), 1).over(w))
-      .filter(col("__pv").isNull || col(valueCol) =!= col("__pv"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col(valueCol) <=> col("__pv")))
+      .drop("__rn")
       .withColumn("__vt", lead(col(tsCol), 1).over(w))
       .select(keys ++ Seq(
         col(valueCol),

@@ -150,9 +150,12 @@ object Relational {
     Some(s"""WITH lagd AS (
         SELECT user_id, event_type, ts, event_id, value,
           LAG(value) OVER (PARTITION BY user_id, event_type
-            ORDER BY ts, event_id) AS pv
+            ORDER BY ts, event_id) AS pv,
+          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS rn
         FROM events),
-      ch AS (SELECT * FROM lagd WHERE pv IS NULL OR value <> pv),
+      ch AS (SELECT * FROM lagd
+        WHERE rn = 1 OR value IS DISTINCT FROM pv),
       iv AS (
         SELECT user_id, event_type, value, ts,
           LEAD(ts) OVER (PARTITION BY user_id, event_type
@@ -796,8 +799,12 @@ object Relational {
     (s, d) => graft.operators.Aggregates.coOccurrence(
       Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", k = 25),
-    Some("""WITH items AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    Some("""WITH baskets AS (
+        SELECT l_orderkey, list_slice(list_sort(list(DISTINCT l_partkey)),
+          1, 64) AS items
+        FROM lineitem GROUP BY l_orderkey),
+      items AS (
+        SELECT l_orderkey, unnest(items) AS l_partkey FROM baskets),
       pairs AS (
         SELECT a.l_partkey AS a, b.l_partkey AS b
         FROM items a JOIN items b

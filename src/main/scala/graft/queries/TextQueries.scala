@@ -2479,7 +2479,7 @@ object TextQueries {
         FROM q JOIN w USING (term) GROUP BY doc_id)
       SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
           AS rank,
-        doc_id, CAST(s AS DECIMAL(38,0)) AS score
+        doc_id, CAST(s AS BIGINT) AS score
       FROM sc ORDER BY s DESC, doc_id LIMIT 50"""),
     notes = "rational-idf retrieval; integer scores hash-exact")
 

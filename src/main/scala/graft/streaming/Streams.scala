@@ -238,7 +238,10 @@ object Streams {
       .flatMapGroupsWithState[Int, FunnelAdvance](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[Int]) =>
-          val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._4))
+          // full-microsecond order: getTime is millis-resolution, so two
+          // events inside the same millisecond must tie-break on getNanos
+          // BEFORE event_id to match the batch (ts, event_id) total order
+          val sorted = rows.toSeq.sortBy(e => (e._2.getTime, e._2.getNanos, e._4))
           var next = state.getOption.getOrElse(0)
           val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
           sorted.foreach { e =>

@@ -16,6 +16,16 @@ class AggregatesSpec extends SparkSpec {
     assert(two === ref)
   }
 
+  test("twoPhaseDistinct ignores NULL values like COUNT(DISTINCT)") {
+    val df = Seq(("a", Some(1L)), ("a", Some(1L)), ("a", None),
+      ("b", None), ("b", None), ("c", Some(2L)), ("c", Some(3L)))
+      .toDF("k", "v")
+    val two = Aggregates.twoPhaseDistinct(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    // SQL semantics: NULL never counts; an all-NULL key reports 0, not 1
+    assert(two === Map("a" -> 1L, "b" -> 0L, "c" -> 2L))
+  }
+
   test("weekly rollup from daily partials equals direct weekly, bit-for-bit") {
     val ev = Tables.events(spark, sfDir)
     val merged = Aggregates.weeklyFromDaily(

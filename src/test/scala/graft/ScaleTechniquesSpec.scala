@@ -95,6 +95,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(out.count(_._6) === 2)
   }
 
+  test("scd2History: NULL-safe change detection opens/closes intervals") {
+    val ev = Seq(
+      // key (1,"x"): 10.0 -> NULL -> NULL (collapsed) -> 10.0
+      (1L, "x", "2024-01-01 10:00:00", 1L, Some(10.0)),
+      (1L, "x", "2024-01-01 11:00:00", 2L, None),
+      (1L, "x", "2024-01-01 12:00:00", 3L, None),
+      (1L, "x", "2024-01-01 13:00:00", 4L, Some(10.0)),
+      // key (2,"y"): starts NULL — first row always opens an interval
+      (2L, "y", "2024-01-01 09:00:00", 5L, None))
+      .toDF("user_id", "event_type", "tss", "event_id", "value")
+      .select(col("user_id"), col("event_type"),
+        col("tss").cast("timestamp").as("ts"), col("event_id"), col("value"))
+    val out = Joins.scd2History(ev, Seq("user_id", "event_type"), "ts",
+      "event_id", "value")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, String, Option[Double], String, String, Boolean)].collect()
+    assert(out === Seq(
+      (1L, "x", Some(10.0), "2024-01-01 10:00:00.000000",
+        "2024-01-01 11:00:00.000000", false),
+      (1L, "x", None, "2024-01-01 11:00:00.000000",
+        "2024-01-01 13:00:00.000000", false),
+      (1L, "x", Some(10.0), "2024-01-01 13:00:00.000000",
+        "9999-12-31 00:00:00.000000", true),
+      (2L, "y", None, "2024-01-01 09:00:00.000000",
+        "9999-12-31 00:00:00.000000", true)))
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     // heavily skewed probe: 10k rows of key 1, a few of others
     val probe = (Seq.fill(10000)(1L) ++ Seq(2L, 3L)).zipWithIndex

@@ -481,4 +481,39 @@ class StreamsSpec extends SparkSpec {
       assert(adv.filter(_._1 == 2L).map(_._3) === Seq("signup"))
     } finally q.stop()
   }
+
+  test("funnelStream orders same-millisecond events by microsecond, not event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "event_id")
+    val steps = Seq("signup", "view")
+    val q = Streams.funnelStream(spark, df, steps)
+      .writeStream.format("memory").queryName("funnel_stream_us")
+      .outputMode("append").start()
+    try {
+      // two events in the SAME millisecond: the signup is 800µs EARLIER
+      // but carries the LARGER event_id — the batch (ts, event_id) order
+      // puts signup first, so the funnel must reach step 2. A
+      // millisecond-resolution sort would order by event_id and see
+      // view-before-signup (reach stops at 0).
+      val t0 = ts("2024-01-01 10:00:00")
+      val signupTs = new Timestamp(t0.getTime); signupTs.setNanos(100000)
+      val viewTs = new Timestamp(t0.getTime); viewTs.setNanos(900000)
+      mem.addData(
+        (1L, viewTs, "view", 1L),
+        (1L, signupTs, "signup", 2L))
+      q.processAllAvailable()
+      val adv = spark.table("funnel_stream_us")
+        .select("user_id", "step", "step_name")
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._2)
+      assert(adv === Seq((1L, 1L, "signup"), (1L, 2L, "view")))
+      // and the batch twin agrees on the full-microsecond order
+      val all = Seq((1L, viewTs, "view", 1L), (1L, signupTs, "signup", 2L))
+        .toDF("user_id", "ts", "event_type", "event_id")
+      val batch = graft.operators.Funnel.funnelSteps(all, "user_id", "ts",
+        "event_type", "event_id", steps)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(batch(1L) === 1L && batch(2L) === 1L)
+    } finally q.stop()
+  }
 }
