@@ -84,6 +84,59 @@ object Index {
       .select(col("rank"), col("doc_id"), col("score"))
   }
 
+  /** BM25 retrieval (k1 = 1.2, b = 0.75) in EXACT INTEGER arithmetic.
+    * The real BM25 term score
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`, with avgdl = T/N
+    * (T = corpus token count, N = docs), clears to the single fraction
+    * `idf · 44·tf·T / (20·tf·T + 6·T + 18·dl·N)` at these k1/b — every
+    * quantity an integer. The contribution is materialized as
+    * `idf · ((44·tf·T·10³) div D)`: one integer floor division per
+    * (doc, term), so tf SATURATION and LENGTH NORMALIZATION — the two
+    * things that separate BM25 from TF-IDF — are both present, and the
+    * summed score is an exact int64, bit-identical in any engine (libm's
+    * log-idf is not; the 10³ scale bounds the per-term quantization at
+    * one part in ~44·tf·10³). idf is [[keywordSearch]]'s rational
+    * `(N·10⁶) div df`.
+    *
+    * Int64 headroom at bench scale: 44·tf·T·10³ ≤ 2²⁶·T and
+    * idf·contrib ≤ N·10⁶·44·10³ — both far under 2⁶³ for T ≤ 10¹⁰.
+    * At true 100 TB corpus sizes (T ≈ 10¹⁴) the two products move to
+    * DECIMAL(38,0) unchanged; the div and the final int64 score survive.
+    *
+    * Scale shape: identical to [[keywordSearch]] — the term filter lands
+    * before the tf shuffle (per-doc length rides the SAME aggregation:
+    * dl is functionally dependent on doc_id, so grouping by both adds no
+    * rows); the per-term weight table and the 1-row (N, T) corpus stats
+    * broadcast back onto it; top-k is a distributed
+    * TakeOrderedAndProject. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 50): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val docs = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+    val tf = docs.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val stats = df.select(toks.as("__toks"))
+      .agg(count(lit(1)).as("n"), sum(size(col("__toks"))).as("t"))
+    val weights = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("n"), col("t"),
+        expr("(n * 1000000) div df").as("idf"))
+    val scored = tf.join(broadcast(weights), Seq("term"))
+      .withColumn("__d", lit(20L) * col("tf") * col("t")
+        + lit(6L) * col("t") + lit(18L) * col("dl") * col("n"))
+      .withColumn("__contrib", col("idf") *
+        expr("(44 * tf * t * 1000) div __d"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__contrib")).as("score"))
+    val top = scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+    val w = Window.orderBy(desc("score"), asc("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Collocation mining: adjacent token pairs ranked by the PMI-monotone
     * lift `c_ab / (c_a · c_b)`. Full PMI is `log(c_ab·N²/(Np·c_a·c_b))`,
     * but for a FIXED corpus the `N²/Np` factor and the log are both

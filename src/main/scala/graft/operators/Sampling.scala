@@ -86,6 +86,83 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** MIXTURE PLAN (the data-mix allocator): given per-source token
+    * masses T_d and RELATIVE target weights w_d, compute the largest
+    * training-set size S whose composition hits the target shares
+    * w_d/Σw without reading any source more than `maxEpochs` times —
+    * the constraint every LLM data recipe solves before sampling
+    * ("books are 5% of the mix but tiny: how big can the run be before
+    * books must repeat more than E times?"). The binding source is the
+    * one whose cap is hit: S = min_d (E·T_d·Σw) div w_d, then
+    * alloc_d = (S·w_d) div Σw and epochs_d = alloc_d / T_d.
+    *
+    * All cut arithmetic is INTEGER (int64 headroom: E·T_d·Σw ≤ 2⁶³ for
+    * corpora to ~10¹⁵ tokens at Σw ≤ 10³); the one double per source
+    * (epochs) is a single IEEE divide — hash-exact cross-engine. The
+    * downstream sampler realizes alloc_d with [[mixSample]] /
+    * [[tokenBudgetFilter]]; this operator is the plan those execute.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregation to the
+    * #sources-row table; the min and Σw ride a window over that tiny
+    * aggregate (the deliberately-small global window, like
+    * [[ratioToReport]]'s grand total). Wire cost ∝ sources, not corpus.
+    *
+    * @param weightExpr integer weight column expression (evaluated
+    *        against the aggregated per-source row; may reference
+    *        `stratumCol`)
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, textCol: String,
+      weightExpr: Column, maxEpochs: Long = 4L): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val perSource = df
+      .select(col(stratumCol), size(toks).cast("long").as("__ntok"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+      .withColumn("weight", weightExpr.cast("long"))
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("__sumw", sum(col("weight")).over(wAll))
+      .withColumn("__cap",
+        expr(s"($maxEpochs * n_tokens * __sumw) div weight"))
+      .withColumn("__s", min(col("__cap")).over(wAll))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        col("weight"),
+        expr("(__s * weight) div __sumw").as("alloc_tokens"),
+        (expr("(__s * weight) div __sumw").cast("double") /
+          col("n_tokens").cast("double")).as("epochs"),
+        (col("__cap") === col("__s")).as("binding"))
+      .orderBy(col(stratumCol))
+  }
+
+  /** LEAKAGE-SAFE SPLIT: [[splitAssign]] keyed on the NEAR-DUP CLUSTER
+    * instead of the document — the split-time half of decontamination.
+    * A per-doc hash split puts two near-identical documents in train and
+    * test with probability 2·p·(1−p) each; evaluating on a paraphrase of
+    * a training doc is silent leakage no post-hoc eval can see. Here
+    * every document hashes on its component's canonical id (its own id
+    * for singletons), so a whole near-dup cluster moves between splits
+    * as ONE unit, by construction.
+    *
+    * Scale shape: component labels from [[Dedup.nearDupGroups]]
+    * (shuffle ∝ PAIRS, iterations = component diameter); the label table
+    * is ∝ docs-that-have-a-dup (usually a small fraction of the corpus)
+    * and joins back on the id key; the split itself stays a pure
+    * map-side CASE. Split sizes stay within ±(largest cluster) of the
+    * target permilles — the price of atomicity, not a bug.
+    *
+    * @param pairs near-dup pair frame with columns (id_a, id_b)
+    * @return input rows + (canonical_id, split)
+    */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+      splits: Seq[(String, Int)], salt: String = "graft"): DataFrame = {
+    val comp = Dedup.nearDupGroups(pairs)
+      .select(col("id").as(idCol), col("label").as("__canon"))
+    val canon = df.join(comp, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("__canon"), col(idCol)))
+      .drop("__canon")
+    splitAssign(canon, "canonical_id", splits, salt)
+  }
+
   /** GLOBAL DETERMINISTIC SHUFFLE (training order): every row gets a dense
     * global rank 1..N in md5-of-key order — the reproducible "shuffle the
     * corpus before training" step. A naive `ROW_NUMBER() OVER (ORDER BY

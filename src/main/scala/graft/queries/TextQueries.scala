@@ -544,6 +544,98 @@ object TextQueries {
       FROM sized ORDER BY doc_id"""),
     notes = "dedup keep-best: component argmax + singletons; ids-only joins")
 
+  /** LEAKAGE-SAFE SPLIT ([[graft.operators.Sampling.leakageSafeSplit]]):
+    * train/val/test assignment hashed on the NEAR-DUP CLUSTER canonical
+    * id, so a paraphrase of a training document can never land in test.
+    * The twin re-derives the components with the q_neardup_groups
+    * recursive CTE, coalesces singletons to their own id, and replays
+    * the md5-threshold CASE on the canonical key. */
+  val qLeakageSafeSplit = GQuery("q_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairsKeyed(docs,
+        "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5,
+        minJaccard = 0.5)
+      graft.operators.Sampling.leakageSafeSplit(docs,
+          pairs.select(col("id_a"), col("id_b")), "doc_id",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100), salt = "leak")
+        .select(col("doc_id"), col("canonical_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs),
+      pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.src AS id, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      comp AS (SELECT id, MIN(label) AS label FROM reach GROUP BY id),
+      canon AS (
+        SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      SELECT doc_id, canonical_id,
+        CASE WHEN substr(md5('leak:' || CAST(canonical_id AS VARCHAR)), 1, 4)
+               < 'cccc' THEN 'train'
+             WHEN substr(md5('leak:' || CAST(canonical_id AS VARCHAR)), 1, 4)
+               < 'e666' THEN 'val'
+             ELSE 'test' END AS split
+      FROM canon ORDER BY doc_id"""),
+    notes = "cluster-atomic train/val/test: no near-dup pair ever straddles a split")
+
+  /** MIXTURE PLAN ([[graft.operators.Sampling.mixturePlan]]): the
+    * data-mix allocator — double-weight sources src0..src9, cap every
+    * source at 4 epochs, and report the largest feasible training set
+    * with per-source allocations. Exact integer cuts; the twin replays
+    * the same min/div arithmetic from a window over the per-source
+    * aggregate. */
+  val qMixturePlan = GQuery("q_mixture_plan",
+    (s, d) => graft.operators.Sampling.mixturePlan(
+      Tables.documents(s, d), "source", "text",
+      when(col("source").isin((0 until 10).map("src" + _): _*), lit(2L))
+        .otherwise(lit(1L)),
+      maxEpochs = 4L),
+    Some("""WITH t AS (
+        SELECT source,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> len(w) > 0)) AS BIGINT) AS ntok
+        FROM documents),
+      g AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+          CASE WHEN source IN ('src0','src1','src2','src3','src4',
+            'src5','src6','src7','src8','src9') THEN 2 ELSE 1 END AS weight
+        FROM t GROUP BY source),
+      w AS (
+        SELECT *, SUM(weight) OVER () AS sumw,
+          (4 * n_tokens * SUM(weight) OVER ()) // weight AS cap
+        FROM g),
+      m AS (SELECT *, MIN(cap) OVER () AS s FROM w)
+      SELECT source, n_docs, n_tokens, CAST(weight AS BIGINT) AS weight,
+        CAST((s * weight) // sumw AS BIGINT) AS alloc_tokens,
+        CAST((s * weight) // sumw AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          AS epochs,
+        cap = s AS binding
+      FROM m ORDER BY source"""),
+    notes = "max feasible mix size under a 4-epoch cap; integer cuts, one tiny window")
+
   /** PER-SOURCE QUOTA CAP ([[graft.operators.Sampling.capPerGroup]]):
     * at most N docs per source by deterministic md5 rank — the
     * anti-domination cap on crawl sources. Stable across engines and
@@ -2483,6 +2575,44 @@ object TextQueries {
       FROM sc ORDER BY s DESC, doc_id LIMIT 50"""),
     notes = "rational-idf retrieval; integer scores hash-exact")
 
+  /** BM25 ([[graft.operators.Index.bm25Search]]): the full Okapi shape —
+    * tf saturation AND document-length normalization at k1=1.2, b=0.75 —
+    * with every score an exact int64 (the cleared-fraction form
+    * `idf·44·tf·T/(20·tf·T+6·T+18·dl·N)` under one integer floor
+    * division per term; no libm log anywhere). The twin replays the
+    * identical integer arithmetic in DuckDB. */
+  val qBm25 = GQuery("q_bm25",
+    (s, d) => graft.operators.Index.bm25Search(
+      Tables.documents(s, d), "doc_id", "text",
+      Seq("join", "filter", "scan"), k = 50),
+    Some("""WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      d AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        FROM tk),
+      q AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM d
+        WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2, 3),
+      s AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tt FROM tk),
+      w AS (
+        SELECT term, (s.n * 1000000) // COUNT(*) AS idf, s.n AS n,
+          s.tt AS tt
+        FROM q, s GROUP BY term, s.n, s.tt),
+      sc AS (
+        SELECT doc_id,
+          SUM(idf * ((44 * tf * tt * 1000)
+            // (20 * tf * tt + 6 * tt + 18 * dl * n))) AS sco
+        FROM q JOIN w USING (term) GROUP BY doc_id)
+      SELECT CAST(row_number() OVER (ORDER BY sco DESC, doc_id) AS BIGINT)
+          AS rank,
+        doc_id, CAST(sco AS BIGINT) AS score
+      FROM sc ORDER BY sco DESC, doc_id LIMIT 50"""),
+    notes = "exact-integer Okapi BM25: tf saturation + length norm, zero libm")
+
   /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
     * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
     * with one multiply + one divide of exact integer counts, so the score
@@ -2559,6 +2689,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
-    qInvertedIndex, qCollocations, qKeywordSearch, qNtileBins,
-    qClusterRep, qDomainCap, qHardNegatives, qMatryoshka, qReadability)
+    qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
+    qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
+    qMatryoshka, qReadability)
 }

@@ -56,6 +56,29 @@ class IndexFunnelSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, 8000000L), (2L, 2L, 2000000L)))
   }
 
+  test("bm25Search: tf saturates and length normalization demotes long docs") {
+    // doc 1 and doc 2 both contain "join" once, but doc 2 is 10x longer:
+    // length normalization must rank doc 1 first. Doc 3 has tf=8 on the
+    // same length as doc 1: saturation keeps its score below 8x doc 1's.
+    val docs = Seq(
+      (1L, "join a b c d e f g"),
+      (2L, ("join " + Seq.fill(79)("z").mkString(" "))),
+      (3L, "join join join join join join join join"))
+      .toDF("doc_id", "text")
+    val out = Index.bm25Search(docs, "doc_id", "text", Seq("join"), k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._2).toSeq === Seq(3L, 1L, 2L)) // tf wins, then length
+    val score = out.map(r => r._2 -> r._3).toMap
+    assert(score(1L) > score(2L))          // same tf, shorter doc scores higher
+    assert(score(3L) < 8L * score(1L))     // saturation: sublinear in tf
+    assert(score(3L) > score(1L))
+    // exact integer replay of the cleared-fraction form for doc 1:
+    // N=3, T=8+80+8=96, df=3 -> idf=1_000_000; tf=1, dl=8
+    // D = 20*1*96 + 6*96 + 18*8*3 = 1920+576+432 = 2928
+    // contrib = 1_000_000 * ((44*1*96*1000) div 2928) = 1_000_000 * 1442
+    assert(score(1L) === 1000000L * ((44L * 96L * 1000L) / 2928L))
+  }
+
   // --- collocations -------------------------------------------------------
 
   test("collocations: lift ranks the exclusive pair first") {

@@ -187,4 +187,56 @@ class SamplingSpec extends SparkSpec {
     // the kept subset is md5-ranked, not just the lowest ids
     assert(again.filter(_ <= 100L) !== (1L to 10L).toSet)
   }
+
+  test("mixturePlan: binding source caps the mix, allocations hit target shares") {
+    // src a: 100 tokens, weight 3; src b: 1000 tokens, weight 1 (Σw=4).
+    // caps: a = (4·100·4) div 3 = 533; b = (4·1000·4) div 1 = 16000
+    // S = 533 → alloc a = (533·3) div 4 = 399, b = 533 div 4 = 133
+    val docs = Seq(
+      ("a", Seq.fill(100)("t").mkString(" ")),
+      ("b", Seq.fill(1000)("t").mkString(" ")))
+      .toDF("source", "text")
+    val out = Sampling.mixturePlan(docs, "source", "text",
+        when(col("source") === "a", lit(3L)).otherwise(lit(1L)),
+        maxEpochs = 4L)
+      .as[(String, Long, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 1L, 100L, 3L, 399L, 3.99, true)))
+    assert(out("b") === (("b", 1L, 1000L, 1L, 133L, 0.133, false)))
+    // the binding source runs at just under maxEpochs; nothing exceeds it
+    assert(out.values.forall(_._6 <= 4.0))
+  }
+
+  test("leakageSafeSplit: clusters are split-atomic; singletons keep per-doc split") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    // chain 0-1-4 crosses a naive split boundary (0,1 → train, 4 → test
+    // under salt "leak"); transitive closure must hold all three together
+    // even though (0,4) is never a pair
+    val pairs = Seq((0L, 1L), (1L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id", splits,
+        salt = "leak")
+      .select("doc_id", "canonical_id", "split")
+      .as[(Long, Long, String)].collect()
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length === 2000)
+    // cluster atomicity: one split for {0,1,2}, one for {10,11}
+    assert(Seq(0L, 1L, 4L).map(byDoc(_)._3).distinct.size === 1)
+    assert(byDoc(0L)._2 === 0L && byDoc(4L)._2 === 0L) // min-id canonical
+    assert(Seq(10L, 11L).map(byDoc(_)._3).distinct.size === 1)
+    // the naive per-doc split DOES separate at least one of these
+    // clusters — i.e. this operator changed an assignment, not a no-op
+    val naive = Sampling.splitAssign(docs, "doc_id", splits, salt = "leak")
+      .as[(Long, String)].collect().toMap
+    assert(Seq(0L, 1L, 4L).map(naive).distinct.size > 1)
+    // singletons: identical to the per-doc assignment (canonical = own id)
+    val clustered = Set(0L, 1L, 4L, 10L, 11L)
+    out.filterNot(r => clustered(r._1)).foreach { r =>
+      assert(r._2 === r._1 && r._3 === naive(r._1))
+    }
+    // partition: split sizes near 80/10/10
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.values.sum === 2000)
+    assert(math.abs(sizes("train") - 1600) < 100)
+  }
 }
