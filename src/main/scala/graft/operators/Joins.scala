@@ -118,6 +118,32 @@ object Joins {
         col("__vt").isNull.cast("boolean").as("is_current")): _*)
   }
 
+  /** INTERVAL OVERLAP JOIN (keyed): pairs of rows whose half-open
+    * intervals [start, end) intersect, within an equi-key — the
+    * bitemporal primitive behind "which versions were valid at the same
+    * time", concurrent-session analysis, and validity-interval
+    * reconciliation. Overlap is `lStart < rEnd AND rStart < lEnd`; the
+    * intersection itself is `[greatest(starts), least(ends))`.
+    *
+    * Scale shape: ONE shuffle on the equi-keys — Catalyst plans the
+    * range pair as a post-join filter on a hash/sort-merge join, which
+    * is the right cost while per-key interval counts are bounded (the
+    * normal case: intervals per entity, not per corpus). A key-free or
+    * hot-key overlap join instead buckets TIME — explode both sides to
+    * coarse time buckets, equi-join on the bucket, and keep a pair only
+    * in the bucket of `greatest(starts)` so it is emitted exactly once
+    * ([[rangeJoin]]'s discipline, extended to interval×interval). That
+    * variant costs shuffle ∝ interval-days; this keyed form costs
+    * shuffle ∝ rows. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lStart: String, lEnd: String, rStart: String,
+      rEnd: String): DataFrame = {
+    val cond = keyCols.map(k => left(k) === right(k))
+      .reduce(_ && _) &&
+      left(lStart) < right(rEnd) && right(rStart) < left(lEnd)
+    left.join(right, cond)
+  }
+
   /** BLOOM-PRUNED SEMI-JOIN: filter the big probe side through a
     * Bloom filter built from the small side's keys BEFORE the exact
     * semi-join pays its shuffle — the runtime-filter pattern

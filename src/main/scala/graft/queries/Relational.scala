@@ -170,6 +170,55 @@ object Relational {
       ORDER BY user_id, event_type, valid_from, valid_to, value"""),
     notes = "SCD2 validity intervals; change-collapse + interval close in one shuffle")
 
+  /** J-ext INTERVAL OVERLAP JOIN ([[graft.operators.Joins.overlapJoin]]):
+    * per-user activity spans (consecutive same-type events) self-joined
+    * across event types where the spans intersect — the concurrent-
+    * validity / bitemporal shape. One key shuffle; overlap math in exact
+    * epoch-µs int64. The second scan gives the self-join fresh attribute
+    * ids (no ambiguous-reference resolution). */
+  val qOverlapJoin = GQuery("q_overlap_join",
+    (s, d) => {
+      def spans(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        df.select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("s_us"), col("ts"), col("event_id"))
+          .withColumn("e_us", lead(col("s_us"), 1).over(w))
+          .filter(col("e_us").isNotNull && col("s_us") < col("e_us"))
+      }
+      val a = spans(Tables.events(s, d))
+        .select(col("user_id"), col("event_type").as("type_a"),
+          col("s_us").as("sa"), col("e_us").as("ea"))
+      val b = spans(Tables.events(s, d))
+        .select(col("user_id"), col("event_type").as("type_b"),
+          col("s_us").as("sb"), col("e_us").as("eb"))
+      graft.operators.Joins.overlapJoin(a, b, Seq("user_id"),
+          "sa", "ea", "sb", "eb")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("ea"), col("eb"))
+            - greatest(col("sa"), col("sb"))).as("overlap_us"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""WITH sp AS (
+        SELECT user_id, event_type, epoch_us(ts) AS s_us,
+          LEAD(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS e_us
+        FROM events),
+      iv AS (SELECT * FROM sp WHERE e_us IS NOT NULL AND s_us < e_us),
+      p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+          least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov
+        FROM iv a JOIN iv b ON a.user_id = b.user_id
+          AND a.event_type < b.event_type
+          AND a.s_us < b.e_us AND b.s_us < a.e_us)
+      SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        CAST(SUM(ov) AS BIGINT) AS overlap_us
+      FROM p GROUP BY 1, 2 ORDER BY type_a, type_b"""),
+    notes = "keyed interval×interval overlap; epoch-µs exact intersection mass")
+
   val qUpsert = GQuery("q_upsert",
     (s, d) => {
       val base = Tables.orders(s, d)
@@ -879,7 +928,7 @@ object Relational {
     notes = "bloom bitmap broadcast prunes probe pre-shuffle; oracle is the plain semi-join")
 
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
-    qUpsert, qScd2,
+    qUpsert, qScd2, qOverlapJoin,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
     qCountDistinct, qDerivedMetric, qBeforeAfter, qWeightedSum, qTimeRange,
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,

@@ -122,6 +122,20 @@ class ScaleTechniquesSpec extends SparkSpec {
         "9999-12-31 00:00:00.000000", true)))
   }
 
+  test("overlapJoin: half-open intersection within the key, touching excluded") {
+    val left = Seq((1L, "a", 0L, 5L), (1L, "b", 3L, 8L), (2L, "c", 0L, 10L))
+      .toDF("k", "la", "ls", "le")
+    val right = Seq((1L, "x", 4L, 6L), (1L, "y", 5L, 9L), (1L, "z", 8L, 12L),
+      (2L, "w", 20L, 30L))
+      .toDF("k", "ra", "rs", "re")
+    val out = graft.operators.Joins.overlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re")
+      .select(col("la"), col("ra")).as[(String, String)].collect().toSet
+    // a[0,5) ∩ x[4,6) ✓; a ∩ y[5,9) ✗ (touching, half-open);
+    // b[3,8) ∩ x ✓, ∩ y ✓, ∩ z[8,12) ✗ (touching); key 2 never meets key 1
+    assert(out === Set(("a", "x"), ("b", "x"), ("b", "y")))
+  }
+
   test("saltedJoin equals the plain join and spreads the hot key") {
     // heavily skewed probe: 10k rows of key 1, a few of others
     val probe = (Seq.fill(10000)(1L) ++ Seq(2L, 3L)).zipWithIndex
