@@ -2064,6 +2064,31 @@ object TextQueries {
       FROM ranked WHERE rnk <= 50 ORDER BY rank"""),
     notes = "top-50 adjacent-token pairs; BPE pair-count / bigram-LM step")
 
+  /** BPE merge LEARNING (20 rounds) over the document corpus — the
+    * tokenizer-training op that produces the merge table [[qPairCounts]]
+    * counts for and [[qTokenIds]] consumes. The corpus contributes one
+    * explode+groupBy (word frequencies); every merge round runs on the
+    * bounded word table ([[graft.operators.Bpe.learnMerges]]).
+    *
+    * HASH-EXACT golden oracle: training is deterministic (total-order
+    * tie-break: count DESC, lhs ASC, rhs ASC), so the twin is a committed
+    * merge table generated by an INDEPENDENT pure-Python BPE trainer
+    * (tools/gen_bpe_golden.py), keyed per scale factor by the corpus
+    * text-length discriminator. */
+  val qBpeMerges = GQuery("q_bpe_merges",
+    (s, d) => graft.operators.Bpe.learnMerges(
+        Tables.documents(s, d), "text", numMerges = 20)
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, lhs, rhs, pair_count, merged) AS (VALUES
+        ${BpeGolden.rows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs,
+        CAST(pair_count AS BIGINT) AS pair_count, merged
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: independent Python BPE trainer, per-SF merge " +
+      "tables keyed by the corpus text-length discriminator (gen_bpe_golden.py)")
+
   /** Corpus length histogram: doc counts per 100-char band — the length
     * distribution a corpus profile reports next to Reports.profile's
     * min/max. floor-banded (exact integer arithmetic), one
@@ -2688,7 +2713,7 @@ object TextQueries {
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds, qPairCounts, qLengthHistogram,
+    qVocabTopk, qTokenIds, qPairCounts, qBpeMerges, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability)
