@@ -47,6 +47,40 @@ object Bpe {
       numMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    train(df, textCol, numMerges)._1
+  }
+
+  /** Top-`k` subword units (by total weighted count, ties broken by
+    * subword ASC) after encoding the corpus with `numMerges` learned
+    * merges — the vocabulary the trained tokenizer actually produces.
+    *
+    * No second corpus pass: after training, the word-frequency table IS
+    * the encoded corpus (each word's symbol array has had every merge
+    * applied in rank order), so the count is one explode + map-side
+    * combined groupBy over the BOUNDED word table, then a distributed
+    * top-k (TakeOrderedAndProject — rank numbered after the limit, the
+    * [[Salience.vocabTopK]] pattern). */
+  def encodeTopK(df: DataFrame, textCol: String, numMerges: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = train(df, textCol, numMerges)._2
+    val top = words
+      .select(explode(col("syms")).as("subword"), col("n"))
+      .groupBy(col("subword")).agg(sum(col("n")).as("cnt"))
+      .orderBy(desc("cnt"), asc("subword"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), asc("subword")))
+          .cast("long"))
+      .select(col("rank"), col("subword"), col("cnt"))
+  }
+
+  /** Shared trainer: returns (merge table, final encoded word-frequency
+    * table). See [[learnMerges]] for the algorithm contract. */
+  private def train(df: DataFrame, textCol: String,
+      numMerges: Int): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
     var words = df.select(explode(toks).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -96,6 +130,6 @@ object Bpe {
         round += 1
       }
     }
-    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count", "merged")
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count", "merged"), words)
   }
 }

@@ -2089,6 +2089,26 @@ object TextQueries {
     notes = "golden twin: independent Python BPE trainer, per-SF merge " +
       "tables keyed by the corpus text-length discriminator (gen_bpe_golden.py)")
 
+  /** Tokenizer APPLY after [[qBpeMerges]]' learning: the corpus encoded
+    * with the 20 learned merges, reduced to its top-50 subword units.
+    * After training, the word-frequency table IS the encoded corpus
+    * ([[graft.operators.Bpe.encodeTopK]]) — no second corpus pass, and
+    * the count runs on the bounded word table. Same golden posture as
+    * q_bpe_merges (independent Python trainer + encoder). */
+  val qBpeEncode = GQuery("q_bpe_encode",
+    (s, d) => graft.operators.Bpe.encodeTopK(
+        Tables.documents(s, d), "text", numMerges = 20, k = 50)
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, subword, cnt) AS (VALUES
+        ${BpeGolden.encodeRows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, subword,
+        CAST(cnt AS BIGINT) AS cnt
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: top-50 subwords of the BPE-encoded corpus, " +
+      "per-SF sets keyed by the text-length discriminator (gen_bpe_golden.py)")
+
   /** Corpus length histogram: doc counts per 100-char band — the length
     * distribution a corpus profile reports next to Reports.profile's
     * min/max. floor-banded (exact integer arithmetic), one
@@ -2713,7 +2733,8 @@ object TextQueries {
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds, qPairCounts, qBpeMerges, qLengthHistogram,
+    qVocabTopk, qTokenIds, qPairCounts, qBpeMerges, qBpeEncode,
+    qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability)

@@ -30,6 +30,22 @@ class BpeSpec extends SparkSpec {
       (2L, "aa", "aa", 1L, "aaaa")))
   }
 
+  test("encodeTopK: counts subwords of the merged word table") {
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val out = Bpe.encodeTopK(docs, "text", numMerges = 3, k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    // merges: lo, low, er → words are [low]x3, [low,er]x2,
+    // [n,e,w,e,s,t]x1; counts: low 5, er 2, e 2, n/w/s/t 1
+    assert(out === Seq(
+      (1L, "low", 5L),
+      (2L, "e", 2L),
+      (3L, "er", 2L),
+      (4L, "n", 1L),
+      (5L, "s", 1L),
+      (6L, "t", 1L),
+      (7L, "w", 1L)))
+  }
+
   test("learnMerges: deterministic across repartitionings") {
     val docs = (0 until 200).map(i => s"tok${i % 7} tok${i % 3} shared")
       .toDF("text")

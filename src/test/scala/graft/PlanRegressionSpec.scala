@@ -19,7 +19,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_jaccard_pairs", "q_entity_resolution", "q_fuzzy_join",
     "q_substring_conf", "q_cosine_topk", "q_tfidf_topk",
     "q_ann_quantized", "q_keyword_search", "q_pagerank",
-    "q_hard_negatives", "q_matryoshka")
+    "q_hard_negatives", "q_matryoshka",
+    // 1-row broadcast build side: the global (doc count, total length)
+    // aggregate joined onto the bounded per-term idf table
+    "q_bm25")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>

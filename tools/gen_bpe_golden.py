@@ -53,17 +53,31 @@ def learn(sf_dir, num_merges=20):
             key = tuple(out)
             new_words[key] = new_words.get(key, 0) + c
         words = new_words
-    return merges
+    # encode top-k: the final word table IS the encoded corpus
+    sub = {}
+    for syms, c in words.items():
+        for s in syms:
+            sub[s] = sub.get(s, 0) + c
+    top = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    encode = [(disc, r + 1, s, c) for r, (s, c) in enumerate(top)]
+    return merges, encode
 
 
 def main():
-    all_rows = []
+    all_rows, all_enc = [], []
     for sf_dir in sys.argv[1:]:
-        all_rows.extend(learn(sf_dir))
+        m, e = learn(sf_dir)
+        all_rows.extend(m)
+        all_enc.extend(e)
     print("  val rows: String = \"\"\"")
     for i, (disc, rank, a, b, cnt, m) in enumerate(all_rows):
         sep = "," if i < len(all_rows) - 1 else ""
         print(f"        ({disc}, {rank}, '{a}', '{b}', {cnt}, '{m}'){sep}")
+    print("\"\"\"")
+    print("  val encodeRows: String = \"\"\"")
+    for i, (disc, rank, s, c) in enumerate(all_enc):
+        sep = "," if i < len(all_enc) - 1 else ""
+        print(f"        ({disc}, {rank}, '{s}', {c}){sep}")
     print("\"\"\"")
 
 
