@@ -713,10 +713,36 @@ object PipelineQueries {
       FROM deg LEFT JOIN pn USING (node) ORDER BY node"""),
     notes = "orientation-bounded triangle join; per-node corners via union, one agg")
 
+  /** Rendezvous-hash shard routing ([[graft.operators.Sharding]]): every
+    * document deterministically assigned to one of 16 shards by
+    * highest-md5-weight, reduced to per-shard occupancy. Routing is a
+    * pure map-side projection (zero shuffle, ShardingSpec); the oracle
+    * recomputes the same md5 argmax in DuckDB — both engines hash the
+    * identical `key:shard:salt` string, so the gate is hash-exact with
+    * no golden needed. */
+  val qShardRoute = GQuery("q_shard_route",
+    (s, d) => graft.operators.Sharding.rendezvousRoute(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard")),
+    Some("""WITH g AS (
+        SELECT doc_id, unnest(range(0, 16)) AS s FROM documents),
+      w AS (SELECT doc_id, s,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR || ':graft') AS w
+        FROM g),
+      best AS (SELECT doc_id, arg_max(s, w) AS shard FROM w GROUP BY doc_id)
+      SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+        MAX(doc_id) AS max_doc
+      FROM best GROUP BY shard ORDER BY shard"""),
+    notes = "HRW routing: md5 argmax recomputed independently in DuckDB; " +
+      "minimal-movement property spec-pinned (ShardingSpec)")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
-    qSeqMining, qEwma, qPagerank, qTriangles, qLinreg)
+    qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute)
 }

@@ -178,4 +178,26 @@ object Sources {
     * no driver collect. */
   def foreachWebhook(df: DataFrame, sender: String => Unit): Unit =
     df.toJSON.foreachPartition { it: Iterator[String] => it.foreach(sender) }
+
+  /** S5-ext — BUCKETED table sink: hash-bucketed, bucket-sorted parquet
+    * registered in the session catalog. Pay the shuffle ONCE at write;
+    * every later equi-join or aggregation on `keyCols` between tables
+    * bucketed the same way plans with ZERO Exchange (the bucketed scan
+    * already satisfies the required hash distribution — spec-pinned,
+    * BucketedTableSpec). At 100 TB this is the difference between
+    * re-shuffling the fact table on every join of a recurring pipeline
+    * and never shuffling it again; `numBuckets` is sized so a bucket
+    * (table size / buckets) fits an executor's task comfortably.
+    * `path` makes it an external table — data outlives the catalog and
+    * is re-registered cheaply. */
+  def writeBucketedTable(df: DataFrame, table: String, path: String,
+      numBuckets: Int, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "bucketing needs at least one key column")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Sharding
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rendezvousRoute: adding a shard only moves keys TO the new shard") {
+    val keys = (0L until 500L).toDF("k")
+    val a = Sharding.rendezvousRoute(keys, "k", 16)
+      .withColumnRenamed("shard", "s16")
+    val b = Sharding.rendezvousRoute(keys, "k", 17)
+      .withColumnRenamed("shard", "s17")
+    val moved = a.join(b, "k").filter(col("s16") =!= col("s17"))
+      .select(col("s17")).as[Long].collect().toSeq
+    assert(moved.nonEmpty, "the new shard should win some keys")
+    assert(moved.forall(_ == 16L),
+      "a reassigned key may only move to the NEW shard (HRW minimal movement)")
+  }
+
+  test("rendezvousRoute: every shard gets work (balance sanity)") {
+    val keys = (0L until 2000L).toDF("k")
+    val counts = Sharding.rendezvousRoute(keys, "k", 16)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet === (0L until 16L).toSet)
+    // md5 is uniform: expect 125/shard; allow a wide 3x band
+    assert(counts.values.forall(n => n > 40 && n < 375), counts.toString)
+  }
+
+  test("rendezvousRoute: routing is a pure projection — zero exchanges") {
+    val keys = (0L until 100L).toDF("k")
+    val plan = Sharding.rendezvousRoute(keys, "k", 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
