@@ -739,10 +739,44 @@ object PipelineQueries {
     notes = "HRW routing: md5 argmax recomputed independently in DuckDB; " +
       "minimal-movement property spec-pinned (ShardingSpec)")
 
+  /** Z-order layout audit ([[graft.operators.Layout]]): documents mapped
+    * onto a 2-D (doc_id, n_chars) grid, Morton-interleaved, and assigned
+    * to 16 Z-range files; output is each file's row count and per-dim
+    * bounding box — the min/max footer stats that make two-dimensional
+    * file skipping work. All exact integer bit arithmetic; the twin
+    * recomputes the interleave in DuckDB. The projection is shuffle-free
+    * (LayoutSpec); the one exchange is the bounded 16-row audit agg. */
+  val qZorder = GQuery("q_zorder",
+    (s, d) => {
+      val pts = Tables.documents(s, d).select(
+        (col("doc_id") % 256).as("x"), (col("n_chars") % 256).as("y"))
+      graft.operators.Layout.zOrderFiles(pts, "x", "y", bits = 8,
+          fileBits = 4)
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("file_id"))
+    },
+    Some("""WITH pts AS (
+        SELECT doc_id % 256 AS x, n_chars % 256 AS y FROM documents),
+      z AS (SELECT x, y,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            ((x >> i) & 1) * (1 << (2 * i))
+              + ((y >> i) & 1) * (1 << (2 * i + 1)))) AS BIGINT) AS zv
+        FROM pts)
+      SELECT zv >> 12 AS file_id, COUNT(*) AS n_docs,
+        MIN(x) AS min_x, MAX(x) AS max_x,
+        MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z GROUP BY 1 ORDER BY file_id"""),
+    notes = "Morton interleave recomputed independently in DuckDB; " +
+      "bounding-box tightness spec-pinned (LayoutSpec)")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
-    qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute)
+    qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
+    qZorder)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: interleaves bits exactly (known values)") {
+    // x=3 (011), y=5 (101), bits=3:
+    // z = x0 + 2*y0 + 4*x1 + 8*y1 + 16*x2 + 32*y2
+    //   = 1  + 2    + 4    + 0    + 0     + 32   = 39
+    val out = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(out === 39L)
+    // identity checks: z(0,0)=0, z(2^b-1, 2^b-1)=4^b-1
+    val corners = Seq((0L, 0L), (255L, 255L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(corners === Seq(0L, 65535L))
+  }
+
+  test("zOrderFiles: per-file bounding boxes are tight in BOTH dims") {
+    // 64x64 grid of points; 16 z-range files => each file should cover a
+    // 16x16 tile (bounding-box side 16), not a 64-wide stripe
+    val pts = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val boxes = Layout.zOrderFiles(pts, "x", "y", bits = 6, fileBits = 4)
+      .groupBy(col("file_id"))
+      .agg((max(col("x")) - min(col("x"))).as("dx"),
+        (max(col("y")) - min(col("y"))).as("dy"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(boxes.size === 16)
+    assert(boxes.forall { case (_, dx, dy, n) =>
+      dx === 15L && dy === 15L && n === 256L },
+      boxes.toString)
+  }
+
+  test("zOrderFiles: pure projection — zero exchanges before the caller's agg") {
+    val pts = (0 until 100).map(i => (i.toLong, (i * 7 % 100).toLong))
+      .toDF("x", "y")
+    val plan = Layout.zOrderFiles(pts, "x", "y", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
