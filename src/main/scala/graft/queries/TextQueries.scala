@@ -2109,6 +2109,31 @@ object TextQueries {
     notes = "golden twin: top-50 subwords of the BPE-encoded corpus, " +
       "per-SF sets keyed by the text-length discriminator (gen_bpe_golden.py)")
 
+  /** Compression-ratio quality signal ([[graft.operators.TextCompress]]):
+    * deflate(6) size per doc, aggregated per source — within-doc
+    * redundancy (templated/spammy text compresses hard) as a corpus
+    * quality gate. Golden twin from CPython zlib (byte-identical to
+    * Java's Deflater — both are zlib); the per-source comp_bytes SUM
+    * pins every document's compressed length. */
+  val qCompressRatio = GQuery("q_compress_ratio",
+    (s, d) => graft.operators.TextCompress.docCompression(
+        Tables.documents(s, d), "doc_id", "source", "text")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_bytes")).as("raw_bytes"),
+        sum(col("comp_bytes")).as("comp_bytes"))
+      .orderBy(col("source")),
+    Some(s"""WITH golden(tl, source, n_docs, raw_bytes, comp_bytes) AS (VALUES
+        ${CompressGolden.rows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(raw_bytes AS BIGINT) AS raw_bytes,
+        CAST(comp_bytes AS BIGINT) AS comp_bytes
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY source"""),
+    notes = "golden twin: CPython zlib per-source deflate sums keyed by " +
+      "the text-length discriminator (gen_compress_golden.py)")
+
   /** Corpus length histogram: doc counts per 100-char band — the length
     * distribution a corpus profile reports next to Reports.profile's
     * min/max. floor-banded (exact integer arithmetic), one
@@ -2734,7 +2759,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qBpeMerges, qBpeEncode,
-    qLengthHistogram,
+    qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability)
