@@ -525,9 +525,31 @@ object WindowQueries {
       GROUP BY 1 ORDER BY channel"""),
     notes = "7d last-touch; ignoreNulls carry over one user exchange, no self-join")
 
+  /** W/ST-ext — time-bounded event correlation: every (view, purchase)
+    * pair of the same user with the purchase strictly after the view and
+    * within 30 minutes. This is the BATCH TWIN of the watermarked
+    * stream-stream join [[graft.streaming.Streams.eventPairsStream]] —
+    * the identical function body runs on the stream (equivalence pinned
+    * in StreamsSpec), so this oracle gates both. One user_id shuffle;
+    * the time range is a post-join filter over per-user pairs. */
+  val qEventPairs = GQuery("q_event_pairs",
+    (s, d) => graft.streaming.Streams.eventPairsStream(
+        Tables.events(s, d), "view", "purchase", horizonMinutes = 30)
+      .orderBy(col("user_id"), col("l_id"), col("r_id")),
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+      FROM events l JOIN events r
+        ON l.user_id = r.user_id
+        AND l.event_type = 'view' AND r.event_type = 'purchase'
+        AND epoch_us(r.ts) > epoch_us(l.ts)
+        AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      ORDER BY l.user_id, l_id, r_id"""),
+    notes = "batch twin of the watermarked stream-stream join; epoch-us " +
+      "exact window bounds")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
-    qAttribution)
+    qAttribution, qEventPairs)
 }

@@ -168,6 +168,38 @@ object Streams {
       .select(col("id_new"), col("id_corpus"))
   }
 
+  /** ST-ext — watermarked STREAM-STREAM inner join: correlate each
+    * `leftType` event with the same user's `rightType` events landing
+    * strictly after it and within `horizonMinutes` (view→purchase
+    * conversion pairing; the reference correlates odds movements with
+    * fixture updates on the same 30-min cadence). The time-RANGE join
+    * condition is expressed directly on the two event-time columns so
+    * Structured Streaming derives state-eviction bounds from the
+    * watermarks: each side buffers at most `horizonMinutes` + watermark
+    * of history per key — state is bounded by TIME, not by stream
+    * length, which is what makes the join runnable forever at scale.
+    * Pure DataFrame→DataFrame: on a batch frame the watermarks are
+    * no-ops and the same code is the oracle-gated twin (q_event_pairs);
+    * stream/batch equivalence is pinned in StreamsSpec. */
+  def eventPairsStream(events: DataFrame, leftType: String,
+      rightType: String, horizonMinutes: Int): DataFrame = {
+    val wm = s"$horizonMinutes minutes"
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", wm)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("__r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", wm)
+    l.join(r, col("user_id") === col("__r_user")
+        && col("r_ts") > col("l_ts")
+        && col("r_ts") <= col("l_ts") +
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+  }
+
   /** Streaming CURATION INGEST — the stream twin of the training-export
     * pipeline's front half, composed from the proven pieces: quality +
     * language gates (stateless single-pass expressions), incremental

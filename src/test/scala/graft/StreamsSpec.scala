@@ -306,6 +306,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eventPairsStream: stream-stream join matches the batch twin exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, ts, user_id, event_type) — pairs must respect the strict
+    // lower bound, the 30-min upper bound (inclusive), and the user key
+    // batch 1 = first two rows (watermark advances to 10:10-30min=09:40);
+    // batch 2 = the rest, all ≥09:40 so nothing is late
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+      (2L, ts("2024-01-01 10:10:00"), 7L, "purchase"),  // pairs with 1 in-batch
+      (3L, ts("2024-01-01 10:30:00"), 7L, "purchase"),  // pairs with 1 ACROSS batches (boundary, inclusive)
+      (4L, ts("2024-01-01 10:31:00"), 7L, "view"),
+      (5L, ts("2024-01-01 11:30:00"), 7L, "purchase"),  // >30min after 4 → no pair
+      (6L, ts("2024-01-01 10:00:00"), 8L, "purchase"),  // same instant as 7's view
+      (7L, ts("2024-01-01 10:00:00"), 8L, "view"),      // same ts as 6 → strict > excludes
+      (8L, ts("2024-01-01 10:20:00"), 8L, "purchase"))  // pairs with 7
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.eventPairsStream(asEvents(mem.toDF()), "view",
+        "purchase", horizonMinutes = 30)
+      .writeStream.format("memory").queryName("ev_pairs")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: pairs must form across the batch boundary
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ev_pairs")
+        .select("user_id", "l_id", "r_id", "gap_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Streams.eventPairsStream(asEvents(rows.toDF()), "view",
+          "purchase", horizonMinutes = 30)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set(
+        (7L, 1L, 2L, 600000000L),
+        (7L, 1L, 3L, 1800000000L),
+        (8L, 7L, 8L, 1200000000L)))
+    } finally q.stop()
+  }
+
   test("nearDupCandidateStream flags exactly the batch band collisions") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
