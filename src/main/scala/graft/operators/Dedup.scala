@@ -412,6 +412,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** EXACT-SUBSTRING near-dup pairs — CHARACTER-level verbatim-run
+    * detection (the ExactSubstr family of training-data dedup): documents
+    * sharing ≥ `minShared` distinct character runs of length `runLen`.
+    * Complements [[containmentPairs]] (word-gram winnowing): a verbatim
+    * 50-char quote inside otherwise-different documents trips this and
+    * nothing else.
+    *
+    * Scale shape: one explode (runs ∝ corpus chars), per-doc `distinct`
+    * to collapse positions, then a document-frequency gate that keeps
+    * only runs shared by 2..`maxDf` docs BEFORE any pairing — ubiquitous
+    * runs (corpus boilerplate) never enter the self-join, so the join
+    * fan-out per run is ≤ maxDf² and the hot-key blowup of a naive gram
+    * self-join cannot occur. Runs ride the exchanges as strings here for
+    * oracle exactness; at 100 TB the same pipeline runs on xxhash64(run)
+    * with texts re-read by key (the [[containmentPairs]] discipline). */
+  def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
+      runLen: Int = 30, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
+    val grams = df.filter(length(col(textCol)) >= runLen)
+      .select(col(idCol).as("id"),
+        explode(expr(s"transform(sequence(1, length($textCol) - $runLen + 1), " +
+          s"i -> substring($textCol, i, $runLen))")).as("g"))
+      .distinct()
+    val shared = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("g"))
+    val g2 = grams.join(shared, Seq("g"))
+    g2.select(col("g"), col("id").as("id_a"))
+      .join(g2.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** BOILERPLATE REMOVAL (CCNet/RefinedWeb-style cleaning): lines repeated
     * across ≥ `minDocs` DISTINCT documents (footers, headers, nav chrome)
     * are dropped from every document; per-doc output is the removed-line

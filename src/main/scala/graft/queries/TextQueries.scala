@@ -818,6 +818,30 @@ object TextQueries {
     notes = "golden twin: independent Python brute-force, per-SF sets keyed " +
       "by the corpus text-length discriminator (gen_simhash_golden.py)")
 
+  /** Character-level EXACT-SUBSTRING pairs ([[graft.operators.Dedup
+    * .exactSubstrPairs]]): docs sharing ≥3 distinct verbatim 30-char runs,
+    * with a 2..50 document-frequency gate keeping boilerplate runs out of
+    * the pairing join. Pure string equality — the twin recomputes the
+    * identical runs in DuckDB, hash-exact with no golden. */
+  val qExactSubstr = GQuery("q_exact_substr",
+    (s, d) => Dedup.exactSubstrPairs(Tables.documents(s, d),
+        "doc_id", "text", runLen = 30, maxDf = 50, minShared = 3)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH grams AS (
+        SELECT DISTINCT doc_id AS id,
+          unnest(list_transform(range(1, len(text) - 30 + 2),
+            i -> substr(text, i, 30))) AS g
+        FROM documents WHERE len(text) >= 30),
+      shared AS (SELECT g FROM grams GROUP BY g
+        HAVING COUNT(*) BETWEEN 2 AND 50),
+      g2 AS (SELECT grams.id, grams.g FROM grams JOIN shared USING (g))
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+      FROM g2 a JOIN g2 b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY id_a, id_b"""),
+    notes = "ExactSubstr-family char-run dedup; df-gated before pairing " +
+      "so boilerplate runs never enter the self-join")
+
   /** N-gram (word 3-gram) Jaccard near-dup pairs, LSH candidates + exact
     * verify. Same brute-force oracle construction as [[qMinhashPairs]],
     * over word 3-grams mirroring TextFeatures.wordNgrams (including the
@@ -2747,7 +2771,7 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
-    qSimhashPairs, qNgramJaccard, qCosineTopK, qAnnQuantized,
+    qSimhashPairs, qExactSubstr, qNgramJaccard, qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,

@@ -321,6 +321,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("exactSubstrPairs: verbatim char runs pair; df gate blocks boilerplate") {
+    val quote = "the exact same thirty-char run!"  // 31 chars, 2 distinct 30-runs
+    val boiler = "x" * 40  // one distinct 30-run ("x"*30), present in ALL docs
+    val data = Seq(
+      (1L, s"alpha $quote omega $boiler"),
+      (2L, s"beta $quote psi $boiler"),
+      (3L, s"unrelated words only here $boiler"),
+      (4L, s"totally different content $boiler"))
+      .toDF("doc_id", "text")
+    // runLen=30, minShared=2: docs 1&2 share the quote's runs; the
+    // boilerplate run has df=4 > maxDf=3 so it cannot create pairs
+    val pairs = Dedup.exactSubstrPairs(data, "doc_id", "text",
+        runLen = 30, maxDf = 3, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("cosine: orthogonal/parallel vectors") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
