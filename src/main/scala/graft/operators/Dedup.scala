@@ -420,13 +420,16 @@ object Dedup {
     * nothing else.
     *
     * Scale shape: one explode (runs ∝ corpus chars), per-doc `distinct`
-    * to collapse positions, then a document-frequency gate that keeps
-    * only runs shared by 2..`maxDf` docs BEFORE any pairing — ubiquitous
-    * runs (corpus boilerplate) never enter the self-join, so the join
-    * fan-out per run is ≤ maxDf² and the hot-key blowup of a naive gram
-    * self-join cannot occur. Runs ride the exchanges as strings here for
-    * oracle exactness; at 100 TB the same pipeline runs on xxhash64(run)
-    * with texts re-read by key (the [[containmentPairs]] discipline). */
+    * to collapse positions, then ONE aggregation per run collecting its
+    * ≤ `maxDf` doc ids — the document-frequency gate and the pairing
+    * happen in the SAME shuffle: runs shared by >maxDf docs (corpus
+    * boilerplate) are dropped by an array-size filter, and pairs are
+    * generated IN-ARRAY map-side (the [[Aggregates.coOccurrence]]
+    * discipline — never a gram-table self-join), so per-run fan-out is
+    * ≤ maxDf·(maxDf−1)/2 by construction. Two shuffles total. Runs ride
+    * the exchange as strings here for oracle exactness; at 100 TB the
+    * same pipeline runs on xxhash64(run) with texts re-read by key (the
+    * [[containmentPairs]] discipline). */
   def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
       runLen: Int = 30, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
     val grams = df.filter(length(col(textCol)) >= runLen)
@@ -434,15 +437,14 @@ object Dedup {
         explode(expr(s"transform(sequence(1, length($textCol) - $runLen + 1), " +
           s"i -> substring($textCol, i, $runLen))")).as("g"))
       .distinct()
-    val shared = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("g"))
-    val g2 = grams.join(shared, Seq("g"))
-    g2.select(col("g"), col("id").as("id_a"))
-      .join(g2.select(col("g"), col("id").as("id_b")), Seq("g"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    grams.groupBy(col("g"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

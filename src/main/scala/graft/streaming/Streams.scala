@@ -181,8 +181,13 @@ object Streams {
     * Pure DataFrame→DataFrame: on a batch frame the watermarks are
     * no-ops and the same code is the oracle-gated twin (q_event_pairs);
     * stream/batch equivalence is pinned in StreamsSpec. */
+  /** `joinType` "inner" emits matches as they arrive; "left_outer" ALSO
+    * emits each unmatched `leftType` event (null r_id/gap_us) once the
+    * watermark passes its horizon — i.e. "views that never converted",
+    * produced incrementally with the same bounded state. */
   def eventPairsStream(events: DataFrame, leftType: String,
-      rightType: String, horizonMinutes: Int): DataFrame = {
+      rightType: String, horizonMinutes: Int,
+      joinType: String = "inner"): DataFrame = {
     val wm = s"$horizonMinutes minutes"
     val l = events.filter(col("event_type") === leftType)
       .select(col("user_id"), col("event_id").as("l_id"),
@@ -195,7 +200,7 @@ object Streams {
     l.join(r, col("user_id") === col("__r_user")
         && col("r_ts") > col("l_ts")
         && col("r_ts") <= col("l_ts") +
-          expr(s"INTERVAL $horizonMinutes MINUTES"))
+          expr(s"INTERVAL $horizonMinutes MINUTES"), joinType)
       .select(col("user_id"), col("l_id"), col("r_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
   }

@@ -348,6 +348,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("eventPairsStream left_outer: unmatched views emit nulls after the horizon closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    def asEvents(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type")
+    val q = Streams.eventPairsStream(asEvents(mem.toDF()), "view",
+        "purchase", horizonMinutes = 30, joinType = "left_outer")
+      .writeStream.format("memory").queryName("ev_pairs_lo")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "view"),      // converts
+        (2L, ts("2024-01-01 10:10:00"), 7L, "purchase"),
+        (3L, ts("2024-01-01 10:05:00"), 9L, "view"))      // never converts
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past 10:35 so user 9's window
+      // closes; the unmatched row emits in a subsequent batch
+      mem.addData(
+        (90L, ts("2024-01-01 13:00:00"), 100L, "view"),
+        (91L, ts("2024-01-01 13:00:00"), 101L, "purchase"))
+      q.processAllAvailable()
+      mem.addData(
+        (92L, ts("2024-01-01 16:00:00"), 100L, "view"),
+        (93L, ts("2024-01-01 16:00:00"), 101L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("ev_pairs_lo")
+        .filter(col("user_id").isin(7L, 9L))
+        .select("user_id", "l_id", "r_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got === Set((7L, 1L, Some(2L)), (9L, 3L, None)))
+    } finally q.stop()
+  }
+
   test("nearDupCandidateStream flags exactly the batch band collisions") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
