@@ -12,8 +12,11 @@ import org.apache.spark.sql.SparkSession
   *    sized to data volume and AQE coalesces.
   *  - AQE on: runtime skew-join splitting + shuffle coalescing are part of
   *    the 100 TB design, not an afterthought.
-  *  - nanosAsLong: testdata `events.ts` is parquet TIMESTAMP(NANOS); see
-  *    [[Tables.eventsRawSchema]].
+  *  - nanosAsLong: lets [[Tables.load]] read TIMESTAMP(NANOS) events data
+  *    as raw INT64 when the footer says so. The CURRENT testdata is
+  *    TIMESTAMP(MICROS) and takes the direct TimestampType path; this
+  *    config is harmless for micros data and keeps the nanos branch
+  *    reachable ([[Tables.eventsRawSchema]]).
   */
 object GraftSession {
   def build(master: String, shufflePartitions: String): SparkSession = {

@@ -70,11 +70,15 @@ object Tables {
   /** Time-series fact table; stands in for the reference's `odds_history`
     * (database_schema.sql:46-61): append-only, event-time `ts`.
     *
-    * On disk `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * only surfaces as INT64 (requires `spark.sql.legacy.parquet.nanosAsLong=
-    * true`, set by [[GraftSession]]); [[events]] converts ns→µs with integer
-    * division (floor — matching DuckDB's ns→µs truncation) and presents a
-    * proper `TimestampType` column. */
+    * The on-disk `ts` unit is NOT assumed: [[load]] probes the parquet
+    * footer's logical type on each load. TIMESTAMP(MICROS)/(MILLIS) data
+    * (the current testdata) is read directly as `TimestampType`;
+    * TIMESTAMP(NANOS) data — which Spark's vectorized reader only surfaces
+    * as INT64 under `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * [[GraftSession]] — goes through [[eventsRawSchema]] and an explicit
+    * ns→µs integer division (floor — matching DuckDB's ns→µs truncation).
+    * Guessing the unit and guessing wrong silently collapses every event
+    * near the 1970 epoch; [[assertEventsSane]] is the loud backstop. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -115,18 +119,59 @@ object Tables {
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
+  /** Footer-probed physical type of `events.ts` per path — LongType means
+    * parquet TIMESTAMP(NANOS) (only visible as INT64 under nanosAsLong),
+    * TimestampType means MICROS/MILLIS. Footer-only read, cached per path. */
+  private val tsUnitCache = new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  private def eventsTsType(spark: SparkSession, path: String): DataType =
+    tsUnitCache.computeIfAbsent(path, p =>
+      spark.read.parquet(p).schema("ts").dataType)
+
   /** Load one table from a scale-factor directory with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-        // `div` (integer division) — a double division would lose precision
-        // above 2^53 ns and shift timestamps by whole microseconds.
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(eventsSchema.fieldNames.map(col).toSeq: _*)
+      val path = s"$sfDir/events.parquet"
+      eventsTsType(spark, path) match {
+        // NTZ = footer isAdjustedToUTC=false (the generator's unit); with the
+        // session TZ pinned UTC the naive wall-clock micros ARE the UTC
+        // instants, so reading through the TimestampType schema is exact.
+        case TimestampType | TimestampNTZType =>
+          spark.read.schema(eventsSchema).parquet(path)
+        case LongType =>
+          import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+          spark.read.schema(eventsRawSchema).parquet(path)
+            // `div` (integer division) — a double division would lose
+            // precision above 2^53 ns and shift timestamps by whole µs.
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(eventsSchema.fieldNames.map(col).toSeq: _*)
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts at $path has unsupported physical type $other — " +
+            "expected TimestampType (parquet MICROS/MILLIS) or LongType " +
+            "(parquet NANOS under spark.sql.legacy.parquet.nanosAsLong)")
+      }
     } else {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }
+
+  /** Loud drift guard: the driver testdata generator emits event times inside
+    * Jan 2024 (TESTDATA.md, seed=42). A wrong unit assumption lands them near
+    * the 1970 epoch (÷1000) or year ~56k (×1000) — either way outside this
+    * window — so Verify/Bench fail with ONE clear message instead of a sea
+    * of silent hash mismatches. */
+  def assertEventsSane(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{max, min}
+    val Array(lo, hi) = events(spark, sfDir)
+      .agg(min("ts"), max("ts")).head().toSeq
+      .map(_.asInstanceOf[java.sql.Timestamp]).toArray
+    val floor = java.sql.Timestamp.valueOf("2023-12-31 00:00:00")
+    val ceil  = java.sql.Timestamp.valueOf("2024-02-02 00:00:00")
+    require(lo.after(floor) && hi.before(ceil),
+      s"testdata drift: events.ts range [$lo, $hi] outside the generator's " +
+      s"Jan-2024 window — check the parquet timestamp unit at $sfDir " +
+      "(micros vs nanos) before trusting any event-time query result")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -368,10 +368,25 @@ object Streams {
 
   /** File-based events stream: watches a DIRECTORY of event parquet files
     * (the streaming file source requires a directory; each new file is a
-    * micro-batch — exactly how a collection pipeline lands batches). */
-  def eventsFileStream(spark: SparkSession, eventsDir: String): DataFrame =
-    spark.readStream
-      .schema(Tables.eventsRawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * micro-batch — exactly how a collection pipeline lands batches).
+    *
+    * Same footer-probed unit handling as [[Tables.load]]: a one-off batch
+    * footer read decides whether `ts` is TIMESTAMP(MICROS) (direct read) or
+    * TIMESTAMP(NANOS) (INT64 under nanosAsLong → explicit ÷1000). An empty
+    * dir at stream start defaults to micros — the generator's current unit. */
+  def eventsFileStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tsIsRawNanos =
+      try spark.read.parquet(eventsDir).schema("ts").dataType == LongType
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (tsIsRawNanos)
+      spark.readStream
+        .schema(Tables.eventsRawSchema)
+        .parquet(eventsDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(Tables.eventsSchema)
+        .parquet(eventsDir)
+  }
 }
