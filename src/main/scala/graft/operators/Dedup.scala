@@ -419,34 +419,72 @@ object Dedup {
     * 50-char quote inside otherwise-different documents trips this and
     * nothing else.
     *
-    * Scale shape: one explode (runs ∝ corpus chars), per-doc `distinct`
-    * to collapse positions, then ONE aggregation per run collecting its
-    * ≤ `maxDf` doc ids — the document-frequency gate and the pairing
-    * happen in the SAME shuffle: runs shared by >maxDf docs (corpus
-    * boilerplate) are dropped by an array-size filter, and pairs are
-    * generated IN-ARRAY map-side (the [[Aggregates.coOccurrence]]
-    * discipline — never a gram-table self-join), so per-run fan-out is
-    * ≤ maxDf·(maxDf−1)/2 by construction. Two shuffles total. Runs ride
-    * the exchange as strings here for oracle exactness; at 100 TB the
-    * same pipeline runs on xxhash64(run) with texts re-read by key (the
-    * [[containmentPairs]] discipline). */
+    * Scale shape — NOTHING but 64-bit hashes and doc ids ever reaches an
+    * exchange (the [[contaminationPairs]] wire discipline; the string mode
+    * that shipped ~30× corpus bytes through the explode shuffle is gone):
+    *  1. per-doc distinct run hashes from the fused single-pass
+    *     [[graft.functions.CharRunHashes]] expression — position-collapse
+    *     happens INSIDE the expression, so there is no gram-table
+    *     `distinct` shuffle and no interpreted per-window HOF;
+    *  2. ONE corpus exchange: per-hash id lists collected by the BOUNDED
+    *     [[graft.functions.BoundedIdsAgg]] (cap = maxDf+1, sticky-full —
+    *     the [[PostingsAgg]] skew discipline), so a boilerplate run ships
+    *     ≤ maxDf+1 ids per input partition instead of its whole posting
+    *     list, and the df gate is a post-agg size filter that loses
+    *     nothing it wouldn't drop anyway; pairs are then generated
+    *     IN-ARRAY map-side (the [[Aggregates.coOccurrence]] discipline —
+    *     never a gram-table self-join), fan-out ≤ maxDf·(maxDf−1)/2 by
+    *     construction; the pairing agg carries each pair's gated run-hash
+    *     set (bounded by the pair's true shared-run count);
+    *  3. exact verify on the CANDIDATE-BOUNDED pair set: texts re-read BY
+    *     KEY (the [[containmentPairs]] discipline — candidate pairs are few,
+    *     so the plan broadcasts them and the corpus never shuffles), shared
+    *     runs recomputed as a per-row string `array_intersect`, counted only
+    *     where the run's re-hash is in the pair's gated set. A cross-doc
+    *     hash collision (different strings, equal hash) therefore CANNOT
+    *     create a false pair or inflate `n_shared`. The only residual
+    *     inexactness is a collision inflating a run's document frequency
+    *     past `maxDf` (dropping a true run from the gate) — the same
+    *     ~n²/2⁶⁴ trade [[exactDuplicates]] and [[contaminationPairs]]
+    *     already accept. */
   def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
       runLen: Int = 30, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
-    val grams = df.filter(length(col(textCol)) >= runLen)
-      .select(col(idCol).as("id"),
-        explode(expr(s"transform(sequence(1, length($textCol) - $runLen + 1), " +
-          s"i -> substring($textCol, i, $runLen))")).as("g"))
-      .distinct()
-    grams.groupBy(col("g"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
+    import graft.functions.CharRunHashes
+    // repartition BEFORE the ×runLen gram fan-out: the scan's split count
+    // reflects file bytes, not post-explode compute — a single small file
+    // would otherwise pin the whole gram pass to ONE task. cache = the
+    // [[containmentPairs]] projection barrier (texts re-read by key below;
+    // the two gram passes and the verify joins all read this one frame).
+    val docs = df.filter(length(col(textCol)) >= runLen)
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .repartition()
+      .cache()
+    val grams = docs.select(col("id"),
+      explode(CharRunHashes.runs(col("txt"), runLen)).as("h"))
+    val boundedIds = udaf(new graft.functions.BoundedIdsAgg(maxDf + 1))
+    val cands = grams.groupBy(col("h"))
+      .agg(boundedIds(col("id")).as("ids"))
+      // size = maxDf+1 means the sticky-full cap was hit: df > maxDf
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
-      .select(explode(expr(
+      .select(col("h"), explode(expr(
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), " +
           "b -> struct(a AS id_a, b AS id_b))))")).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(collect_set(col("h")).as("hs"))
+      .filter(size(col("hs")) >= minShared)
+    def runsOf(t: Column): Column = expr(
+      s"transform(sequence(1, length(${t.toString}) - $runLen + 1), " +
+        s"i -> substring(${t.toString}, i, $runLen))")
+    cands
+      .join(docs.select(col("id").as("id_a"), col("txt").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("txt").as("t_b")), Seq("id_b"))
+      .withColumn("n_shared",
+        size(filter(array_intersect(runsOf(col("t_a")), runsOf(col("t_b"))),
+          r => array_contains(col("hs"), CharRunHashes.hashOf(r, runLen))))
+          .cast("long"))
       .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("n_shared"))
   }
 
   /** BOILERPLATE REMOVAL (CCNet/RefinedWeb-style cleaning): lines repeated

@@ -321,6 +321,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("CharRunHashes: fused window hashes match the compositional form") {
+    val df = Seq((1L, "abcdefghij"), (2L, "short"), (3L, "aaaaaa"))
+      .toDF("id", "t")
+    val fused = df.select($"id",
+        graft.functions.CharRunHashes.runs($"t", 5).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused(2L).size === 1)       // len == runLen → exactly one window
+    assert(fused(1L).size === 6)       // 10-5+1 distinct windows
+    assert(fused(3L).size === 1)       // all windows identical → distinct=1
+    val short = Seq((9L, "abcd")).toDF("id", "t").select(
+      graft.functions.CharRunHashes.runs($"t", 5)).head().getSeq[Long](0)
+    assert(short.isEmpty)              // len < runLen → no full window
+    // same window content → same hash regardless of host string
+    val h1 = df.filter($"id" === 1L).select(
+      graft.functions.CharRunHashes.hashOf(lit("abcde"), 5)).head().getLong(0)
+    assert(fused(1L).contains(h1))
+  }
+
+  test("BoundedIdsAgg: sticky cap ships at most cap ids, sorted") {
+    val agg = new graft.functions.BoundedIdsAgg(3)
+    val r = (1L to 10L).foldLeft(agg.zero)(agg.reduce)
+    assert(r.size === 3)
+    assert(agg.merge(r, Seq(99L)).size === 3)
+    assert(agg.merge(Seq(5L, 2L), Seq(9L, 1L)) === Seq(5L, 2L, 9L))
+    assert(agg.finish(Seq(5L, 2L, 9L)) === Seq(2L, 5L, 9L))
+  }
+
   test("exactSubstrPairs: verbatim char runs pair; df gate blocks boilerplate") {
     val quote = "the exact same thirty-char run!"  // 31 chars, 2 distinct 30-runs
     val boiler = "x" * 40  // one distinct 30-run ("x"*30), present in ALL docs
