@@ -155,22 +155,84 @@ object Tables {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }
 
-  /** Loud drift guard: the driver testdata generator emits event times inside
-    * Jan 2024 (TESTDATA.md, seed=42). A wrong unit assumption lands them near
-    * the 1970 epoch (÷1000) or year ~56k (×1000) — either way outside this
-    * window — so Verify/Bench fail with ONE clear message instead of a sea
-    * of silent hash mismatches. */
-  def assertEventsSane(spark: SparkSession, sfDir: String): Unit = {
-    import org.apache.spark.sql.functions.{max, min}
-    val Array(lo, hi) = events(spark, sfDir)
-      .agg(min("ts"), max("ts")).head().toSeq
-      .map(_.asInstanceOf[java.sql.Timestamp]).toArray
-    val floor = java.sql.Timestamp.valueOf("2023-12-31 00:00:00")
-    val ceil  = java.sql.Timestamp.valueOf("2024-02-02 00:00:00")
-    require(lo.after(floor) && hi.before(ceil),
-      s"testdata drift: events.ts range [$lo, $hi] outside the generator's " +
-      s"Jan-2024 window — check the parquet timestamp unit at $sfDir " +
-      "(micros vs nanos) before trusting any event-time query result")
+  /** TESTDATA DRIFT GUARD (the round-6 incident, generalized): one
+    * human-readable violation per problem; empty = healthy.
+    *
+    * Three layers, cheapest first:
+    *  1. INFERRED footer schema vs the declared schemas — the explicit-
+    *     schema loads would silently COERCE a physical-type drift (reading
+    *     TIMESTAMP(MICROS) through a LongType field is exactly how round 6
+    *     corrupted 24 queries), so the guard must look at what's actually
+    *     on disk. Timestamp columns accept {LTZ, NTZ, INT64} because
+    *     [[load]] handles all three — for those, layer 3 is the guard.
+    *  2. row counts > 0 per table.
+    *  3. loaded-VALUE range probes on every time column: events.ts inside
+    *     the generator's Jan-2024 window, orders/lineitem dates inside the
+    *     TPC-H-ish 1990-2010 band. A wrong unit interpretation lands ÷1000
+    *     near the 1970 epoch or ×1000 in year ~56k — far outside either
+    *     band — so a future regeneration produces ONE clear message here
+    *     instead of a sea of oracle hash mismatches. */
+  def testdataDrift(spark: SparkSession, sfDir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{count => fcount, lit, max, min}
+    val issues = scala.collection.mutable.Buffer[String]()
+    for ((name, declared) <- schemas.toSeq.sortBy(_._1)) {
+      val path = s"$sfDir/$name.parquet"
+      val inferred =
+        try spark.read.parquet(path).schema
+        catch { case e: Exception =>
+          issues += s"$name: unreadable at $path (${e.getMessage})"
+          StructType(Nil)
+        }
+      if (inferred.nonEmpty) {
+        for (f <- declared.fields)
+          inferred.find(_.name == f.name) match {
+            case None =>
+              issues += s"$name.${f.name}: column missing on disk"
+            case Some(g) =>
+              val ok = (f.dataType, g.dataType) match {
+                case (TimestampType,
+                  TimestampType | TimestampNTZType | LongType) => true
+                case (a, b) => a == b
+              }
+              if (!ok) issues += s"$name.${f.name}: declared " +
+                s"${f.dataType.simpleString} vs on-disk " +
+                s"${g.dataType.simpleString} — schema coercion would " +
+                "corrupt values"
+          }
+      }
+    }
+    // value-range probes on loaded (post-coercion) time columns
+    val probes = Seq(
+      ("events", "ts", "2023-12-31", "2024-02-02"),
+      ("orders", "o_orderdate", "1990-01-01", "2010-01-01"),
+      ("lineitem", "l_shipdate", "1990-01-01", "2010-01-01"))
+    for ((table, tsCol, loOk, hiOk) <- probes) {
+      try {
+        val row = load(spark, sfDir, table)
+          .agg(fcount(lit(1)), min(tsCol), max(tsCol)).head()
+        if (row.getLong(0) == 0L) issues += s"$table: zero rows"
+        else {
+          val (lo, hi) = (row.getTimestamp(1), row.getTimestamp(2))
+          val (floor, ceil) = (java.sql.Timestamp.valueOf(s"$loOk 00:00:00"),
+            java.sql.Timestamp.valueOf(s"$hiOk 00:00:00"))
+          if (!(lo.after(floor) && hi.before(ceil)))
+            issues += s"testdata drift: $table.$tsCol range [$lo, $hi] " +
+              s"outside the generator's [$loOk, $hiOk) window — check the " +
+              s"parquet timestamp unit at $sfDir (micros vs nanos) before " +
+              "trusting any event-time query result"
+        }
+      } catch { case e: Exception =>
+        issues += s"$table.$tsCol: probe failed (${e.getMessage})"
+      }
+    }
+    issues.toSeq
+  }
+
+  /** Loud wrapper: fail with every violation in one message. */
+  def assertTestdataSane(spark: SparkSession, sfDir: String): Unit = {
+    val issues = testdataDrift(spark, sfDir)
+    require(issues.isEmpty,
+      s"testdata drift detected at $sfDir:\n  ${issues.mkString("\n  ")}")
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -10,10 +10,10 @@ object Verify {
     // optional 3rd arg (dev use): comma-separated query-name filter
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = GraftSession.fromEnv()
-    // Fail LOUDLY before dumping anything if the testdata's event-time unit
-    // drifted (the round-6 incident: micros parquet read as nanos ⇒ 24
-    // silent hash mismatches). One clear message beats a sea of red rows.
-    Tables.assertEventsSane(spark, sfDir)
+    // Fail LOUDLY before dumping anything if the testdata drifted (the
+    // round-6 incident: micros parquet read as nanos ⇒ 24 silent hash
+    // mismatches). One clear message beats a sea of red rows.
+    Tables.assertTestdataSane(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

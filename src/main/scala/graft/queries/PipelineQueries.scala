@@ -772,11 +772,51 @@ object PipelineQueries {
     notes = "Morton interleave recomputed independently in DuckDB; " +
       "bounding-box tightness spec-pinned (LayoutSpec)")
 
+  /** Bucketed co-located join ([[graft.sources.Sources.writeBucketedTable]]):
+    * events and customer are each written ONCE as 8-bucket hash tables on
+    * the join key, then the per-user enrichment join reads both bucketed
+    * scans with no join-side Exchange (the write-once-shuffle-never-again
+    * posture for a recurring 100 TB pipeline; the zero-Exchange plan is
+    * pinned in BucketedTableSpec — this registry entry oracle-gates the
+    * RESULT through the bucketed path). Tables are created on first use
+    * per sf dir (idempotent within a session) under a temp warehouse. */
+  val qBucketedJoin = GQuery("q_bucketed_join",
+    (s, d) => {
+      import graft.sources.Sources
+      val suffix = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      val (evT, custT) = (s"ev_bucketed_$suffix", s"cust_bucketed_$suffix")
+      if (!s.catalog.tableExists(evT)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bucketed").toString
+        Sources.writeBucketedTable(
+          Tables.events(s, d).select(col("user_id"), col("value")),
+          evT, s"$root/$evT", 8, Seq("user_id"))
+        Sources.writeBucketedTable(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          custT, s"$root/$custT", 8, Seq("c_custkey"))
+      }
+      s.table(evT)
+        .join(s.table(custT), col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("user_id"), col("value"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          graft.Det.dsum(col("value")).as("total_value"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+        COUNT(DISTINCT e.user_id) AS n_users,
+        ${graft.Det.sqlDsum("e.value")} AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1 ORDER BY segment"""),
+    notes = "co-located bucketed join; plan co-location pinned in " +
+      "BucketedTableSpec, result oracle-gated here")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
-    qZorder)
+    qZorder, qBucketedJoin)
 }

@@ -547,9 +547,33 @@ object WindowQueries {
     notes = "batch twin of the watermarked stream-stream join; epoch-us " +
       "exact window bounds")
 
+  /** LEFT-OUTER twin of [[qEventPairs]] — every view, with its conversion
+    * pairs where they exist and ONE null-r_id row where none do ("views
+    * that never converted"). Gates the `joinType = "left_outer"` path of
+    * the watermarked stream-stream join, whose incremental null emission
+    * (on watermark close) StreamsSpec pins against this same batch body.
+    * Null sort position is pinned NULLS LAST on both engines — Spark's
+    * ASC default is nulls-first, DuckDB's is nulls-last. */
+  val qEventPairsOuter = GQuery("q_event_pairs_outer",
+    (s, d) => graft.streaming.Streams.eventPairsStream(
+        Tables.events(s, d), "view", "purchase", horizonMinutes = 30,
+        joinType = "left_outer")
+      .orderBy(col("user_id"), col("l_id"), col("r_id").asc_nulls_last),
+    Some("""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+      FROM events l LEFT JOIN events r
+        ON l.user_id = r.user_id
+        AND r.event_type = 'purchase'
+        AND epoch_us(r.ts) > epoch_us(l.ts)
+        AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+      WHERE l.event_type = 'view'
+      ORDER BY l.user_id, l_id, r_id NULLS LAST"""),
+    notes = "left-outer batch twin of the stream-stream join; unconverted " +
+      "views surface as null r_id/gap_us")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
-    qAttribution, qEventPairs)
+    qAttribution, qEventPairs, qEventPairsOuter)
 }

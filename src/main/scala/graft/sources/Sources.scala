@@ -172,6 +172,46 @@ object Sources {
     fs.delete(tmpRoot, true)
   }
 
+  /** S5 — relational warehouse sink over JDBC: the reference's
+    * dual-backend table write (SQLite or Postgres behind one code path —
+    * database_integration.py:35-73) expressed as Spark's JDBC writer.
+    * Executors write partitions concurrently with batched inserts
+    * (`batchsize`); there is no driver collect, so the path scales with
+    * the cluster, bounded only by what the target DB can absorb —
+    * `numPartitions` caps the connection count so a 1000-task stage
+    * cannot open 1000 connections against one database (coalesce happens
+    * inside the writer, not a full shuffle). Tested against embedded
+    * Derby (SourcesSpec round-trip; same class of in-process engine as
+    * the reference's SQLite default). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      driver: String, mode: SaveMode = SaveMode.Append,
+      batchSize: Int = 1000, numPartitions: Int = 8): Unit =
+    df.write.mode(mode)
+      .option("driver", driver)
+      .option("batchsize", batchSize)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, new java.util.Properties())
+
+  /** S6-ext — JDBC table scan (the read half of the dual-backend path).
+    * Single-partition by default — correct for the reference's small
+    * operational tables; pass `partitionCol`+bounds to fan a big table
+    * out over `numPartitions` parallel range scans (the standard Spark
+    * JDBC parallel-read contract). */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      driver: String, partitionCol: Option[String] = None,
+      lower: Long = 0L, upper: Long = 0L, numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("driver", driver)
+      .option("url", url)
+      .option("dbtable", table)
+    partitionCol.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lower)
+        .option("upperBound", upper)
+        .option("numPartitions", numPartitions)
+    }.load()
+  }
+
   /** S7 — webhook-style side-output sink: per-partition delivery through a
     * caller-supplied sender (Discord POST in the reference; a buffering
     * sender in tests — no network in the engine itself). Executor-side,

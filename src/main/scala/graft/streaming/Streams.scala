@@ -301,8 +301,12 @@ object Streams {
       .flatMapGroupsWithState[Double, Movement](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, rows, state: GroupState[Double]) =>
-          // sort within key by event time: micro-batches preserve no order
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          // sort within key by event time: micro-batches preserve no order.
+          // getTime is millis-resolution — same-millisecond events must
+          // tie-break on getNanos (then value, for full determinism), the
+          // funnelStream discipline
+          val sorted = rows.toSeq.sortBy(kv =>
+            (kv.ts.getTime, kv.ts.getNanos, kv.value))
           val out = scala.collection.mutable.ArrayBuffer.empty[Movement]
           var prev = state.getOption
           sorted.foreach { kv =>
@@ -345,7 +349,10 @@ object Streams {
             state.update(expired)
             Iterator.single(expired)
           } else {
-            val sorted = rows.toSeq.sortBy(_.event_ts.getTime)
+            // full-microsecond order (getNanos) + status as the final
+            // deterministic tie-break for same-instant transitions
+            val sorted = rows.toSeq.sortBy(ev =>
+              (ev.event_ts.getTime, ev.event_ts.getNanos, ev.status))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[JobStatus]
             sorted.foreach { ev =>

@@ -45,6 +45,24 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
+  test("q_bucketed_join: registered query joins with zero exchanges below the join") {
+    val q = graft.queries.PipelineQueries.qBucketedJoin
+    withForcedSmj {
+      val df = q.run(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, s"expected a sort-merge join:\n$plan")
+      // co-location: NO Exchange anywhere below the join — both sides are
+      // bucketed scans already satisfying the hash distribution. The tree
+      // prints top-down, so every Exchange must appear ABOVE the join line
+      // (the agg/sort exchanges); none in the join subtree.
+      assert(plan.lastIndexOf("Exchange") < joinAt,
+        s"bucketed join sides must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(df.count() > 0)
+    }
+  }
+
   test("mis-matched bucket counts fall back to a shuffle (contract is real)") {
     val root = java.nio.file.Files
       .createTempDirectory("bucketed_mis").toString

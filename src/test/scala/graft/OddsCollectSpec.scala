@@ -88,4 +88,26 @@ class RestFixtureSourceSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     assert(pruned.select(countDistinct(col("league_id"))).head.getLong(0) === 1)
   }
+
+  test("429 handling: retry within budget recovers, exhaustion skips the page") {
+    import graft.sources.RestFixtureSource.Metrics
+    import spark.implicits._
+    // league 140's page 429s twice then succeeds (within maxRetries=3);
+    // league 78's page 429s forever → skipped after 3 retries
+    Metrics.reset()
+    val df = spark.read.format("rest-fixtures")
+      .option("leagues", "39,140,78").option("days", "1")
+      .option("startDate", "2024-08-01")
+      .option("maxRetries", "3")
+      .option("inject429", "140@2024-08-01:2,78@2024-08-01:99")
+      .load()
+    val byLeague = df.groupBy("league_id").count()
+      .as[(Int, Long)].collect().toMap
+    // 39 clean, 140 recovered after retries, 78 skipped — job COMPLETED
+    assert(byLeague === Map(39 -> 10L, 140 -> 10L))
+    assert(Metrics.retries.get() === 2 + 3)  // 140: two 429s; 78: full budget
+    assert(Metrics.skippedPages.get() === 1)
+    // the skipped page is gone for this run, not erroring the scan
+    assert(df.count() === 20)
+  }
 }

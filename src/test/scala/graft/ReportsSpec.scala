@@ -10,6 +10,29 @@ class ReportsSpec extends SparkSpec {
 
   val now: Timestamp = Timestamp.valueOf("2024-01-31 00:00:00")
 
+  test("testdataDrift: healthy data silent; unit-corrupted frame trips ONE message") {
+    // healthy: the real driver testdata passes all three layers
+    assert(Tables.testdataDrift(spark, "/root/testdata/sf0.001") === Seq.empty)
+    // reproduce the round-6 incident in a sandbox copy: store events.ts as
+    // raw INT64 micros — the loader's nanos branch divides by 1000 and
+    // every value collapses near the 1970 epoch → range probe must fire
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", unix_micros(col("ts")))
+      .write.parquet(s"$dir/events.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      Tables.load(spark, "/root/testdata/sf0.001", t)
+        .write.parquet(s"$dir/$t.parquet")
+    val issues = Tables.testdataDrift(spark, dir)
+    assert(issues.size === 1)
+    assert(issues.head.contains("events.ts"))
+    assert(issues.head.contains("timestamp unit"))
+    val boom = intercept[IllegalArgumentException](
+      Tables.assertTestdataSane(spark, dir))
+    assert(boom.getMessage.contains("testdata drift"))
+  }
+
   test("profile: one row per column with nulls/distinct/min/max, one scan") {
     val df = Seq(
       (Some(3L), Some("b")),

@@ -27,6 +27,37 @@ class SourcesSpec extends SparkSpec {
     assert(got.forall(_.contains("\"message\"")))
   }
 
+  test("S5: JDBC sink/scan round-trip against embedded Derby") {
+    // Derby ships with the Spark distribution (Hive metastore dependency)
+    // — an in-process engine standing in for the reference's SQLite
+    // default (database_integration.py:35-73). No network, real JDBC.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val mappings = Seq(
+      (1L, "Man United", "Manchester United", 0.95),
+      (2L, "Spurs", "Tottenham Hotspur", 0.90),
+      (3L, "Wolves", "Wolverhampton Wanderers", 0.88))
+      .toDF("id", "raw_name", "resolved_name", "confidence")
+    Sources.writeJdbc(mappings, url, "team_mappings", driver,
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    // append path: second write lands alongside the first
+    Sources.writeJdbc(mappings.filter($"id" === 1L), url,
+      "team_mappings", driver)
+    val back = Sources.readJdbc(spark, url, "team_mappings", driver)
+    assert(back.count() === 4)
+    assert(back.schema.fieldNames.sorted ===
+      Array("confidence", "id", "raw_name", "resolved_name"))
+    val byId = back.as[(Long, String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byId === Map(1L -> 2, 2L -> 1, 3L -> 1))
+    // parallel range-scan contract plans one partition per id range
+    val ranged = Sources.readJdbc(spark, url, "team_mappings", driver,
+      partitionCol = Some("id"), lower = 1L, upper = 4L, numPartitions = 2)
+    assert(ranged.rdd.getNumPartitions === 2)
+    assert(ranged.count() === 4)
+  }
+
   test("S8: every declared table schema round-trips through catalog DDL") {
     val wh = java.nio.file.Files.createTempDirectory("graft_ddl").toString
     Tables.schemas.foreach { case (name, schema) =>

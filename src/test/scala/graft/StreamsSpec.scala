@@ -218,6 +218,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-millisecond events order by getNanos in movementDetector and jobStateMachine") {
+    implicit val sqlCtx = spark.sqlContext
+    // two events in the SAME millisecond, 250µs apart — getTime alone
+    // cannot order them; getNanos must break the tie deterministically
+    def microTs(base: String, micros: Int): Timestamp = {
+      val t = new Timestamp(ts(base).getTime)
+      t.setNanos(micros * 1000); t
+    }
+    val memM = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val qm = Streams.movementDetector(spark,
+        memM.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"), 0.1)
+      .writeStream.format("memory").queryName("micro_moves")
+      .outputMode("append").start()
+    try {
+      memM.addData(
+        (2L, microTs("2024-01-01 10:00:00", 750), 1L, "odds", 8.0),  // later µs
+        (1L, microTs("2024-01-01 10:00:00", 500), 1L, "odds", 2.0))  // earlier µs
+      qm.processAllAvailable()
+      val moves = spark.table("micro_moves")
+        .select("prev_value", "value").as[(Double, Double)].collect().toSeq
+      // 2.0 (earlier µs) must be prev of 8.0 — one +3.0 move, never 8.0→2.0
+      assert(moves === Seq((2.0, 8.0)))
+    } finally qm.stop()
+    val memJ = MemoryStream[(String, String, Timestamp, Timestamp)]
+    val qj = Streams.jobStateMachine(spark,
+        memJ.toDF().toDF("id", "status", "event_ts", "scheduled_for"))
+      .writeStream.format("memory").queryName("micro_jobs")
+      .outputMode("append").start()
+    try {
+      val sched = ts("2024-01-01 11:00:00")
+      memJ.addData(
+        ("j1", "completed", microTs("2024-01-01 10:00:00", 900), sched), // later µs
+        ("j1", "pending",   microTs("2024-01-01 10:00:00", 100), sched)) // earlier µs
+      qj.processAllAvailable()
+      val states = spark.table("micro_jobs")
+        .select("status").as[String].collect().toSeq
+      // pending (earlier µs) transitions first, completed absorbs — the
+      // millis-only sort could process completed first and emit only it
+      assert(states === Seq("pending", "completed"))
+    } finally qj.stop()
+  }
+
   test("jobStateMachine: terminal states absorb, late transitions ignored") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, Timestamp, Timestamp)]
@@ -378,6 +420,18 @@ class StreamsSpec extends SparkSpec {
         .select("user_id", "l_id", "r_id")
         .as[(Long, Long, Option[Long])].collect().toSet
       assert(got === Set((7L, 1L, Some(2L)), (9L, 3L, None)))
+      // stream ≡ batch: the identical function body on a batch frame (the
+      // q_event_pairs_outer registered twin) yields the same rows for the
+      // users whose horizon the stream has closed
+      val batch = Streams.eventPairsStream(
+          asEvents(Seq(
+            (1L, ts("2024-01-01 10:00:00"), 7L, "view"),
+            (2L, ts("2024-01-01 10:10:00"), 7L, "purchase"),
+            (3L, ts("2024-01-01 10:05:00"), 9L, "view")).toDF()),
+          "view", "purchase", horizonMinutes = 30, joinType = "left_outer")
+        .select("user_id", "l_id", "r_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got === batch)
     } finally q.stop()
   }
 
