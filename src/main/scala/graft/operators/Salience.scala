@@ -149,4 +149,54 @@ object Salience {
             / col("words").cast("double")))
       .orderBy(col("doc_id"))
   }
+
+  /** BIGRAM-LM SURPRISAL quality signal (the CCNet/Dolma "LM filter"
+    * family, integer-exact): train a bigram model ON the corpus itself
+    * (MLE counts), then score every document by its total integer
+    * surprisal  Σ [⌊log₂ c(prev)⌋ − ⌊log₂ c(prev,cur)⌋]  over bigram
+    * INSTANCES, where ⌊log₂ n⌋ is computed EXACTLY from the binary
+    * string length — the [[tfidfTopK]] discipline: no transcendental log
+    * crosses an engine boundary, so the score itself sits under the
+    * hash-exact oracle gate (no golden). High surprisal = improbable
+    * word transitions (gibberish, OCR noise, word salad); zero = the
+    * document only walks the corpus's dominant transitions. The per-
+    * bigram normalization is exact fixed-point (×1000, integer div).
+    *
+    * Scale shape: bigram instances come from ONE map-side zip of each
+    * doc's token array with its own tail (never a token-table
+    * self-join); the bigram COUNT table aggregates once [corpus
+    * shuffle 1]; the context count c(prev) derives from the count table
+    * itself (vocabulary²-bounded — never a second corpus pass); the
+    * instance table joins the merged count table once on (prev, cur)
+    * [corpus shuffle 2] and re-aggregates per doc [3]; top-k is a
+    * distributed TakeOrderedAndProject. At 100 TB the join keys ride as
+    * xxhash64(word) pairs (the decontaminate wire discipline) — strings
+    * here for oracle exactness; the count side is vocabulary-bounded
+    * either way. */
+  def lmSurprisal(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    def ilog2(c: org.apache.spark.sql.Column) =
+      (length(bin(c)) - 1).cast("long")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= lit(""))
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(zip_with(slice(toks, 1, Int.MaxValue - 1),
+          slice(toks, 2, Int.MaxValue - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
+      .filter(col("g.cur").isNotNull)
+      .select(col("doc_id"), col("g.prev").as("prev"), col("g.cur").as("cur"))
+    val big = grams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_pc"))
+    val ctx = big.groupBy(col("prev")).agg(sum(col("c_pc")).as("c_p"))
+    val surp = big.join(ctx, Seq("prev"))
+      .select(col("prev"), col("cur"),
+        (ilog2(col("c_p")) - ilog2(col("c_pc"))).as("s"))
+    grams.join(surp, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprisal"))
+      .withColumn("surprisal_milli",
+        expr("surprisal * 1000 div n_bigrams"))
+      .orderBy(desc("surprisal_milli"), asc("doc_id"))
+      .limit(k)
+  }
 }

@@ -2088,6 +2088,41 @@ object TextQueries {
       FROM ranked WHERE rnk <= 50 ORDER BY rank"""),
     notes = "top-50 adjacent-token pairs; BPE pair-count / bigram-LM step")
 
+  /** Bigram-LM surprisal scoring ([[graft.operators.Salience
+    * .lmSurprisal]]): the corpus-self-trained bigram model scores every
+    * document's word transitions with an INTEGER ⌊log₂⌋ surprisal (binary
+    * string length — no transcendental log crosses the engine boundary),
+    * so the CCNet-style LM quality filter is hash-exact with no golden.
+    * Top 50 most-surprising (lowest-quality) documents. */
+  val qLmSurprisal = GQuery("q_lm_surprisal",
+    (s, d) => graft.operators.Salience.lmSurprisal(
+      Tables.documents(s, d), "doc_id", "text", k = 50),
+    Some("""WITH words AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+          '\s+'), t -> len(t) > 0) AS l
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(l[1:len(l)-1]) AS prev,
+          unnest(l[2:len(l)]) AS cur
+        FROM words),
+      big AS (SELECT prev, cur, COUNT(*) AS c_pc FROM grams GROUP BY 1, 2),
+      ctx AS (SELECT prev, CAST(SUM(c_pc) AS BIGINT) AS c_p
+        FROM big GROUP BY 1),
+      surp AS (SELECT big.prev, big.cur,
+          (length(format('{:b}', c_p)) - 1)
+            - (length(format('{:b}', c_pc)) - 1) AS s
+        FROM big JOIN ctx USING (prev)),
+      scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(s) AS BIGINT) AS surprisal
+        FROM grams JOIN surp USING (prev, cur) GROUP BY 1)
+      SELECT doc_id, n_bigrams, surprisal,
+        surprisal * 1000 // n_bigrams AS surprisal_milli
+      FROM scored
+      ORDER BY surprisal_milli DESC, doc_id LIMIT 50"""),
+    notes = "integer-log2 bigram surprisal; score is exact cross-engine " +
+      "(binary-string-length floor-log2, fixed-point per-gram normalization)")
+
   /** BPE merge LEARNING (20 rounds) over the document corpus — the
     * tokenizer-training op that produces the merge table [[qPairCounts]]
     * counts for and [[qTokenIds]] consumes. The corpus contributes one
@@ -2782,7 +2817,7 @@ object TextQueries {
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds, qPairCounts, qBpeMerges, qBpeEncode,
+    qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qBpeMerges, qBpeEncode,
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,

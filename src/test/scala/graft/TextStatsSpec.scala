@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lmSurprisal: hand-computed integer log2 scores; dominant walk scores zero") {
+    // corpus bigram counts: (a,b)=5, (b,a)=4, (a,c)=1; contexts a=6, b=4.
+    // ilog2: 6→2, 5→2, 4→2, 1→0. surp(a,b)=0, surp(b,a)=0, surp(a,c)=2.
+    val docs = Seq(
+      (1L, "a b a b a c"),   // one rare transition → total 2, milli 400
+      (2L, "a b a b a b"))   // only dominant transitions → 0
+      .toDF("doc_id", "text")
+    val out = graft.operators.Salience.lmSurprisal(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 5L, 2L, 400L), (2L, 5L, 0L, 0L)))
+  }
+
   test("fused stats match the compositional Catalyst formulations") {
     val docs = Tables.documents(spark, sfDir)
     val both = docs.select(
