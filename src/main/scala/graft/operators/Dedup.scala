@@ -450,15 +450,20 @@ object Dedup {
   def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
       runLen: Int = 30, maxDf: Int = 50, minShared: Int = 3): DataFrame = {
     import graft.functions.CharRunHashes
-    // repartition BEFORE the ×runLen gram fan-out: the scan's split count
-    // reflects file bytes, not post-explode compute — a single small file
-    // would otherwise pin the whole gram pass to ONE task. cache = the
+    // Fan out BEFORE the ×runLen gram explosion when (and only when) the
+    // scan is under-parallel: split count reflects file bytes, not
+    // post-explode compute, so a single small file would pin the whole
+    // gram pass to ONE task. Guarded — at 100 TB the scan already has
+    // thousands of splits and an unconditional repartition would push
+    // corpus text through an exchange for nothing. cache = the
     // [[containmentPairs]] projection barrier (texts re-read by key below;
-    // the two gram passes and the verify joins all read this one frame).
-    val docs = df.filter(length(col(textCol)) >= runLen)
+    // the gram pass and the verify joins all read this one frame).
+    val spark = df.sparkSession
+    val base = df.filter(length(col(textCol)) >= runLen)
       .select(col(idCol).as("id"), col(textCol).as("txt"))
-      .repartition()
-      .cache()
+    val docs = (if (base.rdd.getNumPartitions <
+        spark.sparkContext.defaultParallelism / 2) base.repartition()
+      else base).cache()
     val grams = docs.select(col("id"),
       explode(CharRunHashes.runs(col("txt"), runLen)).as("h"))
     val boundedIds = udaf(new graft.functions.BoundedIdsAgg(maxDf + 1))
