@@ -2123,6 +2123,43 @@ object TextQueries {
     notes = "integer-log2 bigram surprisal; score is exact cross-engine " +
       "(binary-string-length floor-log2, fixed-point per-gram normalization)")
 
+  /** Unigram-LM tokenizer TRAINING ([[graft.operators.Unigram]]) — the
+    * SentencePiece-family counterpart of [[qBpeMerges]]: substring-seeded
+    * vocabulary refined by 3 integer-exact EM rounds (Viterbi
+    * re-segmentation + best-path re-scoring), reported as the top-60
+    * pieces. Same golden posture as BPE: an INDEPENDENT pure-Python
+    * trainer (gen_unigram_golden.py) pins the result per scale factor. */
+  val qUnigramVocab = GQuery("q_unigram_vocab",
+    (s, d) => graft.operators.Unigram.trainVocab(
+        Tables.documents(s, d), "text")
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, piece, score) AS (VALUES
+        ${UnigramGolden.rows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, piece,
+        CAST(score AS BIGINT) AS score
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: independent Python unigram-EM trainer, per-SF " +
+      "vocab tables keyed by the corpus text-length discriminator")
+
+  /** Tokenizer APPLY after [[qUnigramVocab]]'s training: the corpus
+    * segmented with the full final piece table, reduced to its top-50
+    * subword units — the unigram counterpart of [[qBpeEncode]]. The
+    * count runs on the bounded word table (no second corpus pass). */
+  val qUnigramEncode = GQuery("q_unigram_encode",
+    (s, d) => graft.operators.Unigram.encodeTopK(
+        Tables.documents(s, d), "text")
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, piece, cnt) AS (VALUES
+        ${UnigramGolden.encodeRows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, piece,
+        CAST(cnt AS BIGINT) AS cnt
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: same independent trainer's encode pass")
+
   /** BPE merge LEARNING (20 rounds) over the document corpus — the
     * tokenizer-training op that produces the merge table [[qPairCounts]]
     * counts for and [[qTokenIds]] consumes. The corpus contributes one
@@ -2818,6 +2855,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qBpeMerges, qBpeEncode,
+    qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,

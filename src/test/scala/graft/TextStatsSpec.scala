@@ -18,6 +18,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out === Seq((1L, 5L, 2L, 400L), (2L, 5L, 0L, 0L)))
   }
 
+  test("UnigramViterbi: deterministic DP — tie-breaks, coverage, fallback") {
+    import graft.functions.UnigramViterbi
+    def seg(w: String, costs: Map[String, Int], L: Int = 6): Seq[String] =
+      Seq(Tuple1(w)).toDF("w")
+        .select(UnigramViterbi.segment($"w", costs, L)).head().getSeq[String](0)
+    // equal cost, fewer pieces wins: "ab"(1) vs "a"(1)+"b"(0)
+    assert(seg("ab", Map("ab" -> 1, "a" -> 1, "b" -> 0)) === Seq("ab"))
+    // cheaper multi-piece path beats the single expensive piece
+    assert(seg("ab", Map("ab" -> 5, "a" -> 1, "b" -> 1)) === Seq("a", "b"))
+    // segmentation always concatenates back to the word
+    val costs = Map("a" -> 3, "b" -> 3, "ab" -> 2, "ba" -> 1, "aba" -> 4)
+    assert(seg("ababab", costs).mkString === "ababab")
+    // per-char fallback when a char is uncovered
+    assert(seg("axb", Map("a" -> 1, "b" -> 1)) === Seq("a", "x", "b"))
+    // maxLen bounds candidate pieces
+    assert(seg("aaaa", Map("aaaa" -> 0, "a" -> 1), L = 2) ===
+      Seq("a", "a", "a", "a"))
+  }
+
   test("fused stats match the compositional Catalyst formulations") {
     val docs = Tables.documents(spark, sfDir)
     val both = docs.select(
