@@ -40,7 +40,8 @@ object Bench {
     "q_dedup_exact", "q_simhash_pairs", "q_embedding_neardup",
     "q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_pq_topk",
     "q_asof_join", "q_range_join", "q_topk", "q_sessionize",
-    "q_json_extract", "q_odds_flatten", "q_tfidf_topk", "q_token_budget")
+    "q_json_extract", "q_odds_flatten", "q_tfidf_topk", "q_token_budget",
+    "q_exact_substr", "q_bpe_merges", "q_unigram_vocab", "q_lm_surprisal")
 
   private def fmtQueries(qs: Seq[(String, Double)], ms: Boolean): String =
     qs.map { case (k, v) =>

@@ -51,6 +51,55 @@ object AudioCodec {
   final case class AudioStats(n_samples: Long, sample_rate: Int,
       sum_amp: Long, sum_abs: Long, peak: Long)
 
+  final case class AudioFrame(frame_id: Long, n: Long, sum_abs: Long,
+      zcr: Long, peak: Long)
+
+  /** REAL decode to PER-FRAME features — the energy + zero-crossing-rate
+    * front-end every speech/audio pipeline runs before anything heavier
+    * (VAD, silence trimming, segment selection). Frames are consecutive
+    * non-overlapping `frameLen`-sample windows (the trailing partial frame
+    * is kept with its true length). Exact integer semantics, mirrored
+    * analytically by the q_audio_frames twin:
+    *  - sum_abs / peak over the frame's samples;
+    *  - zcr = count of ADJACENT-sample sign-bit changes WITHIN the frame
+    *    ((prev < 0) ≠ (cur < 0); frame boundaries don't carry over). */
+  def decodeFrames(bytes: Array[Byte], frameLen: Int): Seq[AudioFrame] = {
+    require(frameLen >= 1)
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+      s"unsupported audio format: $fmt")
+    val data = ais.readAllBytes()
+    ais.close()
+    val bigEndian = fmt.isBigEndian
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioFrame]
+    var i = 0
+    var inFrame = 0
+    var sabs = 0L; var zcr = 0L; var peak = 0L
+    var prevNeg = false
+    while (i + 1 < data.length) {
+      val lo = if (bigEndian) data(i + 1) else data(i)
+      val hi = if (bigEndian) data(i) else data(i + 1)
+      val s = (hi.toInt << 8) | (lo & 0xff)
+      val neg = s < 0
+      if (inFrame > 0 && neg != prevNeg) zcr += 1
+      prevNeg = neg
+      val a = math.abs(s.toLong)
+      sabs += a
+      if (a > peak) peak = a
+      inFrame += 1
+      if (inFrame == frameLen) {
+        out += AudioFrame(out.size.toLong, inFrame.toLong, sabs, zcr, peak)
+        inFrame = 0; sabs = 0L; zcr = 0L; peak = 0L
+      }
+      i += 2
+    }
+    if (inFrame > 0)
+      out += AudioFrame(out.size.toLong, inFrame.toLong, sabs, zcr, peak)
+    out.toSeq
+  }
+
   /** REAL decode: parse the WAV byte stream and reduce the PCM samples to
     * exact integer statistics (deterministic — no float arithmetic).
     * Handles either endianness as declared by the parsed header. */

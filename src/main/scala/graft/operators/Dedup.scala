@@ -571,6 +571,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** WITHIN-DOC LINE DEDUP (first-occurrence-wins, per document): a line
+    * repeated INSIDE one document — nav chrome duplicated by a scraper,
+    * chat-log echo, template stutter — keeps its first occurrence only.
+    * Complements [[paragraphDedup]] (cross-doc) and [[boilerplateRemoval]]
+    * (corpus-frequency gate): within-doc repeats with corpus df = 1 are
+    * invisible to both.
+    *
+    * Scale shape: ZERO data shuffles — the whole decision is per-document
+    * array algebra (a line is kept iff `array_position` of its value
+    * equals its own ordinal, i.e. it IS the first occurrence), evaluated
+    * map-side; the only exchange is the output ordering. Lines compare
+    * EXACTLY (no normalization — within one document a byte-identical
+    * repeat is the signal; cross-doc fuzziness belongs to the other two
+    * operators). Output per doc: line counts and the md5 of the cleaned
+    * text, verifiable cross-engine without shipping texts. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("ls"))
+      .withColumn("kept", expr(
+        """filter(transform(ls, (l, i) -> struct(l AS l, i AS i)),
+           s -> array_position(ls, s.l) = s.i + 1)"""))
+      .select(col("id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        (size(col("ls")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws("\n", expr("transform(kept, s -> s.l)"))).as("clean_md5"))
+      .orderBy(col("id"))
+
   /** PARAGRAPH DEDUP (cross-doc, first-occurrence-wins): a paragraph that
     * already appeared anywhere earlier in the corpus — same doc or a
     * different one, compared after lower+trim normalization — is dropped;

@@ -194,6 +194,23 @@ object Multimodal {
     }
   }
 
+  case class AudioFrameRow(media_id: Long, frame_id: Long, n: Long,
+      sum_abs: Long, zcr: Long, peak: Long)
+
+  /** Per-frame audio features (energy + zero-crossing rate — the VAD /
+    * silence-trim front-end): REAL WAV decode, then [[AudioCodec
+    * .decodeFrames]]'s exact integer per-window reduction. flatMap shape:
+    * one input clip fans out to its frames executor-side; no sample array
+    * ever crosses an exchange (frames are already reduced). */
+  def audioFrames(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 160): Dataset[AudioFrameRow] = {
+    import spark.implicits._
+    media.filter(col("modality") === "audio").as[MediaRow].flatMap { r =>
+      AudioCodec.decodeFrames(r.content, frameLen).map(f =>
+        AudioFrameRow(r.media_id, f.frame_id, f.n, f.sum_abs, f.zcr, f.peak))
+    }
+  }
+
   /** Feature extraction over binary content via mapPartitions: codec state
     * initialized once per partition, rows streamed (never materialized as a
     * list) — the batch shape that scales. */

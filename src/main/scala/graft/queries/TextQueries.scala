@@ -1640,6 +1640,39 @@ object TextQueries {
     * tail paragraph TWICE (intra-doc dup). The twin independently recomputes
     * winner election (rank-1 over (doc_id, pos) per normalized paragraph)
     * and the md5 of the rebuilt text. */
+  /** Within-doc repeated-line removal ([[graft.operators.Dedup
+    * .lineDedup]]): every 7th document gets a planted duplicated line
+    * (scraper echo); per doc the first occurrence survives and the clean
+    * text's md5 is compared. Decision is per-doc array algebra — zero
+    * data shuffles; the twin replays the identical list semantics. */
+  val qLineDedup = GQuery("q_line_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit("\necho line beta\nmiddle\necho line beta")))
+          .otherwise(col("text")))
+      Dedup.lineDedup(planted, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || 'echo line beta'
+            || chr(10) || 'middle' || chr(10) || 'echo line beta'
+          ELSE text END AS text
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs),
+      kept AS (SELECT doc_id, l,
+          list_filter(list_transform(l, (x, i) -> {'x': x, 'i': i}),
+            s -> list_position(l, s.x) = s.i) AS k
+        FROM ls)
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+        CAST(len(l) - len(k) AS BIGINT) AS n_removed,
+        md5(array_to_string(list_transform(k, s -> s.x), chr(10))) AS clean_md5
+      FROM kept ORDER BY doc_id"""),
+    notes = "per-doc first-occurrence line dedup; zero-shuffle array " +
+      "algebra, md5-verified clean text")
+
   val qParagraphDedup = GQuery("q_paragraph_dedup",
     (s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -2314,6 +2347,43 @@ object TextQueries {
       ORDER BY media_id"""),
     notes = "real javax.sound.sampled decode; twin recomputes PCM sums analytically")
 
+  /** Per-frame audio features after the REAL WAV decode ([[graft.operators
+    * .Multimodal.audioFrames]]): 160-sample (10 ms @ 16 kHz) windows
+    * reduced to energy (sum|s|), zero-crossing count, and peak — the VAD /
+    * silence-trim front-end of a speech pipeline. Exact integers; the twin
+    * regenerates the PCM analytically (the [[qAudioDecode]] posture) and
+    * windows it in SQL. */
+  val qAudioFrames = GQuery("q_audio_frames",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.audioFrames(s,
+          Multimodal.mediaWithRealAudio(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"), col("frame_id"), col("n"),
+          col("sum_abs"), col("zcr"), col("peak"))
+        .orderBy(col("media_id"), col("frame_id"))
+    },
+    Some("""WITH clips AS (
+        SELECT doc_id AS media_id, doc_id % 400 + 100 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      gi AS (SELECT media_id, unnest(range(0, n)) AS i FROM clips),
+      s AS (SELECT media_id, i, i // 160 AS frame_id,
+          (media_id * 31 + i * 7919) % 65536 - 32768 AS v
+        FROM gi),
+      x AS (SELECT media_id, frame_id, v,
+          CASE WHEN lag(v) OVER w IS NOT NULL
+            AND ((v < 0) <> (lag(v) OVER w < 0)) THEN 1 ELSE 0 END AS c
+        FROM s WINDOW w AS (PARTITION BY media_id, frame_id ORDER BY i))
+      SELECT media_id, CAST(frame_id AS BIGINT) AS frame_id,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        CAST(SUM(c) AS BIGINT) AS zcr,
+        CAST(MAX(ABS(v)) AS BIGINT) AS peak
+      FROM x GROUP BY 1, 2
+      ORDER BY media_id, frame_id"""),
+    notes = "10ms frame energy/ZCR/peak through the real WAV round-trip; " +
+      "analytic SQL twin windows the same PCM formula")
+
   /** REAL video decode end-to-end — the LAST modality off the stub list:
     * video rows carry actual multi-frame animated GIFs rendered from a pure
     * integer formula over an identity grayscale palette
@@ -2848,9 +2918,10 @@ object TextQueries {
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
-    qEmbeddingNearDup, qParaphraseMining, qMediaFeatures, qImageDecode, qAudioDecode,
+    qEmbeddingNearDup, qParaphraseMining, qMediaFeatures, qImageDecode,
+    qAudioDecode, qAudioFrames,
     qVideoDecode, qFrameSample, qImageResize,
-    qBoilerplate, qParagraphDedup, qDecontaminate,
+    qBoilerplate, qParagraphDedup, qLineDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,

@@ -348,6 +348,39 @@ class DedupSpec extends SparkSpec {
     assert(agg.finish(Seq(5L, 2L, 9L)) === Seq(2L, 5L, 9L))
   }
 
+  test("lineDedup: first occurrence survives; uniques untouched") {
+    val rows = Dedup.lineDedup(Seq(
+        (1L, "a\nb\na\nc\nb"),    // dups: 2nd a, 2nd b
+        (2L, "x\ny\nz"))          // all unique
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L)._1 === 5L)
+    assert(rows(1L)._2 === 2L)
+    val md5abc = java.security.MessageDigest.getInstance("MD5")
+      .digest("a\nb\nc".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(1L)._3 === md5abc)
+    assert(rows(2L) === ((3L, 0L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("x\ny\nz".getBytes("UTF-8")).map("%02x".format(_)).mkString)))
+  }
+
+  test("audio decodeFrames: exact per-frame energy/zcr against a hand PCM") {
+    import graft.operators.AudioCodec
+    // clip id=1, 5 samples; frameLen=2 → frames [2,2,1]
+    val wav = AudioCodec.synthWav(1L, 5, 16000)
+    val frames = AudioCodec.decodeFrames(wav, 2)
+    val samples = (0 until 5).map(i => AudioCodec.sample(1L, i))
+    def zcrOf(fr: Seq[Int]): Long =
+      fr.sliding(2).count(p => p.size == 2 && (p(0) < 0) != (p(1) < 0)).toLong
+    val expected = samples.grouped(2).zipWithIndex.map { case (fr, idx) =>
+      (idx.toLong, fr.size.toLong, fr.map(s => math.abs(s.toLong)).sum,
+        zcrOf(fr), fr.map(s => math.abs(s.toLong)).max)
+    }.toSeq
+    assert(frames.map(f => (f.frame_id, f.n, f.sum_abs, f.zcr, f.peak))
+      === expected)
+  }
+
   test("exactSubstrPairs: verbatim char runs pair; df gate blocks boilerplate") {
     val quote = "the exact same thirty-char run!"  // 31 chars, 2 distinct 30-runs
     val boiler = "x" * 40  // one distinct 30-run ("x"*30), present in ALL docs
