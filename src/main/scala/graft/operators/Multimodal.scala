@@ -211,6 +211,35 @@ object Multimodal {
     }
   }
 
+  /** VAD-style ACTIVE SEGMENTS over [[audioFrames]] output: a frame is
+    * active iff its energy clears a per-sample threshold
+    * (`sum_abs ≥ thrPerSample · n` — pure integers), and maximal runs of
+    * consecutive active frames become segments (the classic
+    * gaps-and-islands grouping: frame_id − row_number is constant within
+    * a run). Per segment: bounds, length, and total energy — the
+    * segment-selection step a speech pipeline runs before any expensive
+    * model touches audio.
+    *
+    * Scale shape: input rows are already per-frame REDUCTIONS (tiny);
+    * the island window and the segment agg both partition by clip, so
+    * no global sort — per-clip state only. */
+  def vadSegments(frames: DataFrame, thrPerSample: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_id"))
+    frames.filter(col("sum_abs") >= lit(thrPerSample) * col("n"))
+      .withColumn("__grp", col("frame_id") - row_number().over(w))
+      .groupBy(col("media_id"), col("__grp"))
+      .agg(min(col("frame_id")).as("start_frame"),
+        max(col("frame_id")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_abs")).as("energy"))
+      .withColumn("seg_id", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("start_frame")))
+        .cast("long"))
+      .select(col("media_id"), col("seg_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("energy"))
+  }
+
   /** Feature extraction over binary content via mapPartitions: codec state
     * initialized once per partition, rows streamed (never materialized as a
     * list) — the batch shape that scales. */

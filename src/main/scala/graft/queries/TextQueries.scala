@@ -2384,6 +2384,50 @@ object TextQueries {
     notes = "10ms frame energy/ZCR/peak through the real WAV round-trip; " +
       "analytic SQL twin windows the same PCM formula")
 
+  /** Active-segment extraction over the decoded frames ([[graft.operators
+    * .Multimodal.vadSegments]]): frames clearing a 16384-per-sample energy
+    * threshold, grouped into maximal consecutive runs (gaps-and-islands) —
+    * the speech pipeline's VAD/segment-selection step, end-to-end through
+    * the REAL WAV decode. Integer-exact; the twin replays the analytic
+    * PCM, the same frame reduction, and the same island grouping in SQL. */
+  val qVadSegments = GQuery("q_vad_segments",
+    (s, d) => {
+      import graft.operators.Multimodal
+      Multimodal.vadSegments(
+          Multimodal.audioFrames(s,
+            Multimodal.mediaWithRealAudio(s, Tables.documents(s, d))).toDF(),
+          thrPerSample = 16384L)
+        .orderBy(col("media_id"), col("seg_id"))
+    },
+    Some("""WITH clips AS (
+        SELECT doc_id AS media_id, doc_id % 400 + 100 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      gi AS (SELECT media_id, unnest(range(0, n)) AS i FROM clips),
+      s AS (SELECT media_id, i // 160 AS frame_id,
+          (media_id * 31 + i * 7919) % 65536 - 32768 AS v
+        FROM gi),
+      f AS (SELECT media_id, frame_id, COUNT(*) AS n,
+          SUM(ABS(v)) AS sum_abs
+        FROM s GROUP BY 1, 2),
+      act AS (SELECT media_id, frame_id, n, sum_abs,
+          frame_id - ROW_NUMBER() OVER (PARTITION BY media_id
+            ORDER BY frame_id) AS grp
+        FROM f WHERE sum_abs >= 16384 * n),
+      seg AS (SELECT media_id, MIN(frame_id) AS start_frame,
+          MAX(frame_id) AS end_frame, COUNT(*) AS n_frames,
+          SUM(sum_abs) AS energy
+        FROM act GROUP BY media_id, grp)
+      SELECT media_id,
+        ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY start_frame)
+          AS seg_id,
+        CAST(start_frame AS BIGINT) AS start_frame,
+        CAST(end_frame AS BIGINT) AS end_frame,
+        CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(energy AS BIGINT) AS energy
+      FROM seg ORDER BY media_id, seg_id"""),
+    notes = "energy-gated gaps-and-islands segmentation over real-decode " +
+      "frames; per-clip windows only, no global sort")
+
   /** REAL video decode end-to-end — the LAST modality off the stub list:
     * video rows carry actual multi-frame animated GIFs rendered from a pure
     * integer formula over an identity grayscale palette
@@ -2919,7 +2963,7 @@ object TextQueries {
     qAnnLsh, qAnnIvf,
     qAnnLshCand, qAnnIvfCand,
     qEmbeddingNearDup, qParaphraseMining, qMediaFeatures, qImageDecode,
-    qAudioDecode, qAudioFrames,
+    qAudioDecode, qAudioFrames, qVadSegments,
     qVideoDecode, qFrameSample, qImageResize,
     qBoilerplate, qParagraphDedup, qLineDedup, qDecontaminate,
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
