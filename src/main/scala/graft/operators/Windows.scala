@@ -23,6 +23,31 @@ object Windows {
     * numbers sessions needs a total order to be reproducible.
     * Output: (key, session_id 1..n, session_start, session_end, n_events,
     * total_value). Streaming twin: `session_window` (StreamsSpec). */
+  /** NATIVE session-window sessionization: the same gap semantics
+    * expressed through Spark's built-in `session_window` aggregation —
+    * the formulation that runs UNCHANGED as a watermarked streaming query
+    * (this is its batch/oracle twin; [[sessionize]] is the lag+running-sum
+    * classic). One semantic difference, pinned deliberately: built-in
+    * session windows MERGE only while the next event starts strictly
+    * inside `last_ts + gap`, so an exactly-gap-sized silence BREAKS the
+    * session here (≥) where [[sessionize]]'s lag formulation keeps it
+    * (>). The twin mirrors ≥. `session_end` is the window's exclusive
+    * end (`max(ts) + gap`) — the streaming emission timestamp — not the
+    * last event time. One shuffle: the session_window groupBy partial-
+    * aggregates map-side like any hash aggregation. */
+  def sessionizeNative(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), s"$gapMinutes minutes"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Det.dsum(col(valueCol)).as("total_value"))
+      .select(col(keyCol),
+        graft.Det.fmtTs(col("session_window.start")).as("session_start"),
+        graft.Det.fmtTs(col("session_window.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col(keyCol), col("session_start"))
+
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tiebreakCol: String, valueCol: String, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -291,6 +291,37 @@ object WindowQueries {
       FROM sess GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""))
 
+  /** W-ext — NATIVE `session_window` sessionization ([[Windows
+    * .sessionizeNative]]): the identical code path a watermarked
+    * streaming query runs, oracle-gated in batch. Boundary semantics are
+    * the built-in's (an exactly-gap silence BREAKS — ≥, vs the lag
+    * formulation's >), and `session_end` is the exclusive window end
+    * (`max(ts) + gap`), both mirrored in the twin. */
+  val qSessionizeNative = GQuery("q_sessionize_native",
+    (s, d) => Windows.sessionizeNative(Tables.events(s, d),
+      "user_id", "ts", "value", gapMinutes = 30),
+    Some(s"""WITH lagd AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM lagd)
+      SELECT user_id,
+        ${Det.sqlFmtTs("MIN(ts)")} AS session_start,
+        ${Det.sqlFmtTs("MAX(ts) + INTERVAL 30 MINUTE")} AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ${Det.sqlDsum("value")} AS total_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""),
+    notes = "built-in session_window in batch — the streaming-native " +
+      "formulation oracle-gated; >= boundary and exclusive end pinned")
+
   /** W-ext — per-key-gap sessionization: the gap comes from a broadcast
     * config dim (user_id % 3 → 5 / 30 / 120 min, mirrored in the twin), so
     * aggressive-gap keys split into many short sessions and lazy-gap keys
@@ -573,7 +604,8 @@ object WindowQueries {
 
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
-    qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeKeyed, qFunnel,
+    qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeNative,
+    qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter)
 }
