@@ -12,17 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object Windows {
 
-  /** W-ext — gap-based SESSIONIZATION: events of one key separated by more
-    * than `gapMinutes` of event-time start a new session; per-session
-    * aggregates come out of the same two shuffles every windowed query pays
-    * (one hash partition on the key for lag + running sum, one for the
-    * session groupBy — and with the partial aggregate map-side combined).
-    * Boundary flags compare epoch-microsecond BIGINTs (exact cross-engine);
-    * the (ts, tiebreak) total order makes tied timestamps deterministic —
-    * ties can never split a session (gap 0), but the RUNNING sum that
-    * numbers sessions needs a total order to be reproducible.
-    * Output: (key, session_id 1..n, session_start, session_end, n_events,
-    * total_value). Streaming twin: `session_window` (StreamsSpec). */
   /** NATIVE session-window sessionization: the same gap semantics
     * expressed through Spark's built-in `session_window` aggregation —
     * the formulation that runs UNCHANGED as a watermarked streaming query
@@ -48,6 +37,17 @@ object Windows {
         col("n_events"), col("total_value"))
       .orderBy(col(keyCol), col("session_start"))
 
+  /** W-ext — gap-based SESSIONIZATION: events of one key separated by more
+    * than `gapMinutes` of event-time start a new session; per-session
+    * aggregates come out of the same two shuffles every windowed query pays
+    * (one hash partition on the key for lag + running sum, one for the
+    * session groupBy — and with the partial aggregate map-side combined).
+    * Boundary flags compare epoch-microsecond BIGINTs (exact cross-engine);
+    * the (ts, tiebreak) total order makes tied timestamps deterministic —
+    * ties can never split a session (gap 0), but the RUNNING sum that
+    * numbers sessions needs a total order to be reproducible.
+    * Output: (key, session_id 1..n, session_start, session_end, n_events,
+    * total_value). Streaming twin: `session_window` (StreamsSpec). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
       tiebreakCol: String, valueCol: String, gapMinutes: Int): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
