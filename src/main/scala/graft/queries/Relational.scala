@@ -927,6 +927,28 @@ object Relational {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     notes = "bloom bitmap broadcast prunes probe pre-shuffle; oracle is the plain semi-join")
 
+  /** 2D Pareto SKYLINE ([[graft.operators.Analytics.skyline2d]]): parts
+    * not dominated on (maximize p_size, minimize p_retailprice) — the
+    * best-frontier reporting shape (reference's best-odds-per-outcome
+    * tables, `reports.py` price frontiers). The engine runs the
+    * sort-filter skyline (one bounded groupBy + running-min window +
+    * broadcast verdict join — never O(n²)); the oracle is the
+    * INDEPENDENT quadratic NOT-EXISTS dominance definition, so the
+    * linear rewrite is gated against the textbook semantics. */
+  val qSkyline = GQuery("q_skyline",
+    (s, d) => graft.operators.Analytics.skyline2d(
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_size", "p_retailprice")
+      .orderBy(desc("p_size"), asc("p_retailprice"), asc("p_partkey")),
+    Some("""SELECT p_partkey, p_size, p_retailprice FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM part q
+        WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+          AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+      ORDER BY p_size DESC, p_retailprice, p_partkey"""),
+    notes = "linear sort-filter skyline gated against the quadratic " +
+      "NOT-EXISTS dominance oracle")
+
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qUpsert, qScd2, qOverlapJoin,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
@@ -935,5 +957,6 @@ object Relational {
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
-    qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution)
+    qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
+    qSkyline)
 }

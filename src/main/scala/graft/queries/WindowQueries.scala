@@ -602,10 +602,93 @@ object WindowQueries {
     notes = "left-outer batch twin of the stream-stream join; unconverted " +
       "views surface as null r_id/gap_us")
 
+  /** CUSUM changepoint statistic ([[graft.operators.Analytics.cusum]])
+    * over each event type's daily-volume series: the high-side Page
+    * test `S_i = max(0, S_{i-1} + (x_i - mu))`, computed non-recursively
+    * via the prefix identity `S_i = P_i - min(P_1..P_i, 0)` (two stacked
+    * windows, partition-parallel per series). Daily volumes quantized to
+    * exact integer micros and mu by integer division, so the statistic
+    * is hash-exact cross-engine. The oracle twin computes the SAME
+    * prefix identity in DuckDB SQL; the spec re-derives the recursion
+    * directly in Scala, pinning identity ≡ recursion. */
+  val qChangepoint = GQuery("q_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(27, 6))).as("v"))
+      graft.operators.Analytics.cusum(daily, "event_type", "d", "v")
+        .select(col("k").as("event_type"), Det.fmtDate(col("t")).as("day"),
+          col("x"), col("s"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      ref AS (SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+        FROM daily GROUP BY 1),
+      pre AS (
+        SELECT daily.event_type, daily.d, daily.x,
+          CAST(SUM(daily.x - ref.mu) OVER (PARTITION BY daily.event_type
+            ORDER BY daily.d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS p
+        FROM daily JOIN ref USING (event_type))
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x,
+        CAST(p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+          AS BIGINT) AS s
+      FROM pre ORDER BY event_type, day"""),
+    notes = "Page CUSUM via prefix-sum/running-min identity; integer-" +
+      "exact, spec pins identity against the textbook recursion")
+
+  /** Lag-1 AUTOCORRELATION ([[graft.operators.Analytics.lagAutocorr]])
+    * of each event type's daily-volume series: Pearson r over
+    * (x_t, x_{t+1}) pairs with all Σ-terms in exact decimal and the
+    * final r assembled in a pinned IEEE sequence
+    * (num / (sqrt(d1) * sqrt(d2)), every operand cast from exact
+    * integers) — hash-exact double with no golden. Seasonality /
+    * burstiness probe for pipeline monitoring. */
+  val qAutocorr = GQuery("q_autocorr",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(27, 6))) * lit(1000000))
+          .cast("long").as("x"))
+      graft.operators.Analytics.lagAutocorr(daily, "event_type", "d", "x")
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT event_type, CAST(x AS HUGEINT) AS x,
+          CAST(LEAD(x) OVER (PARTITION BY event_type ORDER BY d)
+            AS HUGEINT) AS y
+        FROM daily QUALIFY y IS NOT NULL),
+      sums AS (
+        SELECT event_type, COUNT(*) AS n_pairs,
+          SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+          SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY 1)
+      SELECT event_type, n_pairs,
+        CAST(CAST(n_pairs * sxy - sx * sy AS VARCHAR) AS DOUBLE) /
+          (sqrt(CAST(CAST(n_pairs * sxx - sx * sx AS VARCHAR) AS DOUBLE)) *
+           sqrt(CAST(CAST(n_pairs * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+          AS r
+      FROM sums ORDER BY event_type"""),
+    notes = "five exact sums -> pinned IEEE assembly; hash-exact r. " +
+      "Oracle routes hugeint->double through VARCHAR: DuckDB's direct " +
+      "hugeint->double cast is not correctly rounded (1-ulp off on this " +
+      "data); strtod is, matching Spark's BigDecimal.doubleValue")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeNative,
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
-    qAttribution, qEventPairs, qEventPairsOuter)
+    qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.queries.{Relational, WindowQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantic cross-checks for the series/frontier analytics family: each
+  * operator's non-obvious rewrite (linear skyline, non-recursive CUSUM,
+  * five-sum Pearson) is re-derived in plain Scala from the collected
+  * base data — an in-JVM oracle independent of both Spark's window
+  * machinery and the DuckDB twin.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  test("q_skyline: linear sort-filter skyline equals quadratic dominance") {
+    val out = Relational.qSkyline.run(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("p_partkey"),
+        r.getAs[Int]("p_size"), r.getAs[Double]("p_retailprice")))
+
+    val base = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = base.filter { p =>
+      !base.exists(q => q._2 >= p._2 && q._3 <= p._3 &&
+        (q._2 > p._2 || q._3 < p._3))
+    }.sortBy(p => (-p._2, p._3, p._1))
+    assert(out.toSeq === expected.toSeq)
+    assert(out.nonEmpty)
+    // frontier is strictly decreasing in price as size decreases
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 > b._2 && a._3 > b._3)
+    case _ => ()
+    }
+  }
+
+  test("q_changepoint: prefix identity equals the textbook CUSUM recursion") {
+    val out = WindowQueries.qChangepoint.run(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day")) ->
+        ((r.getAs[Long]("x"), r.getAs[Long]("s")))).toMap
+
+    // re-derive: daily integer micros per type, then the recursion
+    // S_i = max(0, S_{i-1} + (x_i - mu)) directly
+    val daily = out.toSeq.map { case ((t, d), (x, _)) => (t, d, x) }
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val series = rows.sortBy(_._2)
+      val mu = series.map(r => BigInt(r._3)).sum / series.size
+      var s = BigInt(0)
+      series.foreach { case (_, day, x) =>
+        s = (s + (BigInt(x) - mu)).max(BigInt(0))
+        assert(BigInt(out((typ, day))._2) === s, s"($typ, $day)")
+      }
+    }
+    assert(out.size >= 30, "expected at least a month of series points")
+  }
+
+  test("q_autocorr: r matches an exact BigInt five-sum re-derivation") {
+    val out = WindowQueries.qAutocorr.run(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("r")))).toMap
+
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(27, 6))) * lit(1000000)).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val xs = rows.sortBy(_._2).map(r => BigInt(r._3))
+      val pairs = xs.zip(xs.tail)
+      val n = BigInt(pairs.size)
+      val sx = pairs.map(_._1).sum
+      val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+         math.sqrt((n * syy - sy * sy).toDouble))
+      val (gotN, gotR) = out(typ)
+      assert(gotN === pairs.size.toLong)
+      assert(gotR === r, s"type $typ")
+      assert(gotR >= -1.0 && gotR <= 1.0)
+    }
+  }
+}
