@@ -2953,6 +2953,92 @@ object TextQueries {
       FROM b GROUP BY lang, bin ORDER BY lang, bin"""),
     notes = "equi-depth curriculum bins; deterministic NTILE edges, one exchange")
 
+  /** Naive-Bayes TRAINING summary ([[graft.operators.NaiveBayes
+    * .modelSummary]]): per-class doc counts, token totals, vocabulary
+    * size and modal token of the multinomial model — one corpus
+    * explode + (class, token) groupBy, output vocabulary-bounded. */
+  val qNbModel = GQuery("q_nb_model",
+    (s, d) => graft.operators.NaiveBayes.modelSummary(
+        Tables.documents(s, d), "doc_id", "text", "lang")
+      .orderBy(col("cls")),
+    Some("""WITH inst AS (
+        SELECT doc_id, lang AS cls, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      model AS (SELECT cls, token, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+      docs AS (SELECT lang AS cls, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1),
+      tops AS (
+        SELECT cls, token AS top_token FROM model
+        QUALIFY row_number() OVER (PARTITION BY cls
+          ORDER BY cnt DESC, token) = 1),
+      summ AS (
+        SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot_tokens,
+          COUNT(*) AS vocab_c
+        FROM model GROUP BY 1)
+      SELECT s.cls, d.n_docs, s.tot_tokens, s.vocab_c, t.top_token
+      FROM summ s JOIN docs d USING (cls) JOIN tops t USING (cls)
+      ORDER BY cls"""),
+    notes = "multinomial NB training pass; modal token tie-broken " +
+      "lexicographically")
+
+  /** Naive-Bayes CLASSIFICATION ([[graft.operators.NaiveBayes
+    * .classify]]): the fastText-style language/quality-filter step,
+    * integer-exact — add-one-smoothed multinomial NB scored in 1/64-bit
+    * fixed-point log₂ units ([[graft.operators.NaiveBayes.lg64]]:
+    * mantissa-tracked repeated 4th powers, pure int64, identical
+    * cross-engine by construction), argmax tie-broken on the smallest
+    * class. Training AND scoring under one hash-exact oracle; no
+    * golden. At this resolution the integer classifier reproduces
+    * float NB's accuracy exactly (whole-bit flooring inverted it). */
+  val qNbClassify = GQuery("q_nb_classify",
+    (s, d) => graft.operators.NaiveBayes.classify(
+        Tables.documents(s, d), "doc_id", "text", "lang")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH inst AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      model AS (
+        SELECT d.lang AS cls, i.token, COUNT(*) AS cnt
+        FROM inst i JOIN documents d USING (doc_id) GROUP BY 1, 2),
+      vocab AS (SELECT COUNT(DISTINCT token) AS v FROM model),
+      ${graft.operators.NaiveBayes.sqlLg64Chain(
+        "model", "cnt + 1", Seq("cls", "token"), "mclg", "lgc")},
+      tot0 AS (
+        SELECT m.cls,
+          CAST(SUM(m.cnt) AS BIGINT) + ANY_VALUE(vocab.v) AS nd
+        FROM model m, vocab GROUP BY m.cls),
+      ${graft.operators.NaiveBayes.sqlLg64Chain(
+        "tot0", "nd", Seq("cls"), "dlg", "denom")},
+      doc0 AS (SELECT lang AS cls, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1),
+      ${graft.operators.NaiveBayes.sqlLg64Chain(
+        "doc0", "n_docs", Seq("cls"), "plg", "prior")},
+      totals AS (SELECT dlg.cls, plg.prior, dlg.denom
+        FROM dlg JOIN plg USING (cls)),
+      scored AS (
+        SELECT i.doc_id, t.cls,
+          MAX(t.prior) + SUM(COALESCE(m.lgc, 0) - t.denom) AS score
+        FROM inst i
+        CROSS JOIN totals t
+        LEFT JOIN mclg m ON m.token = i.token AND m.cls = t.cls
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT doc_id, cls AS pred, score
+        FROM scored QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, cls) = 1)
+      SELECT p.doc_id, p.pred, d.lang AS actual,
+        CAST(p.pred = d.lang AS INT) AS correct,
+        CAST(p.score AS BIGINT) AS score
+      FROM pred p JOIN documents d USING (doc_id) ORDER BY doc_id"""),
+    notes = "1/64-bit fixed-point log2 multinomial NB; two corpus " +
+      "shuffles (train counts, score join), model side vocabulary-" +
+      "bounded, fixed-point logs computed once per MODEL row; " +
+      "near-chance accuracy is a property of the shared-vocab corpus")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -2974,5 +3060,5 @@ object TextQueries {
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
-    qMatryoshka, qReadability)
+    qMatryoshka, qReadability, qNbModel, qNbClassify)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.NaiveBayes
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** In-JVM re-derivations for the integer Naive-Bayes family: the
+  * fixed-point log primitive against a BigInt reference, and the full
+  * classifier against a direct Scala NB over the collected corpus. */
+class NaiveBayesSpec extends SparkSpec {
+
+  /** Reference lg64: same algorithm, arbitrary-precision. */
+  private def lg64Ref(n: Long): Long = {
+    require(n >= 1)
+    val e0 = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var m = BigInt(n) * 8192 >> e0
+    var acc = e0.toLong * 64
+    var unit = 16L
+    (1 to 3).foreach { _ =>
+      val raw = m.pow(4)
+      val f = raw.bitLength - 53
+      m = raw >> (f + 39)
+      acc += unit * f
+      unit /= 4
+    }
+    acc
+  }
+
+  test("lg64 matches the BigInt reference and brackets 64*log2") {
+    val ns = (1L to 4096L) ++ Seq(8191L, 8192L, 1000000L, 123456789L,
+      (1L << 49) - 1)
+    import spark.implicits._
+    val got = ns.toDF("n")
+      .select(col("n"), NaiveBayes.lg64(col("n")).as("lg"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      assert(got(n) === lg64Ref(n), s"n=$n")
+      val err = math.abs(got(n) / 64.0 - math.log(n.toDouble) / math.log(2))
+      assert(err < 0.02, s"n=$n err=$err")
+    }
+    assert(got(1L) === 0L && got(8192L) === 13 * 64L)
+  }
+
+  test("q_nb_classify equals a direct Scala NB over the collected corpus") {
+    val out = TextQueries.qNbClassify.run(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("pred"), r.getAs[String]("actual"),
+          r.getAs[Int]("correct"), r.getAs[Long]("score")))).toMap
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val toks = docs.map { case (id, _, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val byLang = docs.groupBy(_._2)
+    val langs = byLang.keys.toSeq.sorted
+    val cnt = byLang.map { case (l, ds) =>
+      l -> ds.flatMap(d => toks(d._1)).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val v = docs.flatMap(d => toks(d._1)).distinct.size.toLong
+    val tot = cnt.map { case (l, m) => l -> m.values.sum }
+    docs.foreach { case (id, lang, _) =>
+      val scores = langs.map { c =>
+        val s = lg64Ref(byLang(c).size.toLong) + toks(id).map { t =>
+          lg64Ref(cnt(c).getOrElse(t, 0L) + 1) - lg64Ref(tot(c) + v)
+        }.sum
+        (c, s)
+      }
+      val (pred, score) = scores.sortBy { case (c, s) => (-s, c) }.head
+      val (gotPred, gotActual, gotCorrect, gotScore) = out(id)
+      assert(gotPred === pred && gotScore === score, s"doc $id")
+      assert(gotActual === lang)
+      assert(gotCorrect === (if (pred == lang) 1 else 0))
+    }
+    assert(out.size === docs.length)
+  }
+
+  test("q_nb_model summary matches a direct re-derivation") {
+    val out = TextQueries.qNbModel.run(spark, sfDir)
+      .collect().map(r => r.getAs[String]("cls") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tot_tokens"),
+          r.getAs[Long]("vocab_c"), r.getAs[String]("top_token")))).toMap
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val all = ds.flatMap(_._3.trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty))
+      val freq = all.groupBy(identity).map { case (t, xs) => (t, xs.size) }
+      val top = freq.toSeq.minBy { case (t, c) => (-c, t) }._1
+      assert(out(lang) === ((ds.size.toLong, all.size.toLong,
+        freq.size.toLong, top)), s"lang $lang")
+    }
+  }
+}
