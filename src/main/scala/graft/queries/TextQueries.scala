@@ -3039,6 +3039,21 @@ object TextQueries {
       "bounded, fixed-point logs computed once per MODEL row; " +
       "near-chance accuracy is a property of the shared-vocab corpus")
 
+  /** Greedy k-center CORESET ([[graft.operators.Coreset.kCenter]]):
+    * farthest-point traversal over the embeddings — the data-pruning /
+    * diverse-subset-selection step. Integer-quantized squared L2, seed
+    * at min id, ties to smallest id; the oracle replays the identical
+    * argmax trajectory as an unrolled CTE chain. k corpus scans, one
+    * 1-row collect each, zero corpus shuffles. */
+  val qCoreset = GQuery("q_coreset",
+    (s, d) => graft.operators.Coreset.kCenter(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+      .select(col("rank"), col("id").as("vec_id"), col("dist"))
+      .orderBy(col("rank")),
+    Some(graft.operators.Coreset.sqlKCenter(8)),
+    notes = "farthest-point k-center; argmax trajectory bit-replayed " +
+      "by the unrolled SQL twin")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3060,5 +3075,5 @@ object TextQueries {
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
-    qMatryoshka, qReadability, qNbModel, qNbClassify)
+    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** In-JVM re-derivation of the greedy k-center traversal. */
+class CoresetSpec extends SparkSpec {
+
+  test("q_coreset replays a direct Scala farthest-point traversal") {
+    val out = TextQueries.qCoreset.run(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("dist")))
+
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    var sel = Vector((pts.head._1, 0L))
+    var md = pts.map { case (id, v) => id -> d2(v, pts.head._2) }.toMap
+    while (sel.size < 8) {
+      val cand = pts.filterNot(p => sel.exists(_._1 == p._1))
+        .map { case (id, _) => (id, md(id)) }
+      val (nid, nd) = cand.minBy { case (id, dist) => (-dist, id) }
+      sel = sel :+ ((nid, nd))
+      val nv = pts.find(_._1 == nid).get._2
+      md = pts.map { case (id, v) =>
+        id -> math.min(md(id), d2(v, nv))
+      }.toMap
+    }
+    val expected = sel.zipWithIndex.map { case ((id, dist), i) =>
+      (i + 1L, id, dist)
+    }
+    assert(out.toSeq === expected)
+    // farthest-point property: selection distances are non-increasing
+    expected.map(_._3).drop(1).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ => ()
+    }
+  }
+}
