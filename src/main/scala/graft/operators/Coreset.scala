@@ -67,6 +67,105 @@ object Coreset {
     } finally q.unpersist()
   }
 
+  private def dot(qv: Column, center: Seq[Long]): Column =
+    aggregate(
+      zip_with(qv, typedLit(center), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+
+  /** MAXIMAL MARGINAL RELEVANCE (MMR) diversified top-k: rerank the
+    * `n` most query-relevant vectors so each pick maximizes
+    * `wRel·rel(p) − wDiv·max_{s∈selected} sim(p, s)` — the
+    * diversity-aware retrieval step (dedupe-at-serving / diverse
+    * few-shot selection). Similarities are integer dot products over
+    * micro-quantized coordinates, weights are integers, ties break on
+    * the smallest id — the greedy trajectory is bit-replayable.
+    *
+    * Scale shape: ONE corpus map scores relevance against the
+    * plan-literal query vector, a TakeOrderedAndProject keeps the top-n
+    * rerank pool (the serve-path posture: greedy reranking runs on a
+    * bounded candidate set, never the corpus), then k rounds of
+    * map + 1-row-collect argmax over the cached pool. */
+  def mmr(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Double], n: Int, k: Int,
+      wRel: Long = 7L, wDiv: Long = 3L): DataFrame = {
+    val spark = df.sparkSession
+    val qq = queryVec.map(x => math.floor(x * 1000000).toLong)
+    val cands = df
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("rel", dot(col("qv"), qq))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(n)
+      .cache()
+    try {
+      val first = cands.orderBy(col("rel").desc, col("id").asc)
+        .limit(1).collect()(0)
+      var sel = Vector[(Long, Seq[Long], Long, Long)](
+        (first.getLong(0), first.getSeq[Long](1), first.getLong(2),
+          wRel * first.getLong(2)))
+      while (sel.size < k) {
+        val maxSim = sel.map(s => dot(col("qv"), s._2))
+          .reduce(greatest(_, _))
+        val next = cands
+          .filter(!col("id").isInCollection(sel.map(_._1)))
+          .select(col("id"), col("qv"), col("rel"),
+            (lit(wRel) * col("rel") - lit(wDiv) * maxSim).as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(1).collect()(0)
+        sel = sel :+ ((next.getLong(0), next.getSeq[Long](1),
+          next.getLong(2), next.getLong(3)))
+      }
+      import spark.implicits._
+      sel.zipWithIndex
+        .map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
+        .toDF("rank", "id", "rel", "score")
+    } finally cands.unpersist()
+  }
+
+  /** DuckDB twin of [[mmr]] as an unrolled CTE chain. */
+  def sqlMmr(queryIdExpr: String, n: Int, k: Int,
+      wRel: Long = 7L, wDiv: Long = 3L): String = {
+    val dotS = (a: String, b: String) =>
+      s"list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2]))"
+    val sb = new StringBuilder
+    sb.append(s"""WITH qz AS (
+      SELECT list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = $queryIdExpr),
+    pool AS MATERIALIZED (
+      SELECT e.vec_id AS id,
+        list_transform(e.embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+        (SELECT ${dotS("list_transform(e.embedding, x -> CAST(FLOOR(" +
+          "CAST(x AS DOUBLE) * 1000000) AS BIGINT))", "qz.qv")}
+         FROM qz) AS rel
+      FROM embeddings e
+      ORDER BY rel DESC, id LIMIT $n),
+    m0 AS MATERIALIZED (SELECT id, qv, rel, $wRel * rel AS score FROM pool
+      ORDER BY rel DESC, id LIMIT 1)""")
+    for (i <- 1 until k) {
+      val prevSel = (0 until i).map(j => s"SELECT id FROM m$j")
+        .mkString(" UNION ALL ")
+      val sims = (0 until i)
+        .map(j => s"(SELECT ${dotS("p.qv", s"m$j.qv")} FROM m$j)")
+      val maxSim =
+        if (sims.size == 1) sims.head
+        else s"GREATEST(${sims.mkString(", ")})"
+      sb.append(s""",
+    m$i AS MATERIALIZED (SELECT id, qv, rel,
+        $wRel * rel - $wDiv * ($maxSim) AS score
+      FROM pool p WHERE id NOT IN ($prevSel)
+      ORDER BY score DESC, id LIMIT 1)""")
+    }
+    val sel = (0 until k)
+      .map(j => s"SELECT ${j + 1} AS rank, id, rel, score FROM m$j")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+    SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+      CAST(rel AS BIGINT) AS rel, CAST(score AS BIGINT) AS score
+    FROM ($sel) ORDER BY rank""")
+    sb.toString
+  }
+
   /** DuckDB twin of [[kCenter]] as an unrolled CTE chain (the oracle
     * replays the identical argmax trajectory in SQL; a recursive CTE
     * cannot aggregate over its own working table, so the k rounds are
@@ -76,24 +175,24 @@ object Coreset {
       s"list_sum(list_transform(list_zip($a, $b), " +
         s"p -> (p[1]-p[2])*(p[1]-p[2])))"
     val sb = new StringBuilder
-    sb.append("""WITH q AS (
+    sb.append("""WITH q AS MATERIALIZED (
       SELECT vec_id AS id, list_transform(embedding,
         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings),
-    c0 AS (SELECT id, qv, CAST(0 AS BIGINT) AS dist FROM q
+    c0 AS MATERIALIZED (SELECT id, qv, CAST(0 AS BIGINT) AS dist FROM q
       WHERE id = (SELECT MIN(id) FROM q)),
-    d0 AS (SELECT q.id, q.qv,
+    d0 AS MATERIALIZED (SELECT q.id, q.qv,
       (SELECT """ + dist("q.qv", "c0.qv") + """ FROM c0) AS md FROM q)""")
     for (i <- 1 until k) {
       val prevSel = (0 until i).map(j => s"SELECT id FROM c$j")
         .mkString(" UNION ALL ")
       sb.append(s""",
-    c$i AS (SELECT id, qv, md AS dist FROM d${i - 1}
+    c$i AS MATERIALIZED (SELECT id, qv, md AS dist FROM d${i - 1}
       WHERE id NOT IN ($prevSel)
       ORDER BY md DESC, id LIMIT 1)""")
       if (i < k - 1)
         sb.append(s""",
-    d$i AS (SELECT d.id, d.qv,
+    d$i AS MATERIALIZED (SELECT d.id, d.qv,
       LEAST(d.md, (SELECT ${dist("d.qv", s"c$i.qv")} FROM c$i)) AS md
       FROM d${i - 1} d)""")
     }

@@ -3054,6 +3054,27 @@ object TextQueries {
     notes = "farthest-point k-center; argmax trajectory bit-replayed " +
       "by the unrolled SQL twin")
 
+  /** MMR diversified retrieval ([[graft.operators.Coreset.mmr]]):
+    * rerank the top-100 query-relevant vectors so each of the 8 picks
+    * maximizes 7·rel − 3·max-sim-to-selected (integer dots over
+    * micro-quantized coordinates) — the diversity-aware serving /
+    * few-shot-selection step. One corpus scoring map + bounded-pool
+    * greedy rounds; trajectory bit-replayed by the unrolled twin. */
+  val qMmr = GQuery("q_mmr",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble)
+      graft.operators.Coreset.mmr(emb, "vec_id", "embedding", qv,
+          n = 100, k = 8)
+        .select(col("rank"), col("id").as("vec_id"), col("rel"),
+          col("score"))
+        .orderBy(col("rank"))
+    },
+    Some(graft.operators.Coreset.sqlMmr("0", 100, 8)),
+    notes = "greedy MMR rerank over a bounded top-n pool; integer " +
+      "relevance/similarity, argmax trajectory replayed by the twin")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3075,5 +3096,5 @@ object TextQueries {
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
-    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset)
+    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr)
 }

@@ -42,4 +42,41 @@ class CoresetSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("q_mmr replays a direct Scala greedy MMR over the rerank pool") {
+    val out = TextQueries.qMmr.run(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rel"), r.getAs[Long]("score")))
+
+    val pts = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+      }.sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val qv = pts.find(_._1 == 0L).get._2
+    val pool = pts.map { case (id, v) => (id, v, dot(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(100)
+
+    var sel = Vector((pool.head._1, pool.head._2, pool.head._3,
+      7L * pool.head._3))
+    while (sel.size < 8) {
+      val next = pool.filterNot(p => sel.exists(_._1 == p._1))
+        .map { case (id, v, rel) =>
+          val ms = sel.map(s => dot(v, s._2)).max
+          (id, v, rel, 7L * rel - 3L * ms)
+        }.minBy { case (id, _, _, s) => (-s, id) }
+      sel = sel :+ next
+    }
+    val expected = sel.zipWithIndex.map { case ((id, _, rel, s), i) =>
+      (i + 1L, id, rel, s)
+    }
+    assert(out.toSeq === expected)
+    // diversity: MMR must not simply return the top-8 by relevance
+    val top8 = pool.take(8).map(_._1).toSet
+    assert(out.map(_._2).toSet !== top8,
+      "MMR selection should diverge from pure relevance ranking")
+  }
 }
