@@ -39,4 +39,40 @@ object Layout {
     df.withColumn("z", zValue(col(xCol), col(yCol), bits))
       .withColumn("file_id", shiftright(col("z"), 2 * bits - fileBits))
   }
+
+  /** ZONE-MAP PRUNED SCAN over the Z-ordered layout: answers a 2D range
+    * query by consulting per-file min/max stats FIRST and reading only
+    * files whose bounding box intersects the predicate — the file-
+    * skipping read path the layout exists for. Returns a one-row audit:
+    * (files_total, files_scanned, rows_scanned, rows_matched,
+    * sum_metric), so the gate pins BOTH that pruning loses no rows
+    * (rows_matched/sum equal the plain predicate's) and how many files
+    * the stats actually skipped.
+    *
+    * Here the stats table is derived in-query (the layout is synthetic);
+    * in the production write path it is the parquet footer min/max that
+    * [[zOrderFiles]]' write produced, read at planning time — zero data
+    * touched for the skip decision. The candidate file list is bounded
+    * by 2^fileBits and broadcast; the scan joins on file_id, so only
+    * candidate partitions are read. */
+  def zoneMapPrune(df: DataFrame, xCol: String, yCol: String,
+      metricCol: String, bits: Int, fileBits: Int,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val laid = zOrderFiles(df, xCol, yCol, bits, fileBits)
+    val stats = laid.groupBy(col("file_id"))
+      .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
+        count(lit(1)).as("n_rows"))
+    val cand = stats.filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+      col("max_y") >= yLo && col("min_y") <= yHi)
+    val scanned = laid.join(broadcast(cand.select(col("file_id"))),
+      Seq("file_id"))
+    val matched = scanned.filter(col(xCol).between(xLo, xHi) &&
+      col(yCol).between(yLo, yHi))
+    stats.agg(count(lit(1)).as("files_total"))
+      .crossJoin(cand.agg(count(lit(1)).as("files_scanned"),
+        sum(col("n_rows")).as("rows_scanned")))
+      .crossJoin(matched.agg(count(lit(1)).as("rows_matched"),
+        sum(col(metricCol)).as("sum_metric")))
+  }
 }

@@ -772,6 +772,47 @@ object PipelineQueries {
     notes = "Morton interleave recomputed independently in DuckDB; " +
       "bounding-box tightness spec-pinned (LayoutSpec)")
 
+  /** Zone-map pruned scan ([[graft.operators.Layout.zoneMapPrune]]):
+    * the READ path of the Z-order layout — a 2D range query consults
+    * per-file min/max stats and scans only intersecting files. The
+    * audit row pins that pruning loses no rows (rows_matched/sum equal
+    * the plain predicate recomputed from scratch by the twin) and how
+    * many files the stats skipped (files_scanned < files_total —
+    * asserted in LayoutSpec). */
+  val qZonemapPrune = GQuery("q_zonemap_prune",
+    (s, d) => {
+      val pts = Tables.documents(s, d).select(col("doc_id"),
+        (col("doc_id") % 256).as("x"), (col("n_chars") % 256).as("y"))
+      graft.operators.Layout.zoneMapPrune(pts, "x", "y", "doc_id",
+        bits = 8, fileBits = 4, xLo = 32, xHi = 63, yLo = 100, yHi = 140)
+    },
+    Some("""WITH pts AS (
+        SELECT doc_id, doc_id % 256 AS x, n_chars % 256 AS y
+        FROM documents),
+      z AS (SELECT doc_id, x, y,
+          CAST(list_sum(list_transform(range(0, 8), i ->
+            ((x >> i) & 1) * (1 << (2 * i))
+              + ((y >> i) & 1) * (1 << (2 * i + 1)))) AS BIGINT) >> 12
+            AS file_id
+        FROM pts),
+      stats AS (
+        SELECT file_id, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y, COUNT(*) AS n_rows
+        FROM z GROUP BY 1),
+      cand AS (
+        SELECT * FROM stats
+        WHERE max_x >= 32 AND min_x <= 63 AND max_y >= 100 AND min_y <= 140),
+      matched AS (
+        SELECT z.doc_id FROM z JOIN cand USING (file_id)
+        WHERE z.x BETWEEN 32 AND 63 AND z.y BETWEEN 100 AND 140)
+      SELECT (SELECT COUNT(*) FROM stats) AS files_total,
+        (SELECT COUNT(*) FROM cand) AS files_scanned,
+        (SELECT CAST(SUM(n_rows) AS BIGINT) FROM cand) AS rows_scanned,
+        (SELECT COUNT(*) FROM matched) AS rows_matched,
+        (SELECT CAST(SUM(doc_id) AS BIGINT) FROM matched) AS sum_metric"""),
+    notes = "file-skipping read path of the Z-order layout; audit row " +
+      "gates zero-loss pruning + skip counts")
+
   /** Bucketed co-located join ([[graft.sources.Sources.writeBucketedTable]]):
     * events and customer are each written ONCE as 8-bucket hash tables on
     * the join key, then the per-user enrichment join reads both bucketed
@@ -818,5 +859,5 @@ object PipelineQueries {
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
-    qZorder, qBucketedJoin)
+    qZorder, qZonemapPrune, qBucketedJoin)
 }

@@ -45,4 +45,24 @@ class LayoutSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("zoneMapPrune: skips files, loses no rows") {
+    val pts = Tables.documents(spark, sfDir).select(col("doc_id"),
+      (col("doc_id") % 256).as("x"), (col("n_chars") % 256).as("y"))
+    val row = Layout.zoneMapPrune(pts, "x", "y", "doc_id",
+      bits = 8, fileBits = 4, xLo = 32, xHi = 63, yLo = 100, yHi = 140)
+      .collect()(0)
+    val (total, scanned) =
+      (row.getAs[Long]("files_total"), row.getAs[Long]("files_scanned"))
+    assert(scanned < total,
+      s"zone maps should skip at least one file ($scanned/$total)")
+    // zero-loss: matched rows equal the plain full-scan predicate
+    val plain = pts.filter(col("x").between(32, 63) &&
+      col("y").between(100, 140))
+      .agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    assert(row.getAs[Long]("rows_matched") === plain.getLong(0))
+    assert(row.getAs[Long]("sum_metric") === plain.getLong(1))
+    assert(row.getAs[Long]("rows_scanned") >=
+      row.getAs[Long]("rows_matched"))
+  }
 }
