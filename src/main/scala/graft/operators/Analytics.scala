@@ -92,6 +92,80 @@ object Analytics {
       .select(col("k"), col("t"), col("x"), col("s"))
   }
 
+  /** THEIL-SEN robust slope per series: the median of all pairwise
+    * slopes (dy/dx over day pairs) — the robust trend estimator that a
+    * single outlier day cannot move (vs OLS [[graft.operators
+    * .Reports]]' q_linreg). Exactness discipline: slopes are compared
+    * via the integer key `(dy·10⁶ + B·dx) div dx` with B = 10⁹ — the
+    * +B·dx shift keeps the numerator positive so truncating division
+    * IS floor division in both engines (Spark `div` truncates toward
+    * zero, DuckDB `//` floors; they agree only on non-negatives) —
+    * and the reported micro-slope is key − B. Lower median, ties by
+    * pair index. O(d²) pairs per series where d = #days — bounded by
+    * the observation window, shuffled once on the series key. */
+  def theilSen(series: DataFrame, keyCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val a = series.select(col(keyCol).as("k"), col(tCol).as("ta"),
+      col(vCol).cast(LongType).as("xa"))
+    val b = series.select(col(keyCol).as("k"), col(tCol).as("tb"),
+      col(vCol).cast(LongType).as("xb"))
+    val pairs = a.join(b, Seq("k"))
+      .filter(col("ta") < col("tb"))
+      .select(col("k"), col("ta"), col("tb"),
+        datediff(col("tb"), col("ta")).cast(LongType).as("dx"),
+        (col("xb") - col("xa")).as("dy"))
+      .withColumn("key",
+        expr("(dy * 1000000 + 1000000000 * dx) div dx"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("key"), col("ta"), col("tb"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy(col("k"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("k"), col("n_pairs"),
+        (col("key") - lit(1000000000L)).as("slope_micro"))
+  }
+
+  /** Trailing lower-median per series point: exact windowed median of
+    * the last `win` values (collect → sort → lower-middle element; no
+    * interpolated even-count median, so the result stays an exact
+    * integer in both engines). State per row is `win` values — bounded
+    * by construction. */
+  def rollingMedian(series: DataFrame, keyCol: String, tCol: String,
+      vCol: String, win: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    series.select(col(keyCol), col(tCol),
+        col(vCol).cast(LongType).as("v"),
+        collect_list(col(vCol).cast(LongType)).over(w).as("_w"))
+      .select(col(keyCol), col(tCol), col("v"),
+        element_at(array_sort(col("_w")),
+          expr("cast((size(_w) + 1) div 2 as int)")).as("med"))
+  }
+
+  /** Day-of-week SEASONALITY index per series: mean daily volume on
+    * each weekday over the overall mean, as an exact integer
+    * per-mille — `(1000·sum_dow·cnt_all) div (cnt_dow·sum_all)` on
+    * positive micro-quantized sums, so both engines floor identically.
+    * Weekday 0 = Monday via epoch-anchored arithmetic (`datediff` from
+    * 1970-01-05 mod 7) — no engine-specific DOW numbering crosses the
+    * boundary. */
+  def dowSeasonality(daily: DataFrame, keyCol: String, dayCol: String,
+      vCol: String): DataFrame = {
+    val d = daily.select(col(keyCol).as("k"),
+      (datediff(col(dayCol), to_date(lit("1970-01-05"))) % 7)
+        .cast(LongType).as("dow"),
+      col(vCol).cast(LongType).as("x"))
+    val byDow = d.groupBy(col("k"), col("dow"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("c"))
+    val overall = d.groupBy(col("k"))
+      .agg(sum(col("x")).as("s_all"), count(lit(1)).as("c_all"))
+    byDow.join(overall, Seq("k"))
+      .select(col("k"), col("dow"), col("c").as("n_days"),
+        expr("(1000 * s * c_all) div (c * s_all)").as("index_milli"))
+  }
+
   /** Lag-1 autocorrelation of a per-key series: Pearson r between
     * (x_t, x_{t+1}) pairs, with Σ-terms in exact decimal (map-side
     * partial agg) and the final r assembled in a pinned IEEE sequence:

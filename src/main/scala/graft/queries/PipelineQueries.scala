@@ -772,6 +772,42 @@ object PipelineQueries {
     notes = "Morton interleave recomputed independently in DuckDB; " +
       "bounding-box tightness spec-pinned (LayoutSpec)")
 
+  /** Exact distinct users per event type via mergeable bitmaps
+    * ([[graft.operators.Bitmaps.bitmapDistinct]]): the two-level
+    * (group, bucket) bitmap aggregation — bounded state, map-side
+    * partials, associative merge. Oracle is the plain COUNT(DISTINCT),
+    * gating that the bitmap path is EXACT. */
+  val qBitmapDistinct = GQuery("q_bitmap_distinct",
+    (s, d) => graft.operators.Bitmaps.bitmapDistinct(
+        Tables.events(s, d), Seq("event_type"), "user_id", "n_users")
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY event_type"""),
+    notes = "two-level bitmap exact distinct; 4KB/bucket state, no id " +
+      "set materialized")
+
+  /** Trailing-7-day distinct users per event type from OR-merged DAILY
+    * bitmaps ([[graft.operators.Bitmaps.rollingBitmapDistinct]]): the
+    * corpus builds daily bitmaps once; every window is answered from
+    * the tiny bitmap table — re-aggregation without re-scanning, which
+    * HLL can also do but only approximately. */
+  val qBitmapRolling = GQuery("q_bitmap_rolling",
+    (s, d) => graft.operators.Bitmaps.rollingBitmapDistinct(
+        Tables.events(s, d), "event_type", "ts", "user_id", 7,
+        "n_users_7d")
+      .select(col("event_type"), Det.fmtDate(col("day")).as("day"),
+        col("n_users_7d"))
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH days AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events)
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        COUNT(DISTINCT e.user_id) AS n_users_7d
+      FROM days d JOIN events e ON e.event_type = d.event_type
+        AND CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      GROUP BY 1, d.day ORDER BY d.event_type, day"""),
+    notes = "daily bitmaps OR-merge per trailing window; corpus touched " +
+      "once, window math on the bounded bitmap table")
+
   /** Zone-map pruned scan ([[graft.operators.Layout.zoneMapPrune]]):
     * the READ path of the Z-order layout — a 2D range query consults
     * per-file min/max stats and scans only intersecting files. The
@@ -859,5 +895,5 @@ object PipelineQueries {
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
-    qZorder, qZonemapPrune, qBucketedJoin)
+    qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling)
 }

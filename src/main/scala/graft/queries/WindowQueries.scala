@@ -685,10 +685,116 @@ object WindowQueries {
       "hugeint->double cast is not correctly rounded (1-ulp off on this " +
       "data); strtod is, matching Spark's BigDecimal.doubleValue")
 
+  /** THEIL-SEN robust slope ([[graft.operators.Analytics.theilSen]])
+    * of each event type's daily-volume series: the median pairwise
+    * slope — robust trend monitoring an outlier day cannot move (the
+    * robust counterpart of q_linreg's OLS). Integer slope keys with a
+    * positivity shift so truncating and flooring division agree. */
+  val qTheilSen = GQuery("q_theilsen",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(27, 6))) * lit(1000000))
+          .cast("long").as("x"))
+      graft.operators.Analytics.theilSen(daily, "event_type", "d", "x")
+        .select(col("k").as("event_type"), col("n_pairs"),
+          col("slope_micro"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type, a.d AS ta, b.d AS tb,
+          CAST(b.d - a.d AS BIGINT) AS dx, b.x - a.x AS dy
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d),
+      keyed AS (SELECT event_type, ta, tb,
+          (dy * 1000000 + 1000000000 * dx) // dx AS key FROM pairs),
+      ranked AS (SELECT event_type, key,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY key, ta, tb) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM keyed)
+      SELECT event_type, n_pairs,
+        CAST(key - 1000000000 AS BIGINT) AS slope_micro
+      FROM ranked WHERE rn = (n_pairs + 1) // 2
+      ORDER BY event_type"""),
+    notes = "median-of-pairwise-slopes; positivity-shifted integer keys " +
+      "make trunc-div == floor-div cross-engine")
+
+  /** Trailing-7 lower-median smoother ([[graft.operators.Analytics
+    * .rollingMedian]]) over each event type's daily volumes — the
+    * robust rolling baseline (a spike day shifts a rolling MEAN but
+    * not this). Lower median keeps every value an exact integer. */
+  val qRollingMedian = GQuery("q_rolling_median",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(27, 6))) * lit(1000000))
+          .cast("long").as("x"))
+      graft.operators.Analytics.rollingMedian(daily, "event_type", "d",
+          "x", win = 7)
+        .select(col("event_type"), Det.fmtDate(col("d")).as("day"),
+          col("v"), col("med"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, d, x,
+          list_sort(list(x) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS lw
+        FROM daily)
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x AS v,
+        lw[(len(lw) + 1) // 2] AS med
+      FROM w ORDER BY event_type, day"""),
+    notes = "exact windowed lower median; bounded per-row state")
+
+  /** Day-of-week seasonality index ([[graft.operators.Analytics
+    * .dowSeasonality]]): weekday volume over overall mean as exact
+    * integer per-mille; weekday numbering is epoch-anchored so no
+    * engine DOW convention crosses the boundary. */
+  val qDowProfile = GQuery("q_dow_profile",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(27, 6))) * lit(1000000))
+          .cast("long").as("x"))
+      graft.operators.Analytics.dowSeasonality(daily, "event_type", "d",
+          "x")
+        .select(col("k").as("event_type"), col("dow"), col("n_days"),
+          col("index_milli"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      dw AS (SELECT event_type,
+          CAST(d - DATE '1970-01-05' AS BIGINT) % 7 AS dow, x FROM daily),
+      bd AS (SELECT event_type, dow, SUM(x) AS s, COUNT(*) AS c
+        FROM dw GROUP BY 1, 2),
+      o AS (SELECT event_type, SUM(x) AS s_all, COUNT(*) AS c_all
+        FROM dw GROUP BY 1)
+      SELECT bd.event_type, bd.dow, bd.c AS n_days,
+        CAST((1000 * bd.s * o.c_all) // (bd.c * o.s_all) AS BIGINT)
+          AS index_milli
+      FROM bd JOIN o USING (event_type)
+      ORDER BY event_type, dow"""),
+    notes = "weekday/overall per-mille on positive integers; " +
+      "epoch-anchored weekday")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeNative,
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
-    qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr)
+    qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
+    qTheilSen, qRollingMedian, qDowProfile)
 }

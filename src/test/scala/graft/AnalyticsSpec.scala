@@ -53,6 +53,87 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.size >= 30, "expected at least a month of series points")
   }
 
+  test("q_theilsen: median pairwise slope matches a BigInt re-derivation") {
+    val out = WindowQueries.qTheilSen.run(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("slope_micro")))).toMap
+
+    val daily = dailyMicros()
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val s = rows.sortBy(_._2)
+      val pairs = for {
+        i <- s.indices; j <- (i + 1) until s.size
+      } yield {
+        val dx = BigInt(java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(s(i)._2),
+          java.time.LocalDate.parse(s(j)._2)))
+        val dy = BigInt(s(j)._3) - BigInt(s(i)._3)
+        val key = (dy * 1000000 + BigInt(1000000000) * dx) / dx
+        (key, s(i)._2, s(j)._2)
+      }
+      val sorted = pairs.sortBy(p => (p._1, p._2, p._3))
+      val med = sorted((sorted.size + 1) / 2 - 1)
+      assert(out(typ)._1 === pairs.size.toLong)
+      assert(BigInt(out(typ)._2) === med._1 - 1000000000, s"type $typ")
+    }
+  }
+
+  test("q_rolling_median: lower median of the trailing 7 values") {
+    val out = WindowQueries.qRollingMedian.run(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("day")) ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("med")))).toMap
+
+    val daily = dailyMicros()
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val s = rows.sortBy(_._2)
+      s.indices.foreach { i =>
+        val win = s.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val med = win((win.size + 1) / 2 - 1)
+        assert(out((typ, s(i)._2)) === ((s(i)._3, med)),
+          s"($typ, ${s(i)._2})")
+      }
+    }
+    assert(out.size === daily.size)
+  }
+
+  test("q_dow_profile: per-mille weekday index, Monday-anchored") {
+    val out = WindowQueries.qDowProfile.run(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("dow")) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("index_milli")))).toMap
+
+    val daily = dailyMicros()
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val withDow = rows.map { case (_, day, x) =>
+        // 1970-01-05 was a Monday
+        val dow = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1970, 1, 5),
+          java.time.LocalDate.parse(day)) % 7
+        (dow, x)
+      }
+      val sAll = withDow.map(r => BigInt(r._2)).sum
+      val cAll = BigInt(withDow.size)
+      withDow.groupBy(_._1).foreach { case (dow, ds) =>
+        val sDow = ds.map(r => BigInt(r._2)).sum
+        val idx = (1000 * sDow * cAll) / (BigInt(ds.size) * sAll)
+        assert(out((typ, dow)) === ((ds.size.toLong, idx.toLong)),
+          s"($typ, $dow)")
+      }
+      // weekday numbering check: 2024-01-01 was a Monday → dow 0 exists
+      assert(withDow.map(_._1).distinct.forall(d => d >= 0 && d <= 6))
+    }
+  }
+
+  /** (event_type, ISO day, exact micro volume) at sf0.001. */
+  private def dailyMicros(): Seq[(String, String, Long)] =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types
+          .DecimalType(27, 6))) * lit(1000000)).cast("long").as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+
   test("q_autocorr: r matches an exact BigInt five-sum re-derivation") {
     val out = WindowQueries.qAutocorr.run(spark, sfDir)
       .collect().map(r => r.getAs[String]("event_type") ->
