@@ -949,6 +949,36 @@ object Relational {
     notes = "linear sort-filter skyline gated against the quadratic " +
       "NOT-EXISTS dominance oracle")
 
+  /** Distributed EXACT quantiles without a global sort
+    * ([[graft.operators.Selection.exactKth]]): iterative ≤2¹⁶-bucket
+    * histogram refinement — each round one map-side-combined count
+    * pass + a bounded collect, narrowing the candidate range 65 536×;
+    * a 64-bit domain needs ≤4 rounds. The oracle reads the same
+    * elements off a full ORDER BY — the plan this operator exists to
+    * avoid at 100 TB. */
+  val qExactQuantiles = GQuery("q_exact_quantiles",
+    (s, d) => {
+      val v = Tables.events(s, d).select(
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(27, 6))
+          * lit(1000000)).cast("long").as("x"))
+      val stats = graft.operators.Selection.exactQuantiles(v, "x",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      import s.implicits._
+      stats.toDF("stat", "value_micro").orderBy(col("stat"))
+    },
+    Some("""WITH v AS (
+        SELECT CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS x
+        FROM events),
+      n AS (SELECT COUNT(*) AS n FROM v),
+      s AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn FROM v)
+      SELECT q.stat, s.x AS value_micro
+      FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) q(stat, p)
+      JOIN n ON true
+      JOIN s ON s.rn = GREATEST(1, CAST(ceil(q.p * n.n) AS BIGINT))
+      ORDER BY stat"""),
+    notes = "histogram-refinement selection (no global sort) vs the " +
+      "oracle's ORDER BY offset read; exact lower-element quantiles")
+
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qUpsert, qScd2, qOverlapJoin,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
@@ -958,5 +988,5 @@ object Relational {
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
-    qSkyline)
+    qSkyline, qExactQuantiles)
 }
