@@ -63,15 +63,21 @@ object Layout {
       .agg(min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
         count(lit(1)).as("n_rows"))
-    val cand = stats.filter(col("max_x") >= xLo && col("min_x") <= xHi &&
-      col("max_y") >= yLo && col("min_y") <= yHi)
+    val isCand = col("max_x") >= xLo && col("min_x") <= xHi &&
+      col("max_y") >= yLo && col("min_y") <= yHi
+    val cand = stats.filter(isCand)
     val scanned = laid.join(broadcast(cand.select(col("file_id"))),
       Seq("file_id"))
     val matched = scanned.filter(col(xCol).between(xLo, xHi) &&
       col(yCol).between(yLo, yHi))
-    stats.agg(count(lit(1)).as("files_total"))
-      .crossJoin(cand.agg(count(lit(1)).as("files_scanned"),
-        sum(col("n_rows")).as("rows_scanned")))
+    // one conditional pass over the stats table for all file counters;
+    // the final assembly is a 1-row × 1-row cross join (PlanRegressionSpec
+    // allowlists it — a literal equi-key would just constant-fold back
+    // into a cross join anyway)
+    stats.agg(count(lit(1)).as("files_total"),
+        sum(isCand.cast("long")).as("files_scanned"),
+        sum(when(isCand, col("n_rows")).otherwise(lit(0L)))
+          .as("rows_scanned"))
       .crossJoin(matched.agg(count(lit(1)).as("rows_matched"),
         sum(col(metricCol)).as("sum_metric")))
   }

@@ -22,7 +22,13 @@ class PlanRegressionSpec extends SparkSpec {
     "q_hard_negatives", "q_matryoshka",
     // 1-row broadcast build side: the global (doc count, total length)
     // aggregate joined onto the bounded per-term idf table
-    "q_bm25")
+    "q_bm25",
+    // |classes|-row broadcast cross join: every token instance is scored
+    // against every class — the NB scoring semantics
+    "q_nb_classify",
+    // 1-row × 1-row audit assembly (file counters × matched-row
+    // counters); a literal equi-key would constant-fold to cross anyway
+    "q_zonemap_prune")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
