@@ -30,6 +30,28 @@ object Streams {
         col("window.end").as("window_end"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** EXACT daily distinct users per event type on the stream via
+    * mergeable bitmaps (stream twin of the [[graft.operators.Bitmaps]]
+    * family, q_bitmap_distinct / q_bitmap_rolling): level 1 groups
+    * (day window, type, id-bucket) and builds bounded bitmaps whose
+    * partial states merge associatively across micro-batches; level 2
+    * sums per-bucket counts — two CHAINED event-time aggregations on
+    * the same window (Spark's multiple-stateful-operator support),
+    * both watermark-bounded. Distinct-counting state is 4 KB per
+    * (window, type, bucket), never an id set — the reason exact
+    * streaming distinct is tractable at all. */
+  def dailyDistinctStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("_bkt"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(" +
+        "bitmap_bit_position(user_id)))").as("_c"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(sum(col("_c")).as("n_users"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_users"))
+
   /** ST7 — sliding alert window: per (user, type), 1-hour window sliding
     * every 15 minutes, emitting windows whose value range exceeds the
     * movement threshold (the odds-movement alert as a windowed query —

@@ -645,4 +645,43 @@ class StreamsSpec extends SparkSpec {
       assert(batch(1L) === 1L && batch(2L) === 1L)
     } finally q.stop()
   }
+
+  test("dailyDistinctStream: chained bitmap aggs equal exact distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dailyDistinctStream(df)
+      .writeStream.format("memory").queryName("daily_distinct")
+      .outputMode("append").start()
+    try {
+      // day 1: user 1 twice (dedup), users 2, 65541 (same bucket-bit
+      // region as 5 only if buckets collide — exercises bucketing)
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0),
+        (3L, ts("2024-01-01 12:00:00"), 2L, "click", 1.0),
+        (4L, ts("2024-01-01 13:00:00"), 65541L, "click", 1.0),
+        (5L, ts("2024-01-01 14:00:00"), 7L, "view", 1.0))
+      q.processAllAvailable()
+      // next-day late-watermark event closes day 1
+      mem.addData((6L, ts("2024-01-02 09:00:00"), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("daily_distinct")
+        .select("event_type", "n_users").as[(String, Long)]
+        .collect().toSet
+      assert(rows.contains(("click", 3L)))
+      assert(rows.contains(("view", 1L)))
+      // batch twin: the same function body on a batch frame
+      val batch = Streams.dailyDistinctStream(
+        Seq((1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+          (2L, ts("2024-01-01 11:00:00"), 1L, "click", 1.0),
+          (3L, ts("2024-01-01 12:00:00"), 2L, "click", 1.0),
+          (4L, ts("2024-01-01 13:00:00"), 65541L, "click", 1.0),
+          (5L, ts("2024-01-01 14:00:00"), 7L, "view", 1.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("event_type", "n_users").as[(String, Long)].collect().toSet
+      assert(batch === Set(("click", 3L), ("view", 1L)))
+    } finally q.stop()
+  }
 }
