@@ -144,6 +144,32 @@ object Analytics {
           expr("cast((size(_w) + 1) div 2 as int)")).as("med"))
   }
 
+  /** HAMPEL FILTER per series point: flag values deviating from the
+    * trailing window's lower-median by more than `k` × the window's
+    * MAD (lower-median absolute deviation) — the robust outlier
+    * detector that a spike cannot poison, since both the center and
+    * the spread estimate are medians. All integer: lower medians keep
+    * exact values, and the flag compares `|x−med| > k·mad` in int64.
+    * When the window is constant (mad = 0) any deviation flags — the
+    * textbook filter's degenerate case, kept deliberately. Returns
+    * every point with (med, mad, is_outlier). */
+  def hampel(series: DataFrame, keyCol: String, tCol: String,
+      vCol: String, win: Int, k: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    series.select(col(keyCol), col(tCol),
+        col(vCol).cast(LongType).as("v"),
+        collect_list(col(vCol).cast(LongType)).over(w).as("_w"))
+      .withColumn("med", element_at(array_sort(col("_w")),
+        expr("cast((size(_w) + 1) div 2 as int)")))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("_w"), x => abs(x - col("med")))),
+        expr("cast((size(_w) + 1) div 2 as int)")))
+      .select(col(keyCol), col(tCol), col("v"), col("med"), col("mad"),
+        (abs(col("v") - col("med")) > col("mad") * lit(k))
+          .cast("int").as("is_outlier"))
+  }
+
   /** Day-of-week SEASONALITY index per series: mean daily volume on
     * each weekday over the overall mean, as an exact integer
     * per-mille — `(1000·sum_dow·cnt_all) div (cnt_dow·sum_all)` on

@@ -755,6 +755,46 @@ object WindowQueries {
       FROM w ORDER BY event_type, day"""),
     notes = "exact windowed lower median; bounded per-row state")
 
+  /** HAMPEL robust outlier flags ([[graft.operators.Analytics
+    * .hampel]]) over each event type's daily volumes: trailing-7
+    * lower-median center, lower-MAD spread, flag at 3×MAD — the
+    * median-based detector a spike cannot poison (vs q_anomaly_zscore,
+    * whose mean/stddev an outlier inflates). Exact integers end to
+    * end. */
+  val qHampel = GQuery("q_hampel",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg((sum(col("value").cast(org.apache.spark.sql.types
+            .DecimalType(27, 6))) * lit(1000000))
+          .cast("long").as("x"))
+      graft.operators.Analytics.hampel(daily, "event_type", "d", "x",
+          win = 7, k = 3L)
+        .select(col("event_type"), Det.fmtDate(col("d")).as("day"),
+          col("v"), col("med"), col("mad"), col("is_outlier"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, d, x,
+          list_sort(list(x) OVER (PARTITION BY event_type ORDER BY d
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS lw
+        FROM daily),
+      m AS (SELECT event_type, d, x, lw,
+          lw[(len(lw) + 1) // 2] AS med
+        FROM w),
+      md AS (SELECT event_type, d, x, med,
+          list_sort(list_transform(lw, v -> abs(v - med)))
+            [(len(lw) + 1) // 2] AS mad
+        FROM m)
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day, x AS v, med, mad,
+        CAST(abs(x - med) > mad * 3 AS INT) AS is_outlier
+      FROM md ORDER BY event_type, day"""),
+    notes = "median/MAD Hampel identifier; exact integers, lower-median " +
+      "rule both engines")
+
   /** Day-of-week seasonality index ([[graft.operators.Analytics
     * .dowSeasonality]]): weekday volume over overall mean as exact
     * integer per-mille; weekday numbering is epoch-anchored so no
@@ -796,5 +836,5 @@ object WindowQueries {
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
-    qTheilSen, qRollingMedian, qDowProfile)
+    qTheilSen, qRollingMedian, qDowProfile, qHampel)
 }

@@ -125,6 +125,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_hampel: median/MAD flags match a direct re-derivation") {
+    val out = WindowQueries.qHampel.run(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("day")) ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Int]("is_outlier")))).toMap
+
+    val daily = dailyMicros()
+    daily.groupBy(_._1).foreach { case (typ, rows) =>
+      val s = rows.sortBy(_._2)
+      s.indices.foreach { i =>
+        val win = s.slice(math.max(0, i - 6), i + 1).map(_._3)
+        val med = win.sorted.apply((win.size + 1) / 2 - 1)
+        val mad = win.map(v => math.abs(v - med)).sorted
+          .apply((win.size + 1) / 2 - 1)
+        val flag = if (math.abs(s(i)._3 - med) > 3L * mad) 1 else 0
+        assert(out((typ, s(i)._2)) === ((med, mad, flag)),
+          s"($typ, ${s(i)._2})")
+      }
+    }
+    assert(out.size === daily.size)
+  }
+
   /** (event_type, ISO day, exact micro volume) at sf0.001. */
   private def dailyMicros(): Seq[(String, String, Long)] =
     Tables.events(spark, sfDir)
