@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   */
 object Coreset {
 
-  private def quantize(vecCol: Column): Column =
+  private[operators] def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast(DoubleType) * lit(1000000))
       .cast(LongType))
 

@@ -3075,6 +3075,55 @@ object TextQueries {
     notes = "greedy MMR rerank over a bounded top-n pool; integer " +
       "relevance/similarity, argmax trajectory replayed by the twin")
 
+  /** Contrastive training triples ([[graft.operators.Contrastive
+    * .pairs]]): near-dup pairs as (anchor, positive), plus the corpus
+    * vector most similar to the anchor (excluding the pair) as the
+    * hard negative — the embedding-training data-prep step. Positives
+    * replay the brute-force Jaccard oracle; the negative argmax is an
+    * integer-dot ranking with smallest-id ties. */
+  val qContrastivePairs = GQuery("q_contrastive_pairs",
+    (s, d) => graft.operators.Contrastive.pairs(
+        Tables.documents(s, d), "doc_id", "text",
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+      .orderBy(col("anchor"), col("positive")),
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      sg AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM sg a JOIN sg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs),
+      pos AS (
+        SELECT id_a AS anchor, id_b AS positive
+        FROM inter JOIN cnt ca ON id_a = ca.doc_id
+          JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE)
+          >= 0.5),
+      qv AS (SELECT vec_id AS vid, list_transform(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        FROM embeddings),
+      av AS (SELECT p.anchor, p.positive, q.qv AS aqv
+        FROM pos p JOIN qv q ON p.anchor = q.vid),
+      scored AS (
+        SELECT av.anchor, av.positive, q.vid,
+          list_sum(list_transform(list_zip(q.qv, av.aqv),
+            p -> p[1]*p[2])) AS dot
+        FROM qv q JOIN av ON q.vid <> av.anchor AND q.vid <> av.positive)
+      SELECT anchor, positive, vid AS negative, CAST(dot AS BIGINT)
+        AS neg_dot
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY anchor, positive
+        ORDER BY dot DESC, vid) = 1
+      ORDER BY anchor, positive"""),
+    notes = "near-dup positives + integer-dot hard negative per anchor; " +
+      "bounded anchor broadcast, one corpus scoring scan")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3096,5 +3145,6 @@ object TextQueries {
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
-    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr)
+    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
+    qContrastivePairs)
 }

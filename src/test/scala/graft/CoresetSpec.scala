@@ -79,4 +79,28 @@ class CoresetSpec extends SparkSpec {
     assert(out.map(_._2).toSet !== top8,
       "MMR selection should diverge from pure relevance ranking")
   }
+
+  test("q_contrastive_pairs: negative is the true integer-dot argmax") {
+    val out = TextQueries.qContrastivePairs.run(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("anchor"),
+        r.getAs[Long]("positive"), r.getAs[Long]("negative"),
+        r.getAs[Long]("neg_dot")))
+    assert(out.nonEmpty, "expected at least one near-dup training pair")
+
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+      }.toMap
+    out.foreach { case (a, p, n, d) =>
+      assert(n != a && n != p)
+      val av = vecs(a)
+      val best = vecs.view.filterKeys(id => id != a && id != p)
+        .map { case (id, v) =>
+          (id, v.zip(av).map { case (x, y) => x * y }.sum)
+        }.toSeq.sortBy { case (id, dot) => (-dot, id) }.head
+      assert((n, d) === best, s"pair ($a, $p)")
+    }
+  }
 }

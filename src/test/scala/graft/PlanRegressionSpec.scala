@@ -28,7 +28,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_nb_classify",
     // 1-row × 1-row audit assembly (file counters × matched-row
     // counters); a literal equi-key would constant-fold to cross anyway
-    "q_zonemap_prune")
+    "q_zonemap_prune",
+    // bounded anchor-side broadcast with a non-equi pair-exclusion
+    // predicate: one corpus scan scored against the near-dup yield
+    "q_contrastive_pairs")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
