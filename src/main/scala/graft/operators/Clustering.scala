@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed LLOYD'S k-MEANS over an embedding column, integer-exact —
+  * the corpus-clustering substrate of training-data curation (SemDeDup /
+  * cluster-balanced sampling lineage), generalizing the reference's
+  * "group similar entities" intent (the fuzzy mapping cascade clusters
+  * team-name variants; here the same engine clusters vector columns).
+  *
+  * Determinism (the [[Coreset]] discipline): coordinates quantize ONCE
+  * to integer micros (⌊x·10⁶⌋); every distance is an INTEGER squared
+  * L2; assignment ties break on the smallest cluster label; centroid
+  * updates are exact integer floor-means (`Math.floorDiv` of an exact
+  * long sum — mirrored in SQL as `(s - ((s%n)+n)%n)/n`, the sign-safe
+  * floor division both engines evaluate identically). The whole
+  * trajectory — seeding at the k smallest ids, `iters` update rounds,
+  * final assignment — is therefore bit-replayable by the unrolled
+  * DuckDB twin ([[sqlKMeans]]). A cluster that loses all members drops
+  * out (no re-seeding — both engines agree by construction).
+  *
+  * Scale shape: per round, assignment is a MAP over the corpus against
+  * k·dim plan-literal longs (no join, no shuffle of vectors), and the
+  * update is one posexplode → groupBy(cluster, dim) whose map-side
+  * partials bound the exchange at partitions × k·dim rows; the k·dim
+  * collect per round is the bounded-model-artifact posture (IVF/BPE).
+  * The corpus itself is never shuffled and never collected. At 100 TB:
+  * iters corpus scans, each a codegen'd map + tiny agg — the minimal
+  * plan for exact Lloyd iterations.
+  */
+object Clustering {
+
+  private[operators] def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast(DoubleType) * lit(1000000))
+      .cast(LongType))
+
+  private def sqDist(qv: Column, center: Seq[Long]): Column =
+    aggregate(
+      zip_with(qv, typedLit(center), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Argmin over labeled centers as one codegen'd expression:
+    * `array_min` of (dist, label) structs — lexicographic struct order
+    * gives min-distance with smallest-label ties. */
+  private def assignStruct(qv: Column, centers: Seq[(Int, Seq[Long])])
+      : Column =
+    array_min(array(centers.map { case (lbl, v) =>
+      struct(sqDist(qv, v).as("d"), lit(lbl).as("cl"))
+    }: _*))
+
+  /** TRAIN: `iters` exact Lloyd rounds from the k smallest-id seeds.
+    * Returns surviving (label, centroid) pairs, label-ascending.
+    * Driver state: k·dim longs — never the corpus. */
+  def train(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[(Int, Seq[Long])] = {
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      val dim = q.head().getSeq[Long](1).size
+      var centers: Seq[(Int, Seq[Long])] = q.orderBy(col("id")).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](1)) }
+      for (_ <- 1 to iters) {
+        val sums = q
+          .withColumn("cl", assignStruct(col("qv"), centers)("cl"))
+          .select(col("cl"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cl"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        centers = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (lbl, rows) =>
+            val byPos = rows.map(r =>
+              (r.getInt(1), Math.floorDiv(r.getLong(2), r.getLong(3))))
+              .sortBy(_._1).map(_._2).toSeq
+            require(byPos.size == dim, s"cluster $lbl lost dimensions")
+            (lbl, byPos)
+          }
+      }
+      centers
+    } finally q.unpersist()
+  }
+
+  /** Final per-cluster summary after [[train]]: (cluster, n, inertia,
+    * c_sum) where inertia = Σ integer sqdist to the final centroid and
+    * c_sum = Σ centroid components (a replayable centroid checksum). */
+  def kMeansSummary(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val centers = train(df, idCol, vecCol, k, iters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val csums = centers.map { case (lbl, v) => (lbl, v.sum) }
+      .toDF("cluster", "c_sum")
+    df.select(quantize(col(vecCol)).as("qv"))
+      .withColumn("a", assignStruct(col("qv"), centers))
+      .select(col("a")("cl").as("cluster"), col("a")("d").as("dist"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+      .join(broadcast(csums), Seq("cluster"))
+      .select(col("cluster").cast(LongType), col("n"), col("inertia"),
+        col("c_sum"))
+      .orderBy(col("cluster"))
+  }
+
+  /** SEMDEDUP: centroid-blocked embedding near-dup pairs (Abbas et al.
+    * 2023's semantic-dedup shape): cluster the corpus with [[train]],
+    * then compare ONLY within-cluster pairs with the engine's exact
+    * decimal cosine — the cluster structure bounds the pairwise stage
+    * at Σ|cluster|², the method's premise. Complements the LSH-blocked
+    * [[Ann]] near-dup (q_embedding_neardup): k-means blocking recalls
+    * pairs that straddle hyperplane buckets.
+    *
+    * Plan: assignment is a map (k·dim literals), the pair join shuffles
+    * ids+vectors once on the cluster key, and the double-precision
+    * prescreen (margin ≫ fold error) gates the exact decimal cosine.
+    * The emitted similarity witness is the INTEGER dot of the
+    * micro-quantized vectors (a raw double cosine is filter-safe but
+    * not output-safe: decimal rounding of per-element products can
+    * differ at the 18th digit cross-engine).
+    * Output: (cluster, id_a, id_b, qdot). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, tau: Double, prescreenMargin: Double = 0.001)
+      : DataFrame = {
+    val centers = train(df, idCol, vecCol, k, iters)
+    val assigned = df
+      .withColumn("qv", quantize(col(vecCol)))
+      .withColumn("cluster", assignStruct(col("qv"), centers)("cl"))
+      .select(col("cluster"), col(idCol).as("id"), col(vecCol).as("v"),
+        col("qv"))
+    val a = assigned.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("qv").as("q_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("qv").as("q_b"))
+    a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+      .filter(Ann.cosineFast(col("v_a"), col("v_b")) >
+        tau - prescreenMargin)
+      .filter(Ann.cosine(col("v_a"), col("v_b")) > tau)
+      .withColumn("qdot", aggregate(
+        zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("cluster").cast(LongType), col("id_a"), col("id_b"),
+        col("qdot"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def sqlDist(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      s"p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** DuckDB twin of the engine's exact decimal cosine ([[Ann.cosine]]):
+    * order-independent decimal dot, then IEEE sqrt/divide — identical
+    * bits cross-engine for identical inputs. */
+  def sqlCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"""CAST(list_sum(list_transform(list_zip($x, $y),
+         p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+           AS DECIMAL(28,18)))) AS DOUBLE)"""
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Shared CTE chain replaying [[train]]'s trajectory over `srcSql`
+    * (a SELECT yielding (id, embedding)). Emits CTEs `src`, `q`,
+    * `c0..c$iters`, `a1..a$iters` and a FINAL assignment `af` against
+    * `c$iters`. Caller appends the consuming stages (join `src` back
+    * for raw float embeddings). */
+  def sqlKMeansChain(srcSql: String, k: Int, iters: Int, dim: Int)
+      : String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH src AS MATERIALIZED ($srcSql),
+    q AS MATERIALIZED (
+      SELECT id, list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM src),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cl, qv
+      FROM (SELECT id, qv FROM q ORDER BY id LIMIT $k))""")
+    for (t <- 1 to iters) {
+      sb.append(s""",
+    a$t AS MATERIALIZED (
+      SELECT id, qv, cl FROM (
+        SELECT q.id, q.qv, c.cl,
+          ${sqlDist("q.qv", "c.qv")} AS dd
+        FROM q CROSS JOIN c${t - 1} c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dd, cl) = 1),
+    c$t AS MATERIALIZED (
+      SELECT cl, list(v ORDER BY pos) AS qv FROM (
+        SELECT cl, pos,
+          CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS v
+        FROM (
+          SELECT a.cl AS cl, r.pos AS pos, SUM(a.qv[r.pos]) AS s,
+            COUNT(*) AS n
+          FROM a$t a, range(1, ${dim + 1}) r(pos)
+          GROUP BY 1, 2))
+      GROUP BY cl)""")
+    }
+    sb.append(s""",
+    af AS MATERIALIZED (
+      SELECT id, qv, cl, dd FROM (
+        SELECT q.id, q.qv, c.cl,
+          ${sqlDist("q.qv", "c.qv")} AS dd
+        FROM q CROSS JOIN c$iters c)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dd, cl) = 1)""")
+    sb.toString
+  }
+
+  /** DuckDB twin of [[kMeansSummary]] on the `embeddings` table. */
+  def sqlKMeans(k: Int, iters: Int, dim: Int): String =
+    sqlKMeansChain("SELECT vec_id AS id, embedding FROM embeddings",
+      k, iters, dim) + s"""
+    SELECT CAST(af.cl AS BIGINT) AS cluster,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(af.dd) AS BIGINT) AS inertia,
+      CAST(MAX(cs.c_sum) AS BIGINT) AS c_sum
+    FROM af JOIN (SELECT cl, list_sum(qv) AS c_sum FROM c$iters)
+      cs ON af.cl = cs.cl
+    GROUP BY af.cl ORDER BY cluster"""
+
+  /** DuckDB twin of [[semDedup]] over `srcSql` (id, embedding). */
+  def sqlSemDedup(srcSql: String, k: Int, iters: Int, dim: Int,
+      tau: Double): String =
+    sqlKMeansChain(srcSql, k, iters, dim) + s""",
+    pr AS (
+      SELECT a.cl AS cluster, a.id AS id_a, a.qv AS q_a,
+        b.id AS id_b, b.qv AS q_b
+      FROM af a JOIN af b ON a.cl = b.cl AND a.id < b.id),
+    sc AS (
+      SELECT pr.cluster, pr.id_a, pr.id_b,
+        ${sqlCosine("ea.embedding", "eb.embedding")} AS cos,
+        list_sum(list_transform(list_zip(pr.q_a, pr.q_b),
+          p -> p[1]*p[2])) AS qdot
+      FROM pr JOIN src ea ON pr.id_a = ea.id
+        JOIN src eb ON pr.id_b = eb.id)
+    SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
+      CAST(qdot AS BIGINT) AS qdot
+    FROM sc WHERE cos > $tau ORDER BY id_a, id_b"""
+}

@@ -179,4 +179,36 @@ object Index {
       .select(col("rank"), col("t1"), col("t2"), col("c_ab"),
         col("c_a"), col("c_b"), col("lift"))
   }
+
+  /** RECIPROCAL-RANK FUSION of a lexical and a semantic ranking — the
+    * hybrid-retrieval combiner (Cormack et al. 2009; the standard
+    * BM25 + dense-vector serving shape). Takes two (rank, doc) top-n
+    * frames and emits the fused top-k where
+    * `rrf = Σ ⌊scale / (kConst + rank)⌋` over the rankings that
+    * contain the doc — pure integer arithmetic (the canonical 1/(60+r)
+    * at ×10⁶ fixed point), so fused scores AND order are hash-exact.
+    *
+    * Scale shape: both inputs are top-n bounded by construction (the
+    * heavy retrieval work is inside BM25 / ANN, each separately
+    * scale-audited); the fusion is a broadcast full-outer join of two
+    * ≤n-row frames, then a ≤2n-row sort — driver-free, corpus-free. */
+  def rrfFusion(lex: DataFrame, sem: DataFrame, kConst: Long = 60L,
+      scale: Long = 1000000L, k: Int = 20): DataFrame = {
+    val l = lex.select(col("doc_id"), col("rank").as("lex_rank"))
+    val s = sem.select(col("doc_id"), col("rank").as("sem_rank"))
+    val fused = l.join(s, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0,
+          expr(s"$scale div ($kConst + lex_rank)")).otherwise(0L) +
+        when(col("sem_rank") > 0,
+          expr(s"$scale div ($kConst + sem_rank)")).otherwise(0L))
+    val top = fused.orderBy(desc("rrf"), asc("doc_id")).limit(k)
+    val w = Window.orderBy(desc("rrf"), asc("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf"), col("lex_rank"),
+        col("sem_rank"))
+  }
 }

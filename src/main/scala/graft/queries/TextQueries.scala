@@ -3124,6 +3124,130 @@ object TextQueries {
     notes = "near-dup positives + integer-dot hard negative per anchor; " +
       "bounded anchor broadcast, one corpus scoring scan")
 
+  /** Distributed integer-exact LLOYD k-MEANS ([[graft.operators
+    * .Clustering.kMeansSummary]]): 3 exact update rounds from the 8
+    * smallest-id seeds, then final per-cluster size / integer inertia /
+    * centroid checksum. Every distance is an integer squared L2 and
+    * every centroid update an exact integer floor-mean, so the whole
+    * trajectory is bit-replayed by the unrolled SQL twin. Per round:
+    * one corpus map (k·dim plan literals) + one k·dim-bounded agg —
+    * the corpus never shuffles. */
+  val qKmeans = GQuery("q_kmeans",
+    (s, d) => graft.operators.Clustering.kMeansSummary(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3),
+    Some(graft.operators.Clustering.sqlKMeans(k = 8, iters = 3, dim = 64)),
+    notes = "exact Lloyd rounds; integer floor-mean centroids, " +
+      "trajectory replayed by the unrolled twin")
+
+  /** SEMDEDUP ([[graft.operators.Clustering.semDedup]]): k-means-blocked
+    * semantic near-dup pairs — cluster with 2 exact Lloyd rounds, then
+    * exact-decimal cosine only WITHIN clusters (the Abbas et al. 2023
+    * shape; complements the LSH-blocked q_embedding_neardup). Planted
+    * duplicates (every 20th vector re-appended) guarantee a non-vacuous
+    * gate; the twin replays clustering AND pairing. */
+  val qSemDedup = GQuery("q_semdedup",
+    (s, d) => {
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.operators.Clustering.semDedup(
+        base.unionByName(planted), "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.99)
+        .select(col("cluster"), col("id_a"), col("id_b"), col("qdot"))
+    },
+    Some(graft.operators.Clustering.sqlSemDedup(
+      """SELECT vec_id AS id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS id, embedding
+         FROM embeddings WHERE vec_id % 20 = 0""",
+      k = 8, iters = 2, dim = 64, tau = 0.99)),
+    notes = "centroid-blocked semantic dedup; pairwise stage bounded " +
+      "by cluster sizes, assignment is a map against plan literals")
+
+  /** RECIPROCAL-RANK FUSION ([[graft.operators.Index.rrfFusion]]):
+    * hybrid retrieval — the integer-exact BM25 top-50 fused with the
+    * dense cosine top-50 for query vector 0 by
+    * `Σ ⌊10⁶/(60+rank)⌋` (Cormack et al. 2009). Pure integer fusion
+    * of two bounded rankings; the twin recomputes both rankings and
+    * the fused order. */
+  val qRrfFusion = GQuery("q_rrf_fusion",
+    (s, d) => {
+      val lex = graft.operators.Index.bm25Search(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "filter", "scan"), k = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val sem = Ann.cosineTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("id").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+      graft.operators.Index.rrfFusion(lex, sem, k = 20)
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      d AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        FROM tk),
+      q AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM d
+        WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2, 3),
+      s AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tt FROM tk),
+      w AS (
+        SELECT term, (s.n * 1000000) // COUNT(*) AS idf, s.n AS n,
+          s.tt AS tt
+        FROM q, s GROUP BY term, s.n, s.tt),
+      sc AS (
+        SELECT doc_id,
+          SUM(idf * ((44 * tf * tt * 1000)
+            // (20 * tf * tt + 6 * tt + 18 * dl * n))) AS sco
+        FROM q JOIN w USING (term) GROUP BY doc_id),
+      lex AS (
+        SELECT row_number() OVER (ORDER BY sco DESC, doc_id) AS rank,
+          doc_id
+        FROM sc ORDER BY sco DESC, doc_id LIMIT 50),
+      qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id AS doc_id,
+          CAST(list_sum(list_transform(
+              list_zip(e.embedding, qv0.qv),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(e.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(qv0.qv,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS cos
+        FROM embeddings e, qv0),
+      sem AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM scored QUALIFY rank <= 50),
+      f AS (
+        SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+          COALESCE(l.rank, 0) AS lex_rank,
+          COALESCE(m.rank, 0) AS sem_rank
+        FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id),
+      g AS (
+        SELECT doc_id, lex_rank, sem_rank,
+          (CASE WHEN lex_rank > 0 THEN 1000000 // (60 + lex_rank)
+            ELSE 0 END)
+          + (CASE WHEN sem_rank > 0 THEN 1000000 // (60 + sem_rank)
+            ELSE 0 END) AS rrf
+        FROM f)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+          AS rank,
+        doc_id, CAST(rrf AS BIGINT) AS rrf,
+        CAST(lex_rank AS BIGINT) AS lex_rank,
+        CAST(sem_rank AS BIGINT) AS sem_rank
+      FROM g ORDER BY rrf DESC, doc_id LIMIT 20"""),
+    notes = "hybrid BM25+dense fusion; integer 1/(60+r) at 1e6 fixed " +
+      "point over two bounded rankings")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3146,5 +3270,5 @@ object TextQueries {
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
-    qContrastivePairs)
+    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion)
 }

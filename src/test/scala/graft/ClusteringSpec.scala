@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Clustering
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** In-JVM re-derivation of the exact Lloyd trajectory. */
+class ClusteringSpec extends SparkSpec {
+
+  private def qpts: Array[(Long, Array[Long])] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray
+      }.sortBy(_._1)
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** Direct Scala Lloyd replay: argmin with smallest-label ties,
+    * integer floor-mean updates, empty clusters dropped. */
+  private def replay(pts: Array[(Long, Array[Long])], k: Int, iters: Int)
+      : Seq[(Int, Array[Long])] = {
+    var centers: Seq[(Int, Array[Long])] =
+      pts.take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val byCluster = pts.groupBy { case (_, v) =>
+        centers.minBy { case (lbl, c) => (d2(v, c), lbl) }._1
+      }
+      centers = byCluster.toSeq.sortBy(_._1).map { case (lbl, members) =>
+        val dim = members.head._2.length
+        val c = Array.tabulate(dim) { j =>
+          Math.floorDiv(members.map(_._2(j)).sum, members.length.toLong)
+        }
+        (lbl, c)
+      }
+    }
+    centers
+  }
+
+  test("train replays a direct Scala Lloyd trajectory") {
+    val pts = qpts
+    val got = Clustering.train(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", k = 8, iters = 3)
+    val want = replay(pts, k = 8, iters = 3)
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case ((gl, gv), (wl, wv)) =>
+      assert(gl === wl)
+      assert(gv.toArray === wv)
+    }
+  }
+
+  test("q_kmeans summary is consistent with the replayed assignment") {
+    val pts = qpts
+    val centers = replay(pts, k = 8, iters = 3)
+    val assign = pts.map { case (id, v) =>
+      val (lbl, c) = centers.minBy { case (lbl, c) => (d2(v, c), lbl) }
+      (id, lbl, d2(v, c))
+    }
+    val want = assign.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (lbl, rows) =>
+        (lbl.toLong, rows.length.toLong, rows.map(_._3).sum,
+          centers.find(_._1 == lbl).get._2.sum)
+    }
+    val got = TextQueries.qKmeans.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === pts.length.toLong)
+  }
+
+  test("semDedup finds every planted duplicate pair with |q|^2 dot") {
+    val out = TextQueries.qSemDedup.run(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plantedIds = qpts.map(_._1).filter(_ % 20 == 0)
+    val qv = qpts.toMap
+    plantedIds.foreach { id =>
+      val hit = out.find(p => p._1 == id && p._2 == id + 100000L)
+      assert(hit.isDefined, s"planted pair for $id missing")
+      val n2 = qv(id).map(x => x * x).sum
+      assert(hit.get._3 === n2)
+    }
+  }
+
+  test("floor-mean centroid update is exact on negative sums") {
+    // power-of-two coordinates quantize exactly; cluster 0's x sum is
+    // -1250000 over 3 members — floor gives -416667, truncation -416666
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(-0.25f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)),
+      (2L, Seq(-0.5f, 0.0f)),
+      (3L, Seq(-0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val centers = Clustering.train(df, "vec_id", "embedding",
+      k = 2, iters = 1)
+    // seeds: c0 = vec 0 (-250000,0), c1 = vec 1 (1e6,1e6); vecs 2,3
+    // join c0, so cluster 0 = {0,2,3}, cluster 1 = {1}
+    assert(centers.find(_._1 == 0).get._2 === Seq(-416667L, 0L))
+    assert(centers.find(_._1 == 1).get._2 === Seq(1000000L, 1000000L))
+  }
+}
