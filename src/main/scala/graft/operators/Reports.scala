@@ -279,4 +279,75 @@ object Reports {
       .select(Det.fmtDate(col("day")).as("day"), col("n_active"),
         col("n_events"))
       .orderBy(col("day"))
+
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic per group, exact:
+    * D = max_x |F_before(x) − F_after(x)| between the value
+    * distributions on each side of a split instant — the
+    * full-distribution train/serve shift test ([[temporalDrift]] sees
+    * only mean/volume shifts; KS sees shape). The statistic is kept as
+    * the INTEGER numerator `ks_num = max_x |c_b(x)·n_a − c_a(x)·n_b|`
+    * over the common denominator n_b·n_a (counts < 2³¹ ⇒ products
+    * < 2⁶² — exact), so max AND argmax (`ks_at`, smallest value on
+    * ties) are hash-exact; the double `ks` is ONE IEEE divide of exact
+    * integers. Plan: one (group, value) pre-aggregation, one group-keyed
+    * window for the two cumulative counts (the same single exchange both
+    * CDFs ride), one final agg. No driver state, no collect. */
+  def ksDrift(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, splitAt: java.sql.Timestamp): DataFrame = {
+    val before = col(tsCol) < lit(splitAt)
+    val perValue = df
+      .select(col(groupCol).as("g"), col(valCol).as("v"), before.as("b"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(when(col("b"), 1L).otherwise(0L)).as("db"),
+        sum(when(!col("b"), 1L).otherwise(0L)).as("da"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    val cdf = perValue
+      .withColumn("cb", sum(col("db")).over(wCum))
+      .withColumn("ca", sum(col("da")).over(wCum))
+      .withColumn("nb", sum(col("db")).over(wTot))
+      .withColumn("na", sum(col("da")).over(wTot))
+      .withColumn("diff", abs(col("cb") * col("na") - col("ca") * col("nb")))
+    cdf.groupBy(col("g").as(groupCol))
+      .agg(max(col("nb")).as("n_before"), max(col("na")).as("n_after"),
+        max(col("diff")).as("ks_num"),
+        min_by(col("v"), struct((-col("diff")).as("a"), col("v").as("b")))
+          .as("ks_at"))
+      .withColumn("ks", col("ks_num").cast("double") /
+        (col("n_before") * col("n_after")).cast("double"))
+      .orderBy(col(groupCol))
+  }
+
+  /** POPULATION STABILITY INDEX over a categorical bucket column,
+    * before/after a split instant, in the engine's 1/64-bit fixed-point
+    * log₂ ([[NaiveBayes.lg64]]) so the score is integer-exact:
+    *
+    *   psi64 = Σ_buckets (c_b·n_a − c_a·n_b) · (lg64(c_b·n_a) − lg64(c_a·n_b))
+    *
+    * i.e. Σ (p−q)·log₂(p/q) scaled by 64·n_b·n_a, with add-one
+    * smoothing on the bucket counts (PSI is undefined on empty cells).
+    * Both factors are ≥-0-signed together, so psi64 ≥ 0 like true PSI.
+    * One scan: bucket counts are a groupBy whose output is
+    * |buckets|-bounded; totals broadcast back. Output one row per
+    * bucket plus the contribution, so the monitor shows WHERE the
+    * shift lives (the reference's health-check style). */
+  def psiDrift(df: DataFrame, bucketCol: String, tsCol: String,
+      splitAt: java.sql.Timestamp): DataFrame = {
+    val before = col(tsCol) < lit(splitAt)
+    val counts = df
+      .select(col(bucketCol).as("bucket"), before.as("b"))
+      .groupBy(col("bucket"))
+      .agg((sum(when(col("b"), 1L).otherwise(0L)) + 1L).as("cb"),
+        (sum(when(!col("b"), 1L).otherwise(0L)) + 1L).as("ca"))
+    val totals = counts.agg(sum(col("cb")).as("nb"), sum(col("ca")).as("na"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("pn", col("cb") * col("na"))
+      .withColumn("qn", col("ca") * col("nb"))
+      .withColumn("psi64",
+        (col("pn") - col("qn")) *
+          (NaiveBayes.lg64(col("pn")) - NaiveBayes.lg64(col("qn"))))
+      .select(col("bucket"), col("cb"), col("ca"), col("psi64"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -889,11 +889,84 @@ object PipelineQueries {
     notes = "co-located bucketed join; plan co-location pinned in " +
       "BucketedTableSpec, result oracle-gated here")
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift ([[graft.operators.Reports
+    * .ksDrift]]): exact D = max|F_before − F_after| per event_type
+    * across the 2024-01-16 split, kept as the integer numerator over
+    * the common n_b·n_a denominator (q_drift sees mean shifts; this
+    * sees full-distribution shape shifts). One (group, value) pre-agg,
+    * one group-keyed window exchange carrying both CDFs. */
+  val qKsDrift = GQuery("q_ks_drift",
+    (s, d) => graft.operators.Reports.ksDrift(
+      Tables.events(s, d), "event_type", "ts", "value",
+      java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+    Some("""WITH pv AS (
+        SELECT event_type AS g, value AS v,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS db,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS da
+        FROM events GROUP BY 1, 2),
+      cdf AS (
+        SELECT g, v,
+          SUM(db) OVER (PARTITION BY g ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS cb,
+          SUM(da) OVER (PARTITION BY g ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS ca,
+          SUM(db) OVER (PARTITION BY g) AS nb,
+          SUM(da) OVER (PARTITION BY g) AS na
+        FROM pv),
+      dd AS (SELECT g, v, nb, na, abs(cb*na - ca*nb) AS diff FROM cdf),
+      ag AS (SELECT g, MAX(nb) AS nb, MAX(na) AS na, MAX(diff) AS ksn
+        FROM dd GROUP BY g),
+      at AS (SELECT dd.g, MIN(dd.v) AS ks_at
+        FROM dd JOIN ag ON dd.g = ag.g AND dd.diff = ag.ksn GROUP BY dd.g)
+      SELECT a.g AS event_type, CAST(a.nb AS BIGINT) AS n_before,
+        CAST(a.na AS BIGINT) AS n_after, CAST(a.ksn AS BIGINT) AS ks_num,
+        t.ks_at,
+        CAST(a.ksn AS DOUBLE) / CAST(a.nb * a.na AS DOUBLE) AS ks
+      FROM ag a JOIN at t ON a.g = t.g ORDER BY event_type"""),
+    notes = "exact KS numerator + argmax location; one window exchange " +
+      "carries both CDFs")
+
+  /** POPULATION STABILITY INDEX ([[graft.operators.Reports.psiDrift]]):
+    * per-bucket (p−q)·log₂(p/q) in 1/64-bit fixed point over the
+    * event_type distribution across the 2024-01-16 split — the
+    * categorical drift monitor, integer-exact via the lg64 chain
+    * (no libm log crosses the engine boundary). Bucket counts are one
+    * |buckets|-bounded groupBy; totals broadcast back. */
+  val qPsiDrift = GQuery("q_psi_drift",
+    (s, d) => graft.operators.Reports.psiDrift(
+      Tables.events(s, d), "event_type", "ts",
+      java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+    Some {
+      val chain1 = graft.operators.NaiveBayes.sqlLg64Chain(
+        "j", "pn", Seq("bucket", "cb", "ca", "pn", "qn"), "lpc", "lp")
+      val chain2 = graft.operators.NaiveBayes.sqlLg64Chain(
+        "lpc", "qn", Seq("bucket", "cb", "ca", "pn", "qn", "lp"),
+        "lqc", "lq")
+      s"""WITH c0 AS (
+        SELECT event_type AS bucket,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            + 1 AS cb,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            + 1 AS ca
+        FROM events GROUP BY 1),
+      t AS (SELECT SUM(cb) AS nb, SUM(ca) AS na FROM c0),
+      j AS (SELECT bucket, cb, ca, cb * na AS pn, ca * nb AS qn
+        FROM c0, t),
+      $chain1,
+      $chain2
+      SELECT bucket, CAST(cb AS BIGINT) AS cb, CAST(ca AS BIGINT) AS ca,
+        CAST((pn - qn) * (lp - lq) AS BIGINT) AS psi64
+      FROM lqc ORDER BY bucket"""
+    },
+    notes = "fixed-point PSI; bucket-bounded agg, broadcast totals, " +
+      "lg64 twin chain")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
     qHealthStatus, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
-    qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling)
+    qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
+    qKsDrift, qPsiDrift)
 }

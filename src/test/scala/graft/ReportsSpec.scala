@@ -196,4 +196,47 @@ class ReportsSpec extends SparkSpec {
     assert(out("2024-01-04") === ((2L, 2L))) // only the two day-02 events
     assert(!out.contains("2024-01-05"))
   }
+
+  test("ksDrift: exact statistic on a hand-checkable shift") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val before = Timestamp.valueOf("2024-01-10 00:00:00")
+    val after = Timestamp.valueOf("2024-01-20 00:00:00")
+    // before: {1,2,3}; after: {3,4,5} — CDF gap peaks at v=2:
+    // |2·3 − 0·3| = 6 (D = 6/9 = 2/3), first reached at v=1? at v=1:
+    // |1·3 − 0| = 3; v=2: 6; v=3: |3·3−1·3|=6 too → ks_at = 2 (smallest)
+    val df = (Seq(1.0, 2.0, 3.0).map(v => ("x", before, v)) ++
+      Seq(3.0, 4.0, 5.0).map(v => ("x", after, v)))
+      .toDF("g", "ts", "v")
+    val r = Reports.ksDrift(df, "g", "ts", "v", split).collect()(0)
+    assert(r.getAs[Long]("n_before") === 3L)
+    assert(r.getAs[Long]("n_after") === 3L)
+    assert(r.getAs[Long]("ks_num") === 6L)
+    assert(r.getAs[Double]("ks_at") === 2.0)
+    assert(r.getAs[Double]("ks") === 6.0 / 9.0)
+  }
+
+  test("ksDrift: identical sides give zero statistic") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val before = Timestamp.valueOf("2024-01-10 00:00:00")
+    val after = Timestamp.valueOf("2024-01-20 00:00:00")
+    val df = (Seq(1.0, 2.0).map(v => ("x", before, v)) ++
+      Seq(1.0, 2.0).map(v => ("x", after, v))).toDF("g", "ts", "v")
+    val r = Reports.ksDrift(df, "g", "ts", "v", split).collect()(0)
+    assert(r.getAs[Long]("ks_num") === 0L)
+  }
+
+  test("psiDrift: zero on identical distributions, positive on shift") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val before = Timestamp.valueOf("2024-01-10 00:00:00")
+    val after = Timestamp.valueOf("2024-01-20 00:00:00")
+    val same = (Seq("a", "a", "b").map(b => (b, before)) ++
+      Seq("a", "a", "b").map(b => (b, after))).toDF("bucket", "ts")
+    assert(Reports.psiDrift(same, "bucket", "ts", split)
+      .agg(sum("psi64")).head().getLong(0) === 0L)
+    val shifted = (Seq("a", "a", "a", "b").map(b => (b, before)) ++
+      Seq("a", "b", "b", "b").map(b => (b, after))).toDF("bucket", "ts")
+    val rows = Reports.psiDrift(shifted, "bucket", "ts", split).collect()
+    assert(rows.forall(_.getAs[Long]("psi64") >= 0L))
+    assert(rows.map(_.getAs[Long]("psi64")).sum > 0L)
+  }
 }
