@@ -280,6 +280,55 @@ object Reports {
         col("n_events"))
       .orderBy(col("day"))
 
+  /** HOLT double-exponential smoothing (level + trend) of the daily
+    * series per group, integer fixed-point — [[ewmaDaily]]'s
+    * trend-aware sibling (EWMA lags a trending series; Holt's trend
+    * term closes the lag; forecast = S + B). With α = β = ½ every
+    * update is one add + one arithmetic halving:
+    *
+    *   S_t = ⌊(x_t + S_{t−1} + B_{t−1}) / 2⌋
+    *   B_t = ⌊(S_t − S_{t−1} + B_{t−1}) / 2⌋      (S_1 = x_1, B_1 = 0)
+    *
+    * on micro-scaled integers (x = exact decimal day-sum × 10⁶), where
+    * ⌊/2⌋ is `shiftright(·,1)` (arithmetic shift = floor for negatives
+    * too) — the whole recursion is integer-exact and the DuckDB twin
+    * replays it as a recursive CTE with the sign-safe floor-div.
+    *
+    * Scale shape: the sequential recursion rides a PER-KEY ordered
+    * array fold (one groupBy exchange; keys parallel, state bounded by
+    * days-per-key — time-bounded by definition); no driver loop, no
+    * per-row UDF. This is the engine's pattern for order-dependent
+    * per-key state in batch (the streaming twin is mapGroupsWithState). */
+  def holtDaily(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valCol).cast(DecimalType(18, 6))) * lit(1000000))
+        .cast("long").as("x"))
+    val series = daily.groupBy(col("g"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+        .as("ser"))
+    val stT = "array<struct<day:date,x:bigint,s:bigint,b:bigint>>"
+    val folded = series.withColumn("states",
+      aggregate(col("ser"), expr(s"cast(array() as $stT)"),
+        (acc, e) => {
+          val prev = element_at(acc, -1)
+          val sNew = shiftright(e("x") + prev("s") + prev("b"), 1)
+          val bNew = shiftright(sNew - prev("s") + prev("b"), 1)
+          when(size(acc) === 0,
+            array(struct(e("day").as("day"), e("x").as("x"),
+              e("x").as("s"), lit(0L).as("b"))))
+          .otherwise(concat(acc, array(struct(e("day").as("day"),
+            e("x").as("x"), sNew.as("s"), bNew.as("b")))))
+        }))
+    folded.select(col("g").as(groupCol), explode(col("states")).as("st"))
+      .select(col(groupCol), Det.fmtDate(col("st.day")).as("day"),
+        col("st.x").as("x_micro"), col("st.s").as("s_micro"),
+        col("st.b").as("b_micro"))
+      .withColumn("forecast_micro", col("s_micro") + col("b_micro"))
+      .orderBy(col(groupCol), col("day"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic per group, exact:
     * D = max_x |F_before(x) − F_after(x)| between the value
     * distributions on each side of a split instant — the

@@ -35,4 +35,35 @@ object Sharding {
     }: _*)
     df.withColumn("shard", array_max(candidates).getField("shard"))
   }
+
+  /** KEY-SKEW PROFILER: the diagnostic a pipeline runs BEFORE keying a
+    * 100 TB shuffle on a column — per heavy key its share of the table
+    * and the salt factor that would level it. For the top-`k` keys by
+    * count (smallest-key ties):
+    *
+    *   skew_x1000  = ⌊cnt·D·1000 / N⌋   (1000 = perfectly uniform)
+    *   salt_factor = ⌈cnt·D / N⌉        (sub-splits to restore balance)
+    *
+    * where N = rows, D = distinct keys — all exact integer arithmetic
+    * (counts < 2³¹ keep every product < 2⁶²). This is the planning
+    * input for [[graft.operators.Joins]]' salted-join path and AQE's
+    * skew thresholds. Plan: one key-count groupBy (map-side combined),
+    * a D-row stats agg broadcast back onto the ≤k-row top slice —
+    * the corpus is scanned once and never collected. */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 5)
+      : DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum(col("cnt")).as("n"),
+      count(lit(1)).as("d"), max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(desc("cnt"), asc("key")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cnt"), asc("key"))
+    top.crossJoin(broadcast(stats))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("skew_x1000", expr("(cnt * d * 1000) div n"))
+      .withColumn("salt_factor", expr("(cnt * d + n - 1) div n"))
+      .select(col("rank"), col("key"), col("cnt"), col("n"), col("d"),
+        col("skew_x1000"), col("salt_factor"))
+  }
 }

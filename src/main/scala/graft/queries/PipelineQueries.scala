@@ -961,6 +961,66 @@ object PipelineQueries {
     notes = "fixed-point PSI; bucket-bounded agg, broadcast totals, " +
       "lg64 twin chain")
 
+  /** HOLT level+trend smoothing ([[graft.operators.Reports.holtDaily]]):
+    * α=β=½ double-exponential smoothing of the per-type daily value
+    * series on micro-scaled integers — every update one add + one
+    * arithmetic halving, so the whole recursion is integer-exact and
+    * the twin replays it as a recursive CTE with sign-safe floor-div.
+    * The sequential state rides a per-key ordered array fold (keys
+    * parallel; state bounded by days-per-key). */
+  val qHolt = GQuery("q_holt",
+    (s, d) => graft.operators.Reports.holtDaily(
+      Tables.events(s, d), "event_type", "ts", "value"),
+    Some("""WITH RECURSIVE daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      rn AS (SELECT g, day, x,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY day) AS r
+        FROM daily),
+      rec AS (
+        SELECT g, day, r, x, x AS s, CAST(0 AS BIGINT) AS b
+        FROM rn WHERE r = 1
+        UNION ALL
+        SELECT n.g, n.day, n.r, n.x,
+          ((n.x + rec.s + rec.b)
+            - ((((n.x + rec.s + rec.b) % 2) + 2) % 2)) // 2 AS s,
+          ((((n.x + rec.s + rec.b)
+              - ((((n.x + rec.s + rec.b) % 2) + 2) % 2)) // 2
+             - rec.s + rec.b)
+            - ((((((n.x + rec.s + rec.b)
+              - ((((n.x + rec.s + rec.b) % 2) + 2) % 2)) // 2
+             - rec.s + rec.b) % 2) + 2) % 2)) // 2 AS b
+        FROM rec JOIN rn n ON n.g = rec.g AND n.r = rec.r + 1)
+      SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+        x AS x_micro, s AS s_micro, b AS b_micro,
+        s + b AS forecast_micro
+      FROM rec ORDER BY event_type, day"""),
+    notes = "trend-aware EWMA sibling; integer halving recursion, " +
+      "per-key array fold vs recursive-CTE twin")
+
+  /** KEY-SKEW PROFILER ([[graft.operators.Sharding.skewProfile]]): the
+    * pre-shuffle diagnostic — top-5 heavy keys of events.user_id with
+    * exact per-mille skew vs uniform and the ceil salt factor that
+    * would level each. One key-count groupBy + broadcast stats. */
+  val qSkewProfile = GQuery("q_skew_profile",
+    (s, d) => graft.operators.Sharding.skewProfile(
+      Tables.events(s, d), "user_id", k = 5),
+    Some("""WITH c AS (
+        SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+      st AS (SELECT SUM(cnt) AS n, COUNT(*) AS d, MAX(cnt) AS max_cnt
+        FROM c),
+      top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 5)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+          AS rank,
+        key, CAST(cnt AS BIGINT) AS cnt, CAST(st.n AS BIGINT) AS n,
+        CAST(st.d AS BIGINT) AS d,
+        CAST((cnt * st.d * 1000) // st.n AS BIGINT) AS skew_x1000,
+        CAST((cnt * st.d + st.n - 1) // st.n AS BIGINT) AS salt_factor
+      FROM top, st ORDER BY rank"""),
+    notes = "salting planner input; exact integer skew ratios, corpus " +
+      "scanned once")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -968,5 +1028,5 @@ object PipelineQueries {
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
-    qKsDrift, qPsiDrift)
+    qKsDrift, qPsiDrift, qHolt, qSkewProfile)
 }

@@ -225,6 +225,29 @@ class ReportsSpec extends SparkSpec {
     assert(r.getAs[Long]("ks_num") === 0L)
   }
 
+  test("holtDaily: hand-checked level+trend recursion incl. negatives") {
+    // one key, days 1-4 with x(micros) = 8, 4, 2, 1 (halving series):
+    //   d1: S=8e6 B=0
+    //   d2: S=⌊(4e6+8e6+0)/2⌋=6e6, B=⌊(6e6−8e6+0)/2⌋=−1e6 (negative floor)
+    //   d3: S=⌊(2e6+6e6−1e6)/2⌋=35e5, B=⌊(35e5−6e6−1e6)/2⌋=−175e4
+    //   d4: S=⌊(1e6+35e5−175e4)/2⌋=1375e3,
+    //       B=⌊(1375e3−35e5−175e4)/2⌋=⌊−3875e3/2⌋=−19375e2
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 01:00:00"), 8.0),
+      ("a", Timestamp.valueOf("2024-01-02 01:00:00"), 4.0),
+      ("a", Timestamp.valueOf("2024-01-03 01:00:00"), 2.0),
+      ("a", Timestamp.valueOf("2024-01-04 01:00:00"), 1.0))
+      .toDF("g", "ts", "v")
+    val out = Reports.holtDaily(df, "g", "ts", "v")
+      .select("day", "s_micro", "b_micro").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 8000000L, 0L),
+      ("2024-01-02", 6000000L, -1000000L),
+      ("2024-01-03", 3500000L, -1750000L),
+      ("2024-01-04", 1375000L, -1937500L)))
+  }
+
   test("psiDrift: zero on identical distributions, positive on shift") {
     val split = Timestamp.valueOf("2024-01-16 00:00:00")
     val before = Timestamp.valueOf("2024-01-10 00:00:00")

@@ -35,4 +35,18 @@ class ShardingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("skewProfile: hand-checked ratios on a skewed key column") {
+    // key 1 ×6, key 2 ×2, keys 3,4 ×1 → N=10, D=4
+    val df = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L)).toDF("k")
+    val out = Sharding.skewProfile(df, "k", k = 3)
+      .select("rank", "key", "cnt", "skew_x1000", "salt_factor")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // key 1: skew = 6·4·1000/10 = 2400, salt = ⌈24/10⌉ = 3
+    // key 2: skew = 800, salt = 1; key 3 (smallest-key tie over 4): 400, 1
+    assert(out === Seq(
+      (1L, 1L, 6L, 2400L, 3L),
+      (2L, 2L, 2L, 800L, 1L),
+      (3L, 3L, 1L, 400L, 1L)))
+  }
 }
