@@ -3248,6 +3248,22 @@ object TextQueries {
     notes = "hybrid BM25+dense fusion; integer 1/(60+r) at 1e6 fixed " +
       "point over two bounded rankings")
 
+  /** DSIR importance resampling ([[graft.operators.Dsir
+    * .topKByImportance]]): rank raw documents by how English-like
+    * their hashed bag-of-words is (target = lang 'en' docs) under two
+    * 128-bucket unigram models — the domain-targeted selection step
+    * (Xie et al. 2023), integer-exact: md5-digit buckets, add-one
+    * smoothing, 1/64-bit fixed-point log-ratios. One corpus explode
+    * feeds the bounded bucket model and the broadcast scoring join. */
+  val qDsirSelect = GQuery("q_dsir_select",
+    (s, d) => graft.operators.Dsir.topKByImportance(
+      Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", nBuckets = 128, k = 50),
+    Some(graft.operators.Dsir.sqlTopKByImportance(
+      "lang = 'en'", nBuckets = 128, k = 50)),
+    notes = "hashed-ngram importance weights toward a target slice; " +
+      "model bucket-bounded, weights lg64-exact")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3270,5 +3286,5 @@ object TextQueries {
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
-    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion)
+    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect)
 }
