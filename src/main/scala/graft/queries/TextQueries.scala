@@ -3264,6 +3264,20 @@ object TextQueries {
     notes = "hashed-ngram importance weights toward a target slice; " +
       "model bucket-bounded, weights lg64-exact")
 
+  /** BATCH PERCEPTRON training ([[graft.operators.Perceptron.train]]):
+    * 3 full-batch integer rounds of the linear lang='en' separator
+    * over 32 md5-bucket features + bias — the discriminative
+    * quality-filter sibling of q_nb_model. The weight trajectory is
+    * integer-exact; the twin replays all rounds as chained CTEs. */
+  val qPerceptron = GQuery("q_perceptron",
+    (s, d) => graft.operators.Perceptron.train(
+      Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", nBuckets = 32, iters = 3),
+    Some(graft.operators.Perceptron.sqlTrain(
+      "lang = 'en'", nBuckets = 32, iters = 3)),
+    notes = "integer full-batch perceptron; per-round broadcast weight " +
+      "join + bucket-bounded gradient agg, zero driver state")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
@@ -3286,5 +3300,6 @@ object TextQueries {
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
-    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect)
+    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
+    qPerceptron)
 }
