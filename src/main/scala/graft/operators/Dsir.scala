@@ -21,14 +21,16 @@ import org.apache.spark.sql.functions._
   * `lg64(ct·Nr) − lg64(cr·Nt)` — no libm, no doubles, so ranking AND
   * weights sit under the hash-exact oracle gate.
   *
-  * Scale shape: ONE corpus explode feeds both the bucket-model
-  * aggregation (output `nBuckets`-bounded) and the per-doc scoring
-  * join (the λ table broadcast — it IS the model, bounded by
-  * construction); re-aggregation per doc is the second and last corpus
-  * shuffle. Top-k is a TakeOrderedAndProject. At 100 TB the target
-  * side is typically a separate small curated corpus — the same plan
-  * with the model trained on it; here target membership is a column
-  * predicate so the whole computation is self-contained and twin-able.
+  * Scale shape: two corpus scans — one explode into the bucket-model
+  * aggregation (output `nBuckets`-bounded), one explode into the
+  * per-doc scoring join (the λ table broadcast — it IS the model,
+  * bounded by construction; recomputing the explode beats caching a
+  * corpus-sized token frame). Re-aggregation per doc is the only
+  * corpus-keyed shuffle. Top-k is a TakeOrderedAndProject. At 100 TB
+  * the target side is typically a separate small curated corpus — the
+  * same plan with the model trained on it and ONE raw scan total; here
+  * target membership is a column predicate so the whole computation is
+  * self-contained and twin-able.
   */
 object Dsir {
 

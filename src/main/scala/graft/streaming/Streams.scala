@@ -30,6 +30,53 @@ object Streams {
         col("window.end").as("window_end"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** STREAMING PSI DRIFT MONITOR (the stream twin of
+    * [[graft.operators.Reports.psiDrift]]): per tumbling event-time
+    * day, the population-stability index of the bucket distribution
+    * against a fixed REFERENCE distribution (the training mix),
+    * in the engine's 1/64-bit fixed-point log₂ — the
+    * serving-side distribution-shift alarm, integer-exact so batch
+    * and stream agree bit-for-bit (StreamsSpec runs this very
+    * function in batch mode as the oracle).
+    *
+    *   psi64 = Σ_{b ∈ ref} (wc·NR − rc·NW)·(lg64(wc·NR) − lg64(rc·NW))
+    *
+    * with wc = window count of bucket b PLUS ONE (add-one smoothing —
+    * reference counts are passed already-positive), NW/NR the
+    * smoothed totals. Two chained stateful aggs (the
+    * [[dailyDistinctStream]] shape): (window, bucket) counts, then a
+    * per-window fold of the ≤|ref|-entry bucket map — state is
+    * bucket-bounded per window, never row-bounded; the PSI itself is
+    * a codegen'd literal fold, no UDF, no libm. */
+  def psiDriftStream(events: DataFrame, bucketCol: String,
+      reference: Seq[(String, Long)]): DataFrame = {
+    require(reference.nonEmpty && reference.forall(_._2 > 0),
+      "reference counts must be positive (pre-smoothed)")
+    val refN = reference.map(_._2).sum
+    val counts = events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 day"), col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val perWin = counts
+      .groupBy(col("window"))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("cnt")))).as("wmap"),
+        sum(col("cnt")).as("n_events"))
+    def wc(b: String): Column =
+      coalesce(element_at(col("wmap"), lit(b)), lit(0L)) + lit(1L)
+    val nw = reference.map { case (b, _) => wc(b) }.reduce(_ + _)
+    val psi = reference.map { case (b, rc) =>
+      val pn = wc(b) * lit(refN)
+      val qn = lit(rc) * col("_nw")
+      (pn - qn) * (graft.operators.NaiveBayes.lg64(pn) -
+        graft.operators.NaiveBayes.lg64(qn))
+    }.reduce(_ + _)
+    perWin.withColumn("_nw", nw)
+      .withColumn("psi64", psi)
+      .select(col("window.start").as("day_start"), col("n_events"),
+        col("psi64"))
+  }
+
   /** EXACT daily distinct users per event type on the stream via
     * mergeable bitmaps (stream twin of the [[graft.operators.Bitmaps]]
     * family, q_bitmap_distinct / q_bitmap_rolling): level 1 groups

@@ -684,4 +684,47 @@ class StreamsSpec extends SparkSpec {
       assert(batch === Set(("click", 3L), ("view", 1L)))
     } finally q.stop()
   }
+
+  test("psiDriftStream: per-day PSI matches the batch run bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ref = Seq("click" -> 3L, "view" -> 3L) // balanced reference
+    val q = Streams.psiDriftStream(df, "event_type", ref)
+      .writeStream.format("memory").queryName("psi_drift")
+      .outputMode("append").start()
+    try {
+      // day 1 matches the reference mix; day 2 is all clicks (shifted)
+      val day1 = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 2L, "view", 1.0),
+        (3L, ts("2024-01-01 12:00:00"), 3L, "click", 1.0),
+        (4L, ts("2024-01-01 13:00:00"), 4L, "view", 1.0))
+      val day2 = Seq(
+        (5L, ts("2024-01-02 10:00:00"), 5L, "click", 1.0),
+        (6L, ts("2024-01-02 11:00:00"), 6L, "click", 1.0),
+        (7L, ts("2024-01-02 12:00:00"), 7L, "click", 1.0),
+        (8L, ts("2024-01-02 13:00:00"), 8L, "click", 1.0))
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day2: _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-03 09:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("psi_drift")
+        .select("day_start", "n_events", "psi64")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      // batch oracle: the same function body on a batch frame
+      val batch = Streams.psiDriftStream(
+        (day1 ++ day2).toDF("event_id", "ts", "user_id", "event_type",
+          "value"), "event_type", ref)
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(batch.subsetOf(streamed))
+      val psiByDay = streamed.map(r => r._1 -> r._3).toMap
+      // balanced day scores 0; the all-click day is strictly positive
+      assert(psiByDay(ts("2024-01-01 00:00:00")) === 0L)
+      assert(psiByDay(ts("2024-01-02 00:00:00")) > 0L)
+    } finally q.stop()
+  }
 }
