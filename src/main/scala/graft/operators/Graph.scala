@@ -117,4 +117,50 @@ object Graph {
         (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
       .orderBy(col("node"))
   }
+
+  /** SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan et al.
+    * 2007) over a weighted undirected edge list, fully deterministic:
+    * labels start as node ids; each of the FIXED `iters` rounds every
+    * node adopts the label with the greatest incident edge weight among
+    * its neighbors' current labels, ties to the SMALLEST label — no RNG,
+    * no asynchronous order-dependence, so the trajectory is replayable
+    * as chained SQL. (Synchronous LPA can oscillate on bipartite-ish
+    * structures; a fixed round count makes even that deterministic —
+    * the connected-components family in [[Dedup]] is the convergence-
+    * guaranteed alternative when labels must be transitive closures.)
+    *
+    * Plan per round: one join of the |nodes|-row label table to the
+    * symmetrized neighbor list on the neighbor key + one (node, label)
+    * weight agg + one per-node argmax — all node-keyed shuffles, AQE
+    * broadcasts the label side when small. localCheckpoint truncates
+    * the unrolled lineage (the [[pageRankFixedPoint]] discipline).
+    * Output: (community, n_nodes, min_node), community-ascending. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in [1,8]")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val nbr = e.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      .localCheckpoint(true)
+    var labels = nbr.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val scores = nbr
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(sum(col("w")).as("s"))
+      labels = scores.groupBy(col("node"))
+        .agg(min_by(col("label"),
+          struct((-col("s")).as("a"), col("label").as("b"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("community"))
+  }
 }

@@ -1021,6 +1021,53 @@ object PipelineQueries {
     notes = "salting planner input; exact integer skew ratios, corpus " +
       "scanned once")
 
+  /** LABEL PROPAGATION communities ([[graft.operators.Graph
+    * .labelPropagation]]): 3 deterministic synchronous rounds over the
+    * co-purchase part graph (parts co-ordered in one order, weight =
+    * co-order count) — max-weight neighbor label, smallest-label ties.
+    * The twin replays every round as chained CTEs with QUALIFY argmax. */
+  val qLabelProp = GQuery("q_label_prop",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.Graph.labelPropagation(pairs, "src", "dst", "w",
+        iters = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      nbr AS (SELECT u AS node, v AS nbr, w FROM e
+        UNION ALL SELECT v, u, w FROM e),
+      l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+      s1 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l0 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM s1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1),
+      s2 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l1 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM s2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1),
+      s3 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l2 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM s3
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1)
+      SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        MIN(node) AS min_node
+      FROM l3 GROUP BY 1 ORDER BY community"""),
+    notes = "deterministic synchronous LPA; per-round node-keyed " +
+      "join + argmax, lineage checkpoint-truncated")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -1028,5 +1075,5 @@ object PipelineQueries {
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
-    qKsDrift, qPsiDrift, qHolt, qSkewProfile)
+    qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp)
 }

@@ -63,4 +63,27 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(r1 === r2)
   }
+
+  test("labelPropagation: two cliques with a weak bridge split in two") {
+    // clique {1,2,3} and clique {11,12,13} (weight 5 inside), one
+    // weight-1 bridge 3-11: heavy intra-clique weights must win
+    val clique = (ns: Seq[Long]) => for {
+      a <- ns; b <- ns if a < b
+    } yield (a, b, 5L)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(11L, 12L, 13L)) ++
+      Seq((3L, 11L, 1L))).toDF("s", "t", "w")
+    val out = Graph.labelPropagation(edges, "s", "t", "w", iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 1L), (11L, 3L, 11L)))
+  }
+
+  test("labelPropagation: deterministic across repartitioning") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (4L, 1L, 2L), (2L, 4L, 3L)).toDF("s", "t", "w")
+    val r1 = Graph.labelPropagation(edges, "s", "t", "w", iters = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val r2 = Graph.labelPropagation(edges.repartition(5), "s", "t", "w",
+      iters = 4).as[(Long, Long, Long)].collect().toSeq
+    assert(r1 === r2)
+  }
 }
