@@ -31,7 +31,12 @@ class PlanRegressionSpec extends SparkSpec {
     "q_zonemap_prune",
     // bounded anchor-side broadcast with a non-equi pair-exclusion
     // predicate: one corpus scan scored against the near-dup yield
-    "q_contrastive_pairs")
+    "q_contrastive_pairs",
+    // 1-row broadcast totals cross joins (the q_tfidf_topk shape):
+    // DSIR's (Nt, Nr) onto the bucket model, PSI's (nb, na) onto the
+    // bucket counts, the skew profiler's (n, d) onto the top-k slice,
+    // and RRF's BM25 substage corpus stats
+    "q_dsir_select", "q_psi_drift", "q_skew_profile", "q_rrf_fusion")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
