@@ -357,4 +357,56 @@ object Multimodal {
       col("meta.duration_ms").as("duration_ms"),
       col("meta.sample_rate").as("sample_rate")))
   }
+
+  case class DHashRow(media_id: Long, h1: Long, h2: Long)
+
+  /** Perceptual dHash per image ([[ImageCodec.dhash]]) — REAL decode,
+    * map-shape, two positive 32-bit halves per image. */
+  def imageDHashes(spark: SparkSession, media: DataFrame)
+      : Dataset[DHashRow] = {
+    import spark.implicits._
+    media.filter(col("modality") === "image").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = ImageCodec.dhash(r.content)
+          DHashRow(r.media_id, d.h1, d.h2)
+        }
+      }
+  }
+
+  /** IMAGE NEAR-DUP PAIRS by perceptual-hash Hamming distance — the
+    * visual-dedup step of multimodal curation, blocked with the
+    * [[graft.functions.SimHash]] pigeonhole: the 64 dHash bits split
+    * into four 16-bit blocks, and any pair within Hamming distance
+    * ≤ 3 < 4 must agree on at least one whole block, so candidates
+    * come from four equi-joins (via one block explode), never an
+    * all-pairs scan. Distance is `bit_count(xor)` on the halves —
+    * exact integer ops with identical semantics cross-engine.
+    * Output: (id_a, id_b, hamming). */
+  def phashDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4, "4-block pigeonhole holds only for dist < 4")
+    val blk = hashes.select(col("media_id"), col("h1"), col("h2"),
+      explode(array(
+        struct(lit(0).as("bi"), (col("h1") % 65536L).as("bv")),
+        struct(lit(1).as("bi"), expr("h1 div 65536").as("bv")),
+        struct(lit(2).as("bi"), (col("h2") % 65536L).as("bv")),
+        struct(lit(3).as("bi"), expr("h2 div 65536").as("bv"))))
+        .as("blk"))
+      .select(col("media_id"), col("h1"), col("h2"),
+        col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+    val a = blk.select(col("bi"), col("bv"), col("media_id").as("id_a"),
+      col("h1").as("h1a"), col("h2").as("h2a"))
+    val b = blk.select(col("bi"), col("bv"), col("media_id").as("id_b"),
+      col("h1").as("h1b"), col("h2").as("h2b"))
+    a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h1a"), col("h2a"),
+        col("h1b"), col("h2b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("h1a").bitwiseXOR(col("h1b"))) +
+          bit_count(col("h2a").bitwiseXOR(col("h2b")))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

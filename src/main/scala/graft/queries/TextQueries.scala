@@ -3269,6 +3269,75 @@ object TextQueries {
     * over 32 md5-bucket features + bias — the discriminative
     * quality-filter sibling of q_nb_model. The weight trajectory is
     * integer-exact; the twin replays all rounds as chained CTEs. */
+  /** IMAGE PERCEPTUAL-HASH DEDUP ([[graft.operators.Multimodal
+    * .imageDHashes]] + [[graft.operators.Multimodal.phashDupPairs]]):
+    * dHash every REAL-decoded PNG (9×8 nearest-sampled grayscale,
+    * right-neighbor brightness bits in two 32-bit halves), then find
+    * pairs within Hamming distance 3 via the 4×16-bit-block pigeonhole
+    * — the visual near-dup step of multimodal curation. Every 5th
+    * image is re-appended under a shifted id, so identical-pixel pairs
+    * exist by construction; the twin recomputes the hashes from the
+    * synthetic pixel formula and replays the blocking. */
+  val qImagePhash = GQuery("q_image_phash",
+    (s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.mediaWithRealImages(s, Tables.documents(s, d))
+      val planted = media
+        .filter(col("modality") === "image" && col("media_id") % 5 === 0)
+        .withColumn("media_id", col("media_id") + 100000L)
+      val hashes = Multimodal
+        .imageDHashes(s, media.unionByName(planted)).toDF()
+      Multimodal.phashDupPairs(hashes, maxDist = 3)
+    },
+    Some("""WITH base AS (
+        SELECT doc_id AS media_id, doc_id AS bid FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, doc_id FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 5 = 0),
+      dims AS (SELECT media_id, bid, bid % 16 + 8 AS sw,
+          bid % 12 + 8 AS sh
+        FROM base),
+      gx AS (SELECT media_id, bid, sw, sh, unnest(range(0, 9)) AS x
+        FROM dims),
+      gxy AS (SELECT media_id, bid, sw, sh, x, unnest(range(0, 8)) AS y
+        FROM gx),
+      g AS (SELECT media_id, x, y,
+          ((bid*31 + (x*sw//9)*7 + (y*sh//8)*13) % 256)
+        + ((bid*17 + (x*sw//9)*5 + (y*sh//8)*11) % 256)
+        + ((bid*23 + (x*sw//9)*3 + (y*sh//8)*19) % 256) AS gray
+        FROM gxy),
+      bits AS (
+        SELECT a.media_id, a.y, a.x,
+          CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        FROM g a JOIN g b ON a.media_id = b.media_id AND a.y = b.y
+          AND b.x = a.x + 1
+        WHERE a.x < 8),
+      h AS (SELECT media_id,
+          SUM(CASE WHEN y < 4
+            THEN bit * (CAST(1 AS BIGINT) << (y*8 + x)) ELSE 0 END) AS h1,
+          SUM(CASE WHEN y >= 4
+            THEN bit * (CAST(1 AS BIGINT) << ((y-4)*8 + x)) ELSE 0 END)
+            AS h2
+        FROM bits GROUP BY media_id),
+      blk AS (
+        SELECT media_id, h1, h2, 0 AS bi, h1 % 65536 AS bv FROM h
+        UNION ALL SELECT media_id, h1, h2, 1, h1 // 65536 FROM h
+        UNION ALL SELECT media_id, h1, h2, 2, h2 % 65536 FROM h
+        UNION ALL SELECT media_id, h1, h2, 3, h2 // 65536 FROM h),
+      cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+        FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv
+          AND a.media_id < b.media_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
+          AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 3
+      ORDER BY id_a, id_b"""),
+    notes = "real-decode dHash + 16-bit-block pigeonhole; twin " +
+      "recomputes hashes from the analytic pixel formula")
+
   val qPerceptron = GQuery("q_perceptron",
     (s, d) => graft.operators.Perceptron.train(
       Tables.documents(s, d), "doc_id", "text",
@@ -3301,5 +3370,5 @@ object TextQueries {
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
-    qPerceptron)
+    qPerceptron, qImagePhash)
 }

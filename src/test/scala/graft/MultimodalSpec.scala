@@ -194,4 +194,28 @@ class MultimodalSpec extends SparkSpec {
       assert(before === after)
     }
   }
+
+  test("dhash: halves are 32-bit positive, identical bytes hash equal") {
+    val png = ImageCodec.synthPng(42L, 14, 10)
+    val d1 = ImageCodec.dhash(png)
+    val d2 = ImageCodec.dhash(ImageCodec.synthPng(42L, 14, 10))
+    assert(d1 === d2)
+    assert(d1.h1 >= 0L && d1.h1 < (1L << 32))
+    assert(d1.h2 >= 0L && d1.h2 < (1L << 32))
+    // a different image disagrees somewhere (formula varies with id)
+    val d3 = ImageCodec.dhash(ImageCodec.synthPng(43L, 14, 10))
+    assert(d1 !== d3)
+  }
+
+  test("phashDupPairs finds exactly the identical-hash plant at dist 0") {
+    val h = Seq(
+      (1L, 0x12345678L, 0x0abcdef0L),
+      (2L, 0x12345678L, 0x0abcdef0L), // identical to 1
+      (3L, 0x12345678L, 0x0abcdeffL), // 4 bits away from 1 in block 2
+      (4L, 0x0f0f0f0fL, 0x70f0f0f0L)) // far from everything
+      .toDF("media_id", "h1", "h2")
+    val out = Multimodal.phashDupPairs(h, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 0L)))
+  }
 }
