@@ -66,4 +66,34 @@ object Sharding {
       .select(col("rank"), col("key"), col("cnt"), col("n"), col("d"),
         col("skew_x1000"), col("salt_factor"))
   }
+
+  /** EXACT JOIN-SIZE PROFILE: the output cardinality an equi-join of
+    * the two inputs would produce — `Σ_k cntA(k)·cntB(k)` — plus the
+    * matched-key count, the single worst key's contribution, and its
+    * per-mille share. The pre-flight check before committing a 100 TB
+    * shuffle join: a contribution share near 1000 means ONE key
+    * produces the whole output (salt it or rethink the join); est_rows
+    * ≫ max(|A|,|B|) flags a fan-out join. Exact integer arithmetic
+    * throughout (row counts < 2³¹ keep every product < 2⁶²).
+    *
+    * Plan: one key-count groupBy per side (map-side combined, output
+    * |keys|-bounded), one join of the two COUNT tables (never the raw
+    * rows), one 1-row agg — strictly cheaper than the join it predicts,
+    * which is the tool's point. */
+  def joinSizeProfile(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val ca = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("cb"))
+    ca.join(cb, Seq("key"))
+      .select(col("key"), (col("ca") * col("cb")).as("contrib"))
+      .agg(sum(col("contrib")).as("est_rows"),
+        count(lit(1)).as("matched_keys"),
+        max(col("contrib")).as("max_contrib"),
+        min_by(col("key"), struct((-col("contrib")).as("a"),
+          col("key").as("b"))).as("max_key"))
+      .withColumn("max_share_x1000",
+        expr("(max_contrib * 1000) div est_rows"))
+  }
 }

@@ -1068,6 +1068,39 @@ object PipelineQueries {
     notes = "deterministic synchronous LPA; per-round node-keyed " +
       "join + argmax, lineage checkpoint-truncated")
 
+  /** EXACT JOIN-SIZE PROFILE ([[graft.operators.Sharding
+    * .joinSizeProfile]]): predicted lineitem⋈events-on-key cardinality
+    * `Σ cntA·cntB` with worst-key contribution — the pre-flight check
+    * before a big shuffle join, computed on the two COUNT tables only
+    * (strictly cheaper than the join it predicts). Keyed on
+    * lineitem.l_orderkey vs events.user_id so both sides carry
+    * multiplicity in the overlapping key range. */
+  val qJoinSize = GQuery("q_join_size",
+    (s, d) => graft.operators.Sharding.joinSizeProfile(
+      Tables.lineitem(s, d), "l_orderkey",
+      Tables.events(s, d), "user_id"),
+    Some("""WITH ca AS (
+        SELECT l_orderkey AS key, COUNT(*) AS ca FROM lineitem
+        GROUP BY 1),
+      cb AS (SELECT user_id AS key, COUNT(*) AS cb FROM events
+        GROUP BY 1),
+      j AS (SELECT ca.key, ca.ca * cb.cb AS contrib
+        FROM ca JOIN cb USING (key)),
+      ag AS (SELECT SUM(contrib) AS est_rows,
+          COUNT(*) AS matched_keys, MAX(contrib) AS max_contrib
+        FROM j),
+      mk AS (SELECT MIN(key) AS max_key FROM j, ag
+        WHERE j.contrib = ag.max_contrib)
+      SELECT CAST(ag.est_rows AS BIGINT) AS est_rows,
+        CAST(ag.matched_keys AS BIGINT) AS matched_keys,
+        CAST(ag.max_contrib AS BIGINT) AS max_contrib,
+        mk.max_key,
+        CAST((ag.max_contrib * 1000) // ag.est_rows AS BIGINT)
+          AS max_share_x1000
+      FROM ag, mk"""),
+    notes = "join-size pre-flight from count tables; exact integers, " +
+      "one groupBy per side")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -1075,5 +1108,5 @@ object PipelineQueries {
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
-    qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp)
+    qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize)
 }

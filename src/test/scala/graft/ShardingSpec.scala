@@ -49,4 +49,16 @@ class ShardingSpec extends SparkSpec {
       (2L, 2L, 2L, 800L, 1L),
       (3L, 3L, 1L, 400L, 1L)))
   }
+
+  test("joinSizeProfile predicts the exact equi-join cardinality") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k") // key 1 ×3, 2 ×1, 3 ×1
+    val b = Seq(1L, 1L, 2L, 9L).toDF("k")     // key 1 ×2, 2 ×1, 9 ×1
+    val r = Sharding.joinSizeProfile(a, "k", b, "k").collect()(0)
+    val actual = a.join(b, Seq("k")).count()
+    assert(r.getAs[Long]("est_rows") === actual) // 3·2 + 1·1 = 7
+    assert(r.getAs[Long]("matched_keys") === 2L)
+    assert(r.getAs[Long]("max_contrib") === 6L)
+    assert(r.getAs[Long]("max_key") === 1L)
+    assert(r.getAs[Long]("max_share_x1000") === 6000L / 7L)
+  }
 }
