@@ -391,6 +391,53 @@ object Streams {
       }.toDF()
   }
 
+  /** STREAMING PER-KEY TOP-K — the incremental twin of the W5 batch
+    * rank-in-group (q_rank_in_group): per key, state is ONLY the
+    * current k best (value desc, event_id asc ties) — O(k) per key
+    * regardless of stream volume — and the operator emits an
+    * ADMISSION record whenever an arriving event enters the running
+    * top-k, carrying the evicted id (if any). Replaying
+    * admitted − evicted reconstructs the exact top-k at any point, and
+    * after the stream drains it equals the batch window top-k
+    * (StreamsSpec pins this across micro-batches). Intra-batch order
+    * is restored by the (getTime, getNanos, event_id) sort — the
+    * funnelStream discipline — so the admission/eviction SEQUENCE is
+    * deterministic too, not just the final set. */
+  case class TopKAdmit(event_type: String, event_id: Long, value: Double,
+      evicted_id: Option[Long])
+
+  def topKPerKeyStream(spark: SparkSession, events: DataFrame, k: Int)
+      : DataFrame = {
+    import spark.implicits._
+    def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    events.select(col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .as[(String, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Double, Long)], TopKAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[List[(Double, Long)]]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e._2.getTime, e._2.getNanos, e._3))
+          var cur = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TopKAdmit]
+          sorted.foreach { e =>
+            val cand = (e._4, e._3)
+            if (cur.size < k) {
+              cur = (cand :: cur).sortWith(beats)
+              out += TopKAdmit(key, e._3, e._4, None)
+            } else if (beats(cand, cur.last)) {
+              val worst = cur.last
+              cur = (cand :: cur.init).sortWith(beats)
+              out += TopKAdmit(key, e._3, e._4, Some(worst._2))
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }.toDF()
+  }
+
   /** ST3 — stateful job queue on a stream of job events (id, status,
     * scheduled_for): keeps one state row per job id, applying the
     * pending→completed/failed/expired transition rules; emits the current

@@ -727,4 +727,39 @@ class StreamsSpec extends SparkSpec {
       assert(psiByDay(ts("2024-01-02 00:00:00")) > 0L)
     } finally q.stop()
   }
+
+  test("topKPerKeyStream: admitted minus evicted equals the batch top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.topKPerKeyStream(spark, df, k = 2)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 5.0),
+        (2L, ts("2024-01-01 10:01:00"), 1L, "click", 3.0),
+        (3L, ts("2024-01-01 10:02:00"), 1L, "click", 9.0)) // evicts 2
+      q.processAllAvailable()
+      // state must survive the batch boundary: 7.0 evicts 5.0 (id 1)
+      mem.addData(
+        (4L, ts("2024-01-01 10:03:00"), 1L, "click", 7.0),
+        (5L, ts("2024-01-01 10:04:00"), 1L, "click", 1.0), // no admit
+        (6L, ts("2024-01-01 10:05:00"), 1L, "view", 2.0))
+      q.processAllAvailable()
+      val admits = spark.table("topk_stream")
+        .select("event_type", "event_id", "evicted_id")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      val clickAdmits = admits.filter(_._1 == "click")
+      assert(clickAdmits.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L))
+      val surviving = clickAdmits.map(_._2).toSet --
+        clickAdmits.flatMap(_._3).toSet
+      // batch top-2 by value: ids 3 (9.0) and 4 (7.0)
+      assert(surviving === Set(3L, 4L))
+      assert(admits.filter(_._1 == "view").map(_._2).toSeq === Seq(6L))
+    } finally q.stop()
+  }
 }
