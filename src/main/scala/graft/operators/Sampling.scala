@@ -348,4 +348,39 @@ object Sampling {
         size(col("__chunk")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
+
+  /** DETERMINISTIC WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–
+    * Spirakis A-Res, fixed-point): each row draws a reproducible
+    * "uniform" u from the first 8 md5 hex digits of (salt, id) and is
+    * ranked by the E-S key u^(1/w) — realized integer-exact as
+    * MINIMIZING `priority = ⌊(2048 − lg64(u)) · 2²⁰ / w⌋` (monotone in
+    * −log u / w, the log of the E-S key; [[NaiveBayes.lg64]] supplies
+    * the 1/64-bit log₂). Higher weight ⇒ stochastically earlier pick,
+    * heavier rows can still lose — the quality-weighted corpus
+    * selection semantics plain thresholding can't give. No RNG: the
+    * sample is a pure function of (salt, id, w), reproducible across
+    * runs, partitionings, and engines.
+    *
+    * Plan: priority is a map-side projection; selection is a
+    * distributed top-k (TakeOrderedAndProject) — no global sort, no
+    * shuffle beyond the final ≤k rows. Weights must be ≥ 1. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graft"): DataFrame = {
+    val hex = md5(concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    def hv(i: Int): Column = {
+      val c = ascii(substring(hex, i, 1))
+      when(c >= 97, c - 87).otherwise(c - 48).cast("long")
+    }
+    val u = (1 to 8).map(i => hv(i) * lit(1L << (4 * (8 - i))))
+      .reduce(_ + _) + lit(1L)
+    val ranked = df
+      .filter(col(weightCol) >= 1)
+      .withColumn("_l64", NaiveBayes.lg64(u))
+      .withColumn("priority",
+        expr(s"((2048 - _l64) * 1048576) div $weightCol"))
+      .orderBy(col("priority"), col(idCol)).limit(k)
+    val w = Window.orderBy(col("priority"), col(idCol))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(idCol), col(weightCol), col("priority"))
+  }
 }

@@ -3338,6 +3338,43 @@ object TextQueries {
     notes = "real-decode dHash + 16-bit-block pigeonhole; twin " +
       "recomputes hashes from the analytic pixel formula")
 
+  /** WEIGHTED SAMPLING WITHOUT REPLACEMENT ([[graft.operators.Sampling
+    * .weightedSample]]): Efraimidis–Spirakis A-Res in fixed point —
+    * md5-derived uniforms, lg64 log, integer priority
+    * ⌊(2048−lg64(u))·2²⁰/w⌋ minimized — the quality-weighted corpus
+    * selection step (w = n_chars here). Top-50, no RNG, no global
+    * sort; the twin replays the exact priorities. */
+  val qWeightedSample = GQuery("q_weighted_sample",
+    (s, d) => graft.operators.Sampling.weightedSample(
+      Tables.documents(s, d), "doc_id", "n_chars", k = 50),
+    Some {
+      def hv(i: Int) =
+        s"""CAST(CASE WHEN ascii(substr(h, $i, 1)) >= 97
+           THEN ascii(substr(h, $i, 1)) - 87
+           ELSE ascii(substr(h, $i, 1)) - 48 END AS BIGINT)"""
+      val mults = Seq(268435456L, 16777216L, 1048576L, 65536L,
+        4096L, 256L, 16L, 1L)
+      val u = (1 to 8).map(i => s"${hv(i)} * ${mults(i - 1)}")
+        .mkString(" + ")
+      val chain = graft.operators.NaiveBayes.sqlLg64Chain(
+        "uu", "u", Seq("doc_id", "n_chars"), "lc", "l64")
+      s"""WITH b AS (
+        SELECT doc_id, n_chars,
+          md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE n_chars >= 1),
+      uu AS (SELECT doc_id, n_chars, ($u) + 1 AS u FROM b),
+      $chain,
+      pr AS (SELECT doc_id, n_chars,
+          ((2048 - l64) * 1048576) // n_chars AS priority
+        FROM lc)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id)
+          AS BIGINT) AS rank,
+        doc_id, n_chars, CAST(priority AS BIGINT) AS priority
+      FROM pr ORDER BY priority, doc_id LIMIT 50"""
+    },
+    notes = "E-S weighted reservoir in fixed point; map-side priority, " +
+      "distributed top-k, reproducible by construction")
+
   val qPerceptron = GQuery("q_perceptron",
     (s, d) => graft.operators.Perceptron.train(
       Tables.documents(s, d), "doc_id", "text",
@@ -3370,5 +3407,5 @@ object TextQueries {
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
-    qPerceptron, qImagePhash)
+    qPerceptron, qImagePhash, qWeightedSample)
 }

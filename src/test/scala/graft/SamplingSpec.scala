@@ -239,4 +239,26 @@ class SamplingSpec extends SparkSpec {
     assert(sizes.values.sum === 2000)
     assert(math.abs(sizes("train") - 1600) < 100)
   }
+
+  test("weightedSample: reproducible, weight-monotone in expectation") {
+    import graft.operators.Sampling
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSeq
+    val s2 = Sampling.weightedSample(df.repartition(7), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSeq
+    assert(s1 === s2) // deterministic across partitionings
+    // the 50x-weighted half must dominate the sample
+    val heavy = s1.count(_ >= 200L)
+    assert(heavy > 80, s"heavy picks: $heavy of 100")
+    // equal weights: sample is exactly the k smallest priorities of the
+    // pure hash order — i.e., a plain deterministic hash sample
+    val eq = (0L until 400L).map(i => (i, 7L)).toDF("id", "w")
+    val e1 = Sampling.weightedSample(eq, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    val e2 = Sampling.weightedSample(eq, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(e1.subsetOf(e2)) // prefix property of without-replacement
+  }
 }
