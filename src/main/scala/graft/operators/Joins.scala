@@ -225,4 +225,39 @@ object Joins {
         when(col("__del").isNotNull, col(s"__c_$n"))
           .otherwise(col(s"__b_$n")).as(n)): _*)
   }
+
+  /** SNAPSHOT DIFF — the dataset-versioning audit between two keyed
+    * snapshots (yesterday's export vs today's): per key, classify
+    * added / removed / changed / unchanged and report counts with key
+    * bounds per class. Change detection is a null-safe column compare
+    * (`IS DISTINCT FROM` — the [[scd2History]] discipline), never a
+    * stringified row hash, so no cross-engine number-formatting
+    * caveats exist and the compare stays codegen'd on native types.
+    *
+    * Plan: ONE full-outer join on the key (both sides shuffle once —
+    * the floor for an exact diff; at 100 TB both snapshots are
+    * typically bucketed on the key, making this the zero-exchange
+    * co-located pattern pinned in BucketedTableSpec), then a 4-row
+    * status agg with map-side combine. Output:
+    * (status, n, min_key, max_key), status-ascending. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val la = a.select(col(key).as("key") +:
+      compareCols.map(n => col(n).as(s"__a_$n")) :+ lit(1).as("__ina"): _*)
+    val lb = b.select(col(key).as("key") +:
+      compareCols.map(n => col(n).as(s"__b_$n")) :+ lit(1).as("__inb"): _*)
+    val changed = compareCols
+      .map(n => !(col(s"__a_$n") <=> col(s"__b_$n")))
+      .reduce(_ || _)
+    la.join(lb, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("__inb").isNull, lit("removed"))
+          .when(col("__ina").isNull, lit("added"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+      .orderBy(col("status"))
+  }
 }

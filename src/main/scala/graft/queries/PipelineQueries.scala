@@ -1101,6 +1101,51 @@ object PipelineQueries {
     notes = "join-size pre-flight from count tables; exact integers, " +
       "one groupBy per side")
 
+  /** SNAPSHOT DIFF ([[graft.operators.Joins.snapshotDiff]]): keyed
+    * added/removed/changed/unchanged audit between the events table
+    * and a deterministically perturbed "next export" (every 97th id
+    * dropped, every 101st value bumped, every 103rd re-added under a
+    * shifted id) — one full-outer key join + a 4-row status agg.
+    * Null-safe column compares; no row-hash stringification. */
+  val qSnapshotDiff = GQuery("q_snapshot_diff",
+    (s, d) => {
+      val a = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+      val b = a.filter(col("event_id") % 97 =!= 0)
+        .withColumn("value", when(col("event_id") % 101 === 0,
+          col("value") + 1.0).otherwise(col("value")))
+        .unionByName(a.filter(col("event_id") % 103 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L))
+      graft.operators.Joins.snapshotDiff(a, b, "event_id",
+        Seq("user_id", "event_type", "value"))
+    },
+    Some("""WITH a AS (
+        SELECT event_id, user_id, event_type, value FROM events),
+      b AS (
+        SELECT event_id, user_id, event_type,
+          CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END
+            AS value
+        FROM a WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_id + 10000000, user_id, event_type, value
+        FROM a WHERE event_id % 103 = 0),
+      j AS (
+        SELECT COALESCE(a.event_id, b.event_id) AS key,
+          CASE
+            WHEN b.event_id IS NULL THEN 'removed'
+            WHEN a.event_id IS NULL THEN 'added'
+            WHEN (a.user_id IS DISTINCT FROM b.user_id)
+              OR (a.event_type IS DISTINCT FROM b.event_type)
+              OR (a.value IS DISTINCT FROM b.value) THEN 'changed'
+            ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.event_id = b.event_id)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(key) AS min_key, MAX(key) AS max_key
+      FROM j GROUP BY status ORDER BY status"""),
+    notes = "dataset-versioning audit; one key join (bucketed-table " +
+      "co-location at scale) + 4-row status agg")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -1108,5 +1153,6 @@ object PipelineQueries {
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
-    qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize)
+    qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
+    qSnapshotDiff)
 }

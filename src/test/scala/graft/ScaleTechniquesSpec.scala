@@ -68,6 +68,25 @@ class ScaleTechniquesSpec extends SparkSpec {
       9L -> (("new", 1.0)))) // inserted; 3 deleted
   }
 
+  test("snapshotDiff: classes are exact incl. null-valued changes") {
+    val a = Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0),
+      (3L, None, 3.0), (4L, Some("z"), 4.0))
+      .toDF("k", "s", "v")
+    val b = Seq((1L, Some("x"), 1.0),           // unchanged
+      (2L, None, 2.0),                           // changed (y → null)
+      (3L, None, 3.0),                           // unchanged (null ≡ null)
+      (5L, Some("w"), 5.0))                      // added; 4 removed
+      .toDF("k", "s", "v")
+    val out = Joins.snapshotDiff(a, b, "k", Seq("s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      "added" -> ((1L, 5L, 5L)),
+      "changed" -> ((1L, 2L, 2L)),
+      "removed" -> ((1L, 4L, 4L)),
+      "unchanged" -> ((2L, 1L, 3L))))
+  }
+
   test("scd2History: change-collapse, interval chaining, high-date current row") {
     val ev = Seq(
       // key (1,"x"): 10.0 -> 10.0 (no change, collapsed) -> 20.0
