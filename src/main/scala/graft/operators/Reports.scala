@@ -329,6 +329,82 @@ object Reports {
       .orderBy(col(groupCol), col("day"))
   }
 
+  /** TRENDING ENTITIES by exponentially decayed activity: each event
+    * contributes weight `2²⁰ >> (age_days div h)` toward its key (a
+    * half-life of `h` days in POWER-OF-TWO decay — the EWMA/Holt
+    * dyadic discipline applied to counting), so recent activity
+    * dominates without dropping history at a hard cutoff. All integer:
+    * the variable shift is exact in any engine, sums are longs, and
+    * the top-k ranking needs no floating point at all. Events older
+    * than 62·h days clamp to weight 0 (shift bound).
+    *
+    * Plan: weight is a map-side projection; one key groupBy with
+    * map-side combine; distributed top-k. */
+  def trending(df: DataFrame, keyCol: String, tsCol: String,
+      asOf: java.sql.Timestamp, halfLifeDays: Int, k: Int): DataFrame = {
+    val age = datediff(lit(asOf).cast("date"), to_date(col(tsCol)))
+    val scored = df
+      .select(col(keyCol).as("key"), age.as("_age"))
+      .filter(col("_age") >= 0)
+      .withColumn("w", expr(
+        s"shiftright(1048576L, cast(least(_age div $halfLifeDays, 62)" +
+          " as int))"))
+      .groupBy(col("key"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_events"))
+    val top = scored.orderBy(desc("score"), asc("key")).limit(k)
+    val w = Window.orderBy(desc("score"), asc("key"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key"), col("score"), col("n_events"))
+  }
+
+  /** WELCH'S t A/B TEST per group across a split instant — the
+    * parametric member of the drift family ([[ksDrift]] = shape,
+    * [[psiDrift]] = mix, this = mean difference scaled by pooled
+    * uncertainty). Every ingredient is an exact decimal sum cast to
+    * double, assembled in ONE pinned IEEE op sequence (the
+    * [[zscoreAnomalies]] discipline), so the t statistic is
+    * bit-identical cross-engine:
+    *
+    *   v = (n·Σx² − (Σx)²) / (n·(n−1))       per side (sample var)
+    *   t = (m_b − m_a) / sqrt(v_b/n_b + v_a/n_a)
+    *
+    * One scan: all eight aggregates ride a single conditional agg. */
+  def abTest(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, splitAt: java.sql.Timestamp): DataFrame = {
+    val before = col(tsCol) < lit(splitAt)
+    val v = col(valCol)
+    val agg = df.groupBy(col(groupCol))
+      .agg(
+        sum(when(before, 1L).otherwise(0L)).as("n_before"),
+        sum(when(!before, 1L).otherwise(0L)).as("n_after"),
+        sum(when(before, v.cast(DecimalType(27, 6)))).cast("double")
+          .as("_sb"),
+        sum(when(!before, v.cast(DecimalType(27, 6)))).cast("double")
+          .as("_sa"),
+        sum(when(before, v.cast(DecimalType(13, 2)) *
+          v.cast(DecimalType(13, 2)))).cast("double").as("_qb"),
+        sum(when(!before, v.cast(DecimalType(13, 2)) *
+          v.cast(DecimalType(13, 2)))).cast("double").as("_qa"))
+    agg
+      .withColumn("mean_before", col("_sb") / col("n_before").cast("double"))
+      .withColumn("mean_after", col("_sa") / col("n_after").cast("double"))
+      .withColumn("_vb",
+        (col("n_before").cast("double") * col("_qb") - col("_sb") * col("_sb"))
+          / (col("n_before").cast("double") *
+            (col("n_before") - 1).cast("double")))
+      .withColumn("_va",
+        (col("n_after").cast("double") * col("_qa") - col("_sa") * col("_sa"))
+          / (col("n_after").cast("double") *
+            (col("n_after") - 1).cast("double")))
+      .withColumn("t_stat",
+        (col("mean_before") - col("mean_after")) /
+          sqrt(col("_vb") / col("n_before").cast("double") +
+            col("_va") / col("n_after").cast("double")))
+      .select(col(groupCol), col("n_before"), col("n_after"),
+        col("mean_before"), col("mean_after"), col("t_stat"))
+      .orderBy(col(groupCol))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV drift statistic per group, exact:
     * D = max_x |F_before(x) − F_after(x)| between the value
     * distributions on each side of a split instant — the

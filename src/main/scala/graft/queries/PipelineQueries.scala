@@ -1146,6 +1146,78 @@ object PipelineQueries {
     notes = "dataset-versioning audit; one key join (bucketed-table " +
       "co-location at scale) + 4-row status agg")
 
+  /** TRENDING USERS ([[graft.operators.Reports.trending]]): top-10 by
+    * exponentially decayed activity (half-life 2 days, power-of-two
+    * weights `2²⁰ >> (age div 2)`, anchored 2024-02-01) — the
+    * recency-weighted leaderboard, fully integer. */
+  val qTrending = GQuery("q_trending",
+    (s, d) => graft.operators.Reports.trending(
+      Tables.events(s, d), "user_id", "ts",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      halfLifeDays = 2, k = 10),
+    Some("""WITH w AS (
+        SELECT user_id AS key,
+          1048576 >> LEAST(datediff('day', CAST(ts AS DATE),
+            DATE '2024-02-01') // 2, 62) AS w
+        FROM events
+        WHERE datediff('day', CAST(ts AS DATE), DATE '2024-02-01') >= 0),
+      sc AS (SELECT key, SUM(w) AS score, COUNT(*) AS n_events
+        FROM w GROUP BY key),
+      top AS (SELECT key, score, n_events FROM sc
+        ORDER BY score DESC, key LIMIT 10)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, key) AS BIGINT)
+          AS rank,
+        key, CAST(score AS BIGINT) AS score,
+        CAST(n_events AS BIGINT) AS n_events
+      FROM top ORDER BY rank"""),
+    notes = "dyadic recency decay; map-side weights, one key agg, " +
+      "distributed top-k")
+
+  /** WELCH t A/B TEST ([[graft.operators.Reports.abTest]]): per-type
+    * mean-difference significance across the 2024-01-16 split — the
+    * parametric drift member. Exact decimal moments, one pinned IEEE
+    * assembly sequence, one scan. */
+  val qAbTest = GQuery("q_ab_test",
+    (s, d) => graft.operators.Reports.abTest(
+      Tables.events(s, d), "event_type", "ts", "value",
+      java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+    Some("""WITH m AS (
+        SELECT event_type,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_before,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_after,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS sb,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS sa,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(13,2)) * CAST(value AS DECIMAL(13,2))
+            END) AS DOUBLE) AS qb,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+            THEN CAST(value AS DECIMAL(13,2)) * CAST(value AS DECIMAL(13,2))
+            END) AS DOUBLE) AS qa
+        FROM events GROUP BY event_type),
+      t AS (
+        SELECT event_type, n_before, n_after,
+          sb / CAST(n_before AS DOUBLE) AS mean_before,
+          sa / CAST(n_after AS DOUBLE) AS mean_after,
+          (CAST(n_before AS DOUBLE) * qb - sb * sb)
+            / (CAST(n_before AS DOUBLE) * CAST(n_before - 1 AS DOUBLE))
+            AS vb,
+          (CAST(n_after AS DOUBLE) * qa - sa * sa)
+            / (CAST(n_after AS DOUBLE) * CAST(n_after - 1 AS DOUBLE))
+            AS va
+        FROM m)
+      SELECT event_type, CAST(n_before AS BIGINT) AS n_before,
+        CAST(n_after AS BIGINT) AS n_after, mean_before, mean_after,
+        (mean_before - mean_after)
+          / sqrt(vb / CAST(n_before AS DOUBLE)
+            + va / CAST(n_after AS DOUBLE)) AS t_stat
+      FROM t ORDER BY event_type"""),
+    notes = "parametric drift member; exact moments, pinned IEEE " +
+      "assembly, one conditional-agg scan")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -1154,5 +1226,5 @@ object PipelineQueries {
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
-    qSnapshotDiff)
+    qSnapshotDiff, qTrending, qAbTest)
 }

@@ -248,6 +248,43 @@ class ReportsSpec extends SparkSpec {
       ("2024-01-04", 1375000L, -1937500L)))
   }
 
+  test("trending: dyadic decay weights are exact and recency wins") {
+    val asOf = Timestamp.valueOf("2024-02-01 00:00:00")
+    // user 1: one event yesterday (age 1, weight 2^20 >> 0 = 1048576)
+    // user 2: three events 10 days old (age 10 ⇒ shift 5 ⇒ 32768 each)
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-31 12:00:00")),
+      (2L, Timestamp.valueOf("2024-01-22 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-22 10:00:00")),
+      (2L, Timestamp.valueOf("2024-01-22 11:00:00")))
+      .toDF("user_id", "ts")
+    val out = Reports.trending(df, "user_id", "ts", asOf,
+      halfLifeDays = 2, k = 5)
+      .select("rank", "key", "score", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 1048576L, 1L),
+      (2L, 2L, 3L * 32768L, 3L)))
+  }
+
+  test("abTest: zero t on identical sides, positive when before wins") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val b = Timestamp.valueOf("2024-01-10 00:00:00")
+    val a = Timestamp.valueOf("2024-01-20 00:00:00")
+    val same = (Seq(1.0, 2.0, 3.0).map(v => ("x", b, v)) ++
+      Seq(1.0, 2.0, 3.0).map(v => ("x", a, v))).toDF("g", "ts", "v")
+    val r0 = Reports.abTest(same, "g", "ts", "v", split).collect()(0)
+    assert(r0.getAs[Double]("t_stat") === 0.0)
+    val shifted = (Seq(5.0, 6.0, 7.0).map(v => ("x", b, v)) ++
+      Seq(1.0, 2.0, 3.0).map(v => ("x", a, v))).toDF("g", "ts", "v")
+    val r1 = Reports.abTest(shifted, "g", "ts", "v", split).collect()(0)
+    assert(r1.getAs[Double]("mean_before") === 6.0)
+    assert(r1.getAs[Double]("mean_after") === 2.0)
+    // v = 1 each side, t = 4 / sqrt(1/3 + 1/3)
+    assert(math.abs(r1.getAs[Double]("t_stat") -
+      4.0 / math.sqrt(2.0 / 3.0)) < 1e-12)
+  }
+
   test("psiDrift: zero on identical distributions, positive on shift") {
     val split = Timestamp.valueOf("2024-01-16 00:00:00")
     val before = Timestamp.valueOf("2024-01-10 00:00:00")
