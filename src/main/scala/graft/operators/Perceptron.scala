@@ -66,8 +66,37 @@ object Perceptron {
     } finally feats.unpersist()
   }
 
-  /** DuckDB twin of [[train]] on `documents` with target `tgtSql`. */
-  def sqlTrain(tgtSql: String, nBuckets: Int = 32, iters: Int = 3)
+  /** Score every document under a trained weight table: Σ cnt·wt over
+    * the doc's hashed features (bias included via the b=−1 row). One
+    * broadcast join + per-doc agg — the filter-time serving path. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, weights: DataFrame, nBuckets: Int): DataFrame =
+    features(df, idCol, textCol, isTarget, nBuckets)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt") * col("wt")).as("score"))
+
+  /** MARGIN MINING: the k documents the trained separator is LEAST
+    * sure about (smallest |score|, ties to smallest id) — the
+    * active-learning / route-to-review step: ambiguous examples are
+    * where labeling budget buys the most. Train + score + one
+    * distributed bottom-k. */
+  def marginMining(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 32, iters: Int = 3,
+      k: Int = 20): DataFrame = {
+    val w = train(df, idCol, textCol, isTarget, nBuckets, iters)
+    val scored = score(df, idCol, textCol, isTarget, w, nBuckets)
+      .withColumn("abs_score", abs(col("score")))
+    val top = scored.orderBy(col("abs_score"), col("doc_id")).limit(k)
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("abs_score"), col("doc_id"))
+    top.withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("doc_id"), col("y"), col("score"))
+  }
+
+  /** Shared CTE chain of [[sqlTrain]]: emits `inst`, `f`, `w0..w$iters`.
+    * Callers append consuming stages. */
+  def sqlTrainChain(tgtSql: String, nBuckets: Int, iters: Int)
       : String = {
     def hv(i: Int) =
       s"""(CASE WHEN ascii(substr(md5(w), $i, 1)) >= 97
@@ -100,8 +129,23 @@ object Perceptron {
         w${t - 1}.wt + COALESCE(g$t.g, 0) AS wt
       FROM w${t - 1} LEFT JOIN g$t ON w${t - 1}.b = g$t.b)""")
     }
-    sb.append(s"""
-    SELECT b, CAST(wt AS BIGINT) AS wt FROM w$iters ORDER BY b""")
     sb.toString
   }
+
+  /** DuckDB twin of [[train]] on `documents` with target `tgtSql`. */
+  def sqlTrain(tgtSql: String, nBuckets: Int = 32, iters: Int = 3)
+      : String =
+    sqlTrainChain(tgtSql, nBuckets, iters) + s"""
+    SELECT b, CAST(wt AS BIGINT) AS wt FROM w$iters ORDER BY b"""
+
+  /** DuckDB twin of [[marginMining]]. */
+  def sqlMarginMining(tgtSql: String, nBuckets: Int = 32,
+      iters: Int = 3, k: Int = 20): String =
+    sqlTrainChain(tgtSql, nBuckets, iters) + s""",
+    sc AS (SELECT f.doc_id, f.y, SUM(f.cnt * w$iters.wt) AS score
+      FROM f JOIN w$iters ON f.b = w$iters.b GROUP BY 1, 2)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(score), doc_id)
+        AS BIGINT) AS rank,
+      doc_id, CAST(y AS BIGINT) AS y, CAST(score AS BIGINT) AS score
+    FROM sc ORDER BY abs(score), doc_id LIMIT $k"""
 }

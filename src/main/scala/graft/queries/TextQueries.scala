@@ -3269,6 +3269,20 @@ object TextQueries {
     * over 32 md5-bucket features + bias — the discriminative
     * quality-filter sibling of q_nb_model. The weight trajectory is
     * integer-exact; the twin replays all rounds as chained CTEs. */
+  /** MARGIN MINING ([[graft.operators.Perceptron.marginMining]]): the
+    * 20 documents the trained lang='en' separator is least sure about
+    * (smallest |score|) — the active-learning route-to-review step
+    * completing the train → score → mine loop. The twin replays
+    * training AND scoring as one chained-CTE program. */
+  val qMarginMining = GQuery("q_margin_mining",
+    (s, d) => graft.operators.Perceptron.marginMining(
+      Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", nBuckets = 32, iters = 3, k = 20),
+    Some(graft.operators.Perceptron.sqlMarginMining(
+      "lang = 'en'", nBuckets = 32, iters = 3, k = 20)),
+    notes = "ambiguity bottom-k under the integer perceptron; " +
+      "broadcast weight scoring, distributed bottom-k")
+
   /** IMAGE PERCEPTUAL-HASH DEDUP ([[graft.operators.Multimodal
     * .imageDHashes]] + [[graft.operators.Multimodal.phashDupPairs]]):
     * dHash every REAL-decoded PNG (9×8 nearest-sampled grayscale,
@@ -3407,5 +3421,5 @@ object TextQueries {
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
-    qPerceptron, qImagePhash, qWeightedSample)
+    qPerceptron, qImagePhash, qWeightedSample, qMarginMining)
 }
