@@ -144,6 +144,50 @@ object Clustering {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** CLUSTER TOPIC TERMS (c-TF-IDF, BERTopic's labeling shape): after
+    * clustering the embedding space with [[train]], label each cluster
+    * with its top-`topN` terms by `ct · K / cdf` — term count within
+    * the cluster, discounted by how many of the K clusters carry the
+    * term (the class-based idf; the log around it is monotone for a
+    * fixed corpus, so ranking by the rational is ranking by c-TF-IDF,
+    * and the score is ONE IEEE divide of exact integers — the
+    * collocations discipline). This is how a curation pipeline makes
+    * k-means clusters HUMAN-READABLE (inspect/drop topics).
+    *
+    * Plan: assignment is the k·dim-literal map; one token explode
+    * joined to the |docs|-row assignment; (cluster, term) counts with
+    * map-side combine; cdf derived FROM the count table (never a
+    * second corpus pass); per-cluster top-N via window. */
+  def clusterTerms(emb: DataFrame, embId: String, vecCol: String,
+      docs: DataFrame, docId: String, textCol: String, k: Int,
+      iters: Int, topN: Int): DataFrame = {
+    val centers = train(emb, embId, vecCol, k, iters)
+    val assigned = emb
+      .withColumn("cluster",
+        assignStruct(quantize(col(vecCol)), centers)("cl"))
+      .select(col(embId).as("doc_id"), col("cluster"))
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= lit(""))
+    val inst = docs.select(col(docId).as("doc_id"),
+        explode(toks).as("term"))
+      .join(assigned, Seq("doc_id"))
+    val ct = inst.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("ct"))
+    val cdf = ct.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val scored = ct.join(cdf, Seq("term"))
+      .withColumn("score",
+        (col("ct") * lit(centers.size.toLong)).cast("double") /
+          col("cdf").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+      .select(col("cluster").cast(LongType), col("rank"), col("term"),
+        col("ct"), col("cdf"), col("score"))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
   private def sqlDist(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), " +
       s"p -> (p[1]-p[2])*(p[1]-p[2])))"
@@ -234,4 +278,30 @@ object Clustering {
     SELECT CAST(cluster AS BIGINT) AS cluster, id_a, id_b,
       CAST(qdot AS BIGINT) AS qdot
     FROM sc WHERE cos > $tau ORDER BY id_a, id_b"""
+
+  /** DuckDB twin of [[clusterTerms]] on embeddings + documents. */
+  def sqlClusterTerms(k: Int, iters: Int, dim: Int, topN: Int): String =
+    sqlKMeansChain("SELECT vec_id AS id, embedding FROM embeddings",
+      k, iters, dim) + s""",
+    asg AS (SELECT id AS doc_id, cl AS cluster FROM af),
+    inst AS (
+      SELECT d.doc_id,
+        unnest(list_filter(string_split_regex(lower(trim(d.text)),
+          '\\s+'), w -> len(w) > 0)) AS term
+      FROM documents d),
+    ji AS (SELECT inst.term, asg.cluster
+      FROM inst JOIN asg ON inst.doc_id = asg.doc_id),
+    ct AS (SELECT cluster, term, COUNT(*) AS ct FROM ji GROUP BY 1, 2),
+    cdf AS (SELECT term, COUNT(*) AS cdf FROM ct GROUP BY 1),
+    nc AS (SELECT COUNT(*) AS k FROM c$iters),
+    sc AS (SELECT ct.cluster, ct.term, ct.ct, cdf.cdf,
+        CAST(ct.ct * nc.k AS DOUBLE) / CAST(cdf.cdf AS DOUBLE) AS score
+      FROM ct JOIN cdf ON ct.term = cdf.term, nc)
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+      CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+        ORDER BY score DESC, term) AS BIGINT) AS rank,
+      term, CAST(ct AS BIGINT) AS ct, CAST(cdf AS BIGINT) AS cdf, score
+    FROM sc
+    QUALIFY rank <= $topN
+    ORDER BY cluster, rank"""
 }

@@ -3269,6 +3269,23 @@ object TextQueries {
     * over 32 md5-bucket features + bias — the discriminative
     * quality-filter sibling of q_nb_model. The weight trajectory is
     * integer-exact; the twin replays all rounds as chained CTEs. */
+  /** CLUSTER TOPIC TERMS ([[graft.operators.Clustering.clusterTerms]]):
+    * c-TF-IDF labels for the k-means clusters — top-5 terms per
+    * cluster by ct·K/cdf (BERTopic's class-based tf-idf; the rational
+    * ranks identically to the logged form and is one IEEE divide of
+    * exact integers). Makes the embedding clusters human-readable for
+    * topic inspect/drop decisions; the twin replays clustering,
+    * assignment, and scoring. */
+  val qClusterTerms = GQuery("q_cluster_terms",
+    (s, d) => graft.operators.Clustering.clusterTerms(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      Tables.documents(s, d), "doc_id", "text",
+      k = 8, iters = 2, topN = 5),
+    Some(graft.operators.Clustering.sqlClusterTerms(
+      k = 8, iters = 2, dim = 64, topN = 5)),
+    notes = "c-TF-IDF cluster labeling; assignment map + one token " +
+      "explode, cdf derived from the count table")
+
   /** MARGIN MINING ([[graft.operators.Perceptron.marginMining]]): the
     * 20 documents the trained lang='en' separator is least sure about
     * (smallest |score|) — the active-learning route-to-review step
@@ -3421,5 +3438,6 @@ object TextQueries {
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
-    qPerceptron, qImagePhash, qWeightedSample, qMarginMining)
+    qPerceptron, qImagePhash, qWeightedSample, qMarginMining,
+    qClusterTerms)
 }

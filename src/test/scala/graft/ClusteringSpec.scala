@@ -83,6 +83,24 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("clusterTerms labels each cluster with its own vocabulary") {
+    import spark.implicits._
+    // two tight clusters in 2-D; cluster vocabularies are disjoint
+    // except the shared word "the" (cdf discount must push it down)
+    val emb = (Seq((0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.1f)),
+      (2L, Seq(1.0f, 1.0f)), (3L, Seq(1.0f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "the cat cat sat"), (1L, "the cat purred"),
+      (2L, "the dog dog ran"), (3L, "the dog barked"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Clustering.clusterTerms(
+      emb, "vec_id", "embedding", docs, "doc_id", "text",
+      k = 2, iters = 2, topN = 1)
+      .select("cluster", "term").as[(Long, String)].collect().toMap
+    assert(out.values.toSet === Set("cat", "dog"))
+  }
+
   test("floor-mean centroid update is exact on negative sums") {
     // power-of-two coordinates quantize exactly; cluster 0's x sum is
     // -1250000 over 3 members — floor gives -416667, truncation -416666
