@@ -180,6 +180,46 @@ object Index {
         col("c_a"), col("c_b"), col("lift"))
   }
 
+  /** TYPO-PAIR MINING (SymSpell's deletion-neighborhood blocking):
+    * find all vocabulary term pairs within edit distance 1 WITHOUT an
+    * all-pairs scan — each term emits itself plus its |t| one-deletion
+    * variants; any two terms at distance ≤ 1 must share a variant
+    * (substitution: both delete the differing position; indel: the
+    * shorter term IS a deletion of the longer), so candidates come
+    * from one equi-join on the variant string with FULL recall at
+    * distance 1. `levenshtein` (identical semantics cross-engine)
+    * verifies candidates exactly. The normalize-noisy-vocabulary step
+    * of text curation (OCR/typo collapse, spell-correction tables).
+    *
+    * Scale shape: the vocabulary is corpus-bounded (one explode +
+    * groupBy); the variant fan-out is Σ|t|+1 over the vocab — still
+    * vocabulary-scale, never corpus-scale; the variant join is the
+    * only candidate-generation shuffle. minCount prunes hapax noise
+    * BEFORE the fan-out. Output: (term_a, term_b, freq_a, freq_b),
+    * term-ordered. */
+  def typoPairs(df: DataFrame, textCol: String, minCount: Long,
+      minLen: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= lit(""))
+    val vocab = df.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount && length(col("term")) >= minLen)
+    val variants = vocab.select(col("term"), col("freq"),
+      explode(concat(array(col("term")),
+        expr("transform(sequence(0, length(term) - 1)," +
+          " i -> concat(substr(term, 1, i), substr(term, i + 2)))")))
+        .as("v"))
+    val a = variants.select(col("v"), col("term").as("term_a"),
+      col("freq").as("freq_a"))
+    val b = variants.select(col("v"), col("term").as("term_b"),
+      col("freq").as("freq_b"))
+    a.join(b, Seq("v")).filter(col("term_a") < col("term_b"))
+      .select(col("term_a"), col("term_b"), col("freq_a"), col("freq_b"))
+      .distinct()
+      .filter(levenshtein(col("term_a"), col("term_b")) <= 1)
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   /** RECIPROCAL-RANK FUSION of a lexical and a semantic ranking — the
     * hybrid-retrieval combiner (Cormack et al. 2009; the standard
     * BM25 + dense-vector serving shape). Takes two (rank, doc) top-n

@@ -3269,6 +3269,51 @@ object TextQueries {
     * over 32 md5-bucket features + bias — the discriminative
     * quality-filter sibling of q_nb_model. The weight trajectory is
     * integer-exact; the twin replays all rounds as chained CTEs. */
+  /** TYPO-PAIR MINING ([[graft.operators.Index.typoPairs]]): all
+    * vocabulary pairs within edit distance 1 via SymSpell deletion-
+    * neighborhood blocking (full recall at distance 1, no all-pairs
+    * scan), levenshtein-verified — the noisy-vocabulary collapse step.
+    * minCount 2, minLen 4 over the documents corpus. */
+  val qTypoPairs = GQuery("q_typo_pairs",
+    (s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the synthetic vocabulary is typo-free — plant single-char
+      // corruptions (e→3) of every 25th doc so the gate is non-vacuous
+      val planted = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          translate(col("text"), "e", "3").as("text"))
+      graft.operators.Index.typoPairs(
+        base.unionByName(planted), "text", minCount = 2L, minLen = 4)
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, translate(text, 'e', '3')
+        FROM documents WHERE doc_id % 25 = 0),
+      v0 AS (
+        SELECT term, COUNT(*) AS freq FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            w -> len(w) > 0)) AS term
+          FROM docs)
+        GROUP BY term HAVING COUNT(*) >= 2 AND len(term) >= 4),
+      vr AS (
+        SELECT term, freq, unnest(list_append(
+          list_transform(range(0, len(term)),
+            i -> substr(term, 1, i) || substr(term, i + 2)),
+          term)) AS v
+        FROM v0),
+      cand AS (
+        SELECT DISTINCT a.term AS term_a, b.term AS term_b,
+          a.freq AS freq_a, b.freq AS freq_b
+        FROM vr a JOIN vr b ON a.v = b.v AND a.term < b.term)
+      SELECT term_a, term_b, CAST(freq_a AS BIGINT) AS freq_a,
+        CAST(freq_b AS BIGINT) AS freq_b
+      FROM cand WHERE levenshtein(term_a, term_b) <= 1
+      ORDER BY term_a, term_b"""),
+    notes = "deletion-neighborhood blocking, vocabulary-bounded " +
+      "fan-out, exact levenshtein verify")
+
   /** CLUSTER TOPIC TERMS ([[graft.operators.Clustering.clusterTerms]]):
     * c-TF-IDF labels for the k-means clusters — top-5 terms per
     * cluster by ct·K/cdf (BERTopic's class-based tf-idf; the rational
@@ -3439,5 +3484,5 @@ object TextQueries {
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,
-    qClusterTerms)
+    qClusterTerms, qTypoPairs)
 }

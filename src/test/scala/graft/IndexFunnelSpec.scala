@@ -217,4 +217,20 @@ class IndexFunnelSpec extends SparkSpec {
     assert(out.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3))
     assert(out.head._3 > 0)
   }
+
+  test("typoPairs: distance-1 recall across sub/ins/del, distance-2 out") {
+    import graft.operators.Index
+    val docs = Seq(
+      "table table", "tab1e tab1e",  // substitution pair
+      "chair chair", "chairs chairs", // insertion pair
+      "couch couch", "cauch cooch")   // distance-1 each to couch; but
+      // cauch↔cooch is distance 2 — must NOT pair with each other
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Index.typoPairs(docs, "text", minCount = 1L, minLen = 4)
+      .select("term_a", "term_b").as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("tab1e", "table"), ("chair", "chairs"),
+      ("cauch", "couch"), ("cooch", "couch")))
+  }
 }
