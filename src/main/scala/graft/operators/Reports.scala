@@ -329,6 +329,76 @@ object Reports {
       .orderBy(col(groupCol), col("day"))
   }
 
+  /** WEEK-OVER-WEEK DELTAS, calendar-correct: each day's exact total
+    * joined to the SAME WEEKDAY one week earlier — a self-join on
+    * `day − 7`, not a `lag(7)` row offset, so a missing day can never
+    * silently shift the comparison onto the wrong weekday (the classic
+    * row-lag bug in period-over-period reports). Totals are exact
+    * decimal day sums; the pct delta is one IEEE divide. Days without
+    * a week-ago counterpart are omitted (every output cell non-null).
+    * Plan: one daily pre-agg [corpus shuffle], then a self-join of the
+    * small daily table on (group, day−7). */
+  def weekOverWeek(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol).cast(DecimalType(27, 6))).cast("double")
+        .as("total"))
+    val prev = daily.select(col("g").as("_pg"), col("day").as("_pday"),
+      col("total").as("prev_total"))
+    daily
+      .join(prev, daily("g") === prev("_pg") &&
+        prev("_pday") === date_sub(daily("day"), 7))
+      .select(col("g").as(groupCol), Det.fmtDate(col("day")).as("day"),
+        col("total"), col("prev_total"),
+        ((col("total") - col("prev_total")) * lit(100.0) /
+          col("prev_total")).as("delta_pct"))
+      .orderBy(col(groupCol), col("day"))
+  }
+
+  /** TWO-PROPORTION z-TEST per group across a split instant — the
+    * rate-metric member of the drift family (Welch [[abTest]] covers
+    * means; this covers conversion-style proportions, here
+    * P(value > threshold)). Pooled-variance z from exact integer
+    * counts through ONE pinned IEEE sequence:
+    *
+    *   z = (k_b/n_b − k_a/n_a) / sqrt(p̂(1−p̂)(1/n_b + 1/n_a)),
+    *   p̂ = (k_b + k_a)/(n_b + n_a)
+    *
+    * One conditional-agg scan. */
+  def propTest(df: DataFrame, groupCol: String, tsCol: String,
+      valCol: String, threshold: Double,
+      splitAt: java.sql.Timestamp): DataFrame = {
+    val before = col(tsCol) < lit(splitAt)
+    val hit = col(valCol) > lit(threshold)
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(when(before, 1L).otherwise(0L)).as("n_before"),
+        sum(when(!before, 1L).otherwise(0L)).as("n_after"),
+        sum(when(before && hit, 1L).otherwise(0L)).as("k_before"),
+        sum(when(!before && hit, 1L).otherwise(0L)).as("k_after"))
+      .withColumn("_pb",
+        col("k_before").cast("double") / col("n_before").cast("double"))
+      .withColumn("_pa",
+        col("k_after").cast("double") / col("n_after").cast("double"))
+      .withColumn("_pp",
+        (col("k_before") + col("k_after")).cast("double") /
+          (col("n_before") + col("n_after")).cast("double"))
+      // degenerate pooled rates (no hits or all hits) carry no
+      // evidence of a rate DIFFERENCE — define z = 0 there instead of
+      // 0/0 (mirrored in the twin); groups missing a side are dropped
+      .filter(col("n_before") > 0 && col("n_after") > 0)
+      .withColumn("z_stat",
+        when(col("_pp") === 0.0 || col("_pp") === 1.0, lit(0.0))
+          .otherwise((col("_pb") - col("_pa")) /
+            sqrt(col("_pp") * (lit(1.0) - col("_pp")) *
+              (lit(1.0) / col("n_before").cast("double") +
+                lit(1.0) / col("n_after").cast("double")))))
+      .select(col(groupCol), col("n_before"), col("n_after"),
+        col("k_before"), col("k_after"), col("z_stat"))
+      .orderBy(col(groupCol))
+  }
+
   /** TRENDING ENTITIES by exponentially decayed activity: each event
     * contributes weight `2²⁰ >> (age_days div h)` toward its key (a
     * half-life of `h` days in POWER-OF-TWO decay — the EWMA/Holt

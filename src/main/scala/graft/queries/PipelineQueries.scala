@@ -1218,6 +1218,65 @@ object PipelineQueries {
     notes = "parametric drift member; exact moments, pinned IEEE " +
       "assembly, one conditional-agg scan")
 
+  /** WEEK-OVER-WEEK ([[graft.operators.Reports.weekOverWeek]]):
+    * calendar-correct same-weekday deltas of the per-type daily value
+    * totals — a day−7 self-join, never a row-offset lag. */
+  val qWowDelta = GQuery("q_wow_delta",
+    (s, d) => graft.operators.Reports.weekOverWeek(
+      Tables.events(s, d), "event_type", "ts", "value"),
+    Some("""WITH daily AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2)
+      SELECT a.g AS event_type, strftime(a.day, '%Y-%m-%d') AS day,
+        a.total, b.total AS prev_total,
+        (a.total - b.total) * 100.0 / b.total AS delta_pct
+      FROM daily a JOIN daily b
+        ON a.g = b.g AND b.day = a.day - 7
+      ORDER BY event_type, day"""),
+    notes = "period-over-period; daily pre-agg then small-table " +
+      "day-7 self-join")
+
+  /** TWO-PROPORTION z-TEST ([[graft.operators.Reports.propTest]]):
+    * P(value > 500) before vs after 2024-01-16 per type — the
+    * rate-metric drift member; pooled z from exact counts in one
+    * pinned IEEE sequence, one scan. */
+  val qPropTest = GQuery("q_prop_test",
+    (s, d) => graft.operators.Reports.propTest(
+      Tables.events(s, d), "event_type", "ts", "value",
+      threshold = 500.0,
+      java.sql.Timestamp.valueOf("2024-01-16 00:00:00")),
+    Some("""WITH m AS (
+        SELECT event_type,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_before,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_after,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' AND value > 500.0
+            THEN 1 ELSE 0 END) AS k_before,
+          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' AND value > 500.0
+            THEN 1 ELSE 0 END) AS k_after
+        FROM events GROUP BY event_type),
+      t AS (
+        SELECT event_type, n_before, n_after, k_before, k_after,
+          CAST(k_before AS DOUBLE) / CAST(n_before AS DOUBLE) AS pb,
+          CAST(k_after AS DOUBLE) / CAST(n_after AS DOUBLE) AS pa,
+          CAST(k_before + k_after AS DOUBLE)
+            / CAST(n_before + n_after AS DOUBLE) AS pp
+        FROM m)
+      SELECT event_type, CAST(n_before AS BIGINT) AS n_before,
+        CAST(n_after AS BIGINT) AS n_after,
+        CAST(k_before AS BIGINT) AS k_before,
+        CAST(k_after AS BIGINT) AS k_after,
+        CASE WHEN pp = 0.0 OR pp = 1.0 THEN 0.0
+          ELSE (pb - pa) / sqrt(pp * (1.0 - pp)
+            * (1.0 / CAST(n_before AS DOUBLE)
+              + 1.0 / CAST(n_after AS DOUBLE))) END AS z_stat
+      FROM t WHERE n_before > 0 AND n_after > 0
+      ORDER BY event_type"""),
+    notes = "pooled two-proportion z; exact counts, one " +
+      "conditional-agg scan")
+
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
@@ -1226,5 +1285,5 @@ object PipelineQueries {
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
-    qSnapshotDiff, qTrending, qAbTest)
+    qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest)
 }

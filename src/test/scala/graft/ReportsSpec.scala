@@ -285,6 +285,38 @@ class ReportsSpec extends SparkSpec {
       4.0 / math.sqrt(2.0 / 3.0)) < 1e-12)
   }
 
+  test("weekOverWeek: compares same weekday, skips rows without one") {
+    val df = Seq(
+      ("x", Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      ("x", Timestamp.valueOf("2024-01-08 09:00:00"), 15.0), // +50%
+      ("x", Timestamp.valueOf("2024-01-09 09:00:00"), 7.0))  // no wk ago
+      .toDF("g", "ts", "v")
+    val out = Reports.weekOverWeek(df, "g", "ts", "v")
+      .select("day", "total", "prev_total", "delta_pct")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(("2024-01-08", 15.0, 10.0, 50.0)))
+  }
+
+  test("propTest: hand-checked pooled z and degenerate-rate guard") {
+    val split = Timestamp.valueOf("2024-01-16 00:00:00")
+    val b = Timestamp.valueOf("2024-01-10 00:00:00")
+    val a = Timestamp.valueOf("2024-01-20 00:00:00")
+    // before: 3/4 hit; after: 1/4 hit
+    val df = (Seq(9.0, 9.0, 9.0, 1.0).map(v => ("x", b, v)) ++
+      Seq(9.0, 1.0, 1.0, 1.0).map(v => ("x", a, v)))
+      .toDF("g", "ts", "v")
+    val r = Reports.propTest(df, "g", "ts", "v", 5.0, split).collect()(0)
+    val pp = 0.5
+    val want = (0.75 - 0.25) / math.sqrt(pp * (1 - pp) * (0.25 + 0.25))
+    assert(math.abs(r.getAs[Double]("z_stat") - want) < 1e-12)
+    // all-miss data: z defined as 0, not 0/0
+    val none = (Seq(1.0, 1.0).map(v => ("x", b, v)) ++
+      Seq(1.0, 1.0).map(v => ("x", a, v))).toDF("g", "ts", "v")
+    val r0 = Reports.propTest(none, "g", "ts", "v", 5.0, split)
+      .collect()(0)
+    assert(r0.getAs[Double]("z_stat") === 0.0)
+  }
+
   test("psiDrift: zero on identical distributions, positive on shift") {
     val split = Timestamp.valueOf("2024-01-16 00:00:00")
     val before = Timestamp.valueOf("2024-01-10 00:00:00")
