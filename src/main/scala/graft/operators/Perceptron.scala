@@ -42,28 +42,33 @@ object Perceptron {
         lit(-1L).as("b"), lit(1L).as("cnt")))
   }
 
+  /** T rounds over an already-cached feature frame. */
+  private def trainOnFeats(feats: DataFrame, nBuckets: Int, iters: Int)
+      : DataFrame = {
+    val spark = feats.sparkSession
+    var w = spark.range(-1L, nBuckets.toLong).toDF("b")
+      .withColumn("wt", lit(0L))
+    for (_ <- 1 to iters) {
+      val s = feats.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("wt")).as("sc"))
+      val mis = s.filter(col("y") * col("sc") <= 0).select(col("doc_id"))
+      val g = feats.join(mis, Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("y") * col("cnt")).as("g"))
+      w = w.join(g, Seq("b"), "left_outer")
+        .select(col("b"), (col("wt") + coalesce(col("g"), lit(0L)))
+          .as("wt"))
+        .localCheckpoint()
+    }
+    w
+  }
+
   /** Train T rounds; returns the (b, wt) weight table, bias at b=−1. */
   def train(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 32, iters: Int = 3): DataFrame = {
-    val spark = df.sparkSession
     val feats = features(df, idCol, textCol, isTarget, nBuckets).cache()
-    try {
-      var w = spark.range(-1L, nBuckets.toLong).toDF("b")
-        .withColumn("wt", lit(0L))
-      for (_ <- 1 to iters) {
-        val s = feats.join(broadcast(w), Seq("b"))
-          .groupBy(col("doc_id"), col("y"))
-          .agg(sum(col("cnt") * col("wt")).as("sc"))
-        val mis = s.filter(col("y") * col("sc") <= 0).select(col("doc_id"))
-        val g = feats.join(mis, Seq("doc_id"))
-          .groupBy(col("b")).agg(sum(col("y") * col("cnt")).as("g"))
-        w = w.join(g, Seq("b"), "left_outer")
-          .select(col("b"), (col("wt") + coalesce(col("g"), lit(0L)))
-            .as("wt"))
-          .localCheckpoint()
-      }
-      w.orderBy(col("b"))
-    } finally feats.unpersist()
+    try trainOnFeats(feats, nBuckets, iters).orderBy(col("b"))
+    finally feats.unpersist()
   }
 
   /** Score every document under a trained weight table: Σ cnt·wt over
@@ -84,14 +89,22 @@ object Perceptron {
   def marginMining(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 32, iters: Int = 3,
       k: Int = 20): DataFrame = {
-    val w = train(df, idCol, textCol, isTarget, nBuckets, iters)
-    val scored = score(df, idCol, textCol, isTarget, w, nBuckets)
-      .withColumn("abs_score", abs(col("score")))
-    val top = scored.orderBy(col("abs_score"), col("doc_id")).limit(k)
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("abs_score"), col("doc_id"))
-    top.withColumn("rank", row_number().over(win).cast("long"))
-      .select(col("rank"), col("doc_id"), col("y"), col("score"))
+    // one cached feature frame serves BOTH training and final scoring —
+    // the corpus is exploded once, not iters+2 times
+    val feats = features(df, idCol, textCol, isTarget, nBuckets).cache()
+    try {
+      val w = trainOnFeats(feats, nBuckets, iters)
+      val scored = feats.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("wt")).as("score"))
+        .withColumn("abs_score", abs(col("score")))
+      val top = scored.orderBy(col("abs_score"), col("doc_id")).limit(k)
+        .localCheckpoint()
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("abs_score"), col("doc_id"))
+      top.withColumn("rank", row_number().over(win).cast("long"))
+        .select(col("rank"), col("doc_id"), col("y"), col("score"))
+    } finally feats.unpersist()
   }
 
   /** Shared CTE chain of [[sqlTrain]]: emits `inst`, `f`, `w0..w$iters`.
