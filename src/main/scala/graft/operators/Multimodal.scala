@@ -374,6 +374,33 @@ object Multimodal {
       }
   }
 
+  /** AUDIO FINGERPRINT (energy-delta hash, the dHash idea over TIME —
+    * an echoprint-lite): REAL WAV decode to `frameLen`-sample frame
+    * energies ([[audioFrames]]), then 64 bits recording whether each
+    * of frames 1..64 is louder than its predecessor, split into two
+    * positive 32-bit halves. Clips with fewer than 65 frames are
+    * excluded (a fingerprint must cover the full bit span to be
+    * comparable). Identical samples ⇒ identical halves; small edits
+    * flip few bits — the property [[phashDupPairs]] exploits, making
+    * the SAME pigeonhole pairing serve images AND audio. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 4): DataFrame = {
+    val frames = audioFrames(spark, media, frameLen).toDF()
+      .filter(col("frame_id") <= 64)
+    val arrs = frames.groupBy(col("media_id"))
+      .agg(sort_array(collect_list(
+        struct(col("frame_id"), col("sum_abs")))).as("es"))
+      .filter(size(col("es")) === 65)
+    def e(i: Int) = element_at(col("es"), i)("sum_abs")
+    val h1 = (0 until 32).map(i =>
+      when(e(i + 2) > e(i + 1), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val h2 = (32 until 64).map(i =>
+      when(e(i + 2) > e(i + 1), lit(1L << (i - 32))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    arrs.select(col("media_id"), h1.as("h1"), h2.as("h2"))
+  }
+
   /** IMAGE NEAR-DUP PAIRS by perceptual-hash Hamming distance — the
     * visual-dedup step of multimodal curation, blocked with the
     * [[graft.functions.SimHash]] pigeonhole: the 64 dHash bits split

@@ -3331,6 +3331,71 @@ object TextQueries {
     notes = "c-TF-IDF cluster labeling; assignment map + one token " +
       "explode, cdf derived from the count table")
 
+  /** AUDIO FINGERPRINT DEDUP ([[graft.operators.Multimodal
+    * .audioFingerprints]] + [[graft.operators.Multimodal
+    * .phashDupPairs]]): energy-delta hashes over the REAL WAV decode
+    * (64 louder-than-previous bits across 4-sample frames, two 32-bit
+    * halves), paired by the same 16-bit-block pigeonhole as
+    * q_image_phash — audio near-dup detection through the identical
+    * blocking machinery. Every 5th clip is re-appended under a
+    * shifted id; the twin recomputes fingerprints from the PCM
+    * formula. */
+  val qAudioPhash = GQuery("q_audio_phash",
+    (s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.mediaWithRealAudio(s, Tables.documents(s, d))
+      val planted = media
+        .filter(col("modality") === "audio" && col("media_id") % 5 === 1)
+        .withColumn("media_id", col("media_id") + 100000L)
+      val hashes = Multimodal
+        .audioFingerprints(s, media.unionByName(planted), frameLen = 4)
+      Multimodal.phashDupPairs(hashes, maxDist = 3)
+    },
+    Some("""WITH clips AS (
+        SELECT doc_id AS media_id, doc_id AS bid,
+          doc_id % 400 + 100 AS n
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id + 100000, doc_id, doc_id % 400 + 100
+        FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 1),
+      gi AS (SELECT media_id, bid, unnest(range(0, n)) AS i FROM clips),
+      sm AS (SELECT media_id, i // 4 AS frame_id,
+          (bid * 31 + i * 7919) % 65536 - 32768 AS v
+        FROM gi WHERE i // 4 <= 64),
+      en AS (SELECT media_id, frame_id, SUM(ABS(v)) AS e
+        FROM sm GROUP BY 1, 2),
+      ok AS (SELECT media_id FROM en GROUP BY 1 HAVING COUNT(*) = 65),
+      bits AS (
+        SELECT a.media_id, a.frame_id AS i,
+          CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        FROM en a JOIN en b ON a.media_id = b.media_id
+          AND b.frame_id = a.frame_id + 1
+        JOIN ok ON a.media_id = ok.media_id
+        WHERE a.frame_id < 64),
+      h AS (SELECT media_id,
+          SUM(CASE WHEN i < 32
+            THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS h1,
+          SUM(CASE WHEN i >= 32
+            THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS h2
+        FROM bits GROUP BY media_id),
+      blk AS (
+        SELECT media_id, h1, h2, 0 AS bi, h1 % 65536 AS bv FROM h
+        UNION ALL SELECT media_id, h1, h2, 1, h1 // 65536 FROM h
+        UNION ALL SELECT media_id, h1, h2, 2, h2 % 65536 FROM h
+        UNION ALL SELECT media_id, h1, h2, 3, h2 // 65536 FROM h),
+      cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+          a.h1 AS h1a, a.h2 AS h2a, b.h1 AS h1b, b.h2 AS h2b
+        FROM blk a JOIN blk b ON a.bi = b.bi AND a.bv = b.bv
+          AND a.media_id < b.media_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b))
+          AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(h1a, h1b)) + bit_count(xor(h2a, h2b)) <= 3
+      ORDER BY id_a, id_b"""),
+    notes = "real-decode energy-delta fingerprint; shared pigeonhole " +
+      "pairing with the image path, twin from the PCM formula")
+
   /** MARGIN MINING ([[graft.operators.Perceptron.marginMining]]): the
     * 20 documents the trained lang='en' separator is least sure about
     * (smallest |score|) — the active-learning route-to-review step
@@ -3484,5 +3549,5 @@ object TextQueries {
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
     qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,
-    qClusterTerms, qTypoPairs)
+    qClusterTerms, qTypoPairs, qAudioPhash)
 }
