@@ -391,6 +391,36 @@ object Streams {
       }.toDF()
   }
 
+  /** STREAMING SCD2 ENRICHMENT — event-time dimension lookup on a
+    * stream: each event joins the dimension VERSION that was valid at
+    * its event time (`valid_from ≤ ts < valid_to` against a static
+    * [[graft.operators.Joins.scd2History]] table), not the current
+    * row — the lookup that makes late events reproduce the enrichment
+    * they would have received live. STATELESS: the dimension is a
+    * static broadcast (stream-static joins need no state store), so
+    * this composes with watermarks/aggregations downstream freely;
+    * interval bounds compare as the engine's fixed-width fmtTs strings
+    * (lexicographic = chronological, high-date sentinel included).
+    * At 100 TB the dimension history is versions-per-entity bounded —
+    * broadcastable by construction. Unmatched events keep NULL dim
+    * columns (left join): an event BEFORE the entity's first version
+    * is a real state every pipeline must represent. */
+  def scd2EnrichStream(events: DataFrame, eventKeyCol: String,
+      dim: DataFrame, dimKeyCol: String, dimValueCol: String)
+      : DataFrame = {
+    val fts = graft.Det.fmtTs(col("ts"))
+    val d = dim.select(col(dimKeyCol).as("__dk"),
+      col(dimValueCol).as("dim_value"), col("valid_from"),
+      col("valid_to"))
+    events.withColumn("__fts", fts)
+      .join(broadcast(d),
+        col(eventKeyCol) === col("__dk") &&
+          col("__fts") >= col("valid_from") &&
+          col("__fts") < col("valid_to"),
+        "left_outer")
+      .drop("__dk", "__fts")
+  }
+
   /** STREAMING PER-KEY TOP-K — the incremental twin of the W5 batch
     * rank-in-group (q_rank_in_group): per key, state is ONLY the
     * current k best (value desc, event_id asc ties) — O(k) per key

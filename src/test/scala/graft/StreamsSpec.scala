@@ -728,6 +728,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2EnrichStream: events pick the version valid at event time") {
+    implicit val sqlCtx = spark.sqlContext
+    // dimension history for key 1: "old" until 12:00, then "new"
+    val changes = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 08:00:00"), 10L, "old"),
+      (1L, Timestamp.valueOf("2024-01-01 12:00:00"), 11L, "new"))
+      .toDF("k", "ts", "id", "v")
+    val dim = graft.operators.Joins.scd2History(
+      changes, Seq("k"), "ts", "id", "v")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.scd2EnrichStream(df, "user_id", dim, "k", "v")
+      .select("event_id", "dim_value")
+      .writeStream.format("memory").queryName("scd2_enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 07:00:00"), 1L, "click", 1.0), // pre-history
+        (2L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0)) // old era
+      q.processAllAvailable()
+      mem.addData(
+        (3L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0), // boundary→new
+        (4L, ts("2024-01-01 18:00:00"), 1L, "click", 1.0), // new era
+        (5L, ts("2024-01-01 18:00:00"), 2L, "click", 1.0)) // unknown key
+      q.processAllAvailable()
+      val out = spark.table("scd2_enrich").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(out === Map(1L -> null, 2L -> "old", 3L -> "new",
+        4L -> "new", 5L -> null))
+    } finally q.stop()
+  }
+
   test("topKPerKeyStream: admitted minus evicted equals the batch top-k") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
