@@ -135,6 +135,94 @@ object Graph {
     * broadcasts the label side when small. localCheckpoint truncates
     * the unrolled lineage (the [[pageRankFixedPoint]] discipline).
     * Output: (community, n_nodes, min_node), community-ascending. */
+  /** K-CORE PEELING (fixed rounds): repeatedly drop nodes of degree < k
+    * from the canonicalized undirected graph, then report the surviving
+    * nodes with their within-core degree. Peeling is MONOTONE (the edge
+    * set only shrinks), so a fixed `rounds` count is deterministic and
+    * replayable as chained SQL — once converged, further rounds are
+    * no-ops; unconverged output is still well-defined as "the degree-≥k
+    * nodes of the round-R edge set", identical in both engines.
+    *
+    * Plan per round: one degree agg over the surviving edges (map-side
+    * combined) + two semi-joins of the edge list against the ≥k node
+    * set (AQE broadcasts it — the survivor table is |nodes|-bounded and
+    * shrinks every round). localCheckpoint truncates the unrolled
+    * lineage (the [[pageRankFixedPoint]] discipline). At 100 TB the
+    * edge list shuffles once per round on the node key — the canonical
+    * distributed peeling shape; no driver-side convergence loop.
+    * Output: (node, degree) of the round-R k-core, node-ascending. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 8, "k>=1, rounds in [1,8]")
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("u").as("node"))
+        .union(ed.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k)
+        .select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    degrees(e).filter(col("degree") >= k)
+      .select(col("node"), col("degree"))
+      .orderBy(col("node"))
+  }
+
+  /** ADAMIC–ADAR LINK PREDICTION over the canonicalized undirected
+    * graph: for each NON-ADJACENT pair (u < v) sharing at least one
+    * neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/log₂ deg(w) — computed in
+    * exact fixed point as `64_000_000 div lg64(deg_w)` (deg_w ≥ 2
+    * always: w has both u and v as neighbors, so lg64 ≥ 64 and the
+    * divide is safe), making the ranking hash-exact cross-engine with
+    * zero libm involvement ([[NaiveBayes.lg64]]).
+    *
+    * `maxDeg` drops HUB intermediaries (deg(w) > maxDeg) before pair
+    * generation — the standard practical bound: candidate volume is
+    * Σ deg(w)², so one celebrity node would dominate both cost and
+    * (vanishing, 1/log deg) signal; capping bounds the fan-out per
+    * intermediary at maxDeg² independent of corpus size.
+    *
+    * Plan: adjacency self-join keyed on the intermediary w (one
+    * shuffle), degree table joined broadcast-small, candidate agg on
+    * (u,v), then one anti-join against the edge list to keep predicted
+    * (absent) links only. Top-n bounded output via
+    * TakeOrderedAndProject. Output: (u, v, n_common, aa_x1e6). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDeg: Int = 64, topN: Int = 50): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true) // adjacency, degrees, and the anti-join reuse it
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val mid = adj.join(deg, Seq("node"))
+      .filter(col("degree") >= 2 && col("degree") <= maxDeg)
+      .withColumn("lg", NaiveBayes.lg64(col("degree")))
+      .withColumn("w_fp", expr("64000000L div lg")) // exact integer div
+    val cand = mid.as("a")
+      .join(mid.as("b"),
+        col("a.node") === col("b.node") && col("a.nbr") < col("b.nbr"))
+      .select(col("a.nbr").as("u"), col("b.nbr").as("v"),
+        col("a.w_fp").as("w_fp"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_x1e6"))
+    cand.join(e, Seq("u", "v"), "anti")
+      .orderBy(col("aa_x1e6").desc, col("u"), col("v"))
+      .limit(topN)
+  }
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters in [1,8]")

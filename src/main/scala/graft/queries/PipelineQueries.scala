@@ -1068,6 +1068,88 @@ object PipelineQueries {
     notes = "deterministic synchronous LPA; per-round node-keyed " +
       "join + argmax, lineage checkpoint-truncated")
 
+  /** K-CORE of the co-purchase part graph ([[graft.operators.Graph
+    * .kCore]]): 3 peeling rounds at k=80 — the dense-substructure filter
+    * (curation analogue: keep entities with enough corroborating
+    * co-occurrence). Monotone peeling ⇒ the fixed round count is
+    * deterministic and the chained-CTE twin replays it stage by stage. */
+  val qKcore = GQuery("q_kcore",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.kCore(pairs, "src", "dst", k = 80, rounds = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      d1 AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      s1 AS (SELECT node FROM d1 WHERE degree >= 80),
+      e1 AS (SELECT u, v FROM e0
+        WHERE u IN (SELECT node FROM s1) AND v IN (SELECT node FROM s1)),
+      d2 AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+      s2 AS (SELECT node FROM d2 WHERE degree >= 80),
+      e2 AS (SELECT u, v FROM e1
+        WHERE u IN (SELECT node FROM s2) AND v IN (SELECT node FROM s2)),
+      d3 AS (SELECT node, COUNT(*) AS degree FROM
+        (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+      s3 AS (SELECT node FROM d3 WHERE degree >= 80),
+      e3 AS (SELECT u, v FROM e2
+        WHERE u IN (SELECT node FROM s3) AND v IN (SELECT node FROM s3))
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+      GROUP BY 1 HAVING COUNT(*) >= 80 ORDER BY node"""),
+    notes = "k-core peeling, 3 rounds at k=80; per-round degree agg + " +
+      "two semi-joins, checkpoint-truncated")
+
+  /** ADAMIC–ADAR link prediction on the co-purchase graph
+    * ([[graft.operators.Graph.adamicAdar]]): top-50 absent edges by
+    * Σ 1/log₂ deg(w) over common neighbors, in 64_000_000/lg64 fixed
+    * point — hub intermediaries (deg > 64) excluded, which is also the
+    * 100 TB cost bound (candidate fan-out ≤ maxDeg² per node). */
+  val qAdamicAdar = GQuery("q_adamic_adar",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      graft.operators.Graph.adamicAdar(pairs, "src", "dst",
+        maxDeg = 64, topN = 50)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      adj AS (SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+      d AS (SELECT node, COUNT(*) AS degree FROM adj GROUP BY 1),
+      dd AS (SELECT DISTINCT degree FROM d
+        WHERE degree BETWEEN 2 AND 64),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dd", "degree", Seq("degree"), "lgt", "lg") + """,
+      wt AS (SELECT degree, 64000000 // lg AS w_fp FROM lgt),
+      mid AS (SELECT adj.node, adj.nbr, wt.w_fp
+        FROM adj JOIN d USING (node) JOIN wt USING (degree)),
+      cand AS (SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS n_common,
+          SUM(a.w_fp) AS aa
+        FROM mid a JOIN mid b ON a.node = b.node AND a.nbr < b.nbr
+        GROUP BY 1, 2),
+      pred AS (SELECT * FROM cand c WHERE NOT EXISTS
+        (SELECT 1 FROM e WHERE e.u = c.u AND e.v = c.v))
+      SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+        CAST(aa AS BIGINT) AS aa_x1e6
+      FROM pred ORDER BY aa_x1e6 DESC, u, v LIMIT 50"""),
+    notes = "AA over common neighbors, lg64 fixed point; one shuffle " +
+      "on the intermediary key, hub cap, top-n bounded")
+
   /** EXACT JOIN-SIZE PROFILE ([[graft.operators.Sharding
     * .joinSizeProfile]]): predicted lineitem⋈events-on-key cardinality
     * `Σ cntA·cntB` with worst-key contribution — the pre-flight check
@@ -1285,5 +1367,6 @@ object PipelineQueries {
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
-    qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest)
+    qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
+    qKcore, qAdamicAdar)
 }

@@ -77,6 +77,68 @@ class GraphSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, 1L), (11L, 3L, 11L)))
   }
 
+  test("kCore: triangle survives k=2, pendant chain peels away") {
+    // triangle a-b-c (2-core) with chain c-d-e hanging off: one round
+    // drops e (deg 1), the next drops d — rounds=3 converges
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e")).toDF("s", "t")
+    val out = Graph.kCore(edges, "s", "t", k = 2, rounds = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("kCore: k above max degree empties the graph") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("s", "t")
+    assert(Graph.kCore(edges, "s", "t", k = 3, rounds = 2).count() === 0L)
+  }
+
+  test("kCore: unconverged round count is still well-defined and monotone") {
+    // long chain: every round peels both current endpoints (deg 1)
+    val chain = (1L to 8L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("s", "t")
+    val r1 = Graph.kCore(chain, "s", "t", k = 2, rounds = 1).count()
+    val r3 = Graph.kCore(chain, "s", "t", k = 2, rounds = 3).count()
+    assert(r1 >= r3) // peeling only shrinks
+    assert(Graph.kCore(chain, "s", "t", k = 2, rounds = 8).count() === 0L)
+  }
+
+  test("adamicAdar: square predicts its two diagonals, hand-scored") {
+    // cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each share
+    // two degree-2 neighbors → aa = 2 · (64000000 div 64) = 2000000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    val out = Graph.adamicAdar(edges, "s", "t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L, 2L, 2000000L), (2L, 4L, 2L, 2000000L)))
+  }
+
+  test("adamicAdar: adjacent pairs are excluded, hubs are capped") {
+    // star center h connected to 1..5 plus edge 1-2: with maxDeg=3 the
+    // hub h (deg 5) cannot intermediate; only (1,2)'s non-adjacent...
+    // 1-2 are adjacent so nothing qualifies through capped paths
+    val edges = ((1L to 5L).map(i => (100L, i)) ++ Seq((1L, 2L)))
+      .toDF("s", "t")
+    val capped = Graph.adamicAdar(edges, "s", "t", maxDeg = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(capped.isEmpty)
+    // uncapped: all C(5,2) satellite pairs except the adjacent (1,2)
+    val full = Graph.adamicAdar(edges, "s", "t", maxDeg = 64)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(full.size === 9)
+    assert(!full.exists(r => r._1 === 1L && r._2 === 2L))
+    // all scores via the deg-5 hub: 64000000 div lg64(5) — equal, >0
+    assert(full.map(_._4).distinct.size === 1 && full.head._4 > 0)
+  }
+
+  test("adamicAdar: deterministic across repartitioning") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 5L),
+      (5L, 3L)).toDF("s", "t")
+    val r1 = Graph.adamicAdar(edges, "s", "t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val r2 = Graph.adamicAdar(edges.repartition(5), "s", "t")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r1 === r2)
+  }
+
   test("labelPropagation: deterministic across repartitioning") {
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
       (4L, 1L, 2L), (2L, 4L, 3L)).toDF("s", "t", "w")
