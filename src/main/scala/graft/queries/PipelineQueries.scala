@@ -1068,6 +1068,55 @@ object PipelineQueries {
     notes = "deterministic synchronous LPA; per-round node-keyed " +
       "join + argmax, lineage checkpoint-truncated")
 
+  /** BENFORD FIRST-DIGIT AUDIT on o_totalprice — the classic
+    * fabricated-data / unit-drift smell test (a price column that got
+    * multiplied by 1000 shifts its leading-digit mix visibly; cf. the
+    * round-6 timestamp-unit incident this guard family exists for).
+    * First significant digit via floor→int64→string head (no log10 —
+    * libm-free, so the digit is exact in both engines); observed share
+    * and deviation from Benford's log₁₀(1+1/d) in integer per-mille
+    * (the expectation table is 9 CONSTANTS, not computed). Plan: one
+    * map-side-combined 9-group agg + a 9-row window total — nothing
+    * leaves the executor until the 9-row result. */
+  val qBenford = GQuery("q_benford",
+    (s, d) => {
+      val expXm = Map(1 -> 301, 2 -> 176, 3 -> 125, 4 -> 97, 5 -> 79,
+        6 -> 67, 7 -> 58, 8 -> 51, 9 -> 46)
+      val expCol = expXm.foldLeft(lit(0)) { case (acc, (dig, e)) =>
+        when(col("digit") === dig, lit(e)).otherwise(acc) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      Tables.orders(s, d)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit").between(1, 9))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(w))
+        .withColumn("obs_x1000", expr("cnt * 1000 div total"))
+        .withColumn("exp_x1000", expCol.cast("long"))
+        .select(col("digit"), col("cnt"), col("obs_x1000"),
+          col("exp_x1000"),
+          abs(col("obs_x1000") - col("exp_x1000")).as("dev_x1000"))
+        .orderBy(col("digit"))
+    },
+    Some("""WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders),
+      cts AS (SELECT digit, COUNT(*) AS cnt FROM digits
+        WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+      ex(digit, exp_x1000) AS (VALUES (1, 301), (2, 176), (3, 125),
+        (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)),
+      t AS (SELECT digit, cnt, SUM(cnt) OVER () AS total FROM cts)
+      SELECT t.digit, CAST(t.cnt AS BIGINT) AS cnt,
+        CAST(t.cnt * 1000 // t.total AS BIGINT) AS obs_x1000,
+        CAST(ex.exp_x1000 AS BIGINT) AS exp_x1000,
+        CAST(abs(t.cnt * 1000 // t.total - ex.exp_x1000) AS BIGINT)
+          AS dev_x1000
+      FROM t JOIN ex USING (digit) ORDER BY t.digit"""),
+    notes = "leading-digit audit, integer per-mille vs constant " +
+      "Benford table; libm-free digit extraction")
+
   /** K-CORE of the co-purchase part graph ([[graft.operators.Graph
     * .kCore]]): 3 peeling rounds at k=80 — the dense-substructure filter
     * (curation analogue: keep entities with enough corroborating
@@ -1368,5 +1417,5 @@ object PipelineQueries {
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
-    qKcore, qAdamicAdar)
+    qKcore, qAdamicAdar, qBenford)
 }

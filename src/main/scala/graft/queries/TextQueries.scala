@@ -3525,7 +3525,67 @@ object TextQueries {
     notes = "integer full-batch perceptron; per-round broadcast weight " +
       "join + bucket-bounded gradient agg, zero driver state")
 
+  /** TOKEN-DISTRIBUTION ENTROPY per document — the unigram-diversity
+    * quality signal (low entropy ⇒ repetitive/templated text; the
+    * complement of [[qRepetition]]'s n-gram view). Shannon entropy over
+    * the doc's whitespace-token histogram, EXACT fixed point via
+    * [[graft.operators.NaiveBayes.lg64]]:
+    *
+    *   ent_x64 = (n·lg64(n) − Σ_t c_t·lg64(c_t)) div n   (≈ 64·H bits)
+    *
+    * — pure int64 in both engines, so ranking and values hash-match
+    * with zero libm. Plan: one corpus-token shuffle (doc,token counts,
+    * map-side combined) + one doc-keyed re-agg; lg64 rides as a codegen
+    * expression, no joins. At 100 TB this is the same two-exchange
+    * shape as every token query here. Docs with no tokens drop out in
+    * both engines (explode/unnest of an empty list). */
+  val qTokenEntropy = GQuery("q_token_entropy",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("token"))
+      val cts = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("clg",
+          col("c") * graft.operators.NaiveBayes.lg64(col("c")))
+      cts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("clg")).as("sum_clg"))
+        .withColumn("lgn", graft.operators.NaiveBayes.lg64(col("n_tokens")))
+        .withColumn("ent_x64",
+          expr("(n_tokens * lgn - sum_clg) div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("ent_x64"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      cts AS (SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      dc AS (SELECT DISTINCT c FROM cts),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dc", "c", Seq("c"), "lgc", "lg") + """,
+      tot AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+          SUM(c * lgc.lg) AS sum_clg
+        FROM cts JOIN lgc USING (c) GROUP BY 1),
+      dn AS (SELECT DISTINCT n_tokens FROM tot),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dn", "n_tokens", Seq("n_tokens"), "lgn", "lgnv") + """
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_distinct AS BIGINT) AS n_distinct,
+        CAST((n_tokens * lgn.lgnv - sum_clg) // n_tokens AS BIGINT)
+          AS ent_x64
+      FROM tot JOIN lgn USING (n_tokens)
+      ORDER BY doc_id"""),
+    notes = "unigram entropy in lg64 fixed point; two exchanges, " +
+      "lg64 codegen'd Spark-side, value-joined twin-side")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
+    qTokenEntropy,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
