@@ -103,6 +103,43 @@ object Clustering {
       .orderBy(col("cluster"))
   }
 
+  /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster after [[train]]:
+    * for each point, a = sqdist to its own (nearest) centroid, b =
+    * sqdist to the runner-up centroid; s = (b−a)/max(a,b) ∈ [0,1] here
+    * (b ≥ a by construction of the argmin), reported in integer
+    * per-mille — `((b−a)·1000) div max(a,b)` — so the gate is
+    * hash-exact with zero IEEE involvement. ×1000 (not ×10⁶) keeps the
+    * product under int64: dists are ≤ dim·(2·10⁶)² ≈ 2.6·10¹⁴ for
+    * unit-range 64-dim embeddings, ×10³ ≈ 2.6·10¹⁷ < 2⁶³.
+    *
+    * The centroid-based simplification (Hruschka et al.) is the one
+    * that SCALES: full silhouette is all-pairs within+across clusters
+    * (corpus²); this is one corpus MAP against k·dim plan literals —
+    * both distances come from the same sorted (dist, label) array, no
+    * second pass, no join, no shuffle of vectors. Output per cluster:
+    * (cluster, n, mean_s_x1000, min_s_x1000, max_s_x1000). */
+  def silhouetteSummary(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val centers = train(df, idCol, vecCol, k, iters)
+    require(centers.size >= 2, "silhouette needs >= 2 surviving clusters")
+    val sorted = array_sort(array(centers.map { case (lbl, v) =>
+      struct(sqDist(col("qv"), v).as("d"), lit(lbl).as("cl")) }: _*))
+    df.select(quantize(col(vecCol)).as("qv"))
+      .withColumn("arr", sorted)
+      .select(element_at(col("arr"), 1)("cl").as("cluster"),
+        element_at(col("arr"), 1)("d").as("da"),
+        element_at(col("arr"), 2)("d").as("db"))
+      .withColumn("s", when(greatest(col("da"), col("db")) === 0, lit(0L))
+        .otherwise(expr("((db - da) * 1000L) div greatest(da, db)")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("sum_s"),
+        min(col("s")).as("min_s_x1000"), max(col("s")).as("max_s_x1000"))
+      .withColumn("mean_s_x1000", expr("sum_s div n"))
+      .select(col("cluster").cast(LongType), col("n"),
+        col("mean_s_x1000"), col("min_s_x1000"), col("max_s_x1000"))
+      .orderBy(col("cluster"))
+  }
+
   /** SEMDEDUP: centroid-blocked embedding near-dup pairs (Abbas et al.
     * 2023's semantic-dedup shape): cluster the corpus with [[train]],
     * then compare ONLY within-cluster pairs with the engine's exact
@@ -259,6 +296,29 @@ object Clustering {
     FROM af JOIN (SELECT cl, list_sum(qv) AS c_sum FROM c$iters)
       cs ON af.cl = cs.cl
     GROUP BY af.cl ORDER BY cluster"""
+
+  /** DuckDB twin of [[silhouetteSummary]] on the `embeddings` table. */
+  def sqlSilhouette(k: Int, iters: Int, dim: Int): String =
+    sqlKMeansChain("SELECT vec_id AS id, embedding FROM embeddings",
+      k, iters, dim) + s""",
+    alld AS (
+      SELECT q.id, c.cl, ${sqlDist("q.qv", "c.qv")} AS dd
+      FROM q CROSS JOIN c$iters c),
+    rk AS (SELECT id, cl, dd,
+        ROW_NUMBER() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+      FROM alld),
+    ab AS (SELECT a.id, a.cl AS cluster, a.dd AS da, b.dd AS db
+      FROM rk a JOIN rk b ON a.id = b.id
+      WHERE a.rn = 1 AND b.rn = 2),
+    sv AS (SELECT cluster, CASE WHEN greatest(da, db) = 0 THEN 0
+        ELSE ((db - da) * 1000) // greatest(da, db) END AS s
+      FROM ab)
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_s_x1000,
+      CAST(MIN(s) AS BIGINT) AS min_s_x1000,
+      CAST(MAX(s) AS BIGINT) AS max_s_x1000
+    FROM sv GROUP BY 1 ORDER BY cluster"""
 
   /** DuckDB twin of [[semDedup]] over `srcSql` (id, embedding). */
   def sqlSemDedup(srcSql: String, k: Int, iters: Int, dim: Int,

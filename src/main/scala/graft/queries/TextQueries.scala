@@ -3139,6 +3139,20 @@ object TextQueries {
     notes = "exact Lloyd rounds; integer floor-mean centroids, " +
       "trajectory replayed by the unrolled twin")
 
+  /** CLUSTERING QUALITY gate ([[graft.operators.Clustering
+    * .silhouetteSummary]]): simplified (centroid-based) silhouette per
+    * k-means cluster in integer per-mille — the "is this clustering
+    * worth curating against?" number a SemDeDup/cluster-sampling
+    * pipeline checks before trusting cluster structure. Same k=8/3-round
+    * trajectory as q_kmeans; one corpus map, no vector shuffle. */
+  val qSilhouette = GQuery("q_silhouette",
+    (s, d) => graft.operators.Clustering.silhouetteSummary(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3),
+    Some(graft.operators.Clustering.sqlSilhouette(k = 8, iters = 3,
+      dim = 64)),
+    notes = "centroid-based silhouette (the scalable simplification); " +
+      "per-mille fixed point, both dists from one sorted array")
+
   /** SEMDEDUP ([[graft.operators.Clustering.semDedup]]): k-means-blocked
     * semantic near-dup pairs — cluster with 2 exact Lloyd rounds, then
     * exact-decimal cosine only WITHIN clusters (the Abbas et al. 2023
@@ -3607,7 +3621,8 @@ object TextQueries {
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
-    qContrastivePairs, qKmeans, qSemDedup, qRrfFusion, qDsirSelect,
+    qContrastivePairs, qKmeans, qSilhouette, qSemDedup, qRrfFusion,
+    qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,
     qClusterTerms, qTypoPairs, qAudioPhash)
 }

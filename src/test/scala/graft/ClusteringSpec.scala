@@ -101,6 +101,46 @@ class ClusteringSpec extends SparkSpec {
     assert(out.values.toSet === Set("cat", "dog"))
   }
 
+  test("silhouetteSummary replays the per-point (a, b) distances") {
+    val pts = qpts
+    val centers = replay(pts, k = 8, iters = 3)
+    val want = pts.map { case (_, v) =>
+      val ds = centers.map { case (lbl, c) => (d2(v, c), lbl) }.sorted
+      val (da, own) = ds.head
+      val db = ds(1)._1
+      val s = if (math.max(da, db) == 0L) 0L
+      else ((db - da) * 1000L) / math.max(da, db) // non-negative: floor=trunc
+      (own, s)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (lbl, rows) =>
+      val ss = rows.map(_._2)
+      (lbl.toLong, rows.length.toLong, ss.sum / ss.length,
+        ss.min, ss.max)
+    }
+    val got = TextQueries.qSilhouette.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+    // simplified silhouette is in [0, 1000] by construction (b >= a)
+    assert(got.forall(r => r._4 >= 0L && r._5 <= 1000L))
+  }
+
+  test("silhouette separates tight clusters from a straddler") {
+    import spark.implicits._
+    // two tight 1-D clusters plus one point midway: the straddler's
+    // (b-a)/max(a,b) is small, the tight members' is ~1000
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.01f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.99f, 0.0f)),
+      (4L, Seq(0.52f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Clustering.silhouetteSummary(df, "vec_id", "embedding",
+      k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // straddler 4 joins cluster 1 (closer to 0.52: the {1.0,0.99,...}
+    // centroid after updates) and drags its mean below cluster 0's
+    assert(out(0L) > 900L)
+    assert(out(1L) < out(0L))
+  }
+
   test("floor-mean centroid update is exact on negative sums") {
     // power-of-two coordinates quantize exactly; cluster 0's x sum is
     // -1250000 over 3 members — floor gives -416667, truncation -416666
