@@ -177,6 +177,44 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** MULTI-SOURCE BFS over the canonicalized undirected graph: hop
+    * distance from the nearest seed, as `rounds` synchronous frontier
+    * relaxations — dist'(v) = min(dist(v), min_{u∈N(v)} dist(u)+1).
+    * Min-relaxation is MONOTONE (distances only decrease), so a fixed
+    * round count is deterministic and prefix-exact: every reported
+    * distance ≤ rounds is the true BFS distance; nodes further than
+    * `rounds` hops are simply absent (the twin replays the same
+    * truncation). Per round: one node-keyed join of the |reached|-row
+    * distance table to the symmetrized adjacency + one min agg —
+    * the Pregel shape, lineage checkpoint-truncated. Output:
+    * (node, dist), node-ascending, seeds at dist 0. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val nbr = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    // seed set ∩ graph nodes (an isolated seed has no edges to relax)
+    var dist = nbr.select(col("node")).distinct()
+      .join(seeds.select(col(seedCol).as("node")).distinct(), Seq("node"),
+        "semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(nbr, Seq("node"))
+        .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** ADAMIC–ADAR LINK PREDICTION over the canonicalized undirected
     * graph: for each NON-ADJACENT pair (u < v) sharing at least one
     * neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/log₂ deg(w) — computed in

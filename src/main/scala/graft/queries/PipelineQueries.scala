@@ -1199,6 +1199,109 @@ object PipelineQueries {
     notes = "AA over common neighbors, lg64 fixed point; one shuffle " +
       "on the intermediary key, hub cap, top-n bounded")
 
+  /** MUTUAL INFORMATION / PMI audit between customer segment and order
+    * priority — the feature-selection primitive (is this column
+    * informative about that label?) run as a relational program: the
+    * 5×5 contingency table, margins, and per-cell pointwise MI in lg64
+    * fixed point — pmi_x64 = lg64(n_ij·N) − lg64(r_i·c_j) (sign carries
+    * over/under-representation), contrib = n_ij·pmi_x64 (≈ 64·N·MI
+    * summand). All int64; products stay ≤ N² < 2⁴⁹ at any tested SF.
+    * Plan: one broadcast-dim join + one cell agg; margins re-agg the
+    * 25-row cell table (never the fact table); the 1-row total rides a
+    * broadcast cross join (the q_tfidf_topk shape, whitelisted). */
+  val qMutualInfo = GQuery("q_mutual_info",
+    (s, d) => {
+      import graft.operators.NaiveBayes.lg64
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+      val cell = j.groupBy(col("segment"), col("priority"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // margins + total re-agg the 25-row table
+      val rm = cell.groupBy(col("segment")).agg(sum(col("n")).as("r"))
+      val cm = cell.groupBy(col("priority")).agg(sum(col("n")).as("c"))
+      val nt = cell.agg(sum(col("n")).as("nn"))
+      cell.join(broadcast(rm), Seq("segment"))
+        .join(broadcast(cm), Seq("priority"))
+        .crossJoin(broadcast(nt))
+        .withColumn("pmi_x64",
+          lg64(col("n") * col("nn")) - lg64(col("r") * col("c")))
+        .select(col("segment"), col("priority"), col("n"),
+          col("pmi_x64"), (col("n") * col("pmi_x64")).as("contrib"))
+        .orderBy(col("segment"), col("priority"))
+    },
+    Some("""WITH j AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cell AS (SELECT segment, priority, COUNT(*) AS n FROM j
+        GROUP BY 1, 2),
+      rm AS (SELECT segment, SUM(n) AS r FROM cell GROUP BY 1),
+      cm AS (SELECT priority, SUM(n) AS c FROM cell GROUP BY 1),
+      nt AS (SELECT SUM(n) AS nn FROM cell),
+      base AS (SELECT cell.segment, cell.priority, cell.n,
+          cell.n * nt.nn AS pa, rm.r * cm.c AS pb
+        FROM cell JOIN rm USING (segment) JOIN cm USING (priority), nt),
+      dpa AS (SELECT DISTINCT pa AS x FROM base),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dpa", "x", Seq("x"), "la", "lga") + """,
+      dpb AS (SELECT DISTINCT pb AS x FROM base),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dpb", "x", Seq("x"), "lb", "lgb") + """
+      SELECT base.segment, base.priority, CAST(base.n AS BIGINT) AS n,
+        CAST(la.lga - lb.lgb AS BIGINT) AS pmi_x64,
+        CAST(base.n * (la.lga - lb.lgb) AS BIGINT) AS contrib
+      FROM base JOIN la ON base.pa = la.x JOIN lb ON base.pb = lb.x
+      ORDER BY base.segment, base.priority"""),
+    notes = "contingency + margins + lg64 PMI, all integer; margins " +
+      "from the cell table, never a second fact scan")
+
+  /** MULTI-SOURCE BFS ([[graft.operators.Graph.bfsDistances]]): hop
+    * distance from the size-50 parts over the co-purchase graph — the
+    * "blast radius" / affinity-expansion primitive (seed a curated set,
+    * expand to everything within k association hops). 3 relaxation
+    * rounds; monotone min-relaxation ⇒ reported distances are exact. */
+  val qBfsDist = GQuery("q_bfs_dist",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey"))
+      graft.operators.Graph.bfsDistances(pairs, "src", "dst",
+        seeds, "p_partkey", rounds = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      nbr AS (SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+      sd AS (SELECT DISTINCT p_partkey AS node FROM part
+        WHERE p_size = 50),
+      d0 AS (SELECT n.node, 0 AS dist
+        FROM (SELECT DISTINCT node FROM nbr) n JOIN sd USING (node)),
+      r1 AS (SELECT nbr.nbr AS node, d0.dist + 1 AS dist
+        FROM d0 JOIN nbr ON d0.node = nbr.node),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+      r2 AS (SELECT nbr.nbr AS node, d1.dist + 1 AS dist
+        FROM d1 JOIN nbr ON d1.node = nbr.node),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+      r3 AS (SELECT nbr.nbr AS node, d2.dist + 1 AS dist
+        FROM d2 JOIN nbr ON d2.node = nbr.node),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+      ORDER BY node"""),
+    notes = "synchronous frontier min-relaxation, 3 rounds; " +
+      "node-keyed joins, checkpoint-truncated")
+
   /** EXACT JOIN-SIZE PROFILE ([[graft.operators.Sharding
     * .joinSizeProfile]]): predicted lineitem⋈events-on-key cardinality
     * `Σ cntA·cntB` with worst-key contribution — the pre-flight check
@@ -1417,5 +1520,5 @@ object PipelineQueries {
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
-    qKcore, qAdamicAdar, qBenford)
+    qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo)
 }

@@ -3598,8 +3598,61 @@ object TextQueries {
     notes = "unigram entropy in lg64 fixed point; two exchanges, " +
       "lg64 codegen'd Spark-side, value-joined twin-side")
 
+  /** VOCABULARY GINI per source — token-frequency concentration (a
+    * high-Gini source is dominated by few tokens: boilerplate or
+    * template smell; the corpus-level complement of [[qTokenEntropy]]'s
+    * per-doc view). Exact integer Gini over the frequency-ascending
+    * vocabulary: g_x1000 = ((2·Σ i·x_i − (n+1)·Σx)·1000) div (n·Σx),
+    * where i ranks by (cnt, token) — ties permute EQUAL values only,
+    * so the sum (and hence the gate) is order-independent, and the
+    * numerator is ≥ 0 by the Chebyshev sum inequality. Plan: one
+    * corpus-token shuffle to the (source, token) count table, then a
+    * window + agg over the BOUNDED vocabulary — the corpus never sorts. */
+  val qVocabGini = GQuery("q_vocab_gini",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt"), col("token"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"), sum(col("cnt")).as("tot_tokens"),
+          sum(col("i") * col("cnt")).as("s1"))
+        .withColumn("g_x1000", expr(
+          "((2 * s1 - (n_vocab + 1) * tot_tokens) * 1000) div " +
+            "(n_vocab * tot_tokens)"))
+        .select(col("source"), col("n_vocab"), col("tot_tokens"),
+          col("g_x1000"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+        SELECT source, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      vocab AS (SELECT source, token, COUNT(*) AS cnt FROM toks
+        GROUP BY 1, 2),
+      rk AS (SELECT source, cnt,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY cnt, token) AS i
+        FROM vocab),
+      t AS (SELECT source, COUNT(*) AS n_vocab, SUM(cnt) AS tot_tokens,
+          SUM(i * cnt) AS s1
+        FROM rk GROUP BY 1)
+      SELECT source, CAST(n_vocab AS BIGINT) AS n_vocab,
+        CAST(tot_tokens AS BIGINT) AS tot_tokens,
+        CAST(((2 * s1 - (n_vocab + 1) * tot_tokens) * 1000)
+          // (n_vocab * tot_tokens) AS BIGINT) AS g_x1000
+      FROM t ORDER BY source"""),
+    notes = "exact integer Gini over the bounded vocab table; " +
+      "tie-rank permutes equal values only, order-independent")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qTokenEntropy,
+    qTokenEntropy, qVocabGini,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

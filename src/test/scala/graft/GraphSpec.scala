@@ -102,6 +102,29 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(chain, "s", "t", k = 2, rounds = 8).count() === 0L)
   }
 
+  test("bfsDistances: path graph distances from one seed, truncated") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seed {1}: rounds=2 reaches dist 0,1,2; 4,5 absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graph.bfsDistances(edges, "s", "t", seeds, "seed", rounds = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    // rounds=4 covers the whole path
+    val full = Graph.bfsDistances(edges, "s", "t", seeds, "seed", rounds = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(full === Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed; isolated seed ignored") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    val seeds = Seq(1L, 4L, 99L).toDF("seed") // 99 not in the graph
+    val out = Graph.bfsDistances(edges, "s", "t", seeds, "seed", rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
+  }
+
   test("adamicAdar: square predicts its two diagonals, hand-scored") {
     // cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each share
     // two degree-2 neighbors → aa = 2 · (64000000 div 64) = 2000000

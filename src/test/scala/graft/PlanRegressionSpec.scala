@@ -36,7 +36,10 @@ class PlanRegressionSpec extends SparkSpec {
     // DSIR's (Nt, Nr) onto the bucket model, PSI's (nb, na) onto the
     // bucket counts, the skew profiler's (n, d) onto the top-k slice,
     // and RRF's BM25 substage corpus stats
-    "q_dsir_select", "q_psi_drift", "q_skew_profile", "q_rrf_fusion")
+    "q_dsir_select", "q_psi_drift", "q_skew_profile", "q_rrf_fusion",
+    // 1-row broadcast grand-total cross join onto the 25-row
+    // contingency-cell table (the same q_tfidf_topk shape)
+    "q_mutual_info")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
