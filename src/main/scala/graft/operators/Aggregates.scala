@@ -128,6 +128,56 @@ object Aggregates {
       .orderBy(col("rank"))
   }
 
+  /** ASSOCIATION RULES a→b over capped baskets (the [[coOccurrence]]
+    * discipline: per-basket DISTINCT items, sorted, capped at
+    * `maxItems` so one mega-basket can't explode the pair stage).
+    * Directional rules with exact integer metrics:
+    *   conf_x1000 = n_ab·1000 div n_a
+    *   lift_x1000 = n_ab·n_baskets·1000 div (n_a·n_b)
+    * — no IEEE ops, so ranking and values are hash-exact. Item counts
+    * come from the SAME capped item stream the pairs do (self-
+    * consistent supports). Plan: one basket agg (corpus shuffle), pair
+    * fan-out in-array (≤ maxItems² per basket), counts map-side
+    * combined; the bounded item-count table broadcasts onto the rule
+    * table and the 1-row basket total rides a broadcast cross join
+    * (the q_tfidf_topk shape). Top-k by (lift, conf, rule) — bounded
+    * output. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSup: Long, k: Int, maxItems: Int = 64): DataFrame = {
+    val baskets = df.groupBy(col(basketCol))
+      .agg(slice(sort_array(collect_set(col(itemCol))), 1, maxItems)
+        .as("__items"))
+      .localCheckpoint(true) // item counts, pair counts, and N reuse it
+    val items = baskets.select(explode(col("__items")).as("item"))
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val nb = baskets.agg(count(lit(1)).as("n_baskets"))
+    val und = baskets.select(explode(flatten(
+      expr("""transform(__items, (x, i) ->
+                transform(slice(__items, i + 2, size(__items)),
+                  y -> struct(x AS a, y AS b)))"""))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSup)
+    val rules = und.select(col("a").as("antecedent"),
+        col("b").as("consequent"), col("n_ab"))
+      .unionByName(und.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("n_ab")))
+    rules
+      .join(broadcast(itemCnt.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("ni", "n_a")), Seq("antecedent"))
+      .join(broadcast(itemCnt.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("ni", "n_b")), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+      .withColumn("conf_x1000", expr("n_ab * 1000 div n_a"))
+      .withColumn("lift_x1000",
+        expr("n_ab * n_baskets * 1000 div (n_a * n_b)"))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"), col("conf_x1000"), col("lift_x1000"))
+      .orderBy(desc("lift_x1000"), desc("conf_x1000"),
+        col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
   /** RATIO-TO-REPORT (contribution analysis): per-group totals plus
     * each group's share of the grand total. The grand total is a window
     * sum over the ALREADY-AGGREGATED #groups-row table (the

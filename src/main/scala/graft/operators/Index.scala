@@ -232,6 +232,61 @@ object Index {
     * heavy retrieval work is inside BM25 / ANN, each separately
     * scale-audited); the fusion is a broadcast full-outer join of two
     * ≤n-row frames, then a ≤2n-row sort — driver-free, corpus-free. */
+  /** SPARSE TF-IDF COSINE self-join (all-pairs document similarity over
+    * the LEXICAL space — the token-level complement of the embedding
+    * near-dup family): weights w = tf · (lg64(N) − lg64(df)) in exact
+    * fixed point, pairs generated ONLY through the inverted index
+    * (token-keyed join of postings), partial dot products summed per
+    * pair. The df cap is the load-bearing scale bound: a token kept in
+    * the index fans out ≤ maxDf² pairs, so stopwords (the corpus-scale
+    * posting lists) never enter the join — the classic SSJ pruning. The
+    * cosine itself is 3 IEEE ops on exact integers (cast, ×, sqrt,
+    * divide — identical order both engines), so even the double column
+    * hash-matches. Output: top-`k` pairs (id_a, id_b, n_shared, dot,
+    * cos), cos-descending. */
+  def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Long, k: Int): DataFrame = {
+    import graft.operators.NaiveBayes.lg64
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    // idf on the bounded vocab table; the 1-row total rides a broadcast
+    // cross join (the q_tfidf_topk shape)
+    val idf = dfc.filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nd))
+      .withColumn("idf64", lg64(col("n_docs")) - lg64(col("df")))
+      .filter(col("idf64") > 0)
+      .select(col("token"), col("idf64"))
+    val kept = tf.join(broadcast(idf), Seq("token"))
+      .withColumn("w", col("tf") * col("idf64"))
+      .localCheckpoint(true) // norms + both join sides reuse it
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("n2"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.w") * col("b.w")).as("pp"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("pp")).as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")),
+        Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")),
+        Seq("id_b"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("dot"),
+        col("cos"))
+      .orderBy(desc("cos"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
   def rrfFusion(lex: DataFrame, sem: DataFrame, kConst: Long = 60L,
       scale: Long = 1000000L, k: Int = 20): DataFrame = {
     val l = lex.select(col("doc_id"), col("rank").as("lex_rank"))

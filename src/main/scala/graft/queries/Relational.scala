@@ -866,6 +866,50 @@ object Relational {
       FROM top ORDER BY rank"""),
     notes = "market-basket pairs; in-array generation bounds expansion by basket size")
 
+  /** ASSOCIATION RULES ([[graft.operators.Aggregates
+    * .associationRules]]): directional market-basket rules a→b with
+    * exact per-mille confidence and lift over the same capped baskets
+    * as [[qCopurchase]] — support ≥ 2, top-50 by lift. The recommender/
+    * curation primitive one level above raw pair counts. */
+  val qAssocRules = GQuery("q_assoc_rules",
+    (s, d) => graft.operators.Aggregates.associationRules(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSup = 2L, k = 50),
+    Some("""WITH baskets AS (
+        SELECT l_orderkey, list_slice(list_sort(list(DISTINCT l_partkey)),
+          1, 64) AS items
+        FROM lineitem GROUP BY l_orderkey),
+      items AS (
+        SELECT l_orderkey, unnest(items) AS item FROM baskets),
+      ic AS (SELECT item, COUNT(*) AS ni FROM items GROUP BY 1),
+      nb AS (SELECT COUNT(*) AS n_baskets FROM baskets),
+      pairs AS (
+        SELECT a.item AS a, b.item AS b
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item),
+      und AS (SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      rules AS (
+        SELECT a AS antecedent, b AS consequent, n_ab FROM und
+        UNION ALL SELECT b, a, n_ab FROM und),
+      scored AS (
+        SELECT r.antecedent, r.consequent, r.n_ab,
+          ia.ni AS n_a, ib.ni AS n_b,
+          r.n_ab * 1000 // ia.ni AS conf_x1000,
+          r.n_ab * nb.n_baskets * 1000 // (ia.ni * ib.ni) AS lift_x1000
+        FROM rules r
+          JOIN ic ia ON r.antecedent = ia.item
+          JOIN ic ib ON r.consequent = ib.item, nb)
+      SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        CAST(conf_x1000 AS BIGINT) AS conf_x1000,
+        CAST(lift_x1000 AS BIGINT) AS lift_x1000
+      FROM scored
+      ORDER BY lift_x1000 DESC, conf_x1000 DESC, antecedent, consequent
+      LIMIT 50"""),
+    notes = "directional rules, integer per-mille conf/lift; capped " +
+      "baskets, bounded broadcasts, top-k output")
+
   /** RATIO-TO-REPORT ([[graft.operators.Aggregates.ratioToReport]]):
     * per-priority revenue share of the grand total — the window total
     * runs over the #groups-row aggregate, not the corpus. */
@@ -988,5 +1032,5 @@ object Relational {
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
-    qSkyline, qExactQuantiles)
+    qSkyline, qExactQuantiles, qAssocRules)
 }

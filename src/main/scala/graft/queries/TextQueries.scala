@@ -3598,6 +3598,53 @@ object TextQueries {
     notes = "unigram entropy in lg64 fixed point; two exchanges, " +
       "lg64 codegen'd Spark-side, value-joined twin-side")
 
+  /** SPARSE TF-IDF COSINE pairs ([[graft.operators.Index
+    * .sparseCosineTopK]]): top-50 lexically-similar doc pairs through
+    * the inverted index — the token-space complement of
+    * q_embedding_neardup / q_semdedup (catches near-dups whose
+    * embeddings drifted and vice versa). df ≤ 50 caps the per-token
+    * fan-out (SSJ pruning); weights in lg64 fixed point; the cosine is
+    * 3 mirrored IEEE ops on exact integers, so the double itself
+    * hash-matches. */
+  val qSparseCosine = GQuery("q_sparse_cosine",
+    (s, d) => graft.operators.Index.sparseCosineTopK(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", maxDf = 50L, k = 50),
+    Some("""WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0)) AS token
+          FROM documents)
+        GROUP BY 1, 2),
+      dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      ddf AS (SELECT DISTINCT df FROM dfc WHERE df <= 50),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "ddf", "df", Seq("df"), "ldf", "lgdf") + """,
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "nd", "n_docs", Seq("n_docs"), "lnd", "lgnd") + """,
+      idf AS (SELECT dfc.token, lnd.lgnd - ldf.lgdf AS idf64
+        FROM dfc JOIN ldf ON dfc.df = ldf.df, lnd
+        WHERE lnd.lgnd - ldf.lgdf > 0),
+      kept AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf64 AS w
+        FROM tf JOIN idf USING (token)),
+      norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM kept GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          COUNT(*) AS n_shared, SUM(a.w * b.w) AS dot
+        FROM kept a JOIN kept b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+        CAST(p.dot AS BIGINT) AS dot,
+        CAST(p.dot AS DOUBLE)
+          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+      FROM pairs p JOIN norms na ON p.id_a = na.doc_id
+        JOIN norms nb ON p.id_b = nb.doc_id
+      ORDER BY cos DESC, id_a, id_b LIMIT 50"""),
+    notes = "inverted-index SSJ with df-cap pruning; lg64 weights, " +
+      "mirrored-IEEE cosine")
+
   /** VOCABULARY GINI per source — token-frequency concentration (a
     * high-Gini source is dominated by few tokens: boilerplate or
     * template smell; the corpus-level complement of [[qTokenEntropy]]'s
@@ -3652,7 +3699,7 @@ object TextQueries {
       "tie-rank permutes equal values only, order-independent")
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qTokenEntropy, qVocabGini,
+    qTokenEntropy, qVocabGini, qSparseCosine,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

@@ -89,4 +89,21 @@ class AggregatesSpec extends SparkSpec {
       assert(nvs === nvs.sorted)
     }
   }
+
+  test("associationRules: hand-computed conf/lift on three baskets") {
+    import spark.implicits._
+    // baskets: {x,y}, {x,y}, {x,z} — N=3, n_x=3, n_y=2, n_z=1, n_xy=2
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z")).toDF("basket", "item")
+    val out = Aggregates.associationRules(df, "basket", "item",
+      minSup = 2L, k = 10)
+      .as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // x→y: conf = 2·1000 div 3 = 666; lift = 2·3·1000 div (3·2) = 1000
+    assert(out(("x", "y")) === (("x", "y", 2L, 3L, 2L, 666L, 1000L)))
+    // y→x: conf = 2·1000 div 2 = 1000; same lift
+    assert(out(("y", "x")) === (("y", "x", 2L, 2L, 3L, 1000L, 1000L)))
+    // {x,z} has support 1 < minSup — no rule
+    assert(!out.contains(("x", "z")) && !out.contains(("z", "x")))
+  }
 }

@@ -233,4 +233,29 @@ class IndexFunnelSpec extends SparkSpec {
       ("tab1e", "table"), ("chair", "chairs"),
       ("cauch", "couch"), ("cooch", "couch")))
   }
+
+  test("sparseCosineTopK: identical docs score cos 1.0, disjoint absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Index.sparseCosineTopK(
+      docs, "doc_id", "text", maxDf = 10L, k = 10)
+      .select("id_a", "id_b", "cos")
+      .as[(Long, Long, Double)].collect().toSeq
+    // only 1-2 share any token (all tokens are rare enough to keep)
+    assert(out.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(out.head._3 === 1.0) // identical weight vectors
+  }
+
+  test("sparseCosineTopK: df cap drops the ubiquitous token") {
+    import spark.implicits._
+    // "the" appears in all 3 docs; with maxDf=2 it cannot pair anyone
+    val docs = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the bird"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Index.sparseCosineTopK(
+      docs, "doc_id", "text", maxDf = 2L, k = 10).collect()
+    assert(out.isEmpty)
+  }
 }

@@ -39,7 +39,11 @@ class PlanRegressionSpec extends SparkSpec {
     "q_dsir_select", "q_psi_drift", "q_skew_profile", "q_rrf_fusion",
     // 1-row broadcast grand-total cross join onto the 25-row
     // contingency-cell table (the same q_tfidf_topk shape)
-    "q_mutual_info")
+    "q_mutual_info",
+    // 1-row broadcast basket-total cross join onto the bounded rule table
+    "q_assoc_rules",
+    // 1-row broadcast doc-count cross join onto the bounded vocab table
+    "q_sparse_cosine")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
