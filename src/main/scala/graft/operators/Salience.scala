@@ -10,6 +10,98 @@ import org.apache.spark.sql.functions._
   */
 object Salience {
 
+  /** RAKE KEYPHRASE EXTRACTION (Rose et al. 2010): candidate phrases
+    * are maximal runs of non-stopword tokens (after lowercasing and
+    * punctuation→space), capped at `maxPhraseLen` words; word score =
+    * degree/freq where freq(w) counts w's occurrences across kept
+    * phrases and degree(w) sums the LENGTHS of the phrases those
+    * occurrences sit in (the RAKE co-occurrence degree, self included);
+    * phrase score = Σ word scores. All scoring in integer per-mille —
+    * `deg·1000 div freq` — so the gate is hash-exact with no libm.
+    *
+    * Phrase segmentation is pure window arithmetic: phrase_id = running
+    * count of stopwords up to the token (default window frame, current
+    * row included — identical in SQL), then drop the stopword rows;
+    * consecutive non-stopwords share an id. Deterministic phrase text
+    * via a (pos, token)-sorted array join, never a bare collect_list.
+    *
+    * Scale: the window partitions BY DOCUMENT (no global sort); word
+    * stats live on the bounded vocabulary and broadcast back; identical
+    * phrase texts merge in a final phrase-keyed agg. Output: top-`k`
+    * (phrase, n_words, n, score_x1000) by score desc, phrase asc. */
+  def rakePhrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxPhraseLen: Int = 4, k: Int = 50)
+      : DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(
+          regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " "),
+          "\\s+"), t => length(t) > 0)).as(Seq("pos", "token")))
+      .withColumn("is_stop", col("token").isInCollection(stopwords))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pw = toks
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+      .filter(!col("is_stop"))
+      .localCheckpoint(true) // phrases, word stats, and scoring reuse it
+    val phr = pw.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x("token")), " ").as("phrase"))
+      .filter(col("plen") <= maxPhraseLen)
+    val keyed = pw.join(phr, Seq("doc_id", "phrase_id"))
+    val ws = keyed.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("score", expr("deg * 1000 div freq"))
+    keyed.join(broadcast(ws.select(col("token"), col("score"))),
+        Seq("token"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(max(col("phrase")).as("phrase"), max(col("plen")).as("plen"),
+        sum(col("score")).as("s"))
+      .groupBy(col("phrase"))
+      .agg(max(col("plen")).as("n_words"), count(lit(1)).as("n"),
+        max(col("s")).as("score_x1000"))
+      .orderBy(desc("score_x1000"), col("phrase"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[rakePhrases]] over the `documents` table. */
+  def sqlRake(stopwords: Seq[String], maxPhraseLen: Int, k: Int): String = {
+    val stop = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks0 AS (
+        SELECT doc_id, list_filter(string_split_regex(
+          regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+          '\\s+'), t -> len(t) > 0) AS l
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(l) AS token,
+        generate_subscripts(l, 1) AS pos FROM toks0),
+      fl AS (SELECT doc_id, pos, token, token IN ($stop) AS is_stop
+        FROM toks),
+      ph AS (SELECT doc_id, pos, token, is_stop,
+          SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM fl),
+      pw AS (SELECT doc_id, pos, token, phrase_id FROM ph
+        WHERE NOT is_stop),
+      phr AS (SELECT doc_id, phrase_id, COUNT(*) AS plen,
+          string_agg(token, ' ' ORDER BY pos) AS phrase
+        FROM pw GROUP BY 1, 2 HAVING COUNT(*) <= $maxPhraseLen),
+      keyed AS (SELECT pw.doc_id, pw.phrase_id, pw.token, phr.plen,
+          phr.phrase
+        FROM pw JOIN phr USING (doc_id, phrase_id)),
+      ws AS (SELECT token, SUM(plen) * 1000 // COUNT(*) AS score
+        FROM keyed GROUP BY 1),
+      psc AS (SELECT keyed.doc_id, keyed.phrase_id,
+          MAX(keyed.phrase) AS phrase, MAX(keyed.plen) AS plen,
+          SUM(ws.score) AS s
+        FROM keyed JOIN ws USING (token) GROUP BY 1, 2)
+      SELECT phrase, CAST(MAX(plen) AS BIGINT) AS n_words,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MAX(s) AS BIGINT) AS score_x1000
+      FROM psc GROUP BY 1
+      ORDER BY score_x1000 DESC, phrase LIMIT $k"""
+  }
+
   /** Top-`k` salient terms per document by tf·(N/df) — TF-IDF with a
     * RATIONAL idf. `log(N/df)` is the textbook form, but log is a
     * transcendental whose libm rounding differs across engines; since log

@@ -3598,6 +3598,20 @@ object TextQueries {
     notes = "unigram entropy in lg64 fixed point; two exchanges, " +
       "lg64 codegen'd Spark-side, value-joined twin-side")
 
+  /** RAKE KEYPHRASES ([[graft.operators.Salience.rakePhrases]]):
+    * corpus-wide top-50 multi-word keyphrases by the degree/freq RAKE
+    * score in integer per-mille — the human-readable "what is this
+    * corpus about" view a curation run puts next to its cluster terms. */
+  val qRakePhrases = GQuery("q_rake_phrases",
+    (s, d) => graft.operators.Salience.rakePhrases(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      graft.functions.TextFeatures.enStopwords, maxPhraseLen = 4, k = 50),
+    Some(graft.operators.Salience.sqlRake(
+      graft.functions.TextFeatures.enStopwords, maxPhraseLen = 4, k = 50)),
+    notes = "stopword-run phrase segmentation as window arithmetic; " +
+      "integer RAKE scores, vocab-bounded stats broadcast")
+
   /** SPARSE TF-IDF COSINE pairs ([[graft.operators.Index
     * .sparseCosineTopK]]): top-50 lexically-similar doc pairs through
     * the inverted index — the token-space complement of
@@ -3699,7 +3713,7 @@ object TextQueries {
       "tie-rank permutes equal values only, order-independent")
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qTokenEntropy, qVocabGini, qSparseCosine,
+    qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

@@ -114,4 +114,32 @@ class TextStatsSpec extends SparkSpec {
     assert(syllables === 6L)
     assert(flesch === 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (6.0 / 6.0))
   }
+
+  test("rakePhrases: hand-worked degree/freq scoring") {
+    import spark.implicits._
+    // doc: "deep learning of deep models" (stopword "of" splits runs)
+    // phrases: "deep learning" (len 2), "deep models" (len 2)
+    // freq(deep)=2 deg(deep)=4 score=2000; learning/models: freq 1,
+    // deg 2, score 2000 — both phrases score 4000; ties alphabetical
+    val docs = Seq((1L, "Deep learning of deep models."))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Salience.rakePhrases(docs, "doc_id", "text",
+      graft.functions.TextFeatures.enStopwords, maxPhraseLen = 4, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("deep learning", 2L, 1L, 4000L),
+      ("deep models", 2L, 1L, 4000L)))
+  }
+
+  test("rakePhrases: the length cap drops runaway runs, repeats merge") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 5-word run: dropped
+      (2L, "fast cars and fast cars")).toDF("doc_id", "text")
+    val out = graft.operators.Salience.rakePhrases(docs, "doc_id", "text",
+      graft.functions.TextFeatures.enStopwords, maxPhraseLen = 4, k = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // only "fast cars" survives, twice, merged to one row with n=2
+    assert(out === Seq(("fast cars", 2L, 2L, 4000L)))
+  }
 }
