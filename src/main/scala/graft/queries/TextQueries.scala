@@ -3598,6 +3598,56 @@ object TextQueries {
     notes = "unigram entropy in lg64 fixed point; two exchanges, " +
       "lg64 codegen'd Spark-side, value-joined twin-side")
 
+  /** HEAPS'-LAW VOCABULARY GROWTH: cumulative (tokens seen, distinct
+    * tokens seen) at every 50th doc_id — the sublinearity check that
+    * tells a curation run whether a corpus keeps contributing new
+    * vocabulary or has gone repetitive (flat curve ⇒ diminishing
+    * returns; also the drift smell when a refresh bends it). Exact and
+    * order-canonical (doc_id order). NO global window: per-doc counts
+    * and token first-occurrences each join the tiny broadcast
+    * checkpoint list with a ≤ predicate (bounded |checkpoints|·|rows|
+    * fan-out — the intended BNLJ shape, whitelisted), then aggregate
+    * per checkpoint. Output: (cp, n_docs, cum_tokens, cum_vocab). */
+  val qHeapsLaw = GQuery("q_heaps_law",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("token"))
+      val perDoc = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nt"))
+        .localCheckpoint(true) // checkpoint list + token-mass agg reuse it
+      val firsts = toks.groupBy(col("token"))
+        .agg(min(col("doc_id")).as("fd"))
+      val cps = perDoc.select(col("doc_id").as("cp"))
+        .filter(col("cp") % 50 === 0)
+      val tokMass = perDoc.join(broadcast(cps), col("doc_id") <= col("cp"))
+        .groupBy(col("cp"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("cum_tokens"))
+      val vocab = firsts.join(broadcast(cps), col("fd") <= col("cp"))
+        .groupBy(col("cp")).agg(count(lit(1)).as("cum_vocab"))
+      tokMass.join(vocab, Seq("cp")).orderBy(col("cp"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      per_doc AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+      firsts AS (SELECT token, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+      cps AS (SELECT doc_id AS cp FROM per_doc WHERE doc_id % 50 = 0),
+      tok_mass AS (SELECT cps.cp, COUNT(*) AS n_docs,
+          SUM(per_doc.nt) AS cum_tokens
+        FROM per_doc JOIN cps ON per_doc.doc_id <= cps.cp GROUP BY 1),
+      vocab AS (SELECT cps.cp, COUNT(*) AS cum_vocab
+        FROM firsts JOIN cps ON firsts.fd <= cps.cp GROUP BY 1)
+      SELECT t.cp, CAST(t.n_docs AS BIGINT) AS n_docs,
+        CAST(t.cum_tokens AS BIGINT) AS cum_tokens,
+        CAST(v.cum_vocab AS BIGINT) AS cum_vocab
+      FROM tok_mass t JOIN vocab v USING (cp) ORDER BY t.cp"""),
+    notes = "vocabulary-growth curve; broadcast checkpoint inequality " +
+      "joins, no global window")
+
   /** RAKE KEYPHRASES ([[graft.operators.Salience.rakePhrases]]):
     * corpus-wide top-50 multi-word keyphrases by the degree/freq RAKE
     * score in integer per-mille — the human-readable "what is this
@@ -3713,7 +3763,7 @@ object TextQueries {
       "tie-rank permutes equal values only, order-independent")
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases,
+    qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

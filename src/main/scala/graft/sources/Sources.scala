@@ -82,17 +82,24 @@ object Sources {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
-  /** S5/S8 — warehouse table sink: date-partitioned parquet (the engine's
-    * answer to the reference's SQLite tables + indexes — partition pruning
-    * replaces the time index, sort-within-partitions the key index). */
+  /** S5/S8 — warehouse table sink: date-partitioned columnar files (the
+    * engine's answer to the reference's SQLite tables + indexes —
+    * partition pruning replaces the time index, sort-within-partitions
+    * the key index). `format` selects the columnar container: parquet
+    * (default) or orc — both carry column stats + predicate pushdown,
+    * so the physical-design story is identical; orc is the
+    * Hive-ecosystem interop path. */
   def writeWarehouse(df: DataFrame, path: String, dateCol: String,
-      sortCols: Seq[String]): Unit =
+      sortCols: Seq[String], format: String = "parquet"): Unit = {
+    require(Set("parquet", "orc")(format), s"unsupported format $format")
     df.withColumn("__p_date", to_date(col(dateCol)))
       .repartition(col("__p_date"))
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Append)
       .partitionBy("__p_date")
-      .parquet(path)
+      .format(format)
+      .save(path)
+  }
 
   /** S5-ext — warehouse COMPACTION: rewrite a date-partitioned warehouse so
     * every partition holds `filesPerPartition` files (default 1). Streaming

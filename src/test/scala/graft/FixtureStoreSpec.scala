@@ -50,6 +50,32 @@ class FixtureStoreSpec extends SparkSpec {
     assert(spark.read.parquet(tmp).count() === 2) // partition pruned away
   }
 
+  test("S5: ORC warehouse round-trips with partition pruning intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("whorc").toString
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-15 11:00:00"), 3.0))
+      .toDF("id", "ts", "v")
+    Sources.writeWarehouse(df, tmp, "ts", Seq("id"), format = "orc")
+    assert(new java.io.File(tmp, "__p_date=2024-01-15").listFiles()
+      .exists(_.getName.endsWith(".orc")))
+    val back = spark.read.orc(tmp)
+    assert(back.count() === 3)
+    // partition pruning: the date filter must reach the scan as a
+    // PartitionFilter, not a post-scan predicate
+    val pruned = back.filter(col("__p_date") ===
+      java.sql.Date.valueOf("2024-01-15"))
+    assert(pruned.select("id").as[Long].collect().sorted === Seq(2L, 3L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("__p_date"), "date filter did not prune partitions")
+    // unsupported container rejected loudly
+    intercept[IllegalArgumentException] {
+      Sources.writeWarehouse(df, tmp, "ts", Seq("id"), format = "csv")
+    }
+  }
+
   test("compactWarehouse: small files collapse to one per partition, data intact") {
     val tmp = java.nio.file.Files.createTempDirectory("whc").toString
     val mk = (ids: Seq[Long]) => ids.map(i =>

@@ -43,7 +43,10 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast basket-total cross join onto the bounded rule table
     "q_assoc_rules",
     // 1-row broadcast doc-count cross join onto the bounded vocab table
-    "q_sparse_cosine")
+    "q_sparse_cosine",
+    // tiny broadcast checkpoint list joined with a <= predicate onto the
+    // per-doc and first-occurrence tables (bounded cumulative-curve scan)
+    "q_heaps_law")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
