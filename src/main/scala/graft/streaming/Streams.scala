@@ -77,6 +77,36 @@ object Streams {
         col("psi64"))
   }
 
+  /** VALUE-DISTRIBUTION ENTROPY monitor per (day window, event_type):
+    * Shannon entropy of the clamped value-bucket histogram in lg64
+    * fixed point — ent_x64 = (n·lg64(n) − Σ c·lg64(c)) div n — the
+    * COLLAPSE detector: a stuck upstream (constant values) drives
+    * entropy to 0 while counts and means still look healthy.
+    * Complements [[psiDriftStream]] (needs a reference mix) with a
+    * reference-free per-window signal. Buckets clamp to [0, 19]
+    * (value div 25, capped), so level-2 state is bucket-bounded per
+    * (window, type). Two CHAINED event-time aggregations (the
+    * [[dailyDistinctStream]] shape); the entropy itself is a post-agg
+    * codegen projection — no UDF, no libm, bit-identical when the same
+    * body runs in batch (the StreamsSpec oracle). */
+  def entropyMonitorStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        least(greatest(floor(col("value") / lit(25.0)), lit(0.0)),
+          lit(19.0)).cast("long").as("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("window"), col("event_type"))
+      .agg(sum(col("_c")).as("n_events"),
+        sum(col("_c") * graft.operators.NaiveBayes.lg64(col("_c")))
+          .as("_sclg"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("_lgn", graft.operators.NaiveBayes.lg64(col("n_events")))
+      .withColumn("ent_x64",
+        expr("(n_events * _lgn - _sclg) div n_events"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n_events"), col("n_buckets"), col("ent_x64"))
+
   /** EXACT daily distinct users per event type on the stream via
     * mergeable bitmaps (stream twin of the [[graft.operators.Bitmaps]]
     * family, q_bitmap_distinct / q_bitmap_rolling): level 1 groups

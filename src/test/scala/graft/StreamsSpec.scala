@@ -685,6 +685,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("entropyMonitorStream: collapse day scores 0, batch run bit-exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.entropyMonitorStream(df)
+      .writeStream.format("memory").queryName("ent_mon")
+      .outputMode("append").start()
+    try {
+      // day 1: values spread over 4 buckets; day 2: stuck constant
+      val day1 = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 10.0),
+        (2L, ts("2024-01-01 11:00:00"), 2L, "click", 60.0),
+        (3L, ts("2024-01-01 12:00:00"), 3L, "click", 110.0),
+        (4L, ts("2024-01-01 13:00:00"), 4L, "click", 160.0))
+      val day2 = Seq(
+        (5L, ts("2024-01-02 10:00:00"), 5L, "click", 42.0),
+        (6L, ts("2024-01-02 11:00:00"), 6L, "click", 42.0),
+        (7L, ts("2024-01-02 12:00:00"), 7L, "click", 42.0))
+      mem.addData(day1: _*)
+      q.processAllAvailable()
+      mem.addData(day2: _*)
+      q.processAllAvailable()
+      mem.addData((9L, ts("2024-01-03 09:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ent_mon")
+        .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+      val batch = Streams.entropyMonitorStream(
+        (day1 ++ day2).toDF("event_id", "ts", "user_id", "event_type",
+          "value")).as[(Timestamp, String, Long, Long, Long)]
+        .collect().toSet
+      assert(batch.subsetOf(streamed))
+      val byDay = streamed.map(r => r._1 -> ((r._4, r._5))).toMap
+      // 4 events in 4 distinct buckets: ent = lg64(4) = 128 exactly
+      assert(byDay(ts("2024-01-01 00:00:00")) === ((4L, 128L)))
+      // constant day: one bucket, entropy 0
+      assert(byDay(ts("2024-01-02 00:00:00")) === ((1L, 0L)))
+    } finally q.stop()
+  }
+
   test("psiDriftStream: per-day PSI matches the batch run bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
