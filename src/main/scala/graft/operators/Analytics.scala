@@ -43,6 +43,34 @@ object Analytics {
     * (reports over best-price-per-outcome tables); generalized here to
     * any (maximize, minimize) pair.
     */
+  /** EXACT ROC-AUC via the Mann–Whitney rank-sum, tie-correct and
+    * libm-free: with `scoreCol` an INTEGER score and `labelCol` a
+    * boolean label, AUC = (Σ_{pos i, neg j} [s_i > s_j] + ½[s_i = s_j])
+    * / (P·N). Computed on the bounded DISTINCT-SCORE table: per score,
+    * positive/negative counts; a cumulative negatives-below window
+    * (exclusive frame); then u2 = Σ pc·(2·nb + nc) = 2·U — the ½-tie
+    * credit carried as an integer. auc_x1e6 = u2·10⁶ div (2·P·N).
+    *
+    * Plan: one corpus agg to the score table, ONE window over that
+    * bounded table (never the corpus), one final 1-row agg. 2·P·N must
+    * stay under int64 — at corpus scale run it per group or on the
+    * evaluation sample, which is what an eval harness does anyway.
+    * Output: (n_pos, n_neg, u2, auc_x1e6). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val g = df.select(col(scoreCol).cast("long").as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("p"))
+      .groupBy(col("s"))
+      .agg(sum(col("p")).as("pc"), sum(lit(1L) - col("p")).as("nc"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("nb", coalesce(sum(col("nc")).over(w), lit(0L)))
+      .agg(sum(col("pc")).as("n_pos"), sum(col("nc")).as("n_neg"),
+        sum(col("pc") * (lit(2L) * col("nb") + col("nc"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("u2 * 1000000L div (2 * n_pos * n_neg)").as("auc_x1e6"))
+  }
+
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("_min_y"))
     // one row per distinct x; rows preceding in x-desc order are exactly

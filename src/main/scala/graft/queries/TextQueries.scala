@@ -3598,6 +3598,45 @@ object TextQueries {
     notes = "unigram entropy in lg64 fixed point; two exchanges, " +
       "lg64 codegen'd Spark-side, value-joined twin-side")
 
+  /** EXACT ROC-AUC ([[graft.operators.Analytics.rocAuc]]) of the
+    * English-stopword-count score predicting lang='en' — the eval
+    * metric a filtering pipeline reports for every quality classifier,
+    * computed exactly (tie-correct Mann–Whitney, integer fixed point)
+    * instead of by threshold sweeping. */
+  val qAuc = GQuery("q_auc",
+    (s, d) => {
+      val stop = graft.functions.TextFeatures.enStopwords
+      val scored = Tables.documents(s, d)
+        .select(size(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => t.isInCollection(stop))).cast("long").as("score"),
+          (col("lang") === "en").as("is_en"))
+      graft.operators.Analytics.rocAuc(scored, "score", "is_en")
+    },
+    Some {
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH per AS (
+        SELECT CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS s,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+        FROM documents),
+      g AS (SELECT s, SUM(p) AS pc, SUM(1 - p) AS nc FROM per
+        GROUP BY 1),
+      c AS (SELECT s, pc, nc, COALESCE(SUM(nc) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM g)
+      SELECT CAST(SUM(pc) AS BIGINT) AS n_pos,
+        CAST(SUM(nc) AS BIGINT) AS n_neg,
+        CAST(SUM(pc * (2 * nb + nc)) AS BIGINT) AS u2,
+        CAST(SUM(pc * (2 * nb + nc)) * 1000000
+          // (2 * SUM(pc) * SUM(nc)) AS BIGINT) AS auc_x1e6
+      FROM c"""
+    },
+    notes = "tie-correct Mann-Whitney AUC on the bounded distinct-" +
+      "score table; one corpus agg, one bounded window")
+
   /** HEAPS'-LAW VOCABULARY GROWTH: cumulative (tokens seen, distinct
     * tokens seen) at every 50th doc_id — the sublinearity check that
     * tells a curation run whether a corpus keeps contributing new
@@ -3764,6 +3803,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
+    qAuc,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

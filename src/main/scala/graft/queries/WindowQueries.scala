@@ -585,6 +585,55 @@ object WindowQueries {
     * (on watermark close) StreamsSpec pins against this same batch body.
     * Null sort position is pinned NULLS LAST on both engines — Spark's
     * ASC default is nulls-first, DuckDB's is nulls-last. */
+  /** RFM SEGMENTATION — the classic customer-scoring pipeline op:
+    * recency (days from last order to the 1998-08-02 anchor), frequency
+    * (#orders), monetary (Σ totalprice in exact cents) per customer,
+    * each quintiled by NTILE (ties broken by c_custkey so the bin edges
+    * are deterministic in both engines — NTILE's fill order is
+    * positional), composed into the 3-digit RFM code. Output: per-code
+    * segment sizes. Plan: one orders groupBy (map-side combined), three
+    * windows over the |customers|-row aggregate — never the fact table
+    * — then a 125-row code agg. */
+  val qRfm = GQuery("q_rfm",
+    (s, d) => {
+      val w = (c: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.expressions.Window.orderBy(c, col("cust"))
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust"))
+        .agg(datediff(lit("1998-08-02").cast("date"),
+            max(col("o_orderdate"))).cast("long").as("rec_days"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("mon_cents"))
+      per
+        .withColumn("r", ntile(5).over(w(col("rec_days"))).cast("long"))
+        .withColumn("f", ntile(5).over(w(desc_nulls_last("freq")))
+          .cast("long"))
+        .withColumn("m", ntile(5).over(w(desc_nulls_last("mon_cents")))
+          .cast("long"))
+        .withColumn("rfm_code", col("r") * 100 + col("f") * 10 + col("m"))
+        .groupBy(col("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"), min(col("cust")).as("min_cust"))
+        .orderBy(col("rfm_code"))
+    },
+    Some("""WITH per AS (
+        SELECT o_custkey AS cust,
+          CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+            DATE '1998-08-02') AS BIGINT) AS rec_days,
+          COUNT(*) AS freq,
+          SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY 1),
+      scored AS (SELECT cust,
+          NTILE(5) OVER (ORDER BY rec_days, cust) AS r,
+          NTILE(5) OVER (ORDER BY freq DESC, cust) AS f,
+          NTILE(5) OVER (ORDER BY mon_cents DESC, cust) AS m
+        FROM per)
+      SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_code,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        MIN(cust) AS min_cust
+      FROM scored GROUP BY 1 ORDER BY rfm_code"""),
+    notes = "NTILE quintiles with positional tie-breaks; windows over " +
+      "the per-customer aggregate, not the fact table")
+
   val qEventPairsOuter = GQuery("q_event_pairs_outer",
     (s, d) => graft.streaming.Streams.eventPairsStream(
         Tables.events(s, d), "view", "purchase", horizonMinutes = 30,
@@ -836,5 +885,5 @@ object WindowQueries {
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
-    qTheilSen, qRollingMedian, qDowProfile, qHampel)
+    qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm)
 }

@@ -186,4 +186,25 @@ class AnalyticsSpec extends SparkSpec {
       assert(gotR >= -1.0 && gotR <= 1.0)
     }
   }
+
+  test("rocAuc: perfect, reversed, tied, and hand-mixed scores") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Long, Long) =
+      graft.operators.Analytics.rocAuc(
+        rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Long, Long)].head()
+    // perfect separation
+    assert(auc(Seq((10L, true), (9L, true), (1L, false), (2L, false)))
+      === ((2L, 2L, 8L, 1000000L)))
+    // perfectly reversed
+    assert(auc(Seq((1L, true), (2L, true), (9L, false), (10L, false)))
+      === ((2L, 2L, 0L, 0L)))
+    // all tied: AUC exactly 1/2 (the tie credit)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false)))
+      === ((2L, 2L, 4L, 500000L)))
+    // hand-mixed: pos {3,1}, neg {2,2} →
+    // pairs: (3>2)+(3>2)+(1<2)+(1<2) = 2 of 4 → AUC 0.5, u2 = 4
+    assert(auc(Seq((3L, true), (1L, true), (2L, false), (2L, false)))
+      === ((2L, 2L, 4L, 500000L)))
+  }
 }
