@@ -262,7 +262,17 @@ object Graph {
   }
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, iters: Int = 3): DataFrame = {
+      weightCol: String, iters: Int = 3): DataFrame =
+    labelPropagationAssign(edges, srcCol, dstCol, weightCol, iters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("community"))
+
+  /** Per-node label assignment after `iters` synchronous LPA rounds —
+    * the raw (node, label) view [[labelPropagation]] summarizes and
+    * [[modularity]] evaluates. */
+  def labelPropagationAssign(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters in [1,8]")
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
@@ -285,8 +295,57 @@ object Graph {
           struct((-col("s")).as("a"), col("label").as("b"))).as("label"))
         .localCheckpoint(true)
     }
-    labels.groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+    labels
+  }
+
+  /** NEWMAN MODULARITY of a node→community assignment over the weighted
+    * undirected graph, per community and in exact per-mille fixed
+    * point:  contrib_c = (4m·intra_c − d_c²)·1000 div (4m²), where m =
+    * total edge weight, intra_c = weight with both endpoints in c, d_c
+    * = Σ weighted degree in c — Q = Σ_c contrib_c/1000 is the standard
+    * Σ_c [intra_c/m − (d_c/2m)²]. ×1000 (not ×10⁶) keeps 4m·intra
+    * under int64 for m up to ~10⁹ weight units. The clustering-quality
+    * gate for LPA the way silhouette gates k-means.
+    *
+    * Plan: canonical edge agg, two broadcast-joined label lookups on
+    * the edge list (label table is |nodes| rows — AQE broadcasts when
+    * small, co-partitioned shuffle joins otherwise), one community agg,
+    * plus the 1-row total m riding a broadcast cross join. Output:
+    * (community, n_nodes, intra_w, d_c, contrib_x1000). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true) // total m, intra, and degrees reuse it
+    val lab = labels.select(col("node"), col("label"))
+    val mTot = e.agg(sum(col("w")).as("m"))
+    val lbl = e
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+    val intra = lbl.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(sum(col("w")).as("intra_w"))
+    val deg = e.select(col("u").as("node"), col("w"))
+      .union(e.select(col("v").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("d"))
+    val dc = deg.join(lab, Seq("node"))
+      .groupBy(col("label").as("community"))
+      .agg(sum(col("d")).as("d_c"), count(lit(1)).as("n_nodes"))
+    dc.join(intra, Seq("community"), "left")
+      .withColumn("intra_w", coalesce(col("intra_w"), lit(0L)))
+      .crossJoin(broadcast(mTot))
+      // contrib is NEGATIVE for hub-heavy communities — truncating
+      // `div` would round toward zero while DuckDB's `//` floors, so
+      // use the sign-safe floor division (the kMeans centroid idiom)
+      .withColumn("num", (lit(4L) * col("m") * col("intra_w")
+        - col("d_c") * col("d_c")) * 1000L)
+      .withColumn("den", lit(4L) * col("m") * col("m"))
+      .select(col("community"), col("n_nodes"), col("intra_w"), col("d_c"),
+        expr("(num - ((num % den) + den) % den) div den")
+          .as("contrib_x1000"))
       .orderBy(col("community"))
   }
 }

@@ -1028,12 +1028,7 @@ object PipelineQueries {
     * The twin replays every round as chained CTEs with QUALIFY argmax. */
   val qLabelProp = GQuery("q_label_prop",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val pairs = coPurchaseEdges(s, d, distinctItems = false)
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       graft.operators.Graph.labelPropagation(pairs, "src", "dst", "w",
         iters = 3)
@@ -1117,6 +1112,38 @@ object PipelineQueries {
     notes = "leading-digit audit, integer per-mille vs constant " +
       "Benford table; libm-free digit extraction")
 
+  /** Co-purchase edge stream (src < dst, one row per per-order pair):
+    * the in-array pair generation of [[graft.operators.Aggregates
+    * .coOccurrence]] — one basket groupBy + a bounded in-array fan-out
+    * — instead of the lineitem self-join, which shuffles the fact table
+    * twice and pays a join for pairs the basket array can emit locally.
+    * TPC-H-ish orders carry ≤ 7 lines, so the 64-item cap never binds
+    * and the generated edge multiset is IDENTICAL to the self-join
+    * formulation the DuckDB twins state (twins keep the relational
+    * form: DuckDB has no cheaper array path and clarity wins there).
+    * Shared by the graph-query family (k-core, Adamic-Adar, BFS, LPA).
+    */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, distinctItems: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val items =
+      if (distinctItems) collect_set(col("l_partkey"))
+      else collect_list(col("l_partkey"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(slice(sort_array(items), 1, 64).as("__items"))
+      .select(explode(flatten(
+        expr("""transform(__items, (x, i) ->
+                  transform(slice(__items, i + 2, size(__items)),
+                    y -> struct(x AS src, y AS dst)))"""))).as("__p"))
+      // distinct=false keeps per-line multiplicity: the sorted-list pair
+      // fan-out yields cnt_x*cnt_y rows for x<y (the self-join count)
+      // plus C(cnt_x,2) self-pairs the relational a.p<b.p form never
+      // emits -- dropped here
+      .select(col("__p.src").as("src"), col("__p.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** K-CORE of the co-purchase part graph ([[graft.operators.Graph
     * .kCore]]): 3 peeling rounds at k=80 — the dense-substructure filter
     * (curation analogue: keep entities with enough corroborating
@@ -1124,12 +1151,7 @@ object PipelineQueries {
     * deterministic and the chained-CTE twin replays it stage by stage. */
   val qKcore = GQuery("q_kcore",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val pairs = coPurchaseEdges(s, d)
       graft.operators.Graph.kCore(pairs, "src", "dst", k = 80, rounds = 3)
     },
     Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
@@ -1164,12 +1186,7 @@ object PipelineQueries {
     * 100 TB cost bound (candidate fan-out ≤ maxDeg² per node). */
   val qAdamicAdar = GQuery("q_adamic_adar",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val pairs = coPurchaseEdges(s, d)
       graft.operators.Graph.adamicAdar(pairs, "src", "dst",
         maxDeg = 64, topN = 50)
     },
@@ -1198,6 +1215,66 @@ object PipelineQueries {
       FROM pred ORDER BY aa_x1e6 DESC, u, v LIMIT 50"""),
     notes = "AA over common neighbors, lg64 fixed point; one shuffle " +
       "on the intermediary key, hub cap, top-n bounded")
+
+  /** DELETE-A-GROUP JACKKNIFE variance of the mean event value — the
+    * uncertainty primitive a metrics pipeline attaches to every point
+    * estimate, made fully deterministic: 10 md5-bucket groups (the
+    * engine's standard hash-split), values micro-quantized to int64, so
+    * replicate means m_i = (S − s_i) div (N − n_i), the replicate-mean
+    * average, and the (g−1)/g-scaled squared-deviation sum are ALL
+    * exact integers — no IEEE summation-order nondeterminism anywhere.
+    * Output: (n_events, mean_micro, jk_var_micro2 = (g−1)·Σd² div g).
+    * Plan: one map-side-combined 10-row bucket agg; everything after
+    * runs on 10 rows (the 1-row totals ride the whitelisted broadcast
+    * cross join). */
+  val qJackknife = GQuery("q_jackknife",
+    (s, d) => {
+      val b = Tables.events(s, d)
+        .select(graft.operators.Dsir.bucketOf(
+            concat(lit("jk:"), col("event_id").cast("string")), 10).as("g"),
+          floor(col("value") * 1000000).cast("long").as("v"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"))
+      val tot = b.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+      val reps = b.crossJoin(broadcast(tot))
+        .withColumn("mi", expr("(st - sg) div (n - ng)"))
+      val mbar = reps.agg(count(lit(1)).as("gcnt"), sum(col("mi")).as("sm"))
+      reps.crossJoin(broadcast(mbar.select(
+          expr("sm div gcnt").as("mb"), col("gcnt"))))
+        .withColumn("d", col("mi") - col("mb"))
+        .groupBy(col("gcnt"), col("n"), col("st"))
+        .agg(sum(col("d") * col("d")).as("ssd"))
+        .select(col("n").as("n_events"),
+          expr("st div n").as("mean_micro"),
+          expr("(gcnt - 1) * ssd div gcnt").as("jk_var_micro2"))
+    },
+    Some {
+      def hx(i: Int) =
+        s"ascii(substr(md5('jk:' || CAST(event_id AS VARCHAR)), $i, 1))"
+      def hv(i: Int) =
+        s"(CASE WHEN ${hx(i)} >= 97 THEN ${hx(i)} - 87 ELSE ${hx(i)} - 48 END)"
+      s"""WITH b AS (
+        SELECT (${hv(1)} * 16 + ${hv(2)}) % 10 AS g,
+          CAST(floor(value * 1000000) AS BIGINT) AS v
+        FROM events),
+      bg AS (SELECT g, COUNT(*) AS ng, SUM(v) AS sg FROM b GROUP BY 1),
+      tot AS (SELECT SUM(ng) AS n, SUM(sg) AS st FROM bg),
+      reps AS (SELECT bg.g, (tot.st - bg.sg) // (tot.n - bg.ng) AS mi,
+          tot.n, tot.st
+        FROM bg, tot),
+      mb AS (SELECT COUNT(*) AS gcnt, SUM(mi) AS sm,
+          MAX(n) AS n, MAX(st) AS st FROM reps),
+      dd AS (SELECT reps.mi - (mb.sm // mb.gcnt) AS dv,
+          mb.gcnt, mb.n, mb.st
+        FROM reps, mb)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(MAX(st) // MAX(n) AS BIGINT) AS mean_micro,
+        CAST((MAX(gcnt) - 1) * SUM(dv * dv) // MAX(gcnt) AS BIGINT)
+          AS jk_var_micro2
+      FROM dd"""
+    },
+    notes = "delete-a-group jackknife, all-integer replicate algebra; " +
+      "md5-bucket groups shared with the sampling family")
 
   /** MUTUAL INFORMATION / PMI audit between customer segment and order
     * priority — the feature-selection primitive (is this column
@@ -1264,12 +1341,7 @@ object PipelineQueries {
     * rounds; monotone min-relaxation ⇒ reported distances are exact. */
   val qBfsDist = GQuery("q_bfs_dist",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
+      val pairs = coPurchaseEdges(s, d)
       val seeds = Tables.part(s, d).filter(col("p_size") === 50)
         .select(col("p_partkey"))
       graft.operators.Graph.bfsDistances(pairs, "src", "dst",
@@ -1301,6 +1373,69 @@ object PipelineQueries {
       ORDER BY node"""),
     notes = "synchronous frontier min-relaxation, 3 rounds; " +
       "node-keyed joins, checkpoint-truncated")
+
+  /** NEWMAN MODULARITY ([[graft.operators.Graph.modularity]]) of the
+    * 3-round LPA communities on the weighted co-purchase graph — the
+    * graph-clustering quality gate, per community in exact per-mille
+    * (the [[qLabelProp]] trajectory replayed, then scored; twin chains
+    * the same rounds and the same sign-safe floor division). */
+  val qModularity = GQuery("q_modularity",
+    (s, d) => {
+      val pairs = coPurchaseEdges(s, d, distinctItems = false)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true) // LPA rounds and the scoring both scan it
+      val labels = graft.operators.Graph.labelPropagationAssign(
+        pairs, "src", "dst", "w", iters = 3)
+      graft.operators.Graph.modularity(pairs, "src", "dst", "w", labels)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      nbr AS (SELECT u AS node, v AS nbr, w FROM e
+        UNION ALL SELECT v, u, w FROM e),
+      l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+      s1 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l0 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM s1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1),
+      s2 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l1 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM s2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1),
+      s3 AS (SELECT nbr.node, l.label, SUM(nbr.w) AS s
+        FROM nbr JOIN l2 l ON nbr.nbr = l.node GROUP BY 1, 2),
+      l3 AS (SELECT node, label FROM s3
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY s DESC, label) = 1),
+      mt AS (SELECT SUM(w) AS m FROM e),
+      lbl AS (SELECT e.w, lu.label AS lu, lv.label AS lv
+        FROM e JOIN l3 lu ON e.u = lu.node JOIN l3 lv ON e.v = lv.node),
+      intra AS (SELECT lu AS community, SUM(w) AS intra_w FROM lbl
+        WHERE lu = lv GROUP BY 1),
+      deg AS (SELECT node, SUM(w) AS d FROM
+        (SELECT u AS node, w FROM e UNION ALL SELECT v, w FROM e)
+        GROUP BY 1),
+      dc AS (SELECT l3.label AS community, SUM(deg.d) AS d_c,
+          COUNT(*) AS n_nodes
+        FROM deg JOIN l3 ON deg.node = l3.node GROUP BY 1),
+      fin AS (SELECT dc.community, dc.n_nodes,
+          COALESCE(intra.intra_w, 0) AS intra_w, dc.d_c,
+          (4 * mt.m * COALESCE(intra.intra_w, 0)
+            - dc.d_c * dc.d_c) * 1000 AS num,
+          4 * mt.m * mt.m AS den
+        FROM dc LEFT JOIN intra USING (community), mt)
+      SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+        CAST(intra_w AS BIGINT) AS intra_w, CAST(d_c AS BIGINT) AS d_c,
+        CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+          AS contrib_x1000
+      FROM fin ORDER BY community"""),
+    notes = "per-community Newman modularity in per-mille; sign-safe " +
+      "floor division both engines")
 
   /** EXACT JOIN-SIZE PROFILE ([[graft.operators.Sharding
     * .joinSizeProfile]]): predicted lineitem⋈events-on-key cardinality
@@ -1520,5 +1655,6 @@ object PipelineQueries {
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
-    qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo)
+    qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
+    qModularity)
 }

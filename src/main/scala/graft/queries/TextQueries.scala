@@ -3637,6 +3637,58 @@ object TextQueries {
     notes = "tie-correct Mann-Whitney AUC on the bounded distinct-" +
       "score table; one corpus agg, one bounded window")
 
+  /** CALIBRATION CURVE for the same score/label pair as [[qAuc]]:
+    * decile the score (NTILE with doc_id tie-break — positional fill,
+    * deterministic both engines), report per-decile positive rate in
+    * per-mille next to the score band. AUC says "ranks well";
+    * calibration says "the score VALUE means what it claims" — the
+    * second eval primitive a filtering pipeline reports. The global
+    * NTILE sorts the |docs|-row scored table; eval runs on bounded
+    * samples by construction. */
+  val qCalibration = GQuery("q_calibration",
+    (s, d) => {
+      val stop = graft.functions.TextFeatures.enStopwords
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => t.isInCollection(stop))).cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .withColumn("rate_x1000", expr("n_pos * 1000 div n"))
+        .select(col("decile"), col("n"), col("n_pos"), col("min_score"),
+          col("max_score"), col("rate_x1000"))
+        .orderBy(col("decile"))
+    },
+    Some {
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      dec AS (SELECT score, pos,
+          NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+        FROM scored)
+      SELECT CAST(decile AS BIGINT) AS decile,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(MIN(score) AS BIGINT) AS min_score,
+        CAST(MAX(score) AS BIGINT) AS max_score,
+        CAST(SUM(pos) * 1000 // COUNT(*) AS BIGINT) AS rate_x1000
+      FROM dec GROUP BY 1 ORDER BY decile"""
+    },
+    notes = "NTILE deciles with positional tie-break; per-decile " +
+      "positive rate in per-mille")
+
   /** HEAPS'-LAW VOCABULARY GROWTH: cumulative (tokens seen, distinct
     * tokens seen) at every 50th doc_id — the sublinearity check that
     * tells a curation run whether a corpus keeps contributing new
@@ -3803,7 +3855,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc,
+    qAuc, qCalibration,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,

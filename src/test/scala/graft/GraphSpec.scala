@@ -162,6 +162,42 @@ class GraphSpec extends SparkSpec {
     assert(r1 === r2)
   }
 
+
+  test("modularity: two cliques beat the random-mix expectation") {
+    import spark.implicits._
+    // two triangles joined by one bridge; LPA labels split them
+    val edges = (Seq((1L,2L),(2L,3L),(1L,3L),(11L,12L),(12L,13L),
+      (11L,13L),(3L,11L))).map{case (a,b)=>(a,b,1L)}.toDF("s","t","w")
+    val labels = Seq((1L,1L),(2L,1L),(3L,1L),(11L,11L),(12L,11L),
+      (13L,11L)).toDF("node","label")
+    val out = Graph.modularity(edges, "s", "t", "w", labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // m=7; community 1: intra=3, d_c=7 -> (4*7*3-49)*1000 // 196 = 178
+    assert(out === Seq((1L, 3L, 3L, 7L, 178L), (11L, 3L, 3L, 7L, 178L)))
+  }
+
+  test("modularity: all-in-one community scores exactly 0") {
+    import spark.implicits._
+    val edges = Seq((1L,2L,1L),(2L,3L,1L)).toDF("s","t","w")
+    val labels = Seq((1L,1L),(2L,1L),(3L,1L)).toDF("node","label")
+    val out = Graph.modularity(edges, "s", "t", "w", labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // m=2, intra=2, d_c=4: (4*2*2-16)*1000 // 16 = 0
+    assert(out === Seq((1L, 3L, 2L, 4L, 0L)))
+  }
+
+  test("modularity: negative contribution floors like the twin") {
+    import spark.implicits._
+    // singleton community 3 with no intra edges: num = -d^2*1000 < 0
+    val edges = Seq((1L,2L,1L),(2L,3L,1L)).toDF("s","t","w")
+    val labels = Seq((1L,1L),(2L,1L),(3L,3L)).toDF("node","label")
+    val out = Graph.modularity(edges, "s", "t", "w", labels)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // community 3: (0 - 1)*1000 // 16 = floor(-62.5) = -63 (not -62)
+    assert(out(3L) === -63L)
+  }
+
   test("labelPropagation: deterministic across repartitioning") {
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
       (4L, 1L, 2L), (2L, 4L, 3L)).toDF("s", "t", "w")

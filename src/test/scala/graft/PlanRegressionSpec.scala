@@ -46,7 +46,11 @@ class PlanRegressionSpec extends SparkSpec {
     "q_sparse_cosine",
     // tiny broadcast checkpoint list joined with a <= predicate onto the
     // per-doc and first-occurrence tables (bounded cumulative-curve scan)
-    "q_heaps_law")
+    "q_heaps_law",
+    // two 1-row broadcast totals cross joins onto the 10-row bucket table
+    "q_jackknife",
+    // 1-row broadcast total-edge-weight cross join onto the community table
+    "q_modularity")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
