@@ -220,6 +220,50 @@ object Analytics {
         expr("(1000 * s * c_all) div (c * s_all)").as("index_milli"))
   }
 
+  /** STL-LITE DECOMPOSITION of a per-key daily series into trend +
+    * day-of-week seasonal + residual, exact-integer throughout: daily
+    * sums in micro fixed point (decimal-exact, then scaled), trend as
+    * the centered 7-day window mean (shrinking frames at the series
+    * edges — the window's own row count is the divisor, identical SQL
+    * semantics), seasonal as the per-DOW floor-mean of the detrended
+    * values (SIGN-SAFE floor division — detrended values go negative),
+    * residual as the exact remainder. The additive decomposition
+    * x = trend + seasonal + resid holds by construction.
+    *
+    * Plan: one corpus agg to the |key·days| daily table; one window and
+    * one 7-row-per-key agg over THAT (never the corpus); one join back.
+    * Output: (k, day, x_micro, trend_micro, seasonal_micro,
+    * resid_micro). */
+  def stlLite(events: DataFrame, keyCol: String, tsCol: String,
+      vCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(vCol).cast(DecimalType(18, 6))) * 1000000)
+        .cast(LongType).as("x"))
+    val wT = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("tsum", sum(col("x")).over(wT))
+      .withColumn("tcnt", count(lit(1)).over(wT))
+      .withColumn("trend",
+        expr("(tsum - ((tsum % tcnt) + tcnt) % tcnt) div tcnt"))
+      .withColumn("det", col("x") - col("trend"))
+      .withColumn("dow",
+        (datediff(col("day"), to_date(lit("1970-01-05"))) % 7)
+          .cast(LongType))
+    val seas = t.groupBy(col("k"), col("dow"))
+      .agg(sum(col("det")).as("ds"), count(lit(1)).as("dc"))
+      .withColumn("seasonal",
+        expr("(ds - ((ds % dc) + dc) % dc) div dc"))
+      .select(col("k"), col("dow"), col("seasonal"))
+    t.join(seas, Seq("k", "dow"))
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("x_micro"), col("trend").as("trend_micro"),
+        col("seasonal").as("seasonal_micro"),
+        (col("det") - col("seasonal")).as("resid_micro"))
+      .orderBy(col("k"), col("day"))
+  }
+
   /** Lag-1 autocorrelation of a per-key series: Pearson r between
     * (x_t, x_{t+1}) pairs, with Σ-terms in exact decimal (map-side
     * partial agg) and the final r assembled in a pinned IEEE sequence:

@@ -82,6 +82,47 @@ object Ann {
       .select("query_id", "rank", "id", "cos")
   }
 
+  /** k-NN CLASSIFICATION — the label-propagation-by-similarity eval op
+    * (weak-label new embeddings from a labeled corpus; also the "does
+    * my embedding space respect my labels" sanity check): for each
+    * query vector, the majority label among its k nearest corpus
+    * neighbors (self excluded), ties to the SMALLEST label. Same plan
+    * as [[cosineTopK]] — broadcast queries, fast-double prescreen,
+    * exact-decimal rescore — then a (query, label) vote agg and a
+    * min_by argmax. Output: (query_id, true_label, pred_label,
+    * n_votes, correct), query-ascending. */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, queryLabelCol: String, k: Int): DataFrame = {
+    val joined = corpus.select(col(idCol).as("id"),
+        col(labelCol).as("nlabel"), col(vecCol).as("__v"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(queryLabelCol).as("true_label"),
+        col(queryVecCol).as("__q"))))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("__fastcos", cosineFast(col("__v"), col("__q")))
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(desc("__fastcos"), asc("id"))
+    val pruned = joined.withColumn("__r0", row_number().over(w0))
+      .filter(col("__r0") <= k + 32)
+      .withColumn("cos", cosine(col("__v"), col("__q")))
+      .select(col("query_id"), col("true_label"), col("id"), col("nlabel"),
+        col("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc("id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(min_by(struct(col("nlabel").as("l"), col("votes").as("v")),
+        struct((-col("votes")).as("a"), col("nlabel").as("b"))).as("win"))
+      .select(col("query_id"), col("true_label"),
+        col("win")("l").as("pred_label"), col("win")("v").as("n_votes"),
+        (col("win")("l") === col("true_label")).as("correct"))
+      .orderBy(col("query_id"))
+  }
+
   /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
     * query vector, the k most-similar corpus vectors with a DIFFERENT
     * label (high-similarity wrong-class examples are the negatives that

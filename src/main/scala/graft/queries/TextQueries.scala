@@ -909,6 +909,60 @@ object TextQueries {
       SELECT query_id, rank, id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""))
 
+  /** k-NN LABEL CLASSIFICATION ([[graft.operators.Ann.knnClassify]]):
+    * every 25th vector classified by its 10 nearest labeled
+    * neighbors — the embedding-space label-consistency check (and the
+    * weak-labeling primitive). Majority vote, smallest-label ties,
+    * exact-decimal cosine ranking. */
+  val qKnnClassify = GQuery("q_knn_classify",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      Ann.knnClassify(emb, "vec_id", "embedding", "label",
+          queries, "vec_id", "embedding", "label", k = 10)
+        .select(col("query_id"), col("true_label").cast("long")
+          .as("true_label"), col("pred_label").cast("long")
+          .as("pred_label"), col("n_votes"), col("correct"))
+    },
+    Some("""WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label, embedding AS qv
+        FROM embeddings WHERE vec_id % 25 = 0),
+      scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id AS id,
+          e.label AS nlabel,
+          CAST(list_sum(list_transform(
+              list_zip(e.embedding, q.qv),
+              p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(28,18))))
+            AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(e.embedding,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(q.qv,
+              x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,18)))) AS DOUBLE)))
+          AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      nn AS (
+        SELECT query_id, true_label, nlabel FROM (
+          SELECT query_id, true_label, nlabel,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, id) AS rank
+          FROM scored)
+        WHERE rank <= 10),
+      votes AS (SELECT query_id, true_label, nlabel,
+          COUNT(*) AS votes
+        FROM nn GROUP BY 1, 2, 3),
+      win AS (SELECT query_id, true_label, nlabel AS pred_label,
+          votes AS n_votes
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY votes DESC, nlabel) = 1)
+      SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+        CAST(pred_label AS BIGINT) AS pred_label,
+        CAST(n_votes AS BIGINT) AS n_votes,
+        pred_label = true_label AS correct
+      FROM win ORDER BY query_id"""),
+    notes = "majority-vote kNN with smallest-label ties; broadcast " +
+      "queries, prescreen + exact-decimal rescore")
+
   /** Top-k retrieval over int8-quantized vectors — the serving path after
     * quantization. Integer dot products: every score is exact integer
     * arithmetic, so ranking AND scores are hash-gated with no decimal
@@ -3858,6 +3912,7 @@ object TextQueries {
     qAuc, qCalibration,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
+    qKnnClassify,
     qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
     qSimhashPairs, qExactSubstr, qNgramJaccard, qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,

@@ -585,6 +585,45 @@ object WindowQueries {
     * (on watermark close) StreamsSpec pins against this same batch body.
     * Null sort position is pinned NULLS LAST on both engines — Spark's
     * ASC default is nulls-first, DuckDB's is nulls-last. */
+  /** STL-LITE ([[graft.operators.Analytics.stlLite]]): per-event-type
+    * daily series decomposed into centered-7-day trend + day-of-week
+    * seasonal + residual, all exact integer micro — the "is the spike
+    * weekday rhythm or a real anomaly" separation that q_dow_profile
+    * (index view) and q_holt (forecast view) bracket. */
+  val qStlLite = GQuery("q_stl_lite",
+    (s, d) => graft.operators.Analytics.stlLite(
+        Tables.events(s, d), "event_type", "ts", "value")
+      .withColumnRenamed("k", "event_type"),
+    Some("""WITH daily AS (
+        SELECT event_type AS k, CAST(ts AS DATE) AS day,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+            AS x
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT k, day, x,
+          SUM(x) OVER (PARTITION BY k ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+          COUNT(*) OVER (PARTITION BY k ORDER BY day
+            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tcnt,
+          CAST(day - DATE '1970-01-05' AS BIGINT) % 7 AS dow
+        FROM daily),
+      t2 AS (SELECT *,
+          (tsum - ((tsum % tcnt) + tcnt) % tcnt) // tcnt AS trend
+        FROM t),
+      t3 AS (SELECT *, x - trend AS det FROM t2),
+      seas AS (SELECT k, dow,
+          (SUM(det) - ((SUM(det) % COUNT(*)) + COUNT(*)) % COUNT(*))
+            // COUNT(*) AS seasonal
+        FROM t3 GROUP BY 1, 2)
+      SELECT t3.k AS event_type, strftime(t3.day, '%Y-%m-%d') AS day,
+        CAST(t3.x AS BIGINT) AS x_micro,
+        CAST(t3.trend AS BIGINT) AS trend_micro,
+        CAST(seas.seasonal AS BIGINT) AS seasonal_micro,
+        CAST(t3.det - seas.seasonal AS BIGINT) AS resid_micro
+      FROM t3 JOIN seas ON t3.k = seas.k AND t3.dow = seas.dow
+      ORDER BY event_type, day"""),
+    notes = "additive integer decomposition; windows and DOW agg over " +
+      "the daily table only, sign-safe floor means")
+
   /** RFM SEGMENTATION — the classic customer-scoring pipeline op:
     * recency (days from last order to the 1998-08-02 anchor), frequency
     * (#orders), monetary (Σ totalprice in exact cents) per customer,
@@ -885,5 +924,5 @@ object WindowQueries {
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
-    qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm)
+    qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm, qStlLite)
 }

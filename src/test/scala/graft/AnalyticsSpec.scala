@@ -207,4 +207,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(auc(Seq((3L, true), (1L, true), (2L, false), (2L, false)))
       === ((2L, 2L, 4L, 500000L)))
   }
+
+  test("stlLite: additive identity and flat-series degeneracy") {
+    import spark.implicits._
+    // 14 flat days: trend = x, detrended = 0, seasonal = 0, resid = 0
+    val flat = (1 to 14).map(i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.Analytics.stlLite(flat, "k", "ts", "v")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out.length === 14)
+    assert(out.forall(r => r._3 === 5000000L && r._4 === 5000000L
+      && r._5 === 0L && r._6 === 0L))
+    // weekday-patterned series: x = trend + seasonal + resid exactly
+    val pat = (1 to 28).map(i =>
+      ("a", java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+        if (i % 7 == 0) 10.0 else 2.0)).toDF("k", "ts", "v")
+    val out2 = graft.operators.Analytics.stlLite(pat, "k", "ts", "v")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(out2.forall(r => r._3 === r._4 + r._5 + r._6))
+    // the spiking DOW carries the most positive seasonal component
+    val byDow = out2.groupBy(r => (java.time.LocalDate.parse(r._2)
+      .toEpochDay - java.time.LocalDate.parse("1970-01-05").toEpochDay)
+      % 7).map { case (dw, rs) => dw -> rs.head._5 }
+    assert(byDow.maxBy(_._2)._2 > 0)
+  }
 }

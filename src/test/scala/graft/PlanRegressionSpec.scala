@@ -50,7 +50,10 @@ class PlanRegressionSpec extends SparkSpec {
     // two 1-row broadcast totals cross joins onto the 10-row bucket table
     "q_jackknife",
     // 1-row broadcast total-edge-weight cross join onto the community table
-    "q_modularity")
+    "q_modularity",
+    // tiny broadcast query-set cross join scored against the corpus
+    // (the q_cosine_topk brute-force shape)
+    "q_knn_classify")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
