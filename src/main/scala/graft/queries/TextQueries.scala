@@ -3807,6 +3807,63 @@ object TextQueries {
     notes = "stopword-run phrase segmentation as window arithmetic; " +
       "integer RAKE scores, vocab-bounded stats broadcast")
 
+  /** FRONT-CODING (incremental/prefix encoding) yield per source — the
+    * dictionary-layout diagnostic: a sorted vocabulary stores each term
+    * as (shared-prefix length, suffix), so the saving is exactly
+    * Σ lcp(term, predecessor). High yield ⇒ morphologically clustered
+    * vocab (worth delta-encoding the term dictionary / posting keys at
+    * the storage layer); computed EXACTLY — lcp as the count of
+    * matching prefixes over 1..min-length (prefix equality is monotone,
+    * so the count IS the lcp), a codegen'd lambda in Spark mirrored by
+    * DuckDB list ops. Window + agg run over the bounded vocab table
+    * only. Output: (source, n_vocab, raw_bytes, saved_bytes,
+    * savings_x1000). */
+  val qFrontCoding = GQuery("q_front_coding",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("token"))
+      Tables.documents(s, d)
+        .select(col("source"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("token"))
+        .distinct()
+        .withColumn("prev", lag(col("token"), 1).over(w))
+        .withColumn("lcp", when(col("prev").isNull, lit(0))
+          .otherwise(expr(
+            "size(filter(sequence(1, least(length(token), length(prev)))," +
+              " i -> substring(token, 1, i) = substring(prev, 1, i)))")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(length(col("token"))).cast("long").as("raw_bytes"),
+          sum(col("lcp")).cast("long").as("saved_bytes"))
+        .withColumn("savings_x1000",
+          expr("saved_bytes * 1000 div raw_bytes"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH vocab AS (
+        SELECT DISTINCT source, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'),
+          t -> len(t) > 0)) AS token
+        FROM documents),
+      lagged AS (SELECT source, token,
+          LAG(token) OVER (PARTITION BY source ORDER BY token) AS prev
+        FROM vocab),
+      scored AS (SELECT source, token,
+          CASE WHEN prev IS NULL THEN 0
+            ELSE len(list_filter(range(1,
+              least(len(token), len(prev)) + 1),
+              i -> substr(token, 1, i) = substr(prev, 1, i)))
+          END AS lcp
+        FROM lagged)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        CAST(SUM(len(token)) AS BIGINT) AS raw_bytes,
+        CAST(SUM(lcp) AS BIGINT) AS saved_bytes,
+        CAST(SUM(lcp) * 1000 // SUM(len(token)) AS BIGINT)
+          AS savings_x1000
+      FROM scored GROUP BY 1 ORDER BY source"""),
+    notes = "exact Σ lcp over the sorted per-source vocab; monotone " +
+      "prefix-equality count as the lcp")
+
   /** SPARSE TF-IDF COSINE pairs ([[graft.operators.Index
     * .sparseCosineTopK]]): top-50 lexically-similar doc pairs through
     * the inverted index — the token-space complement of
@@ -3909,7 +3966,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc, qCalibration,
+    qAuc, qCalibration, qFrontCoding,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,
