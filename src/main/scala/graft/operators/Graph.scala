@@ -298,6 +298,56 @@ object Graph {
     labels
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002): Pearson correlation of the
+    * degrees at the two ends of every edge — positive: hubs attach to
+    * hubs (social-ish), negative: hubs attach to leaves (hub-and-spoke).
+    * Each undirected edge contributes both orientations, so with
+    * S1 = Σ(dᵤ+dᵥ), S2 = Σ(dᵤ²+dᵥ²), Sxy = 2·Σ dᵤdᵥ over edges and
+    * n = 2m points:  r = (n·Sxy − S1²) / (n·S2 − S1²) — the symmetry
+    * collapses the two √ terms into one denominator, leaving ONE IEEE
+    * divide of exact integers. Sums ride DECIMAL(38,0) (n·Sxy
+    * overflows int64 on million-edge graphs); the twin mirrors with
+    * HUGEINT. den = 0 (regular graph) reports r = 0.
+    *
+    * Plan: degree agg + two degree lookups on the edge list (bounded
+    * |nodes|-row side, AQE-broadcast) + one scalar agg. Output 1 row:
+    * (n_points, m_edges, r). */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val j = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("du").cast(dec).as("du"), col("dv").cast(dec).as("dv"))
+    j.agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("du") + col("dv")).as("s1"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s2"),
+        sum(col("du") * col("dv")).as("sxy_half"))
+      .select(
+        (lit(2L).cast(dec) * col("m")).as("n"),
+        col("m"), col("s1"), col("s2"),
+        (lit(2L).cast(dec) * col("sxy_half")).as("sxy"))
+      .select(
+        col("n").cast("long").as("n_points"),
+        col("m").cast("long").as("m_edges"),
+        ((col("n") * col("sxy") - col("s1") * col("s1")).cast("double") /
+          when((col("n") * col("s2") - col("s1") * col("s1")) === 0,
+            lit(null)).otherwise(
+            (col("n") * col("s2") - col("s1") * col("s1"))
+              .cast("double"))).as("r0"))
+      .select(col("n_points"), col("m_edges"),
+        coalesce(col("r0"), lit(0.0)).as("r"))
+  }
+
   /** NEWMAN MODULARITY of a node→community assignment over the weighted
     * undirected graph, per community and in exact per-mille fixed
     * point:  contrib_c = (4m·intra_c − d_c²)·1000 div (4m²), where m =

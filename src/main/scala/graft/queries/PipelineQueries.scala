@@ -1334,6 +1334,37 @@ object PipelineQueries {
     notes = "contingency + margins + lg64 PMI, all integer; margins " +
       "from the cell table, never a second fact scan")
 
+  /** DEGREE ASSORTATIVITY ([[graft.operators.Graph.assortativity]]) of
+    * the co-purchase graph — one exact-integer Pearson over edge-end
+    * degrees (DECIMAL(38,0) sums, HUGEINT twin), one mirrored IEEE
+    * divide. Negative r = hub-and-spoke catalog; positive = assortative
+    * clusters. */
+  val qAssortativity = GQuery("q_assortativity",
+    (s, d) => graft.operators.Graph.assortativity(
+      coPurchaseEdges(s, d), "src", "dst"),
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, COUNT(*) AS d FROM
+        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      j AS (SELECT CAST(du.d AS HUGEINT) AS du,
+          CAST(dv.d AS HUGEINT) AS dv
+        FROM e JOIN deg du ON e.u = du.node
+          JOIN deg dv ON e.v = dv.node),
+      st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+          SUM(du + dv) AS s1, SUM(du * du + dv * dv) AS s2,
+          SUM(du * dv) AS sxy_half
+        FROM j)
+      SELECT CAST(2 * m AS BIGINT) AS n_points,
+        CAST(m AS BIGINT) AS m_edges,
+        CASE WHEN (2 * m * s2 - s1 * s1) = 0 THEN 0.0
+          ELSE CAST(2 * m * (2 * sxy_half) - s1 * s1 AS DOUBLE)
+            / CAST(2 * m * s2 - s1 * s1 AS DOUBLE) END AS r
+      FROM st"""),
+    notes = "edge-end degree Pearson; symmetry collapses the sqrt " +
+      "terms, one mirrored IEEE divide of exact int128 sums")
+
   /** MULTI-SOURCE BFS ([[graft.operators.Graph.bfsDistances]]): hop
     * distance from the size-50 parts over the co-purchase graph — the
     * "blast radius" / affinity-expansion primitive (seed a curated set,
@@ -1656,5 +1687,5 @@ object PipelineQueries {
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
     qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
-    qModularity)
+    qModularity, qAssortativity)
 }

@@ -866,6 +866,112 @@ object Relational {
       FROM top ORDER BY rank"""),
     notes = "market-basket pairs; in-array generation bounds expansion by basket size")
 
+  /** SHIPPING-PRIORITY analytics (the TPC-H Q3 shape): segment-filtered
+    * customers ⋈ open orders ⋈ late-shipping lineitems, revenue
+    * Σ extprice·(1−disc) per order, top-10 — the canonical
+    * selective-dim → fact → fact chain. The segment filter prunes
+    * customers BEFORE the join (pushed to the scan), the pruned
+    * customer side broadcasts, and orders⋈lineitem shuffles on the
+    * order key — the plan every OLAP engine must get right. Revenue in
+    * exact decimal, surfaced as cents. */
+  val qShippingPriority = GQuery("q_shipping_priority",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+              - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(floor(sum(col("rev")) * 100).cast("long").as("revenue_cents"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"), col("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        o_orderpriority,
+        CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2))
+             - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+          AS revenue_cents
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"""),
+    notes = "TPC-H Q3 shape; pruned-dim broadcast, fact-fact shuffle " +
+      "on the order key, exact decimal revenue")
+
+  /** REGIONAL-VOLUME analytics (the TPC-H Q5 shape): the full 6-table
+    * snowflake — region → nation → customer → orders → lineitem ⋈
+    * supplier — with the customer-nation = supplier-nation co-location
+    * predicate. Dims broadcast in a chain; the single big shuffle is
+    * orders⋈lineitem; supplier broadcasts onto the result. Per-nation
+    * revenue, descending. */
+  val qRegionalVolume = GQuery("q_regional_volume",
+    (s, d) => {
+      val nat = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+              - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(floor(sum(col("rev")) * 100).cast("long").as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    },
+    Some("""SELECT n_name,
+        CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2))
+             - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+          AS revenue_cents
+      FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY revenue_cents DESC, n_name"""),
+    notes = "TPC-H Q5 shape; snowflake dim broadcasts, one fact-fact " +
+      "shuffle, nation co-location predicate")
+
   /** ASSOCIATION RULES ([[graft.operators.Aggregates
     * .associationRules]]): directional market-basket rules a→b with
     * exact per-mille confidence and lift over the same capped baskets
@@ -1032,5 +1138,6 @@ object Relational {
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
-    qSkyline, qExactQuantiles, qAssocRules)
+    qSkyline, qExactQuantiles, qAssocRules, qShippingPriority,
+    qRegionalVolume)
 }

@@ -198,6 +198,21 @@ class GraphSpec extends SparkSpec {
     assert(out(3L) === -63L)
   }
 
+
+  test("assortativity: star is perfectly disassortative, cycle is degenerate") {
+    import spark.implicits._
+    // star: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
+    val star = (1L to 4L).map(i => (0L, i)).toDF("s", "t")
+    val rs = Graph.assortativity(star, "s", "t")
+      .as[(Long, Long, Double)].head()
+    assert(rs === ((8L, 4L, -1.0)))
+    // cycle: all degrees equal -> den = 0 -> r reported as 0
+    val cyc = Seq((1L,2L),(2L,3L),(3L,1L)).toDF("s", "t")
+    val rc = Graph.assortativity(cyc, "s", "t")
+      .as[(Long, Long, Double)].head()
+    assert(rc === ((6L, 3L, 0.0)))
+  }
+
   test("labelPropagation: deterministic across repartitioning") {
     val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
       (4L, 1L, 2L), (2L, 4L, 3L)).toDF("s", "t", "w")
