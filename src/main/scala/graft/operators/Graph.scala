@@ -191,11 +191,13 @@ object Graph {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    // NO edge dedup: min-relaxation is idempotent over duplicate edges,
+    // so paying a full-edge-stream shuffle to distinct them buys nothing
+    // — duplicates only ride the (map-side-combined) relax aggs
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
     val nbr = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))
       .localCheckpoint(true)
