@@ -1334,6 +1334,64 @@ object PipelineQueries {
     notes = "contingency + margins + lg64 PMI, all integer; margins " +
       "from the cell table, never a second fact scan")
 
+  /** POWER-LAW TAIL (Hill estimator) of the co-purchase degree
+    * distribution: α = k / Σᵢ ln(dᵢ/d_min) over the top-k degrees with
+    * d_min the (k+1)-th — "is this graph scale-free, and how heavy is
+    * the hub tail" (drives the salting / hub-cap decisions the engine's
+    * skew tooling acts on). The log sum rides lg64 fixed point, so the
+    * only IEEE ops are one constant multiply (ln 2, same literal both
+    * engines) and one divide: α = (k·64) / (ln2 · Σ(lg64 dᵢ −
+    * lg64 d_min)). Window + sum over the BOUNDED degree table. Output:
+    * (k, d_min, s_lg64, alpha). */
+  val qPowerlaw = GQuery("q_powerlaw",
+    (s, d) => {
+      import graft.operators.NaiveBayes.lg64
+      val k = 100
+      val e = coPurchaseEdges(s, d).distinct()
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("deg"), col("node"))
+      val ranked = deg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k + 1)
+        .withColumn("lg", lg64(col("deg")))
+        .localCheckpoint(true) // the k+1 cut and the top-k sum reuse it
+      val dmin = ranked.filter(col("rk") === k + 1)
+        .select(col("deg").as("d_min"), col("lg").as("lg_min"))
+      ranked.filter(col("rk") <= k)
+        .crossJoin(broadcast(dmin))
+        .agg(max(col("d_min")).as("d_min"),
+          sum(col("lg") - col("lg_min")).as("s_lg64"))
+        .select(lit(k.toLong).as("k"), col("d_min"), col("s_lg64"),
+          (lit(k * 64.0) / (lit(0.6931471805599453) *
+            col("s_lg64").cast("double"))).as("alpha"))
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      deg AS (SELECT node, COUNT(*) AS deg FROM
+        (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      ranked AS (SELECT node, deg,
+          ROW_NUMBER() OVER (ORDER BY deg DESC, node) AS rk
+        FROM deg QUALIFY rk <= 101),
+      dd AS (SELECT DISTINCT deg FROM ranked),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dd", "deg", Seq("deg"), "lgt", "lg") + """,
+      rl AS (SELECT ranked.rk, ranked.deg, lgt.lg
+        FROM ranked JOIN lgt USING (deg)),
+      mn AS (SELECT deg AS d_min, lg AS lg_min FROM rl WHERE rk = 101)
+      SELECT CAST(100 AS BIGINT) AS k, CAST(mn.d_min AS BIGINT) AS d_min,
+        CAST(SUM(rl.lg - mn.lg_min) AS BIGINT) AS s_lg64,
+        CAST(100 * 64.0 AS DOUBLE)
+          / (0.6931471805599453 * CAST(SUM(rl.lg - mn.lg_min) AS DOUBLE))
+          AS alpha
+      FROM rl, mn WHERE rl.rk <= 100
+      GROUP BY mn.d_min"""),
+    notes = "Hill tail estimator in lg64; bounded degree-table window, " +
+      "mirrored constant-ln2 IEEE finish")
+
   /** DEGREE ASSORTATIVITY ([[graft.operators.Graph.assortativity]]) of
     * the co-purchase graph — one exact-integer Pearson over edge-end
     * degrees (DECIMAL(38,0) sums, HUGEINT twin), one mirrored IEEE
@@ -1687,5 +1745,5 @@ object PipelineQueries {
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
     qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
-    qModularity, qAssortativity)
+    qModularity, qAssortativity, qPowerlaw)
 }

@@ -53,7 +53,9 @@ class PlanRegressionSpec extends SparkSpec {
     "q_modularity",
     // tiny broadcast query-set cross join scored against the corpus
     // (the q_cosine_topk brute-force shape)
-    "q_knn_classify")
+    "q_knn_classify",
+    // 1-row broadcast tail-cut cross join onto the bounded top-k slice
+    "q_powerlaw")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
