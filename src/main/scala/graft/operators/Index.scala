@@ -256,8 +256,12 @@ object Index {
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     // idf on the bounded vocab table; the 1-row total rides a broadcast
     // cross join (the q_tfidf_topk shape)
-    val idf = dfc.filter(col("df") <= maxDf)
-      .crossJoin(broadcast(nd))
+    // scale-aware df cap: the literal floor keeps the gate scale
+    // non-vacuous, the n_docs/10 arm keeps the cap meaningful as the
+    // corpus grows (a fixed 50 finds nothing at 10x the docs)
+    val idf = dfc.crossJoin(broadcast(nd))
+      .filter(col("df") <= greatest(lit(maxDf),
+        expr("n_docs div 10")))
       .withColumn("idf64", lg64(col("n_docs")) - lg64(col("df")))
       .filter(col("idf64") > 0)
       .select(col("token"), col("idf64"))

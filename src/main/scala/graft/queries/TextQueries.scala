@@ -3868,7 +3868,7 @@ object TextQueries {
     * .sparseCosineTopK]]): top-50 lexically-similar doc pairs through
     * the inverted index — the token-space complement of
     * q_embedding_neardup / q_semdedup (catches near-dups whose
-    * embeddings drifted and vice versa). df ≤ 50 caps the per-token
+    * embeddings drifted and vice versa). df ≤ max(50, N/10) caps the per-token
     * fan-out (SSJ pruning); weights in lg64 fixed point; the cosine is
     * 3 mirrored IEEE ops on exact integers, so the double itself
     * hash-matches. */
@@ -3885,14 +3885,16 @@ object TextQueries {
         GROUP BY 1, 2),
       dfc AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
       nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-      ddf AS (SELECT DISTINCT df FROM dfc WHERE df <= 50),
+      ddf AS (SELECT DISTINCT df FROM dfc, nd
+        WHERE df <= greatest(50, n_docs // 10)),
       """ + graft.operators.NaiveBayes.sqlLg64Chain(
         "ddf", "df", Seq("df"), "ldf", "lgdf") + """,
       """ + graft.operators.NaiveBayes.sqlLg64Chain(
         "nd", "n_docs", Seq("n_docs"), "lnd", "lgnd") + """,
       idf AS (SELECT dfc.token, lnd.lgnd - ldf.lgdf AS idf64
         FROM dfc JOIN ldf ON dfc.df = ldf.df, lnd
-        WHERE lnd.lgnd - ldf.lgdf > 0),
+        WHERE dfc.df <= greatest(50, lnd.n_docs // 10)
+          AND lnd.lgnd - ldf.lgdf > 0),
       kept AS (SELECT tf.doc_id, tf.token, tf.tf * idf.idf64 AS w
         FROM tf JOIN idf USING (token)),
       norms AS (SELECT doc_id, SUM(w * w) AS n2 FROM kept GROUP BY 1),
