@@ -270,18 +270,33 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
       .orderBy(col("community"))
 
-  /** Per-node label assignment after `iters` synchronous LPA rounds —
-    * the raw (node, label) view [[labelPropagation]] summarizes and
-    * [[modularity]] evaluates. */
-  def labelPropagationAssign(edges: DataFrame, srcCol: String,
-      dstCol: String, weightCol: String, iters: Int = 3): DataFrame = {
-    require(iters >= 1 && iters <= 8, "iters in [1,8]")
-    val e = edges
+  /** (u < v, w) weighted canonical edge view. `assumeCanonical` skips
+    * the re-aggregation shuffle when the caller already built the edge
+    * list canonical (src < dst, one row per pair, summed weight) — the
+    * co-purchase query family does; a general caller pays the groupBy
+    * once for safety. */
+  private def canonicalWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String,
+      assumeCanonical: Boolean): DataFrame =
+    if (assumeCanonical)
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+    else edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"),
         col(weightCol).cast("long").as("w"))
       .filter(col("u") =!= col("v"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+
+  /** Per-node label assignment after `iters` synchronous LPA rounds —
+    * the raw (node, label) view [[labelPropagation]] summarizes and
+    * [[modularity]] evaluates. */
+  def labelPropagationAssign(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iters: Int = 3,
+      assumeCanonical: Boolean = false): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters in [1,8]")
+    val e = canonicalWeighted(edges, srcCol, dstCol, weightCol,
+      assumeCanonical)
     val nbr = e.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(e.select(col("v").as("node"), col("u").as("nbr"), col("w")))
       .localCheckpoint(true)
@@ -365,13 +380,10 @@ object Graph {
     * plus the 1-row total m riding a broadcast cross join. Output:
     * (community, n_nodes, intra_w, d_c, contrib_x1000). */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: String, labels: DataFrame): DataFrame = {
-    val e = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"),
-        col(weightCol).cast("long").as("w"))
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      weightCol: String, labels: DataFrame,
+      assumeCanonical: Boolean = false): DataFrame = {
+    val e = canonicalWeighted(edges, srcCol, dstCol, weightCol,
+      assumeCanonical)
       .localCheckpoint(true) // total m, intra, and degrees reuse it
     val lab = labels.select(col("node"), col("label"))
     val mTot = e.agg(sum(col("w")).as("m"))

@@ -1474,8 +1474,9 @@ object PipelineQueries {
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
         .localCheckpoint(true) // LPA rounds and the scoring both scan it
       val labels = graft.operators.Graph.labelPropagationAssign(
-        pairs, "src", "dst", "w", iters = 3)
-      graft.operators.Graph.modularity(pairs, "src", "dst", "w", labels)
+        pairs, "src", "dst", "w", iters = 3, assumeCanonical = true)
+      graft.operators.Graph.modularity(pairs, "src", "dst", "w", labels,
+        assumeCanonical = true)
     },
     Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
           FROM lineitem),
