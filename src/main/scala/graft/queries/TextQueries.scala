@@ -352,6 +352,58 @@ object TextQueries {
       WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** CROSS-SOURCE DUPLICATION MATRIX: the near-dup pair stream of
+    * [[qMinhashPairs]] aggregated by (source, source) — "which feeds
+    * copy from each other", the provenance view a curation run uses to
+    * decide source-level dedup order and crawl priorities. Same LSH +
+    * exact-verify machinery (recall 1.0 pinned at this threshold by
+    * LshRecallSpec); the pair stream is tiny, so the source lookups
+    * broadcast it. */
+  val qDupMatrix = GQuery("q_dup_matrix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDupPairsKeyed(docs, "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 5, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val srcs = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), Seq("id_a"))
+        .join(srcs.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(sh) AS n FROM docs),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+          JOIN cnt ca ON id_a = ca.doc_id
+          JOIN cnt cb ON id_b = cb.doc_id
+        WHERE CAST(ninter AS DOUBLE)
+          / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5),
+      m AS (SELECT least(da.source, db.source) AS src_a,
+          greatest(da.source, db.source) AS src_b
+        FROM pairs JOIN documents da ON id_a = da.doc_id
+          JOIN documents db ON id_b = db.doc_id)
+      SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+    notes = "provenance rollup of the verified near-dup pairs; " +
+      "brute-force twin shares the q_minhash_pairs ground truth")
+
   /** INCREMENTAL exact dedup ([[Dedup.incrementalExact]]): an ingest batch
     * (every 4th doc, plus planted copies of corpus docs at +300000) flagged
     * against the existing corpus — `is_known` (fingerprint already in the
@@ -3972,7 +4024,8 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,
-    qMinhashPairs, qNearDupGroups, qDedupIncremental, qMinhashCross,
+    qMinhashPairs, qDupMatrix, qNearDupGroups, qDedupIncremental,
+    qMinhashCross,
     qSimhashPairs, qExactSubstr, qNgramJaccard, qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
