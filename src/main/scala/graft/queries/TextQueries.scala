@@ -352,6 +352,49 @@ object TextQueries {
       WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** N-GRAM NOVELTY per document: the share of a doc's distinct 5-gram
+    * shingles whose FIRST occurrence (min doc_id) is this doc — the
+    * redundancy-ordering signal (a doc that introduces nothing new is a
+    * rephrase even when no single pair crosses the near-dup threshold;
+    * complements pairwise dedup with a corpus-cumulative view). Exact
+    * integer per-mille. Plan: one shingle explode → gram-keyed
+    * first-occurrence agg → one gram-keyed join back → per-doc agg. At
+    * 100 TB the gram key rides as xxhash64(gram) (the exact-substring
+    * discipline); strings here for oracle exactness. */
+  val qGramNovelty = GQuery("q_gram_novelty",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFeatures.shingles(col("text"), 5)).as("g"))
+        .localCheckpoint(true) // first-occurrence agg + join back reuse it
+      val firsts = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("fd"))
+      grams.join(firsts, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_x1000", expr("n_novel * 1000 div n_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(0, greatest(len(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) - 5, 0) + 1),
+            i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
+        FROM documents),
+      s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+      firsts AS (SELECT g, MIN(doc_id) AS fd FROM s GROUP BY 1)
+      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN firsts.fd = s.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN firsts.fd = s.doc_id THEN 1 ELSE 0 END) * 1000
+          // COUNT(*) AS BIGINT) AS novelty_x1000
+      FROM s JOIN firsts USING (g)
+      GROUP BY 1 ORDER BY s.doc_id"""),
+    notes = "corpus-cumulative redundancy signal; gram-keyed first-" +
+      "occurrence join, doc_id order as the arrival order")
+
   /** CROSS-SOURCE DUPLICATION MATRIX: the near-dup pair stream of
     * [[qMinhashPairs]] aggregated by (source, source) — "which feeds
     * copy from each other", the provenance view a curation run uses to
@@ -4024,7 +4067,8 @@ object TextQueries {
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,
-    qMinhashPairs, qDupMatrix, qNearDupGroups, qDedupIncremental,
+    qMinhashPairs, qDupMatrix, qGramNovelty, qNearDupGroups,
+    qDedupIncremental,
     qMinhashCross,
     qSimhashPairs, qExactSubstr, qNgramJaccard, qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,
