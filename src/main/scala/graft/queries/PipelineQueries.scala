@@ -1216,6 +1216,132 @@ object PipelineQueries {
     notes = "AA over common neighbors, lg64 fixed point; one shuffle " +
       "on the intermediary key, hub cap, top-n bounded")
 
+  /** CHI-SQUARE INDEPENDENCE TEST + CRAMÉR'S V² on the same
+    * segment×priority contingency as [[qMutualInfo]] — the significance
+    * companion (MI says how MUCH information, χ² says whether the
+    * association clears chance). Exact fixed point end to end:
+    * χ²·10³ = Σ_ij ((n_ij·N − r_i·c_j)²·10³) div (N·r_i·c_j) on
+    * DECIMAL(38,0) (the squared term passes int64 at sf0.1), and
+    * V²·10⁶ = χ²·10³·10³ div (N·(min(R,C)−1)) — no square root, so no
+    * libm. Same plan as q_mutual_info: one broadcast-dim join, margins
+    * from the 25-row cell table, 1-row totals on the whitelisted
+    * broadcast cross join. Output 1 row: (n, chi2_x1000, v2_x1e6). */
+  val qChi2 = GQuery("q_chi2",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+      val cell = j.groupBy(col("segment"), col("priority"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val rm = cell.groupBy(col("segment")).agg(sum(col("n")).as("r"))
+      val cm = cell.groupBy(col("priority")).agg(sum(col("n")).as("c"))
+      val nt = cell.agg(sum(col("n")).as("nn"),
+        countDistinct(col("segment")).as("nr"),
+        countDistinct(col("priority")).as("nc"))
+      cell.join(broadcast(rm), Seq("segment"))
+        .join(broadcast(cm), Seq("priority"))
+        .crossJoin(broadcast(nt))
+        .withColumn("dev", (col("n").cast(dec) * col("nn").cast(dec)
+          - col("r").cast(dec) * col("c").cast(dec)))
+        .withColumn("term", expr(
+          "(dev * dev * 1000) div (nn * r * c)").cast(dec))
+        .agg(max(col("nn")).as("n"),
+          sum(col("term")).cast("long").as("chi2_x1000"),
+          max(col("nn") * (least(col("nr"), col("nc")) - 1)).as("vden"))
+        .select(col("n"),
+          col("chi2_x1000"),
+          expr("(chi2_x1000 * 1000) div vden").as("v2_x1e6"))
+    },
+    Some("""WITH j AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cell AS (SELECT segment, priority, COUNT(*) AS n FROM j
+        GROUP BY 1, 2),
+      rm AS (SELECT segment, SUM(n) AS r FROM cell GROUP BY 1),
+      cm AS (SELECT priority, SUM(n) AS c FROM cell GROUP BY 1),
+      nt AS (SELECT SUM(n) AS nn, COUNT(DISTINCT segment) AS nr,
+          COUNT(DISTINCT priority) AS nc
+        FROM cell),
+      terms AS (SELECT
+          (CAST(cell.n AS HUGEINT) * nt.nn - CAST(rm.r AS HUGEINT) * cm.c)
+            AS dev,
+          CAST(nt.nn AS HUGEINT) * rm.r * cm.c AS den, nt.nn, nt.nr, nt.nc
+        FROM cell JOIN rm USING (segment) JOIN cm USING (priority), nt)
+      SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        CAST(SUM((dev * dev * 1000) // den) AS BIGINT) AS chi2_x1000,
+        CAST((SUM((dev * dev * 1000) // den) * 1000)
+          // (MAX(nn) * (least(MAX(nr), MAX(nc)) - 1)) AS BIGINT)
+          AS v2_x1e6
+      FROM terms"""),
+    notes = "exact fixed-point chi-square + Cramér V² (no sqrt); " +
+      "decimal/HUGEINT squared terms, margins from the cell table")
+
+  /** SPEARMAN RANK CORRELATION between customer account balance and
+    * realized spend — the monotone-association check (Pearson on RANKS,
+    * so outliers and nonlinearity don't distort it). Ranks are
+    * row_number with the c_custkey tie-break (deterministic positional
+    * ranks, both engines; documented deviation from average-rank ties —
+    * at most 1/n per tie run and exactly mirrored). Both rank sets are
+    * then exactly 1..n, so Σx, Σx² are closed forms and
+    * ρ = (n·Σxy − Sx²) / (n·Sxx − Sx²) needs ONE mirrored IEEE divide
+    * of DECIMAL(38,0)/HUGEINT exact sums. Windows run over the
+    * |customers|-row aggregate. Output: (n, sxy, rho). */
+  val qSpearman = GQuery("q_spearman",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long"))
+          .as("cents"))
+      val base = Tables.customer(s, d)
+        .join(spend, col("c_custkey") === col("ck"))
+        .select(col("ck"), col("c_acctbal"), col("cents"))
+      val wx = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_acctbal"), col("ck"))
+      val wy = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cents"), col("ck"))
+      base
+        .withColumn("rx", row_number().over(wx).cast(dec))
+        .withColumn("ry", row_number().over(wy).cast(dec))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("rx") * col("ry")).as("sxy"))
+        .select(col("n").cast("long").as("n"),
+          col("sxy").cast("long").as("sxy"),
+          (((col("n") * col("sxy"))
+            - (expr("(n * (n + 1)) div 2") * expr("(n * (n + 1)) div 2")))
+            .cast("double") /
+            ((col("n") * expr("(n * (n + 1) * (2 * n + 1)) div 6"))
+              - (expr("(n * (n + 1)) div 2")
+                * expr("(n * (n + 1)) div 2"))).cast("double"))
+            .as("rho"))
+    },
+    Some("""WITH spend AS (
+        SELECT o_custkey AS ck,
+          SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1),
+      base AS (SELECT ck, c_acctbal, cents
+        FROM customer JOIN spend ON c_custkey = ck),
+      ranked AS (SELECT
+          CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, ck) AS HUGEINT)
+            AS rx,
+          CAST(ROW_NUMBER() OVER (ORDER BY cents, ck) AS HUGEINT) AS ry
+        FROM base),
+      st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(rx * ry) AS sxy
+        FROM ranked)
+      SELECT CAST(n AS BIGINT) AS n, CAST(sxy AS BIGINT) AS sxy,
+        CAST(n * sxy - ((n * (n + 1)) // 2) * ((n * (n + 1)) // 2)
+          AS DOUBLE)
+        / CAST(n * ((n * (n + 1) * (2 * n + 1)) // 6)
+          - ((n * (n + 1)) // 2) * ((n * (n + 1)) // 2) AS DOUBLE)
+          AS rho
+      FROM st"""),
+    notes = "Pearson on positional ranks; closed-form rank moments, " +
+      "one mirrored IEEE divide of exact int128 sums")
+
   /** DELETE-A-GROUP JACKKNIFE variance of the mean event value — the
     * uncertainty primitive a metrics pipeline attaches to every point
     * estimate, made fully deterministic: 10 md5-bucket groups (the
@@ -1746,5 +1872,5 @@ object PipelineQueries {
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
     qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
-    qModularity, qAssortativity, qPowerlaw)
+    qModularity, qAssortativity, qPowerlaw, qChi2, qSpearman)
 }

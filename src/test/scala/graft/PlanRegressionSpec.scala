@@ -55,7 +55,9 @@ class PlanRegressionSpec extends SparkSpec {
     // (the q_cosine_topk brute-force shape)
     "q_knn_classify",
     // 1-row broadcast tail-cut cross join onto the bounded top-k slice
-    "q_powerlaw")
+    "q_powerlaw",
+    // 1-row broadcast grand-total cross join onto the contingency cells
+    "q_chi2")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
