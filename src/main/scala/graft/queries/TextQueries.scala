@@ -357,23 +357,31 @@ object TextQueries {
     * redundancy-ordering signal (a doc that introduces nothing new is a
     * rephrase even when no single pair crosses the near-dup threshold;
     * complements pairwise dedup with a corpus-cumulative view). Exact
-    * integer per-mille. Plan: one shingle explode → gram-keyed
-    * first-occurrence agg → one gram-keyed join back → per-doc agg. At
-    * 100 TB the gram key rides as xxhash64(gram) (the exact-substring
-    * discipline); strings here for oracle exactness. */
+    * integer per-mille. Plan: one shingle explode, then two map-side-
+    * combined aggs over it (per-doc gram count; gram → min doc, itself
+    * re-grouped for per-doc novel counts) — NO gram-keyed join back,
+    * and the gram crosses the exchange as xxhash64, never text (the
+    * exact-substring discipline). */
   val qGramNovelty = GQuery("q_gram_novelty",
     (s, d) => {
+      // NO join-back: n_novel(doc) is just the first-occurrence table
+      // re-grouped by its min-doc — the gram stream is touched twice
+      // (per-doc count + first-occurrence agg), never joined to itself.
+      // The gram rides the shuffle as xxhash64 (collision-equivalent to
+      // the string, the documented exactDuplicates trade; the twin
+      // keeps strings) — 5-char text never crosses an exchange.
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TextFeatures.shingles(col("text"), 5)).as("g"))
-        .localCheckpoint(true) // first-occurrence agg + join back reuse it
-      val firsts = grams.groupBy(col("g"))
-        .agg(min(col("doc_id")).as("fd"))
-      grams.join(firsts, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+        .select(col("doc_id"), explode(TextFeatures.shingles(
+          col("text"), 5)).as("gs"))
+        .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+        .localCheckpoint(true) // per-doc count + first-occurrence reuse it
+      val counts = grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy(col("g"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      counts.join(novel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .withColumn("novelty_x1000", expr("n_novel * 1000 div n_grams"))
         .orderBy(col("doc_id"))
     },
@@ -384,14 +392,15 @@ object TextQueries {
             i -> substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), i + 1, 5))) AS sh
         FROM documents),
       s AS (SELECT doc_id, unnest(sh) AS g FROM docs),
-      firsts AS (SELECT g, MIN(doc_id) AS fd FROM s GROUP BY 1)
-      SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        CAST(SUM(CASE WHEN firsts.fd = s.doc_id THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_novel,
-        CAST(SUM(CASE WHEN firsts.fd = s.doc_id THEN 1 ELSE 0 END) * 1000
-          // COUNT(*) AS BIGINT) AS novelty_x1000
-      FROM s JOIN firsts USING (g)
-      GROUP BY 1 ORDER BY s.doc_id"""),
+      counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM s GROUP BY 1),
+      novel AS (SELECT fd AS doc_id, COUNT(*) AS n_novel FROM
+        (SELECT g, MIN(doc_id) AS fd FROM s GROUP BY 1) GROUP BY 1)
+      SELECT counts.doc_id, CAST(counts.n_grams AS BIGINT) AS n_grams,
+        CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+        CAST(COALESCE(novel.n_novel, 0) * 1000 // counts.n_grams
+          AS BIGINT) AS novelty_x1000
+      FROM counts LEFT JOIN novel USING (doc_id)
+      ORDER BY counts.doc_id"""),
     notes = "corpus-cumulative redundancy signal; gram-keyed first-" +
       "occurrence join, doc_id order as the arrival order")
 
