@@ -370,9 +370,18 @@ object TextQueries {
       // The gram rides the shuffle as xxhash64 (collision-equivalent to
       // the string, the documented exactDuplicates trade; the twin
       // keeps strings) — 5-char text never crosses an exchange.
+      // normalize ONCE per row into a projected column BEFORE the
+      // shingle lambda: Catalyst does no common-subexpression
+      // elimination inside lambda bodies, so shingles(text) re-runs the
+      // regexp_replace normalization PER ARRAY ELEMENT — ~2000 regex
+      // passes per doc (measured 13.7 s at sf0.1; this shape: ~1 s)
       val grams = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TextFeatures.shingles(
-          col("text"), 5)).as("gs"))
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+            .as("norm"))
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(0), greatest(length(col("norm")) - 5, lit(0))),
+          i => col("norm").substr(lit(1) + i, lit(5))))).as("gs"))
         .select(col("doc_id"), xxhash64(col("gs")).as("g"))
         .localCheckpoint(true) // per-doc count + first-occurrence reuse it
       val counts = grams.groupBy(col("doc_id"))
