@@ -3856,6 +3856,85 @@ object TextQueries {
     notes = "NTILE deciles with positional tie-break; per-decile " +
       "positive rate in per-mille")
 
+  /** DECISION-STUMP LEARNING (best Gini split) on the q_auc score/label
+    * pair: the exact threshold a one-rule quality filter would pick,
+    * found on the BOUNDED distinct-score table — per candidate
+    * threshold t (split: score ≤ t), weighted Gini impurity in exact
+    * fixed point:
+    *   g_x1e6 = ((nL²−posL²−negL²)·nR + (nR²−posR²−negR²)·nL)·10⁶
+    *             div (nL·nR·n)
+    * (the 1/nL,1/nR denominators cleared through one common fraction —
+    * pure int64 at any tested SF). Cumulative pos/neg via one window
+    * over the distinct scores; argmin by (g, t). Output 1 row:
+    * (threshold, n_left, n_right, gini_x1e6). */
+  val qBestSplit = GQuery("q_best_split",
+    (s, d) => {
+      val stop = graft.functions.TextFeatures.enStopwords
+      val g = Tables.documents(s, d)
+        .select(size(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t.isInCollection(stop))).cast("long").as("t"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("p"))
+        .groupBy(col("t"))
+        .agg(sum(col("p")).as("pc"), sum(lit(1L) - col("p")).as("nc"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = g.agg(sum(col("pc")).as("tp"), sum(col("nc")).as("tn"))
+      g.withColumn("cp", sum(col("pc")).over(w))
+        .withColumn("cn", sum(col("nc")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("nl", col("cp") + col("cn"))
+        .withColumn("nr", col("tp") + col("tn") - col("nl"))
+        .filter(col("nr") > 0) // the top threshold splits nothing off
+        .withColumn("rp", col("tp") - col("cp"))
+        .withColumn("rn", col("tn") - col("cn"))
+        .withColumn("g_x1e6", expr(
+          "((nl * nl - cp * cp - cn * cn) * nr" +
+            " + (nr * nr - rp * rp - rn * rn) * nl) * 1000000" +
+            " div (nl * nr * (nl + nr))"))
+        .orderBy(col("g_x1e6"), col("t"))
+        .limit(1)
+        .select(col("t").as("threshold"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("g_x1e6").as("gini_x1e6"))
+    },
+    Some {
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH per AS (
+        SELECT CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS t,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+        FROM documents),
+      g AS (SELECT t, SUM(p) AS pc, SUM(1 - p) AS nc FROM per
+        GROUP BY 1),
+      tot AS (SELECT SUM(pc) AS tp, SUM(nc) AS tn FROM g),
+      c AS (SELECT t,
+          SUM(pc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cp,
+          SUM(nc) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cn
+        FROM g),
+      sc AS (SELECT c.t, c.cp + c.cn AS nl,
+          tot.tp + tot.tn - c.cp - c.cn AS nr,
+          tot.tp - c.cp AS rp, tot.tn - c.cn AS rn
+        FROM c, tot),
+      scored AS (SELECT t, nl, nr,
+          ((nl * nl - cp2 - cn2) * nr + (nr * nr - rp * rp - rn * rn)
+            * nl) * 1000000 // (nl * nr * (nl + nr)) AS g_x1e6
+        FROM (SELECT sc.t, sc.nl, sc.nr, sc.rp, sc.rn,
+            c.cp * c.cp AS cp2, c.cn * c.cn AS cn2
+          FROM sc JOIN c USING (t))
+        WHERE nr > 0)
+      SELECT t AS threshold, CAST(nl AS BIGINT) AS n_left,
+        CAST(nr AS BIGINT) AS n_right,
+        CAST(g_x1e6 AS BIGINT) AS gini_x1e6
+      FROM scored ORDER BY g_x1e6, t LIMIT 1"""
+    },
+    notes = "exact weighted-Gini stump on the bounded distinct-score " +
+      "table; denominators cleared to one integer fraction")
+
   /** HEAPS'-LAW VOCABULARY GROWTH: cumulative (tokens seen, distinct
     * tokens seen) at every 50th doc_id — the sublinearity check that
     * tells a curation run whether a corpus keeps contributing new
@@ -4081,7 +4160,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc, qCalibration, qFrontCoding,
+    qAuc, qCalibration, qFrontCoding, qBestSplit,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,

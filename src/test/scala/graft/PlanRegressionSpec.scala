@@ -57,7 +57,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast tail-cut cross join onto the bounded top-k slice
     "q_powerlaw",
     // 1-row broadcast grand-total cross join onto the contingency cells
-    "q_chi2")
+    "q_chi2",
+    // 1-row broadcast class-totals cross join onto the distinct-score table
+    "q_best_split")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
