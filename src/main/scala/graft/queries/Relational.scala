@@ -866,6 +866,48 @@ object Relational {
       FROM top ORDER BY rank"""),
     notes = "market-basket pairs; in-array generation bounds expansion by basket size")
 
+  /** LEAVE-ONE-OUT TARGET ENCODING — the feature-engineering primitive
+    * that turns a categorical column into its target mean WITHOUT
+    * leaking each row's own label: enc(i) = (S_c − x_i) div (n_c − 1)
+    * for row i in category c (exact integer cents; singleton categories
+    * fall back to the global LOO mean, the standard smoothing floor).
+    * Plan: one map-side-combined category agg (+1-row global), encoded
+    * by a BROADCAST join back over the fact scan — zero fact shuffles
+    * beyond the output sort. */
+  val qTargetEncode = GQuery("q_target_encode",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("cat"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val byCat = o.groupBy(col("cat"))
+        .agg(sum(col("cents")).as("sc"), count(lit(1)).as("nc"))
+      val glob = o.agg(sum(col("cents")).as("sg"), count(lit(1)).as("ng"))
+      o.join(broadcast(byCat), Seq("cat"))
+        .crossJoin(broadcast(glob))
+        .select(col("o_orderkey"), col("cat"),
+          when(col("nc") > 1,
+            expr("(sc - cents) div (nc - 1)"))
+            .otherwise(expr("(sg - cents) div (ng - 1)"))
+            .as("loo_cents"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      by_cat AS (SELECT cat, SUM(cents) AS sc, COUNT(*) AS nc FROM o
+        GROUP BY 1),
+      gtot AS (SELECT SUM(cents) AS sg, COUNT(*) AS ng FROM o)
+      SELECT o.o_orderkey, o.cat,
+        CAST(CASE WHEN by_cat.nc > 1
+          THEN (by_cat.sc - o.cents) // (by_cat.nc - 1)
+          ELSE (gtot.sg - o.cents) // (gtot.ng - 1) END AS BIGINT)
+          AS loo_cents
+      FROM o JOIN by_cat USING (cat) CROSS JOIN gtot
+      ORDER BY o.o_orderkey"""),
+    notes = "leakage-safe categorical encoding; category stats " +
+      "broadcast back over one fact scan")
+
   /** SHIPPING-PRIORITY analytics (the TPC-H Q3 shape): segment-filtered
     * customers ⋈ open orders ⋈ late-shipping lineitems, revenue
     * Σ extprice·(1−disc) per order, top-10 — the canonical
@@ -1139,5 +1181,5 @@ object Relational {
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
     qSkyline, qExactQuantiles, qAssocRules, qShippingPriority,
-    qRegionalVolume)
+    qRegionalVolume, qTargetEncode)
 }

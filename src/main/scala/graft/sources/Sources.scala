@@ -37,6 +37,28 @@ object Sources {
       .withColumn("scheduled_for", to_timestamp(col("scheduled_for")))
       .withColumn("created_at", to_timestamp(col("created_at")))
 
+  /** S3-ext — CSV table source with a DECLARED schema (the engine never
+    * inferSchema's: inference costs an extra full scan and silently
+    * drifts types — the SURVEY §1.3 rule the parquet loaders follow).
+    * PERMISSIVE mode nulls malformed fields instead of failing the job;
+    * a `_corrupt` column captures the raw line for quarantine when the
+    * caller includes it in the schema. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+
+  /** CSV export twin of [[readCsv]] — interop sink for downstream
+    * non-columnar consumers (the reference emits CSV report tables);
+    * columnar analytics stay on [[writeWarehouse]]. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .csv(path)
+
   /** Raw collection-payload envelope (FIXTURES.md §2 top level), with the
     * odds event under `data`. */
   val payloadSchema: StructType = StructType(Seq(

@@ -59,7 +59,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast grand-total cross join onto the contingency cells
     "q_chi2",
     // 1-row broadcast class-totals cross join onto the distinct-score table
-    "q_best_split")
+    "q_best_split",
+    // 1-row broadcast global-stats cross join (singleton-category fallback)
+    "q_target_encode")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>

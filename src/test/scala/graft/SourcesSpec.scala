@@ -87,4 +87,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table(tbl).select("r_name").as[String].collect().nonEmpty)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("S3-ext: CSV round-trip with declared schema; corrupt line quarantined") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("csv").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5))
+      .toDF("id", "name", "v")
+    Sources.writeCsv(df, tmp)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", DoubleType)))
+    val back = Sources.readCsv(spark, tmp, schema)
+    assert(back.schema === schema) // declared, never inferred
+    assert(back.as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)))
+    // corrupt line: PERMISSIVE nulls the bad field and captures the raw
+    val dirty = java.nio.file.Files.createTempDirectory("csvd").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dirty, "part.csv"),
+      "id,name,v\n7,ok,1.0\n8,bad,NOT_A_NUMBER\n")
+    val qSchema = schema.add(StructField("_corrupt", StringType))
+    val rows = Sources.readCsv(spark, dirty, qSchema)
+      .select(col("id"), col("v"), col("_corrupt").isNotNull.as("bad"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+      .toMap
+    assert(rows(7L) === ((Some(1.0), false)))
+    assert(rows(8L) === ((None, true))) // quarantined, job completed
+  }
 }
