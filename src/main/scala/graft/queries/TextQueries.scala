@@ -3856,6 +3856,78 @@ object TextQueries {
     notes = "NTILE deciles with positional tie-break; per-decile " +
       "positive rate in per-mille")
 
+  /** INFORMATION VALUE / WEIGHT OF EVIDENCE per score decile — the
+    * credit-scoring-lineage predictiveness audit for the same
+    * score/label pair as [[qAuc]]: WoE_d = ln(g_d/G ÷ b_d/B) carried in
+    * lg64 fixed point as lg64((g_d+1)·B⁺) − lg64((b_d+1)·G⁺) (add-one
+    * smoothing, the [[graft.streaming.Streams.psiDriftStream]]
+    * discipline) and the IV summand as the PSI-form product
+    * ((g_d+1)·B⁺ − (b_d+1)·G⁺)·woe64 — non-negative by construction,
+    * all int64. Deciles are positional NTILE (the [[qCalibration]]
+    * axis). Output per decile: (decile, n_good, n_bad, woe_x64,
+    * iv_contrib). */
+  val qIvWoe = GQuery("q_iv_woe",
+    (s, d) => {
+      import graft.operators.NaiveBayes.lg64
+      val stop = graft.functions.TextFeatures.enStopwords
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => t.isInCollection(stop))).cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      val dec = scored.withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(sum(col("pos")).as("g"),
+          sum(lit(1L) - col("pos")).as("b"))
+      val tot = dec.agg((sum(col("g")) + lit(10L)).as("gp"),
+        (sum(col("b")) + lit(10L)).as("bp"))
+      dec.crossJoin(broadcast(tot))
+        .withColumn("woe_x64",
+          lg64((col("g") + 1L) * col("bp")) -
+            lg64((col("b") + 1L) * col("gp")))
+        .select(col("decile"), col("g").as("n_good"), col("b").as("n_bad"),
+          col("woe_x64"),
+          (((col("g") + 1L) * col("bp") - (col("b") + 1L) * col("gp"))
+            * col("woe_x64")).as("iv_contrib"))
+        .orderBy(col("decile"))
+    },
+    Some {
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      dec AS (SELECT decile, SUM(pos) AS g, SUM(1 - pos) AS b FROM
+          (SELECT pos, NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+           FROM scored)
+        GROUP BY 1),
+      tot AS (SELECT SUM(g) + 10 AS gp, SUM(b) + 10 AS bp FROM dec),
+      base AS (SELECT dec.decile, dec.g, dec.b,
+          (dec.g + 1) * tot.bp AS pa, (dec.b + 1) * tot.gp AS pb
+        FROM dec CROSS JOIN tot),
+      dpa AS (SELECT DISTINCT pa AS x FROM base),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dpa", "x", Seq("x"), "la", "lga") + """,
+      dpb AS (SELECT DISTINCT pb AS x FROM base),
+      """ + graft.operators.NaiveBayes.sqlLg64Chain(
+        "dpb", "x", Seq("x"), "lb", "lgb") + """
+      SELECT base.decile, CAST(base.g AS BIGINT) AS n_good,
+        CAST(base.b AS BIGINT) AS n_bad,
+        CAST(la.lga - lb.lgb AS BIGINT) AS woe_x64,
+        CAST((base.pa - base.pb) * (la.lga - lb.lgb) AS BIGINT)
+          AS iv_contrib
+      FROM base JOIN la ON base.pa = la.x JOIN lb ON base.pb = lb.x
+      ORDER BY base.decile"""
+    },
+    notes = "WoE/IV in lg64 fixed point with add-one smoothing; the " +
+      "PSI-form product keeps every summand non-negative")
+
   /** DECISION-STUMP LEARNING (best Gini split) on the q_auc score/label
     * pair: the exact threshold a one-rule quality filter would pick,
     * found on the BOUNDED distinct-score table — per candidate
@@ -4160,7 +4232,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc, qCalibration, qFrontCoding, qBestSplit,
+    qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,

@@ -61,7 +61,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast class-totals cross join onto the distinct-score table
     "q_best_split",
     // 1-row broadcast global-stats cross join (singleton-category fallback)
-    "q_target_encode")
+    "q_target_encode",
+    // 1-row broadcast smoothed-totals cross join onto the 10-row deciles
+    "q_iv_woe")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
