@@ -3856,6 +3856,54 @@ object TextQueries {
     notes = "NTILE deciles with positional tie-break; per-decile " +
       "positive rate in per-mille")
 
+  /** LIFT AT K — the targeting-efficiency curve point: precision among
+    * the top-k docs by score (desc, doc_id tie-break) vs the base
+    * positive rate, in integer per-mille; lift_x1000 = prec·1000 div
+    * base = (hits·n·1000) div (k·P). The "how much better than random
+    * is acting on the top decile" number. One corpus agg for totals, a
+    * TakeOrderedAndProject for the top slice — no global sort. */
+  val qLiftAtK = GQuery("q_lift_at_k",
+    (s, d) => {
+      val k = 50
+      val stop = graft.functions.TextFeatures.enStopwords
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => t.isInCollection(stop))).cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .localCheckpoint(true) // totals + top slice reuse it
+      val tot = scored.agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      scored.orderBy(desc("score"), col("doc_id")).limit(k)
+        .agg(sum(col("pos")).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("k"), col("hits"), col("n"), col("p"),
+          expr(s"hits * 1000 div $k").as("prec_x1000"),
+          expr(s"(hits * n * 1000) div (${k}L * p)").as("lift_x1000"))
+    },
+    Some {
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      tot AS (SELECT COUNT(*) AS n, SUM(pos) AS p FROM scored),
+      top AS (SELECT pos FROM scored
+        ORDER BY score DESC, doc_id LIMIT 50)
+      SELECT CAST(50 AS BIGINT) AS k,
+        CAST(SUM(top.pos) AS BIGINT) AS hits,
+        CAST(MAX(tot.n) AS BIGINT) AS n, CAST(MAX(tot.p) AS BIGINT) AS p,
+        CAST(SUM(top.pos) * 1000 // 50 AS BIGINT) AS prec_x1000,
+        CAST((SUM(top.pos) * MAX(tot.n) * 1000) // (50 * MAX(tot.p))
+          AS BIGINT) AS lift_x1000
+      FROM top CROSS JOIN tot"""
+    },
+    notes = "top-k targeting lift in per-mille; TakeOrdered slice + " +
+      "1-row totals, never a global sort")
+
   /** INFORMATION VALUE / WEIGHT OF EVIDENCE per score decile — the
     * credit-scoring-lineage predictiveness audit for the same
     * score/label pair as [[qAuc]]: WoE_d = ln(g_d/G ÷ b_d/B) carried in
@@ -4232,7 +4280,7 @@ object TextQueries {
 
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe,
+    qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,

@@ -63,7 +63,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast global-stats cross join (singleton-category fallback)
     "q_target_encode",
     // 1-row broadcast smoothed-totals cross join onto the 10-row deciles
-    "q_iv_woe")
+    "q_iv_woe",
+    // 1-row x 1-row totals assembly (top-slice hits x corpus stats)
+    "q_lift_at_k")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
