@@ -72,6 +72,26 @@ object NaiveBayes {
     (e0 * 64 + f1 * 16 + f2 * 4 + f3).cast("long")
   }
 
+  /** Scala twin of [[lg64]] — IDENTICAL mantissa algorithm on plain
+    * longs, for generating PLAN-TIME literal weight tables (e.g. the
+    * NDCG position discounts: positions are known constants, so both
+    * engines can share one literal array instead of each re-deriving
+    * the chain). NaiveBayesSpec pins lg64Long ≡ the Column lg64. */
+  private[graft] def lg64Long(n0: Long): Long = {
+    require(n0 >= 1, "lg64 domain")
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val e0 = bitlen(n0) - 1
+    var m = (n0 * 8192L) >> e0
+    var fs = List.empty[Long]
+    for (_ <- 1 to 3) {
+      val raw = m * m * m * m
+      val f = bitlen(raw) - 53
+      fs = fs :+ f.toLong
+      m = raw >> (bitlen(raw) - 14)
+    }
+    e0 * 64L + fs(0) * 16L + fs(1) * 4L + fs(2)
+  }
+
   /** DuckDB twin of [[lg64]] as a chain of CTE stages over `inCte`,
     * carrying `keep` columns and emitting `outCol` = lg64(`nExpr`).
     * The final stage is named `outCte`. Chained CTEs (not one nested

@@ -3856,6 +3856,78 @@ object TextQueries {
     notes = "NTILE deciles with positional tie-break; per-decile " +
       "positive rate in per-mille")
 
+  /** NDCG@50 of the stopword-count ranking against the lang='en' label
+    * — the position-discounted retrieval metric next to [[qAuc]] (rank
+    * quality anywhere) and [[qLiftAtK]] (head precision). Binary gains;
+    * discount 1/log₂(i+1) carried as the PLAN-TIME literal
+    * w_i = 64·10⁶ div lg64(i+1): positions are CONSTANTS, so one
+    * Scala-computed table ([[graft.operators.NaiveBayes.lg64Long]],
+    * spec-pinned ≡ the Column lg64) is inlined into BOTH engines —
+    * zero cross-engine log risk by construction. IDCG is the prefix
+    * sum at min(P, k) from the same table. One TakeOrdered slice + a
+    * 1-row totals cross join. Output: (k, hits, dcg_x, idcg_x,
+    * ndcg_x1e6). */
+  val qNdcg = GQuery("q_ndcg",
+    (s, d) => {
+      val k = 50
+      val wts: Seq[Long] = (1 to k).map(i =>
+        64000000L / graft.operators.NaiveBayes.lg64Long(i + 1L))
+      val prefix: Seq[Long] = wts.scanLeft(0L)(_ + _).tail
+      val stop = graft.functions.TextFeatures.enStopwords
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => t.isInCollection(stop))).cast("long").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .localCheckpoint(true) // totals + top slice reuse it
+      val tot = scored.agg(sum(col("pos")).as("p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), col("doc_id"))
+      scored.orderBy(desc("score"), col("doc_id")).limit(k)
+        .withColumn("i", row_number().over(w))
+        .agg(sum(col("pos")).as("hits"),
+          sum(col("pos") * element_at(typedLit(wts), col("i")))
+            .as("dcg_x"))
+        .crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("k"), col("hits"), col("dcg_x"),
+          element_at(typedLit(prefix),
+            least(col("p"), lit(k.toLong)).cast("int")).as("idcg_x"))
+        .withColumn("ndcg_x1e6", expr("dcg_x * 1000000 div idcg_x"))
+    },
+    Some {
+      val k = 50
+      val wts = (1 to k).map(i =>
+        64000000L / graft.operators.NaiveBayes.lg64Long(i + 1L))
+      val prefix = wts.scanLeft(0L)(_ + _).tail
+      val stop = graft.functions.TextFeatures.enStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH scored AS (
+        SELECT doc_id,
+          CAST(len(list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> t IN ($stop))) AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      tot AS (SELECT SUM(pos) AS p FROM scored),
+      top AS (SELECT pos,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS i
+        FROM scored ORDER BY score DESC, doc_id LIMIT $k),
+      wt(i, w) AS (VALUES ${wts.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")}),
+      pf(j, s) AS (VALUES ${prefix.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")})
+      SELECT CAST($k AS BIGINT) AS k,
+        CAST(SUM(top.pos) AS BIGINT) AS hits,
+        CAST(SUM(top.pos * wt.w) AS BIGINT) AS dcg_x,
+        CAST(MAX(pf.s) AS BIGINT) AS idcg_x,
+        CAST(SUM(top.pos * wt.w) * 1000000 // MAX(pf.s) AS BIGINT)
+          AS ndcg_x1e6
+      FROM top JOIN wt USING (i)
+        CROSS JOIN tot JOIN pf ON pf.j = least(tot.p, $k)"""
+    },
+    notes = "position discounts as one Scala-derived literal table in " +
+      "both engines; TakeOrdered slice, 1-row totals")
+
   /** LIFT AT K — the targeting-efficiency curve point: precision among
     * the top-k docs by score (desc, doc_id tie-break) vs the base
     * positive rate, in integer per-mille; lift_x1000 = prec·1000 div
@@ -4281,6 +4353,7 @@ object TextQueries {
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
     qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
+    qNdcg,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
     qKnnClassify,

@@ -95,4 +95,18 @@ class NaiveBayesSpec extends SparkSpec {
         freq.size.toLong, top)), s"lang $lang")
     }
   }
+
+  test("lg64Long matches the Column lg64 over the literal-table domain") {
+    import spark.implicits._
+    val ns = ((1L to 64L) ++ Seq(100L, 1000L, 123456L, 1L << 40)).toSeq
+    val fromCol = ns.toDF("n")
+      .select(org.apache.spark.sql.functions.col("n"),
+        graft.operators.NaiveBayes.lg64(
+          org.apache.spark.sql.functions.col("n")).as("lg"))
+      .as[(Long, Long)].collect().toMap
+    ns.foreach { n =>
+      assert(graft.operators.NaiveBayes.lg64Long(n) === fromCol(n),
+        s"mismatch at n=$n")
+    }
+  }
 }

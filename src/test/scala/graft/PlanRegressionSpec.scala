@@ -65,7 +65,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row broadcast smoothed-totals cross join onto the 10-row deciles
     "q_iv_woe",
     // 1-row x 1-row totals assembly (top-slice hits x corpus stats)
-    "q_lift_at_k")
+    "q_lift_at_k",
+    // 1-row broadcast positives-total cross join onto the top slice
+    "q_ndcg")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
