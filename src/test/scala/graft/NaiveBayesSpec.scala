@@ -109,4 +109,17 @@ class NaiveBayesSpec extends SparkSpec {
         s"mismatch at n=$n")
     }
   }
+
+  test("lg64Long: monotone and within ~1 unit of 64*log2 across magnitudes") {
+    val ns = (1L to 2048L) ++ (0 to 48).map(1L << _) ++
+      (1 to 200).map(i => i * 997003L)
+    var prev = -1L
+    ns.sorted.foreach { n =>
+      val v = graft.operators.NaiveBayes.lg64Long(n)
+      assert(v >= prev, s"not monotone at n=$n")
+      val exact = 64.0 * math.log(n.toDouble) / math.log(2.0)
+      assert(math.abs(v - exact) <= 1.5, s"off at n=$n: $v vs $exact")
+      prev = v
+    }
+  }
 }
