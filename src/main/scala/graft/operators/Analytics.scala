@@ -52,10 +52,11 @@ object Analytics {
     * credit carried as an integer. auc_x1e6 = u2·10⁶ div (2·P·N).
     *
     * Plan: one corpus agg to the score table, ONE window over that
-    * bounded table (never the corpus), one final 1-row agg. 2·P·N must
-    * stay under int64 — at corpus scale run it per group or on the
-    * evaluation sample, which is what an eval harness does anyway.
-    * Output: (n_pos, n_neg, u2, auc_x1e6). */
+    * bounded table (never the corpus), one final 1-row agg. The final
+    * ratio is computed in DECIMAL(38,0) (mirroring the twin's HUGEINT
+    * sums), so the real bound is 2·P·N·10⁶ < 10³⁸ — effectively
+    * unbounded for any evaluation corpus. Output: (n_pos, n_neg, u2,
+    * auc_x1e6). */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
     val g = df.select(col(scoreCol).cast("long").as("s"),
@@ -68,7 +69,8 @@ object Analytics {
       .agg(sum(col("pc")).as("n_pos"), sum(col("nc")).as("n_neg"),
         sum(col("pc") * (lit(2L) * col("nb") + col("nc"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        expr("u2 * 1000000L div (2 * n_pos * n_neg)").as("auc_x1e6"))
+        expr("cast(u2 as decimal(38,0)) * 1000000 div " +
+          "(2 * cast(n_pos as decimal(38,0)) * n_neg)").as("auc_x1e6"))
   }
 
   def skyline2d(df: DataFrame, xCol: String, yCol: String): DataFrame = {

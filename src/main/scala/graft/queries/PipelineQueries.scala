@@ -1248,13 +1248,17 @@ object PipelineQueries {
         .withColumn("dev", (col("n").cast(dec) * col("nn").cast(dec)
           - col("r").cast(dec) * col("c").cast(dec)))
         .withColumn("term", expr(
-          "(dev * dev * 1000) div (nn * r * c)").cast(dec))
+          // denominator in DECIMAL(38,0) too — nn·r·c is N³-scale and
+          // passes int64 only to ~sf1; the twin runs it in HUGEINT
+          "(dev * dev * 1000) div (cast(nn as decimal(38,0)) * r * c)")
+          .cast(dec))
         .agg(max(col("nn")).as("n"),
           sum(col("term")).cast("long").as("chi2_x1000"),
           max(col("nn") * (least(col("nr"), col("nc")) - 1)).as("vden"))
         .select(col("n"),
           col("chi2_x1000"),
-          expr("(chi2_x1000 * 1000) div vden").as("v2_x1e6"))
+          expr("(cast(chi2_x1000 as decimal(38,0)) * 1000) div vden")
+            .as("v2_x1e6"))
     },
     Some("""WITH j AS (
         SELECT c_mktsegment AS segment, o_orderpriority AS priority
@@ -1310,14 +1314,17 @@ object PipelineQueries {
         .agg(count(lit(1)).cast(dec).as("n"),
           sum(col("rx") * col("ry")).as("sxy"))
         .select(col("n").cast("long").as("n"),
-          col("sxy").cast("long").as("sxy"),
-          (((col("n") * col("sxy"))
-            - (expr("(n * (n + 1)) div 2") * expr("(n * (n + 1)) div 2")))
-            .cast("double") /
-            ((col("n") * expr("(n * (n + 1) * (2 * n + 1)) div 6"))
-              - (expr("(n * (n + 1)) div 2")
-                * expr("(n * (n + 1)) div 2"))).cast("double"))
-            .as("rho"))
+          col("sxy").cast("long").as("sxy"), {
+            // Spark `div` yields BIGINT, so the closed-form rank
+            // moments are cast back to DECIMAL(38,0) before any
+            // product (Sx² ≈ n⁴/4 passes int64 at only ~78k rows) —
+            // mirroring the twin, where `//` on HUGEINT stays HUGEINT.
+            val sx = expr("cast((n * (n + 1)) div 2 as decimal(38,0))")
+            val sxx = expr(
+              "cast((n * (n + 1) * (2 * n + 1)) div 6 as decimal(38,0))")
+            ((col("n") * col("sxy") - sx * sx).cast("double") /
+              (col("n") * sxx - sx * sx).cast("double")).as("rho")
+          })
     },
     Some("""WITH spend AS (
         SELECT o_custkey AS ck,
@@ -1485,10 +1492,13 @@ object PipelineQueries {
         .localCheckpoint(true) // the k+1 cut and the top-k sum reuse it
       val dmin = ranked.filter(col("rk") === k + 1)
         .select(col("deg").as("d_min"), col("lg").as("lg_min"))
+      // groupBy d_min (not a global agg) so an empty k+1 cut — a graph
+      // with <= k distinct-ranked nodes — yields ZERO rows, exactly as
+      // the twin's GROUP BY mn.d_min does, instead of one null row
       ranked.filter(col("rk") <= k)
         .crossJoin(broadcast(dmin))
-        .agg(max(col("d_min")).as("d_min"),
-          sum(col("lg") - col("lg_min")).as("s_lg64"))
+        .groupBy(col("d_min"))
+        .agg(sum(col("lg") - col("lg_min")).as("s_lg64"))
         .select(lit(k.toLong).as("k"), col("d_min"), col("s_lg64"),
           (lit(k * 64.0) / (lit(0.6931471805599453) *
             col("s_lg64").cast("double"))).as("alpha"))

@@ -3890,8 +3890,13 @@ object TextQueries {
             .as("dcg_x"))
         .crossJoin(broadcast(tot))
         .select(lit(k.toLong).as("k"), col("hits"), col("dcg_x"),
-          element_at(typedLit(prefix),
-            least(col("p"), lit(k.toLong)).cast("int")).as("idcg_x"))
+          // zero-positive guard: element_at(lit, 0) throws in Spark
+          // ("SQL array indices start at 1") while the twin's pf join
+          // just yields NULLs — clamp the index and null out idcg (and
+          // via NULL-propagating div, ndcg) when p = 0
+          when(col("p") > 0, element_at(typedLit(prefix),
+            greatest(least(col("p"), lit(k.toLong)), lit(1L))
+              .cast("int"))).as("idcg_x"))
         .withColumn("ndcg_x1e6", expr("dcg_x * 1000000 div idcg_x"))
     },
     Some {
