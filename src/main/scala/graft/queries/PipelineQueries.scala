@@ -394,6 +394,68 @@ object PipelineQueries {
         ${Det.sqlFmtTs("TIMESTAMP '2024-01-31'")} AS checked_at
       FROM agg"""))
 
+  /** api_usage.json document ([[graft.operators.Reports.apiUsage]],
+    * reference yml:937-1034): per-day weighted API-call estimate from the
+    * job queue — phase weights early_odds=1 / pre_match=2 / team_news=3 /
+    * final_data=4, unknown phases default-weighted 1 (the coalesce path,
+    * exercised by the 'adhoc' bucket) — with the budget clamp
+    * remaining = max(0, budget − calls) and the over-budget flag. Budget
+    * 15 (the operator's parameter; the reference's production constant is
+    * 100) so BOTH branches of the clamp and flag appear at sf0.01. One
+    * map-side-combined groupBy on the day — scale-trivial. */
+  val qApiUsage = GQuery("q_api_usage",
+    (s, d) => {
+      val k = col("o_orderkey") % 5
+      val jobs = Tables.orders(s, d).select(
+        col("o_orderdate").as("scheduled_for"),
+        when(k === 0, "early_odds").when(k === 1, "pre_match")
+          .when(k === 2, "team_news").when(k === 3, "final_data")
+          .otherwise("adhoc").as("job_type"))
+      graft.operators.Reports.apiUsage(jobs,
+        java.sql.Timestamp.valueOf("2024-01-31 00:00:00"), 15)
+    },
+    Some(s"""WITH jobs AS (
+        SELECT o_orderdate AS sday,
+          CASE CAST(o_orderkey % 5 AS INT)
+            WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4
+            ELSE 1 END AS w
+        FROM orders),
+      agg AS (SELECT ${Det.sqlFmtDate("sday")} AS day,
+          CAST(SUM(w) AS BIGINT) AS estimated_calls
+        FROM jobs GROUP BY 1)
+      SELECT day, estimated_calls,
+        CAST(GREATEST(15 - estimated_calls, 0) AS BIGINT) AS remaining,
+        estimated_calls > 15 AS over_budget
+      FROM agg ORDER BY day"""),
+    notes = "weighted per-day call estimate + budget clamp; one groupBy")
+
+  /** dashboard_data.json document ([[graft.operators.Reports
+    * .dashboardData]], reference yml:702-825): the latest-movements panel
+    * — LAG movement per (user, event_type) filtered to |rel_change| > 0.5,
+    * enriched with the customer dim (broadcast), newest 10 by formatted
+    * timestamp with event_id tie-break (TakeOrderedAndProject — no global
+    * sort). Composes W2 + J1 under one gate, as the reference's dashboard
+    * generator does. */
+  val qDashboard = GQuery("q_dashboard",
+    (s, d) => graft.operators.Reports.dashboardData(
+      Tables.events(s, d), Tables.customer(s, d), 0.5),
+    Some(s"""WITH w AS (
+        SELECT event_id, user_id, event_type, value, ts,
+          LAG(value) OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS prev_value
+        FROM events),
+      m AS (
+        SELECT event_id, user_id, event_type, value, prev_value,
+          (value - prev_value) / prev_value AS rel_change, ts
+        FROM w
+        WHERE prev_value IS NOT NULL AND prev_value <> 0
+          AND ABS((value - prev_value) / prev_value) > 0.5)
+      SELECT event_id, user_id, c_name, event_type, value, prev_value,
+        rel_change, ${Det.sqlFmtTs("ts")} AS ts_s
+      FROM m JOIN customer ON user_id = c_custkey
+      ORDER BY ts_s DESC, event_id LIMIT 10"""),
+    notes = "movement panel: W2 LAG + broadcast dim + top-10 slice")
+
   /** Per-column data-quality profile ([[graft.operators.Reports.profile]])
     * over events — null/distinct/min/max per column in ONE scan, the
     * generalized form of validate_data.py's table checks. Profiled columns
@@ -1875,7 +1937,7 @@ object PipelineQueries {
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
-    qHealthStatus, qProfile, qValidate,
+    qHealthStatus, qApiUsage, qDashboard, qProfile, qValidate,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
