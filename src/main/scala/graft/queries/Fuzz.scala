@@ -1,0 +1,396 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DIFFERENTIAL PLAN FUZZER — the round-8 verdict's "cheapest way left to
+  * find semantic divergences the curated suite can't reach".
+  *
+  * A seeded generator composes random small plans from a RESTRICTED
+  * grammar of operators the registry already gates individually
+  * (filter / groupBy-agg / equi-join / window top-m / reaggregation /
+  * set ops over the TPC-H tables), and renders each plan TWICE from the
+  * same AST:
+  *
+  *  - one shared ANSI SQL string, written in the Spark∩DuckDB dialect
+  *    intersection (positional GROUP BY, explicit NULLS FIRST/LAST,
+  *    CAST(... AS BIGINT) around SUM/ROW_NUMBER/int32, year() for dates);
+  *  - one INDEPENDENT DataFrame-API build of the same semantics.
+  *
+  * Three engines then check each other: [[pinned]] registers 24
+  * seed-pinned cases in the Registry, so the driver's DuckDB gate runs
+  * the SQL in DuckDB against the DataFrame build's output (true
+  * cross-ENGINE differential); FuzzParitySpec sweeps 200 seeds per test
+  * run comparing the DataFrame build against `spark.sql` of the same
+  * text (cross-RENDERER differential, catching generator bugs and
+  * analyzer/dialect drift cheaply in-JVM).
+  *
+  * Grammar restrictions = the determinism conventions the registry
+  * already lives by: long/string outputs only (no IEEE doubles), ASCII
+  * binary-collation strings, every output totally ordered on its keys
+  * with explicit null placement (Spark ASC default NULLS FIRST vs DuckDB
+  * NULLS LAST), window orders tie-broken by a unique key.
+  */
+object Fuzz {
+
+  /** One grammar column: shared ANSI rendering + independent DF build. */
+  final case class FExpr(sql: String, col: Column, isStr: Boolean)
+
+  private def L(n: String) = FExpr(n, col(n), isStr = false)
+  private def LI(n: String) = // int32 on disk → BIGINT in both engines
+    FExpr(s"CAST($n AS BIGINT)", col(n).cast("long"), isStr = false)
+  private def Y(n: String) = // year() of a timestamp col, widened
+    FExpr(s"CAST(year($n) AS BIGINT)", year(col(n)).cast("long"),
+      isStr = false)
+  private def S(n: String) = FExpr(n, col(n), isStr = true)
+
+  /** Catalog row: loaders + which exprs may group / range / enumerate /
+    * LIKE, and the table's non-null unique total-order key. */
+  final case class FTab(
+      name: String,
+      load: (SparkSession, String) => DataFrame,
+      groupables: Seq[FExpr],
+      longs: Seq[(FExpr, Long, Long)],
+      strings: Seq[(FExpr, Seq[String])],
+      likes: Seq[(FExpr, Seq[String])],
+      uniq: Seq[FExpr])
+
+  private val lineitem = FTab("lineitem", Tables.lineitem,
+    groupables = Seq(S("l_returnflag"), S("l_linestatus"),
+      LI("l_linenumber"), Y("l_shipdate")),
+    longs = Seq((L("l_orderkey"), 0L, 15000L), (L("l_partkey"), 0L, 2000L),
+      (L("l_suppkey"), 0L, 100L), (LI("l_linenumber"), 1L, 7L),
+      (Y("l_shipdate"), 1992L, 1999L)),
+    strings = Seq((S("l_returnflag"), Seq("A", "N", "R")),
+      (S("l_linestatus"), Seq("F", "O"))),
+    likes = Seq.empty,
+    uniq = Seq(L("l_orderkey"), LI("l_linenumber")))
+
+  private val orders = FTab("orders", Tables.orders,
+    groupables = Seq(S("o_orderstatus"), S("o_orderpriority"),
+      Y("o_orderdate")),
+    longs = Seq((L("o_orderkey"), 0L, 15000L), (L("o_custkey"), 0L, 1500L),
+      (Y("o_orderdate"), 1992L, 1999L)),
+    strings = Seq((S("o_orderstatus"), Seq("F", "O", "P")),
+      (S("o_orderpriority"), Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))),
+    likes = Seq.empty,
+    uniq = Seq(L("o_orderkey")))
+
+  private val customer = FTab("customer", Tables.customer,
+    groupables = Seq(S("c_mktsegment"), LI("c_nationkey")),
+    longs = Seq((L("c_custkey"), 0L, 1500L), (LI("c_nationkey"), 0L, 25L)),
+    strings = Seq((S("c_mktsegment"), Seq("AUTOMOBILE", "BUILDING",
+      "FURNITURE", "HOUSEHOLD", "MACHINERY"))),
+    likes = Seq((S("c_name"), Seq("%1%", "%9%", "%00%", "Customer%"))),
+    uniq = Seq(L("c_custkey")))
+
+  private val part = FTab("part", Tables.part,
+    groupables = Seq(S("p_brand"), S("p_type"), LI("p_size")),
+    longs = Seq((L("p_partkey"), 0L, 2000L), (LI("p_size"), 1L, 51L)),
+    strings = Seq(
+      (S("p_brand"), (1 to 25).map(i => s"Brand#$i")),
+      (S("p_type"), Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+        "STANDARD"))),
+    likes = Seq.empty,
+    uniq = Seq(L("p_partkey")))
+
+  private val supplier = FTab("supplier", Tables.supplier,
+    groupables = Seq(LI("s_nationkey")),
+    longs = Seq((L("s_suppkey"), 0L, 100L), (LI("s_nationkey"), 0L, 25L)),
+    strings = Seq.empty,
+    likes = Seq((S("s_name"), Seq("%1%", "Supplier%", "%5%"))),
+    uniq = Seq(L("s_suppkey")))
+
+  private val nation = FTab("nation", Tables.nation,
+    groupables = Seq(S("n_name"), LI("n_regionkey")),
+    longs = Seq((LI("n_nationkey"), 0L, 25L), (LI("n_regionkey"), 0L, 5L)),
+    strings = Seq.empty,
+    likes = Seq((S("n_name"), Seq("NATION%", "%1%"))),
+    uniq = Seq(LI("n_nationkey")))
+
+  private val tables = Seq(lineitem, orders, customer, part, supplier,
+    nation)
+
+  /** Equi-join edges of the schema (key exprs render on both sides). */
+  final case class FJoin(left: FTab, right: FTab, lk: FExpr, rk: FExpr)
+  private val joins = Seq(
+    FJoin(orders, customer, L("o_custkey"), L("c_custkey")),
+    FJoin(lineitem, orders, L("l_orderkey"), L("o_orderkey")),
+    FJoin(lineitem, part, L("l_partkey"), L("p_partkey")),
+    FJoin(lineitem, supplier, L("l_suppkey"), L("s_suppkey")),
+    FJoin(customer, nation, LI("c_nationkey"), LI("n_nationkey")))
+
+  /** A generated case: shared SQL text + independent DataFrame build. */
+  final case class FuzzCase(seed: Long, shape: String, sql: String,
+      build: (SparkSession, String) => DataFrame)
+
+  private final class Rng(seed: Long) {
+    private val r = new java.util.Random(seed)
+    def int(n: Int): Int = r.nextInt(n)
+    def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
+    def bool(p: Double): Boolean = r.nextDouble() < p
+    def range(lo: Long, hi: Long): Long = lo + r.nextInt((hi - lo).toInt)
+  }
+
+  // ---- predicates -------------------------------------------------------
+
+  private def sq(s: String) = "'" + s + "'" // values are quote-free ASCII
+
+  private def atom(r: Rng, t: FTab): (String, Column) = {
+    val kinds = Seq.newBuilder[Int]
+    kinds += 0 += 1 // numeric cmp / between always available
+    if (t.strings.nonEmpty) { kinds += 2; kinds += 3 }
+    if (t.likes.nonEmpty) kinds += 4
+    r.pick(kinds.result()) match {
+      case 0 =>
+        val (e, lo, hi) = r.pick(t.longs)
+        val (opS, opC) = r.pick(Seq[(String, (Column, Long) => Column)](
+          ("<", _ < _), ("<=", _ <= _), (">", _ > _), (">=", _ >= _),
+          ("=", _ === _), ("<>", _ =!= _)))
+        val lit = r.range(lo, hi)
+        (s"${e.sql} $opS $lit", opC(e.col, lit))
+      case 1 =>
+        val (e, lo, hi) = r.pick(t.longs)
+        val a = r.range(lo, hi); val b = r.range(lo, hi)
+        val (x, y) = (math.min(a, b), math.max(a, b))
+        (s"${e.sql} BETWEEN $x AND $y", e.col.between(x, y))
+      case 2 =>
+        val (e, vals) = r.pick(t.strings)
+        val v = r.pick(vals :+ "ZZZ") // rare nonexistent → empty branch
+        (s"${e.sql} = ${sq(v)}", e.col === v)
+      case 3 =>
+        val (e, vals) = r.pick(t.strings)
+        val n = 1 + r.int(math.min(3, vals.size))
+        val vs = scala.util.Random.javaRandomToRandom(
+          new java.util.Random(r.range(0, 1 << 30))).shuffle(vals).take(n)
+        (s"${e.sql} IN (${vs.map(sq).mkString(", ")})",
+          e.col.isin(vs: _*))
+      case 4 =>
+        val (e, pats) = r.pick(t.likes)
+        val p = r.pick(pats)
+        (s"${e.sql} LIKE ${sq(p)}", e.col.like(p))
+    }
+  }
+
+  private def pred(r: Rng, ts: Seq[FTab]): (String, Column) = {
+    val n = 1 + r.int(3)
+    val atoms = (0 until n).map { _ =>
+      val (s, c) = atom(r, r.pick(ts))
+      if (r.bool(0.15)) (s"NOT ($s)", !c) else (s, c)
+    }
+    atoms.reduceLeft { (a, b) =>
+      if (r.bool(0.5)) (s"(${a._1} AND ${b._1})", a._2 && b._2)
+      else (s"(${a._1} OR ${b._1})", a._2 || b._2)
+    }
+  }
+
+  // ---- aggregates -------------------------------------------------------
+
+  /** (select-item SQL, agg Column) — SUM/ROW_NUMBER widened to BIGINT in
+    * BOTH renderings (DuckDB SUM is HUGEINT, Spark's is LONG). */
+  private def agg(r: Rng, longs: Seq[FExpr], strs: Seq[FExpr],
+      alias: String): (String, Column) =
+    r.int(if (strs.nonEmpty) 5 else 4) match {
+      case 0 => (s"COUNT(*) AS $alias", count(lit(1)).as(alias))
+      case 1 =>
+        val e = r.pick(longs)
+        (s"CAST(SUM(${e.sql}) AS BIGINT) AS $alias",
+          sum(e.col).cast("long").as(alias))
+      case 2 =>
+        val e = r.pick(longs ++ strs)
+        if (r.bool(0.5)) (s"MIN(${e.sql}) AS $alias", min(e.col).as(alias))
+        else (s"MAX(${e.sql}) AS $alias", max(e.col).as(alias))
+      case 3 =>
+        val e = r.pick(longs ++ strs)
+        (s"COUNT(DISTINCT ${e.sql}) AS $alias",
+          countDistinct(e.col).as(alias))
+      case 4 =>
+        val e = r.pick(strs)
+        (s"COUNT(${e.sql}) AS $alias", count(e.col).as(alias))
+    }
+
+  private def orderByAll(names: Seq[String]): String =
+    "ORDER BY " + names.map(n => s"$n ASC NULLS FIRST").mkString(", ")
+
+  private def sortAll(df: DataFrame, names: Seq[String]): DataFrame =
+    df.orderBy(names.map(n => col(n).asc_nulls_first): _*)
+
+  // ---- shapes -----------------------------------------------------------
+
+  /** Single-table (or join) filter → groupBy → agg [→ HAVING]. */
+  private def genAgg(r: Rng, seed: Long): FuzzCase = {
+    val joined = r.bool(0.45)
+    val (ts, fromSql, src): (Seq[FTab], String,
+        (SparkSession, String) => DataFrame) =
+      if (joined) {
+        val j = r.pick(joins)
+        val leftJoin = r.bool(0.3)
+        val jt = if (leftJoin) "LEFT JOIN" else "JOIN"
+        (Seq(j.left, j.right),
+          s"${j.left.name} $jt ${j.right.name} ON ${j.lk.sql} = ${j.rk.sql}",
+          (s, d) => j.left.load(s, d).join(j.right.load(s, d),
+            j.lk.col === j.rk.col, if (leftJoin) "left_outer" else "inner"))
+      } else {
+        val t = r.pick(tables)
+        (Seq(t), t.name, t.load)
+      }
+    val allGroup = ts.flatMap(_.groupables)
+    val allLongs = ts.flatMap(_.longs.map(_._1))
+    val allStrs = ts.flatMap(_.strings.map(_._1)) ++
+      ts.flatMap(_.likes.map(_._1))
+    val nk = 1 + r.int(2)
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 31 + 7)).shuffle(allGroup).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val na = 1 + r.int(3)
+    val aggs = (0 until na).map(i => agg(r, allLongs, allStrs, s"a$i"))
+    val where = if (r.bool(0.8)) Some(pred(r, ts)) else None
+    val having = if (r.bool(0.3)) Some(1 + r.int(20)) else None
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM $fromSql
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${having.map(h => s"HAVING COUNT(*) > $h").getOrElse("")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = src(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val kCols = keys.zip(kAliases).map { case (e, a) => e.col.as(a) }
+      var g = df.groupBy(kCols: _*)
+        .agg(aggs.head._2,
+          (aggs.tail.map(_._2) ++
+            having.map(_ => count(lit(1)).as("__cnt")).toSeq): _*)
+      having.foreach { h => g = g.filter(col("__cnt") > h).drop("__cnt") }
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, if (joined) "join_agg" else "agg", sql, build)
+  }
+
+  /** Window top-m per group with unique-key tie-break. */
+  private def genWindow(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val v = r.pick(t.longs)._1
+    val desc = r.bool(0.5)
+    val m = 1 + r.int(3)
+    val where = if (r.bool(0.7)) Some(pred(r, Seq(t))) else None
+    val uAliases = t.uniq.indices.map(i => s"u$i")
+    val dir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    val winOrd = (s"${v.sql} $dir" +:
+      t.uniq.map(u => s"${u.sql} ASC NULLS FIRST")).mkString(", ")
+    val uSql = t.uniq.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT k0, ${uAliases.mkString(", ")}, rn FROM (
+         |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY ${k.sql}
+         |      ORDER BY $winOrd) AS BIGINT) AS rn
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |) WHERE rn <= $m
+         |${orderByAll(Seq("k0", "rn"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val ord = (if (desc) v.col.desc_nulls_last
+        else v.col.asc_nulls_first) +: t.uniq.map(_.col.asc_nulls_first)
+      val w = Window.partitionBy(k.col).orderBy(ord: _*)
+      val out = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select((k.col.as("k0") +:
+          t.uniq.zip(uAliases).map { case (e, a) => e.col.as(a) }) :+
+          col("rn"): _*)
+        .filter(col("rn") <= m)
+      sortAll(out, Seq("k0", "rn"))
+    }
+    FuzzCase(seed, "window", sql, build)
+  }
+
+  /** Two-level reaggregation: inner 2-key count, outer rollup over k1. */
+  private def genReagg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    if (t.groupables.size < 2) return genAgg(r, seed) // nation-sized
+    val ks = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 17 + 3)).shuffle(t.groupables).take(2)
+    val where = if (r.bool(0.7)) Some(pred(r, Seq(t))) else None
+    val sql =
+      s"""SELECT k1 AS g, COUNT(*) AS n_groups,
+         |  CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS max_c
+         |FROM (
+         |  SELECT ${ks(0).sql} AS k0, ${ks(1).sql} AS k1, COUNT(*) AS c
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |  GROUP BY 1, 2
+         |) GROUP BY 1
+         |${orderByAll(Seq("g"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val inner = df.groupBy(ks(0).col.as("k0"), ks(1).col.as("k1"))
+        .agg(count(lit(1)).as("c"))
+      val outer = inner.groupBy(col("k1").as("g"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("c")).cast("long").as("total"),
+          max(col("c")).as("max_c"))
+      sortAll(outer, Seq("g"))
+    }
+    FuzzCase(seed, "reagg", sql, build)
+  }
+
+  /** UNION / INTERSECT / EXCEPT of two filtered projections (distinct
+    * set semantics in both engines). */
+  private def genSetOp(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val nk = 1 + r.int(math.min(2, t.groupables.size))
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 13 + 11)).shuffle(t.groupables).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val p1 = pred(r, Seq(t)); val p2 = pred(r, Seq(t))
+    val op = r.pick(Seq("UNION", "INTERSECT", "EXCEPT"))
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+      .mkString(", ")
+    val sql =
+      s"""SELECT $kSql FROM ${t.name} WHERE ${p1._1}
+         |$op
+         |SELECT $kSql FROM ${t.name} WHERE ${p2._1}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      def side(p: Column) = t.load(s, d).filter(p)
+        .select(keys.zip(kAliases).map { case (e, a) => e.col.as(a) }: _*)
+      val combined = op match {
+        case "UNION" => side(p1._2).union(side(p2._2)).distinct()
+        case "INTERSECT" => side(p1._2).intersect(side(p2._2))
+        case "EXCEPT" => side(p1._2).except(side(p2._2))
+      }
+      sortAll(combined, kAliases)
+    }
+    FuzzCase(seed, "setop_" + op.toLowerCase, sql, build)
+  }
+
+  /** Generate the case for a seed (shape chosen by the seed too). */
+  def gen(seed: Long): FuzzCase = {
+    val r = new Rng(seed)
+    r.int(10) match {
+      case 0 | 1 | 2 | 3 => genAgg(r, seed)
+      case 4 | 5 => genWindow(r, seed)
+      case 6 | 7 => genReagg(r, seed)
+      case _ => genSetOp(r, seed)
+    }
+  }
+
+  /** Seed-pinned registry gates: the driver's DuckDB oracle runs the
+    * shared SQL; the Spark side runs the independent DataFrame build.
+    * Seeds are stable constants — a divergence found by the 200-seed
+    * sweep gets PROMOTED into this list as a named regression. */
+  val pinnedSeeds: Seq[Long] = (1001L to 1024L)
+
+  val all: Seq[GQuery] = pinnedSeeds.map { seed =>
+    val fc = gen(seed)
+    GQuery(f"q_fuzz_$seed%04d", fc.build, Some(fc.sql),
+      notes = s"differential fuzz case (shape=${fc.shape}, seed=$seed)")
+  }
+}

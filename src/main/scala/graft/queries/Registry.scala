@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   val all: Seq[GQuery] =
     Relational.all ++ WindowQueries.all ++ EntityQueries.all ++
-      TextQueries.all ++ PipelineQueries.all
+      TextQueries.all ++ PipelineQueries.all ++ Fuzz.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

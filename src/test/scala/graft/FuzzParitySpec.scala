@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.Fuzz
+
+/** The in-JVM half of the differential fuzzer (see [[graft.queries.Fuzz]]):
+  * for N random seeds per run, the DataFrame-API build and `spark.sql` of
+  * the shared ANSI text must return IDENTICAL ordered results — the two
+  * renderings are produced independently from the same AST, so a mismatch
+  * is either a generator bug or Spark analyzer/dialect drift. The
+  * cross-ENGINE half (the same SQL in DuckDB vs the DataFrame build) runs
+  * through the 24 seed-pinned q_fuzz_* registry gates at verify time.
+  *
+  * Seeds are deterministic (0 until N) so a failure names a reproducible
+  * case: `Fuzz.gen(seed)` prints the SQL, and the fix is either a grammar
+  * repair or a PROMOTION of the seed into [[Fuzz.pinnedSeeds]] as a named
+  * regression gate.
+  */
+class FuzzParitySpec extends SparkSpec {
+
+  private val N = 200
+
+  test(s"$N random grammar plans: DataFrame build == spark.sql(shared text)") {
+    // the shared text references the tables by bare name
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    var checked = 0
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 0L until N.toLong) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+      checked += 1
+    }
+    assert(checked == N)
+    // every shape of the grammar must actually be exercised by the sweep
+    for (shape <- Seq("agg", "join_agg", "window", "reagg"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"shape $shape never generated in $N seeds: $shapes")
+    assert(shapes.keys.exists(_.startsWith("setop_")),
+      s"set-op shapes never generated in $N seeds: $shapes")
+  }
+
+  test("pinned registry seeds generate stably (names and SQL are fixed)") {
+    // the q_fuzz_* gates are only regression gates if regeneration is
+    // bit-stable: same seed → same SQL text, run to run
+    for (seed <- Fuzz.pinnedSeeds) {
+      assert(Fuzz.gen(seed).sql == Fuzz.gen(seed).sql)
+    }
+    assert(Fuzz.all.map(_.name).distinct.size == Fuzz.pinnedSeeds.size)
+  }
+}
