@@ -22,9 +22,9 @@ import org.apache.spark.sql.types._
   * longs, broadcast with the closure) plus a TakeOrderedAndProject
   * argmax — a 1-ROW collect per round, never the corpus. No shuffle of
   * the corpus at any point; total driver state is k·dim longs. At
-  * 100 TB this runs k corpus scans; callers wanting fewer scans batch
-  * rounds with the over-sampling variant of greedy k-center — the
-  * per-round plan here is already the minimal one.
+  * 100 TB this runs k corpus scans; [[Coreset.kCenterBatched]] is the
+  * lazy-greedy variant that cuts the barrier count ~m× while producing
+  * the BIT-IDENTICAL trajectory (outsider-threshold guard).
   */
 object Coreset {
 
@@ -64,6 +64,86 @@ object Coreset {
       centers.zipWithIndex
         .map { case ((id, _, dist), i) => (i + 1L, id, dist) }
         .toDF("rank", "id", "dist")
+    } finally q.unpersist()
+  }
+
+  /** BATCHED greedy k-center — identical trajectory, ~m× fewer barriers.
+    *
+    * [[kCenter]] pays one corpus scan + one 1-row collect PER CENTER; at
+    * k=1000 that is 1000 sequential job barriers of pure latency. This
+    * variant is the LAZY-GREEDY form: each round collects the top-(m+1)
+    * candidates by current min-distance, then consumes up to m of them
+    * driver-side with exact local distance updates, guarded by the
+    * (m+1)-th candidate's distance as the OUTSIDER THRESHOLD — any point
+    * outside the batch has md ≤ that threshold at round start and
+    * distances only shrink as centers are added, so while the local
+    * argmax stays STRICTLY above the threshold it is provably the global
+    * argmax (including the smallest-id tie-break, since no outsider can
+    * even tie). When the guard trips, the round ends and the next scan
+    * re-ranks. Result: BIT-IDENTICAL output to [[kCenter]] (gated by
+    * q_coreset_batched against the same unrolled twin, and by equality in
+    * CoresetSpec), at ceil(k/m)-ish barriers on dispersed data,
+    * degrading gracefully toward k barriers only when selection
+    * distances are tightly clustered (where every pick reshuffles the
+    * frontier — the cases where sequential greedy is genuinely needed).
+    * Driver state: m candidate vectors + k·dim center longs. */
+  def kCenterBatched(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8): DataFrame =
+    kCenterBatchedTrajectory(df, idCol, vecCol, k, m)._1
+
+  private[graft] def kCenterBatchedTrajectory(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int): (DataFrame, Int) = {
+    require(m >= 1, "batch size must be >= 1")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    try {
+      val seedRow = q.orderBy(col("id")).limit(1).collect()(0)
+      var centers = Vector[(Long, Seq[Long], Long)](
+        (seedRow.getLong(0), seedRow.getSeq[Long](1), 0L))
+      var rounds = 0
+      def d2Local(a: Seq[Long], b: Seq[Long]): Long = {
+        var i = 0; var acc = 0L
+        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      while (centers.size < k) {
+        rounds += 1
+        val minDist = centers.map(c => sqDist(col("qv"), c._2))
+          .reduce(least(_, _))
+        val cand = q
+          .filter(!col("id").isInCollection(centers.map(_._1)))
+          .select(col("id"), col("qv"), minDist.as("md"))
+          .orderBy(col("md").desc, col("id").asc)
+          .limit(m + 1).collect()
+        require(cand.nonEmpty, s"corpus has fewer than $k points")
+        // best possible md of ANY point outside the batch, for the rest
+        // of this round (outsider distances only shrink)
+        val threshold = if (cand.length > m) cand(m).getLong(2) else -1L
+        var local = cand.take(m).toVector.map(r =>
+          (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        var taken = 0
+        var open = true
+        while (open && local.nonEmpty && centers.size < k) {
+          val best = local.minBy(t => (-t._3, t._1))
+          // the round's FIRST pick is the global argmax by construction
+          // (the scan ranked against all current centers); later picks
+          // are exact only while strictly above the outsider threshold
+          if (taken > 0 && threshold >= 0 && best._3 <= threshold)
+            open = false
+          else {
+            centers = centers :+ best
+            taken += 1
+            local = local.filterNot(_._1 == best._1).map { t =>
+              (t._1, t._2, math.min(t._3, d2Local(t._2, best._2)))
+            }
+          }
+        }
+      }
+      import spark.implicits._
+      (centers.zipWithIndex
+        .map { case ((id, _, dist), i) => (i + 1L, id, dist) }
+        .toDF("rank", "id", "dist"), rounds)
     } finally q.unpersist()
   }
 

@@ -3221,6 +3221,21 @@ object TextQueries {
     notes = "farthest-point k-center; argmax trajectory bit-replayed " +
       "by the unrolled SQL twin")
 
+  /** Batched lazy-greedy k-center ([[graft.operators.Coreset
+    * .kCenterBatched]], m=4): the SAME trajectory as q_coreset in ~k/m
+    * barriers — each round collects the top-(m+1) frontier and consumes
+    * picks driver-side while they stay strictly above the outsider
+    * threshold. Gated against the SAME unrolled sequential twin, so the
+    * oracle proves the batching is exact, not approximate. */
+  val qCoresetBatched = GQuery("q_coreset_batched",
+    (s, d) => graft.operators.Coreset.kCenterBatched(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, m = 4)
+      .select(col("rank"), col("id").as("vec_id"), col("dist"))
+      .orderBy(col("rank")),
+    Some(graft.operators.Coreset.sqlKCenter(8)),
+    notes = "lazy-greedy batched k-center; exactness vs the sequential " +
+      "trajectory enforced by sharing q_coreset's twin")
+
   /** MMR diversified retrieval ([[graft.operators.Coreset.mmr]]):
     * rerank the top-100 query-relevant vectors so each of the 8 picks
     * maximizes 7·rel − 3·max-sim-to-selected (integer dots over
@@ -4382,7 +4397,8 @@ object TextQueries {
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
-    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset, qMmr,
+    qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,
+    qCoresetBatched, qMmr,
     qContrastivePairs, qKmeans, qSilhouette, qSemDedup, qRrfFusion,
     qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,

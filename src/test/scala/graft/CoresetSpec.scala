@@ -43,6 +43,23 @@ class CoresetSpec extends SparkSpec {
     }
   }
 
+  test("kCenterBatched: bit-identical trajectory to kCenter in strictly " +
+      "fewer barriers") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val seq = graft.operators.Coreset.kCenter(emb, "vec_id", "embedding",
+      k = 8).collect().map(_.toString).toSeq
+    for (m <- Seq(1, 2, 4, 8)) {
+      val (df, rounds) = graft.operators.Coreset.kCenterBatchedTrajectory(
+        emb, "vec_id", "embedding", k = 8, m = m)
+      assert(df.collect().map(_.toString).toSeq === seq,
+        s"batched m=$m diverged from the sequential trajectory")
+      // the lazy guard must actually save barriers once m > 1 (m=1 is
+      // the sequential algorithm and serves as the degenerate check)
+      if (m == 1) assert(rounds == 7)
+      else assert(rounds < 7, s"m=$m used $rounds rounds — no batching")
+    }
+  }
+
   test("q_mmr replays a direct Scala greedy MMR over the rerank pool") {
     val out = TextQueries.qMmr.run(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
