@@ -242,8 +242,16 @@ object Fuzz {
     val allStrs = ts.flatMap(_.strings.map(_._1)) ++
       ts.flatMap(_.likes.map(_._1))
     val nk = 1 + r.int(2)
-    val keys = scala.util.Random.javaRandomToRandom(
+    var keys = scala.util.Random.javaRandomToRandom(
       new java.util.Random(seed * 31 + 7)).shuffle(allGroup).take(nk)
+    // occasionally derive a key through a CASE expression — CASE-in-key
+    // is a classic short-circuit/branch-typing divergence spot
+    if (r.bool(0.25)) {
+      val (pS, pC) = atom(r, r.pick(ts))
+      keys = keys.updated(0, FExpr(
+        s"CASE WHEN $pS THEN 'hi' ELSE 'lo' END",
+        when(pC, "hi").otherwise("lo"), isStr = true))
+    }
     val kAliases = keys.indices.map(i => s"k$i")
     val na = 1 + r.int(3)
     val aggs = (0 until na).map(i => agg(r, allLongs, allStrs, s"a$i"))
@@ -371,14 +379,100 @@ object Fuzz {
     FuzzCase(seed, "setop_" + op.toLowerCase, sql, build)
   }
 
+  /** Semi/anti IN-subquery + agg: `FROM left WHERE lk [NOT] IN (SELECT
+    * rk FROM right WHERE p)` vs a DataFrame left_semi/left_anti join.
+    * Keys are non-null, so NOT IN ≡ anti-join in both engines (the
+    * null-poisoned NOT IN is deliberately out of grammar — the registry's
+    * q_anti_join family pins that semantics separately). */
+  private def genSemi(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val t = j.left
+    val anti = r.bool(0.4)
+    val subPred = pred(r, Seq(j.right))
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 23 + 5)).shuffle(t.groupables)
+      .take(1 + r.int(2))
+    val kAliases = keys.indices.map(i => s"k$i")
+    val aggs = (0 until 1 + r.int(2)).map(i =>
+      agg(r, t.longs.map(_._1),
+        t.strings.map(_._1) ++ t.likes.map(_._1), s"a$i"))
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val inOp = if (anti) "NOT IN" else "IN"
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |WHERE ${j.lk.sql} $inOp
+         |  (SELECT ${j.rk.sql} FROM ${j.right.name} WHERE ${subPred._1})
+         |${where.map(w => s"AND (${w._1})").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val sub = j.right.load(s, d).filter(subPred._2)
+        .select(j.rk.col.as("__sk"))
+      var df = t.load(s, d).join(sub, j.lk.col === col("__sk"),
+        if (anti) "left_anti" else "left_semi")
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, if (anti) "anti_sub" else "semi_sub", sql, build)
+  }
+
+  /** Scalar-subquery predicate: `WHERE x >/<= (SELECT MIN|MAX(y) FROM t2
+    * WHERE p)` vs a broadcast 1-row cross join — empty subqueries yield
+    * NULL scalars (all rows filtered) in both engines. */
+  private def genScalar(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val t2 = r.pick(tables)
+    val (x, _, _) = r.pick(t.longs)
+    val (y, _, _) = r.pick(t2.longs)
+    val subPred = pred(r, Seq(t2))
+    val useMin = r.bool(0.5)
+    val fn = if (useMin) "MIN" else "MAX"
+    val opIdx = r.int(2) // > or <=
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 29 + 1)).shuffle(t.groupables)
+      .take(1 + r.int(2))
+    val kAliases = keys.indices.map(i => s"k$i")
+    val aggs = (0 until 1 + r.int(2)).map(i =>
+      agg(r, t.longs.map(_._1),
+        t.strings.map(_._1) ++ t.likes.map(_._1), s"a$i"))
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val opS = if (opIdx == 0) ">" else "<="
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |WHERE ${x.sql} $opS
+         |  (SELECT $fn(${y.sql}) FROM ${t2.name} WHERE ${subPred._1})
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val scalar = t2.load(s, d).filter(subPred._2)
+        .agg((if (useMin) min(y.col) else max(y.col)).as("__scalar"))
+      val df = t.load(s, d).crossJoin(broadcast(scalar))
+        .filter(if (opIdx == 0) x.col > col("__scalar")
+          else x.col <= col("__scalar"))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "scalar_sub", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too). */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    r.int(10) match {
+    r.int(14) match {
       case 0 | 1 | 2 | 3 => genAgg(r, seed)
       case 4 | 5 => genWindow(r, seed)
       case 6 | 7 => genReagg(r, seed)
-      case _ => genSetOp(r, seed)
+      case 8 | 9 | 10 => genSetOp(r, seed)
+      case 11 | 12 => genSemi(r, seed)
+      case _ => genScalar(r, seed)
     }
   }
 

@@ -40,7 +40,8 @@ class FuzzParitySpec extends SparkSpec {
     }
     assert(checked == N)
     // every shape of the grammar must actually be exercised by the sweep
-    for (shape <- Seq("agg", "join_agg", "window", "reagg"))
+    for (shape <- Seq("agg", "join_agg", "window", "reagg", "semi_sub",
+        "anti_sub", "scalar_sub"))
       assert(shapes.keys.exists(_.startsWith(shape)),
         s"shape $shape never generated in $N seeds: $shapes")
     assert(shapes.keys.exists(_.startsWith("setop_")),
