@@ -259,11 +259,21 @@ object Index {
     // scale-aware df cap: the literal floor keeps the gate scale
     // non-vacuous, the n_docs/10 arm keeps the cap meaningful as the
     // corpus grows (a fixed 50 finds nothing at 10x the docs)
-    val idf = dfc.crossJoin(broadcast(nd))
+    // lg64's unrolled mantissa chain duplicates subtrees (Catalyst has no
+    // let-binding), so evaluating TWO chains inside the stage fused with
+    // dfc's hashAgg output pushed the generated method past Janino's 64KB
+    // limit — the whole stage silently fell back to interpreted eval.
+    // Evaluate the chains over the DISTINCT df values instead (≤ cap
+    // values, its own tiny stage — the same shape the DuckDB twin uses)
+    // and hash-join the bounded idf table back onto the vocab.
+    val ddf = dfc.select(col("df")).distinct()
+      .crossJoin(broadcast(nd))
       .filter(col("df") <= greatest(lit(maxDf),
         expr("n_docs div 10")))
       .withColumn("idf64", lg64(col("n_docs")) - lg64(col("df")))
       .filter(col("idf64") > 0)
+      .select(col("df"), col("idf64"))
+    val idf = dfc.join(broadcast(ddf), Seq("df"))
       .select(col("token"), col("idf64"))
     val kept = tf.join(broadcast(idf), Seq("token"))
       .withColumn("w", col("tf") * col("idf64"))

@@ -57,7 +57,16 @@ object NaiveBayes {
     * truncation makes it an approximation of 64·log₂ n with measured
     * max error ~1 unit (0.016 bits) — the same deterministic value on
     * both engines, which is what the hash gate needs. */
-  private[graft] def lg64(c: Column): Column = {
+  private[graft] def lg64(c: Column): Column =
+    graft.functions.Lg64Expr.lg64(c)
+
+  /** The original built-in composition of [[lg64]], kept ONLY as the
+    * equivalence witness NaiveBayesSpec pins [[graft.functions.Lg64Expr]]
+    * against: each mantissa step re-inlines every sub-tree (no Catalyst
+    * let-binding), so two of these inside one fused stage overflow
+    * Janino's 64 KB method limit — production code routes through the
+    * compact Expression instead. */
+  private[graft] def lg64Chain(c: Column): Column = {
     val n = c.cast("long")
     val e0 = length(bin(n)) - 1 // int: shiftright needs an int shift
     val m0 = call_function("shiftright", n * lit(8192L), e0)

@@ -110,6 +110,24 @@ class NaiveBayesSpec extends SparkSpec {
     }
   }
 
+  test("Lg64Expr (codegen) is bit-identical to the unrolled chain") {
+    import spark.implicits._
+    // dense small domain + every power of two + scattered large values:
+    // covers each e0 band and the mantissa-step branch structure
+    val ns = ((1L to 4096L) ++ (0 to 49).map(1L << _) ++
+      (1 to 500).map(i => i * 997003L) ++
+      Seq(3L, 999999937L, (1L << 49) - 1)).distinct
+    val rows = ns.toDF("n")
+      .select(col("n"),
+        graft.operators.NaiveBayes.lg64(col("n")).as("fast"),
+        graft.operators.NaiveBayes.lg64Chain(col("n")).as("chain"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (n, fast, chain) =>
+      assert(fast === chain, s"Lg64Expr != chain at n=$n")
+    }
+    assert(rows.length === ns.length)
+  }
+
   test("lg64Long: monotone and within ~1 unit of 64*log2 across magnitudes") {
     val ns = (1L to 2048L) ++ (0 to 48).map(1L << _) ++
       (1 to 200).map(i => i * 997003L)
