@@ -1171,6 +1171,298 @@ object Relational {
     notes = "histogram-refinement selection (no global sort) vs the " +
       "oracle's ORDER BY offset read; exact lower-element quantiles")
 
+  /** SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): lineitems whose
+    * quantity is below HALF the part's average quantity, for one brand
+    * family — the canonical CORRELATED-SCALAR-SUBQUERY decorrelation:
+    * Spark computes the per-part (Σqty, count) table once and joins it
+    * back, and the "qty < 0.5·avg" test is cross-multiplied to the
+    * exact integer form `2·qty·cnt < Σqty` (l_quantity is
+    * integer-valued), so no division and no doubles. The brand filter
+    * is pushed BELOW the stats agg — per-part averages only involve
+    * that part's own rows, so pre-filtering is semantics-preserving
+    * and prunes ~2/3 of the corpus before any shuffle. */
+  val qSmallQtyRev = GQuery("q_small_qty_rev",
+    (s, d) => {
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand").like("Brand#1%"))
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("c"))
+      li.join(pa, Seq("l_partkey"))
+        .filter(col("qty") * lit(2L) * col("c") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          floor(sum(col("price")) * 100).cast("long").as("rev_cents"))
+    },
+    Some("""WITH li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand LIKE 'Brand#1%'),
+      pa AS (SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS c
+        FROM li GROUP BY 1)
+      SELECT COUNT(*) AS n_small,
+        CAST(floor(SUM(price) * 100) AS BIGINT) AS rev_cents
+      FROM li JOIN pa USING (l_partkey)
+      WHERE qty * 2 * c < sq"""),
+    notes = "TPC-H Q17 shape; correlated scalar decorrelated to a " +
+      "stats join-back, cross-multiplied exact integer threshold")
+
+  /** LARGE-ORDER CUSTOMERS (the TPC-H Q18 shape): orders whose total
+    * quantity clears a HAVING threshold, joined back to customer — the
+    * group-filter → semi-enrich pipeline. The qualifying-order set is
+    * tiny after the HAVING (≲0.5% of orders), so it broadcasts onto
+    * orders and then onto customer; the only corpus shuffle is the
+    * orderkey aggregation. */
+  val qBigOrders = GQuery("q_big_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      val ord = Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          floor(col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("total_cents"),
+          col("sum_qty"))
+      Tables.customer(s, d)
+        .join(broadcast(ord), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_date"), col("total_cents"), col("sum_qty"))
+        .orderBy(desc("total_cents"), col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        CAST(floor(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS total_cents,
+        big.sum_qty
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+          big ON o_orderkey = big.l_orderkey
+      ORDER BY total_cents DESC, o_orderkey LIMIT 100"""),
+    notes = "TPC-H Q18 shape; HAVING-filtered key set broadcast back " +
+      "through orders and customer")
+
+  /** IDLE HIGH-BALANCE CUSTOMERS (the TPC-H Q22 shape): customers whose
+    * balance exceeds the positive-balance average (uncorrelated scalar
+    * subquery — a 1-row broadcast, exact via cross-multiplied decimal:
+    * `bal·cnt > Σbal`) with NO order in the trailing window (anti-join
+    * against the recent-customer key set), grouped per nation. */
+  val qIdleCustomers = GQuery("q_idle_customers",
+    (s, d) => {
+      val pos = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sbal"),
+          count(lit(1)).as("cpos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-07-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      Tables.customer(s, d)
+        .crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("cpos")
+          > col("sbal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          floor(sum(col("c_acctbal").cast("decimal(18,2)")) * 100)
+            .cast("long").as("tot_cents"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""WITH pos AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sbal,
+          COUNT(*) AS cpos
+        FROM customer WHERE c_acctbal > 0),
+      recent AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-07-01')
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+        CAST(floor(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100) AS BIGINT)
+          AS tot_cents
+      FROM customer CROSS JOIN pos
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cpos > sbal
+        AND NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+      GROUP BY 1 ORDER BY c_nationkey"""),
+    notes = "TPC-H Q22 shape; scalar-average broadcast + anti-join, " +
+      "cross-multiplied decimal threshold")
+
+  /** SOLE-LATE SUPPLIER (the TPC-H Q21 shape, re-keyed to available
+    * columns: late := shipped >60 days after the order date): for
+    * finished multi-supplier orders, count per supplier the orders
+    * where THAT supplier was the only late one. The reference shape is
+    * a double-correlated EXISTS / NOT-EXISTS self-join on lineitem;
+    * Spark-first this decorrelates to ONE pass — per-(order, supplier)
+    * late flags, then per-order totals as WINDOW functions over the
+    * same orderkey partitioning (no self-join, no second shuffle of
+    * the fact table), then the filter `late ∧ ns>1 ∧ nl=1`. The DuckDB
+    * twin keeps the textbook EXISTS form, so the gate ALSO proves the
+    * decorrelation equivalent. */
+  val qOnlyLateSupplier = GQuery("q_only_late_supplier",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      val lo = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("late"))
+      lo.withColumn("ns", count(lit(1)).over(w))
+        .withColumn("nl", sum(col("late")).over(w))
+        .filter(col("late") === 1L && col("ns") > 1L && col("nl") === 1L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    },
+    Some("""WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+          MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1, 2)
+      SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.late = 1
+        AND EXISTS (SELECT 1 FROM lo l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+      GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20"""),
+    notes = "TPC-H Q21 shape; EXISTS pair decorrelated to window " +
+      "counts over one orderkey partitioning — twin keeps the EXISTS " +
+      "form as the equivalence witness")
+
+  /** TOP SUPPLIER BY QUARTER REVENUE (the TPC-H Q15 shape): per-supplier
+    * revenue over one quarter, keep the supplier(s) hitting the MAX —
+    * the view + scalar-max-subquery pattern. The max rides a 1-row
+    * broadcast cross join onto the bounded per-supplier revenue table
+    * (the q_tfidf_topk shape); ties all surface, keyed order. */
+  val qTopSupplier = GQuery("q_top_supplier",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(floor(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)")
+              - col("l_discount").cast("decimal(18,2)"))) * 100)
+          .cast("long").as("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).as("mxr"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev_cents") === col("mxr"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""WITH rev AS (
+        SELECT l_suppkey,
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2))
+               - CAST(l_discount AS DECIMAL(18,2)))) * 100) AS BIGINT)
+            AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, rev_cents
+      FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+      ORDER BY s_suppkey"""),
+    notes = "TPC-H Q15 shape; scalar max as a 1-row broadcast onto the " +
+      "bounded per-supplier table")
+
+  /** HIGH-SHARE PARTS (the TPC-H Q11 shape): parts whose revenue exceeds
+    * 1.5× the mean per-part revenue — HAVING against a global-total
+    * scalar. Cross-multiplied in DECIMAL(38,0)/HUGEINT
+    * (`2·v·np > 3·Σv`) so the share test survives any corpus scale
+    * without int64 overflow (the ADVICE r7 discipline). */
+  val qImportantParts = GQuery("q_important_parts",
+    (s, d) => {
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(floor(sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("value_cents"))
+      val t = pr.agg(sum(col("value_cents")).as("tv"),
+        count(lit(1)).as("np"))
+      pr.crossJoin(broadcast(t))
+        .filter(col("value_cents").cast("decimal(38,0)") * col("np") * 2
+          > col("tv").cast("decimal(38,0)") * 3)
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(desc("value_cents"), col("l_partkey"))
+    },
+    Some("""WITH pr AS (
+        SELECT l_partkey,
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+            AS BIGINT) AS value_cents
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT SUM(value_cents) AS tv, COUNT(*) AS np FROM pr)
+      SELECT l_partkey, value_cents
+      FROM pr CROSS JOIN t
+      WHERE CAST(value_cents AS HUGEINT) * np * 2
+        > CAST(tv AS HUGEINT) * 3
+      ORDER BY value_cents DESC, l_partkey"""),
+    notes = "TPC-H Q11 shape; global-share HAVING via 1-row broadcast, " +
+      "decimal(38,0)/HUGEINT cross-multiplication")
+
+  /** O-ext — UNPIVOT (melt): wide per-group measures → long
+    * (group, measure, value) rows via the native `Dataset.unpivot`
+    * operator (plans as a 3-way Expand, one pass, no shuffle beyond
+    * the feeding agg — the inverse of q_pivot_wide). Twin uses the
+    * portable UNION ALL form. All measures pre-cast to one long type
+    * (unpivot requires a common value type; cents/counts are exact). */
+  val qMelt = GQuery("q_melt",
+    (s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          floor(sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("base_cents"),
+          count(lit(1)).as("n_rows"))
+      wide.unpivot(
+        Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("base_cents"), col("n_rows")),
+        "measure", "value")
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("measure"))
+    },
+    Some("""WITH wide AS (
+        SELECT l_returnflag, l_linestatus,
+          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
+            AS BIGINT) AS base_cents,
+          COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag, l_linestatus, measure, value FROM (
+        SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure,
+          sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'base_cents', base_cents
+          FROM wide
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, 'n_rows', n_rows FROM wide)
+      ORDER BY l_returnflag, l_linestatus, measure"""),
+    notes = "native unpivot (Expand, single pass); inverse of " +
+      "q_pivot_wide; common long value type")
+
   val all: Seq[GQuery] = Seq(q1Agg, qPercentiles, qRollup, qCube, qGroupingSets,
     qUpsert, qScd2, qOverlapJoin,
     qGlobalAgg, qCondAgg, qMultikeyAgg,
@@ -1181,5 +1473,7 @@ object Relational {
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
     qSkyline, qExactQuantiles, qAssocRules, qShippingPriority,
-    qRegionalVolume, qTargetEncode)
+    qRegionalVolume, qTargetEncode,
+    qSmallQtyRev, qBigOrders, qIdleCustomers, qOnlyLateSupplier,
+    qTopSupplier, qImportantParts, qMelt)
 }

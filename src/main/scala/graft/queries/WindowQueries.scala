@@ -918,11 +918,51 @@ object WindowQueries {
     notes = "weekday/overall per-mille on positive integers; " +
       "epoch-anchored weekday")
 
+  /** W-ext — PERCENT_RANK / CUME_DIST distribution positions per
+    * segment: the two relative-rank window functions not otherwise
+    * gated (rank/dense_rank/ntile each have their own gate). Balance
+    * in exact cents; both functions are rank-arithmetic over exact
+    * integers — `(rank-1)/(n-1)` and `peers≤/n` — so the doubles are
+    * one mirrored IEEE divide per row and hash-exact. Deterministic
+    * keyed sample (custkey % 25) keeps the output bounded at any SF;
+    * the windows still compute over the FULL segment partition. */
+  val qRankDist = GQuery("q_rank_dist",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_cents"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          floor(col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long").as("bal_cents"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(col("c_custkey") % 25 === 0)
+        .select(col("c_mktsegment"), col("c_custkey"), col("bal_cents"),
+          col("pr"), col("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+    Some("""WITH b AS (SELECT c_mktsegment, c_custkey,
+        CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+          AS bal_cents
+      FROM customer),
+      r AS (SELECT c_mktsegment, c_custkey, bal_cents,
+        percent_rank() OVER (PARTITION BY c_mktsegment
+          ORDER BY bal_cents) AS pr,
+        cume_dist() OVER (PARTITION BY c_mktsegment
+          ORDER BY bal_cents) AS cd
+      FROM b)
+      SELECT c_mktsegment, c_custkey, bal_cents, pr, cd
+      FROM r WHERE c_custkey % 25 = 0
+      ORDER BY c_mktsegment, c_custkey"""),
+    notes = "relative-rank windows; rank arithmetic exact, one " +
+      "mirrored IEEE divide; sample filter after the window")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeNative,
     qSessionizeKeyed, qFunnel,
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
-    qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm, qStlLite)
+    qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm, qStlLite,
+    qRankDist)
 }

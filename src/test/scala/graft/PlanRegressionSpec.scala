@@ -67,7 +67,10 @@ class PlanRegressionSpec extends SparkSpec {
     // 1-row x 1-row totals assembly (top-slice hits x corpus stats)
     "q_lift_at_k",
     // 1-row broadcast positives-total cross join onto the top slice
-    "q_ndcg")
+    "q_ndcg",
+    // 1-row broadcast scalar-average / scalar-max / global-total cross
+    // joins (the TPC-H Q22/Q15/Q11 uncorrelated-scalar shapes)
+    "q_idle_customers", "q_top_supplier", "q_important_parts")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
@@ -79,7 +82,12 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct")
       if (!bnljAllowed(q.name)) {
-        assert(!plan.contains("BroadcastNestedLoopJoin"),
+        // fuzz scalar-subquery predicates (x > (SELECT min/max ...)) plan
+        // as a 1-row __scalar broadcast against the probe side — the
+        // intended (and only sane) plan for a non-equi scalar compare
+        val scalarBnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          plan.contains("__scalar")
+        assert(!plan.contains("BroadcastNestedLoopJoin") || scalarBnlj,
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
       }
     }
