@@ -373,32 +373,15 @@ object Sampling {
     }
     val u = (1 to 8).map(i => hv(i) * lit(1L << (4 * (8 - i))))
       .reduce(_ + _) + lit(1L)
-    // lg64 STAGED as materialized columns: inlined, every mantissa
-    // stage re-copies its predecessor's whole subtree (m3 references
-    // m2 five times, m2 references m1 five times, ... down to the
-    // 8-digit md5 parse) and the per-row expression blows up ~6³× —
-    // measured 11 s on 5k rows. Each alias below is expensive and
-    // multiply-referenced, so CollapseProject keeps the projections
-    // separate and every stage is evaluated ONCE per row.
-    def step(m: Column): (Column, Column) = {
-      val raw = m * m * m * m
-      (length(bin(raw)) - 53,
-        call_function("shiftright", raw, length(bin(raw)) - 14))
-    }
+    // lg64 via the compact codegen'd Expression (graft.functions.Lg64Expr)
+    // — this call site used to hand-stage the mantissa chain as
+    // materialized columns to dodge the inlined-subtree blowup
+    // (measured 11 s on 5k rows); the Expression computes the identical
+    // value in one static call per row
     val staged = df
       .filter(col(weightCol) >= 1)
       .withColumn("_u", u)
-      .withColumn("_e0", length(bin(col("_u"))) - 1)
-      .withColumn("_m0",
-        call_function("shiftright", col("_u") * lit(8192L), col("_e0")))
-      .withColumn("_f1", step(col("_m0"))._1)
-      .withColumn("_m1", step(col("_m0"))._2)
-      .withColumn("_f2", step(col("_m1"))._1)
-      .withColumn("_m2", step(col("_m1"))._2)
-      .withColumn("_f3", step(col("_m2"))._1)
-      .withColumn("_l64",
-        (col("_e0") * 64 + col("_f1") * 16 + col("_f2") * 4 + col("_f3"))
-          .cast("long"))
+      .withColumn("_l64", NaiveBayes.lg64(col("_u")))
     val ranked = staged
       .withColumn("priority",
         expr(s"((2048 - _l64) * 1048576) div $weightCol"))
