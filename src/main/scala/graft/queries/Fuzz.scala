@@ -463,16 +463,144 @@ object Fuzz {
     FuzzCase(seed, "scalar_sub", sql, build)
   }
 
+  /** Windowed AGGREGATE functions (vs genWindow's ranking-only): a
+    * running SUM under an explicit frame, in two deterministic
+    * flavors — ROWS with a full unique tie-break (plus LAG, which is
+    * only well-defined under a total order), or RANGE over the value
+    * alone (peer-inclusive sums are order-independent under ties; LAG
+    * is NOT, so it is excluded there). Frames are written explicitly
+    * in both renderings — default-frame semantics (RANGE vs ROWS) is a
+    * classic cross-engine divergence spot, which is exactly what this
+    * shape probes. Output bounded at any SF by a deterministic keyed
+    * modulo sample applied AFTER the windows. */
+  private def genWinAgg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val v = r.pick(t.longs)._1
+    val desc = r.bool(0.5)
+    val rangeFrame = r.bool(0.4)
+    val where = if (r.bool(0.7)) Some(pred(r, Seq(t))) else None
+    val uAliases = t.uniq.indices.map(i => s"u$i")
+    val mod = 101L + r.int(200)
+    val dir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    val uSql = t.uniq.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val tieOrd = (s"${v.sql} $dir" +:
+      t.uniq.map(u => s"${u.sql} ASC NULLS FIRST")).mkString(", ")
+    val winSql =
+      if (rangeFrame)
+        s"""CAST(SUM(${v.sql}) OVER (PARTITION BY ${k.sql}
+           |      ORDER BY ${v.sql} $dir
+           |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS running""".stripMargin
+      else
+        s"""CAST(SUM(${v.sql}) OVER (PARTITION BY ${k.sql}
+           |      ORDER BY $tieOrd
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS running,
+           |    LAG(${v.sql}) OVER (PARTITION BY ${k.sql}
+           |      ORDER BY $tieOrd) AS lagv""".stripMargin
+    val outCols = Seq("k0") ++ uAliases ++ Seq("vv", "running") ++
+      (if (rangeFrame) Seq.empty else Seq("lagv"))
+    val sql =
+      s"""SELECT ${outCols.mkString(", ")} FROM (
+         |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
+         |    ${v.sql} AS vv,
+         |    $winSql
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |) WHERE (u0 % $mod) = 0
+         |${orderByAll(Seq("k0") ++ uAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val vOrd = if (desc) v.col.desc_nulls_last else v.col.asc_nulls_first
+      val base = df.select((k.col.as("k0") +:
+        t.uniq.zip(uAliases).map { case (e, a) => e.col.as(a) }) :+
+        v.col.as("vv"): _*)
+      val withWins =
+        if (rangeFrame) {
+          val w = Window.partitionBy(col("k0"))
+            .orderBy(if (desc) col("vv").desc_nulls_last
+              else col("vv").asc_nulls_first)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          base.withColumn("running", sum(col("vv")).over(w).cast("long"))
+        } else {
+          val ord = (if (desc) col("vv").desc_nulls_last
+            else col("vv").asc_nulls_first) +:
+            uAliases.map(a => col(a).asc_nulls_first)
+          val wf = Window.partitionBy(col("k0")).orderBy(ord: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val wl = Window.partitionBy(col("k0")).orderBy(ord: _*)
+          base.withColumn("running", sum(col("vv")).over(wf).cast("long"))
+            .withColumn("lagv", lag(col("vv"), 1).over(wl))
+        }
+      sortAll(withWins.filter(col("u0") % mod === 0)
+        .select(outCols.map(col): _*), Seq("k0") ++ uAliases)
+    }
+    FuzzCase(seed,
+      if (rangeFrame) "winagg_range" else "winagg_rows", sql, build)
+  }
+
+  /** 3-table join chain (the schema's two length-2 paths), each edge
+    * independently inner or LEFT — probes join associativity with
+    * null-producing outer edges, grouped over keys drawn from all
+    * three tables. */
+  private def genChain(r: Rng, seed: Long): FuzzCase = {
+    // (lineitem→orders→customer) or (orders→customer→nation)
+    val (e1, e2) = r.pick(Seq((joins(1), joins(0)), (joins(0), joins(4))))
+    val ts = Seq(e1.left, e1.right, e2.right)
+    val lj1 = r.bool(0.25); val lj2 = r.bool(0.25)
+    def jt(b: Boolean) = if (b) "LEFT JOIN" else "JOIN"
+    val fromSql =
+      s"""${e1.left.name} ${jt(lj1)} ${e1.right.name}
+         |  ON ${e1.lk.sql} = ${e1.rk.sql}
+         |${jt(lj2)} ${e2.right.name} ON ${e2.lk.sql} = ${e2.rk.sql}"""
+        .stripMargin
+    val allGroup = ts.flatMap(_.groupables)
+    val allLongs = ts.flatMap(_.longs.map(_._1))
+    val allStrs = ts.flatMap(_.strings.map(_._1)) ++
+      ts.flatMap(_.likes.map(_._1))
+    val nk = 1 + r.int(2)
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 37 + 13)).shuffle(allGroup).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val na = 1 + r.int(3)
+    val aggs = (0 until na).map(i => agg(r, allLongs, allStrs, s"a$i"))
+    val where = if (r.bool(0.7)) Some(pred(r, ts)) else None
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM $fromSql
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = e1.left.load(s, d)
+        .join(e1.right.load(s, d), e1.lk.col === e1.rk.col,
+          if (lj1) "left_outer" else "inner")
+        .join(e2.right.load(s, d), e2.lk.col === e2.rk.col,
+          if (lj2) "left_outer" else "inner")
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "chain_agg", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too). */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    r.int(14) match {
+    r.int(18) match {
       case 0 | 1 | 2 | 3 => genAgg(r, seed)
       case 4 | 5 => genWindow(r, seed)
       case 6 | 7 => genReagg(r, seed)
       case 8 | 9 | 10 => genSetOp(r, seed)
       case 11 | 12 => genSemi(r, seed)
-      case _ => genScalar(r, seed)
+      case 13 => genScalar(r, seed)
+      case 14 | 15 => genWinAgg(r, seed)
+      case _ => genChain(r, seed)
     }
   }
 
