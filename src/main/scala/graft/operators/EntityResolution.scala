@@ -208,4 +208,20 @@ object EntityResolution {
       (strategies.flatMap(s => Seq(s"max_$s", s"cand_$s")) ++
         (if (withAlternatives) strategies.map(s => s"all_$s") else Nil)): _*)
   }
+
+  /** FELLEGI–SUNTER field weight pair (Fellegi & Sunter 1969; the
+    * Splink-style probabilistic record-linkage scoring): for a
+    * comparison field with match probability `m` and chance-agreement
+    * probability `u` (both in parts-per-million), the log-likelihood
+    * contribution is log(m/u) on agreement and log((1−m)/(1−u)) on
+    * disagreement. Computed in lg64 fixed point (1 unit = 1/64 bit) via
+    * [[NaiveBayes.lg64Long]] at PLAN TIME — the weights enter both the
+    * Spark plan and the DuckDB twin as the SAME literal longs, so the
+    * score column is integer-exact cross-engine. */
+  def fsWeights(mPpm: Long, uPpm: Long): (Long, Long) = {
+    require(mPpm > 0 && mPpm < 1000000L && uPpm > 0 && uPpm < 1000000L)
+    (NaiveBayes.lg64Long(mPpm) - NaiveBayes.lg64Long(uPpm),
+      NaiveBayes.lg64Long(1000000L - mPpm) -
+        NaiveBayes.lg64Long(1000000L - uPpm))
+  }
 }
