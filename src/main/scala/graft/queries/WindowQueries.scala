@@ -957,6 +957,83 @@ object WindowQueries {
     notes = "relative-rank windows; rank arithmetic exact, one " +
       "mirrored IEEE divide; sample filter after the window")
 
+  /** FORECAST BACKTEST with integer MASE: per event type, the daily
+    * value series is forecast by SEASONAL-NAIVE (7 observations back)
+    * and NAIVE-1 (previous observation), the last 7 observations with
+    * both forecasts defined form the test window, and each method is
+    * scored by MASE — mean test |error| scaled by ITS OWN mean train
+    * |error| — in exact per-mille:
+    * `(Σ_test|e| · n_train · 1000) div (Σ_train|e| · n_test)`.
+    * All errors are exact cents; lags are OBSERVATION lags over the
+    * day-ordered series (calendar gaps collapse — the stated
+    * semantics), so the whole gate is integer arithmetic. The plan is
+    * the standard monitor shape: one corpus shuffle to the daily
+    * table, windows + agg over ≤|days| rows per type. */
+  val qForecastMase = GQuery("q_forecast_mase",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wd = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").desc)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("y"))
+        .withColumn("sn", lag(col("y"), 7).over(w))
+        .withColumn("n1", lag(col("y"), 1).over(w))
+        .withColumn("rnd", row_number().over(wd))
+        .filter(col("sn").isNotNull && col("n1").isNotNull)
+        .withColumn("is_test", (col("rnd") <= 7).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(lit(1L) - col("is_test")).as("n_train"),
+          sum(col("is_test")).as("n_test"),
+          sum((lit(1L) - col("is_test")) * abs(col("y") - col("sn")))
+            .as("tr_sn"),
+          sum(col("is_test") * abs(col("y") - col("sn"))).as("te_sn"),
+          sum((lit(1L) - col("is_test")) * abs(col("y") - col("n1")))
+            .as("tr_n1"),
+          sum(col("is_test") * abs(col("y") - col("n1"))).as("te_n1"))
+        .withColumn("mase_sn_x1000", expr(
+          "(te_sn * n_train * 1000) div greatest(tr_sn * n_test, 1)"))
+        .withColumn("mase_n1_x1000", expr(
+          "(te_n1 * n_train * 1000) div greatest(tr_n1 * n_test, 1)"))
+        .select(col("event_type"), col("n_train"), col("n_test"),
+          col("mase_sn_x1000"), col("mase_n1_x1000"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(floor(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT)
+            AS y
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, y,
+          LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS sn,
+          LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS n1,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day DESC)
+            AS rnd
+        FROM daily),
+      flagged AS (
+        SELECT event_type, y, sn, n1,
+          CAST(rnd <= 7 AS BIGINT) AS is_test
+        FROM lagged WHERE sn IS NOT NULL AND n1 IS NOT NULL),
+      agg AS (
+        SELECT event_type,
+          SUM(1 - is_test) AS n_train, SUM(is_test) AS n_test,
+          SUM((1 - is_test) * abs(y - sn)) AS tr_sn,
+          SUM(is_test * abs(y - sn)) AS te_sn,
+          SUM((1 - is_test) * abs(y - n1)) AS tr_n1,
+          SUM(is_test * abs(y - n1)) AS te_n1
+        FROM flagged GROUP BY 1)
+      SELECT event_type, CAST(n_train AS BIGINT) AS n_train,
+        CAST(n_test AS BIGINT) AS n_test,
+        CAST((te_sn * n_train * 1000)
+          // greatest(tr_sn * n_test, 1) AS BIGINT) AS mase_sn_x1000,
+        CAST((te_n1 * n_train * 1000)
+          // greatest(tr_n1 * n_test, 1) AS BIGINT) AS mase_n1_x1000
+      FROM agg ORDER BY event_type"""),
+    notes = "seasonal-naive vs naive-1 backtest; per-method MASE in " +
+      "exact per-mille over cents; observation lags, last-7 test split")
+
   val all: Seq[GQuery] = Seq(qFlagship, qLatestPerGroup, qLagMovement,
     qFirstLast, qGroupTail, qRankInGroup, qRunningSum, qAsOfJoin,
     qAsOfTolerance, qAsOfMultikey, qSessionize, qSessionizeNative,
@@ -964,5 +1041,5 @@ object WindowQueries {
     qFunnelWindowed, qCohortRetention, qRollingWindow, qIntervalMerge,
     qAttribution, qEventPairs, qEventPairsOuter, qChangepoint, qAutocorr,
     qTheilSen, qRollingMedian, qDowProfile, qHampel, qRfm, qStlLite,
-    qRankDist)
+    qRankDist, qForecastMase)
 }
