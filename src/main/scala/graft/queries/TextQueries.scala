@@ -4370,7 +4370,93 @@ object TextQueries {
     notes = "exact integer Gini over the bounded vocab table; " +
       "tie-rank permutes equal values only, order-independent")
 
+  /** EXACT EMBEDDING COVARIANCE (whitening / PCA prep): the upper
+    * triangle of the 64×64 Gram + covariance-numerator matrices over
+    * the embedding corpus, deterministic cross-engine:
+    *
+    *  - per-vector products x_i·x_j are float×float in DOUBLE — exact
+    *    (24-bit mantissas, product ≤ 48 bits), then cast to
+    *    DECIMAL(28,18) (the [[Ann.dotExactDec]] convention) so the
+    *    corpus SUM is order-independent;
+    *  - sums are floored to fixed point (Gram at 1e-12 units via
+    *    floor(Σ·10¹²), per-dim sums at 1e-6), and the centered
+    *    numerator n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ is DECIMAL(38,0)/HUGEINT integer
+    *    arithmetic in matched 1e-12 units, surfaced as double (exact
+    *    integers; IEEE rounding is the same function both engines).
+    *
+    * Plan: the pair stream is generated IN-ARRAY per vector (nested
+    * transform over the upper triangle — 2080 structs/vector, no
+    * self-join) and map-side combines into 2080 groups: ONE shuffle of
+    * O(dim²) rows regardless of corpus size — the covariance shape
+    * that survives 100 TB. Dim sums ride the same scan; a 1-row count
+    * broadcasts on. */
+  val qEmbedCov = GQuery("q_embed_cov",
+    (s, d) => {
+      val dim = 64
+      val emb = Tables.embeddings(s, d)
+      val pairs = emb.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+            transform(sequence(i, ${dim - 1}), j ->
+              struct(i, j, cast(cast(embedding[i] as double) *
+                cast(embedding[j] as double) as decimal(28,18)) as p))))"""
+        )).as("e"))
+        .select(col("e.i").cast("long").as("i"),
+          col("e.j").cast("long").as("j"), col("e.p").as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(floor(sum(col("p")) * expr("cast(1000000000000 as decimal(38,0))"))
+          .cast("long").as("g12"))
+      val dims = emb.select(explode(expr(
+        s"""transform(sequence(0, ${dim - 1}), i ->
+            struct(i, cast(cast(embedding[i] as double)
+              as decimal(28,18)) as x))""")).as("e"))
+        .select(col("e.i").cast("long").as("i"), col("e.x").as("x"))
+        .groupBy(col("i"))
+        .agg(floor(sum(col("x")) * 1000000L).cast("long").as("s6"))
+      val n = emb.agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(dims.select(col("i"), col("s6").as("si6"))),
+          Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"),
+          col("s6").as("sj6"))), Seq("j"))
+        .crossJoin(broadcast(n))
+        .withColumn("cov12", (col("g12").cast("decimal(38,0)") * col("n")
+          - col("si6").cast("decimal(38,0)") * col("sj6"))
+          .cast("double"))
+        .select(col("i"), col("j"), col("g12"), col("cov12"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH px AS (
+        SELECT i, j,
+          CAST(CAST(embedding[i + 1] AS DOUBLE)
+            * CAST(embedding[j + 1] AS DOUBLE) AS DECIMAL(28,18)) AS p
+        FROM embeddings, range(0, 64) t1(i), range(0, 64) t2(j)
+        WHERE j >= i),
+      pairs AS (
+        SELECT i, j,
+          CAST(floor(SUM(p) * CAST(1000000000000 AS HUGEINT)) AS BIGINT)
+            AS g12
+        FROM px GROUP BY 1, 2),
+      dx AS (
+        SELECT i, CAST(CAST(embedding[i + 1] AS DOUBLE)
+          AS DECIMAL(28,18)) AS x
+        FROM embeddings, range(0, 64) t1(i)),
+      dims AS (
+        SELECT i, CAST(floor(SUM(x) * 1000000) AS BIGINT) AS s6
+        FROM dx GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings)
+      SELECT p.i, p.j, p.g12,
+        CAST(CAST(p.g12 AS HUGEINT) * nn.n
+          - CAST(da.s6 AS HUGEINT) * db.s6 AS DOUBLE) AS cov12
+      FROM pairs p JOIN dims da ON p.i = da.i
+        JOIN dims db ON p.j = db.i
+        CROSS JOIN nn
+      ORDER BY p.i, p.j"""),
+    notes = "in-array upper-triangle pair stream, one O(dim^2) " +
+      "shuffle; dotExactDec decimal sums floored to matched fixed " +
+      "point; centered numerator in decimal(38,0)/HUGEINT")
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
+    qEmbedCov,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
     qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
     qNdcg,
