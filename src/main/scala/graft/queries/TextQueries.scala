@@ -4390,48 +4390,52 @@ object TextQueries {
     * O(dim²) rows regardless of corpus size — the covariance shape
     * that survives 100 TB. Dim sums ride the same scan; a 1-row count
     * broadcasts on. */
-  val qEmbedCov = GQuery("q_embed_cov",
-    (s, d) => {
-      val dim = 64
-      val emb = Tables.embeddings(s, d)
-      val pairs = emb.select(explode(expr(
-        s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-            transform(sequence(i, ${dim - 1}), j ->
-              struct(i, j, cast(cast(embedding[i] as double) *
-                cast(embedding[j] as double) as decimal(28,18)) as p))))"""
-        )).as("e"))
-        .select(col("e.i").cast("long").as("i"),
-          col("e.j").cast("long").as("j"), col("e.p").as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(floor(sum(col("p")) * expr("cast(1000000000000 as decimal(38,0))"))
-          .cast("long").as("g12"))
-      val dims = emb.select(explode(expr(
-        s"""transform(sequence(0, ${dim - 1}), i ->
-            struct(i, cast(cast(embedding[i] as double)
-              as decimal(28,18)) as x))""")).as("e"))
-        .select(col("e.i").cast("long").as("i"), col("e.x").as("x"))
-        .groupBy(col("i"))
-        .agg(floor(sum(col("x")) * 1000000L).cast("long").as("s6"))
-      val n = emb.agg(count(lit(1)).as("n"))
-      pairs
-        .join(broadcast(dims.select(col("i"), col("s6").as("si6"))),
-          Seq("i"))
-        .join(broadcast(dims.select(col("i").as("j"),
-          col("s6").as("sj6"))), Seq("j"))
-        .crossJoin(broadcast(n))
-        .withColumn("cov12", (col("g12").cast("decimal(38,0)") * col("n")
-          - col("si6").cast("decimal(38,0)") * col("sj6"))
-          .cast("double"))
-        .select(col("i"), col("j"), col("g12"), col("cov12"))
-        .orderBy(col("i"), col("j"))
-    },
-    Some("""WITH px AS (
+  /** Upper-triangle (i, j, g12, covnum) over the embedding corpus —
+    * covnum = n·Gram − Sᵢ·Sⱼ in DECIMAL(38,0), 1e-12 units. Shared by
+    * [[qEmbedCov]] and [[qPowerIter]]. */
+  private def embedCovNum(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dim = 64
+    val emb = Tables.embeddings(s, d)
+    val pairs = emb.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+          transform(sequence(i, ${dim - 1}), j ->
+            struct(i, j, cast(cast(embedding[i] as double) *
+              cast(embedding[j] as double) as decimal(28,18)) as p))))"""
+      )).as("e"))
+      .select(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"), col("e.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(floor(sum(col("p")) * expr("cast(1000000000000 as decimal(38,0))"))
+        .cast("long").as("g12"))
+    val dims = emb.select(explode(expr(
+      s"""transform(sequence(0, ${dim - 1}), i ->
+          struct(i, cast(cast(embedding[i] as double)
+            as decimal(28,18)) as x))""")).as("e"))
+      .select(col("e.i").cast("long").as("i"), col("e.x").as("x"))
+      .groupBy(col("i"))
+      .agg(floor(sum(col("x")) * 1000000L).cast("long").as("s6"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(dims.select(col("i"), col("s6").as("si6"))),
+        Seq("i"))
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("s6").as("sj6"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .withColumn("covnum", col("g12").cast("decimal(38,0)") * col("n")
+        - col("si6").cast("decimal(38,0)") * col("sj6"))
+  }
+
+  /** DuckDB CTE chain producing `cov(i, j, g12, covnum)` (upper
+    * triangle, covnum HUGEINT) — the twin of [[embedCovNum]]. */
+  private val EmbedCovSql: String =
+    """px AS (
         SELECT i, j,
           CAST(CAST(embedding[i + 1] AS DOUBLE)
             * CAST(embedding[j + 1] AS DOUBLE) AS DECIMAL(28,18)) AS p
         FROM embeddings, range(0, 64) t1(i), range(0, 64) t2(j)
         WHERE j >= i),
-      pairs AS (
+      prs AS (
         SELECT i, j,
           CAST(floor(SUM(p) * CAST(1000000000000 AS HUGEINT)) AS BIGINT)
             AS g12
@@ -4440,23 +4444,110 @@ object TextQueries {
         SELECT i, CAST(CAST(embedding[i + 1] AS DOUBLE)
           AS DECIMAL(28,18)) AS x
         FROM embeddings, range(0, 64) t1(i)),
-      dims AS (
+      dms AS (
         SELECT i, CAST(floor(SUM(x) * 1000000) AS BIGINT) AS s6
         FROM dx GROUP BY 1),
-      nn AS (SELECT COUNT(*) AS n FROM embeddings)
-      SELECT p.i, p.j, p.g12,
-        CAST(CAST(p.g12 AS HUGEINT) * nn.n
-          - CAST(da.s6 AS HUGEINT) * db.s6 AS DOUBLE) AS cov12
-      FROM pairs p JOIN dims da ON p.i = da.i
-        JOIN dims db ON p.j = db.i
-        CROSS JOIN nn
-      ORDER BY p.i, p.j"""),
+      nn AS (SELECT COUNT(*) AS n FROM embeddings),
+      cov AS (
+        SELECT p.i, p.j, p.g12,
+          CAST(p.g12 AS HUGEINT) * nn.n
+            - CAST(da.s6 AS HUGEINT) * db.s6 AS covnum
+        FROM prs p JOIN dms da ON p.i = da.i
+          JOIN dms db ON p.j = db.i
+          CROSS JOIN nn)"""
+
+  val qEmbedCov = GQuery("q_embed_cov",
+    (s, d) => embedCovNum(s, d)
+      .withColumn("cov12", col("covnum").cast("double"))
+      .select(col("i"), col("j"), col("g12"), col("cov12"))
+      .orderBy(col("i"), col("j")),
+    Some(s"""WITH $EmbedCovSql
+      SELECT i, j, g12, CAST(covnum AS DOUBLE) AS cov12
+      FROM cov ORDER BY i, j"""),
     notes = "in-array upper-triangle pair stream, one O(dim^2) " +
       "shuffle; dotExactDec decimal sums floored to matched fixed " +
       "point; centered numerator in decimal(38,0)/HUGEINT")
 
+  /** POWER ITERATION on the exact covariance matrix — the distributed
+    * PCA top component as an ALL-INTEGER trajectory. Each round applies
+    * the mirrored covariance matrix to the current vector (exact
+    * DECIMAL(38,0)/HUGEINT dot products over the bounded 64×64 table)
+    * and renormalizes by the ∞-norm with sign-preserving truncating
+    * division — `sign(x)·((|x|·10⁶) div max|x|)` is identical in both
+    * engines (non-negative operands), so every round's 64-long vector
+    * is bit-exact and the 5-round trajectory is the gate. ∞-norm
+    * normalization (not L2) keeps the iteration sqrt-free; it changes
+    * only the scaling, not the direction, so the iterate still
+    * converges to the dominant eigenvector.
+    *
+    * Scale shape: the corpus is touched ONCE (inside [[embedCovNum]]);
+    * rounds run on the 64×64 matrix with the current vector as 64 plan
+    * literals, one bounded 64-row collect per round (the EM/kMeans
+    * bounded-model posture). The twin unrolls rounds as CTE stages. */
+  val qPowerIter = {
+    val rounds = 5
+    GQuery("q_power_iter",
+      (s, d) => {
+        import s.implicits._
+        val upper = embedCovNum(s, d).select(col("i"), col("j"),
+          col("covnum"))
+        val mat = upper.union(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("covnum")))
+          .localCheckpoint(true)
+        var v: Seq[Long] = Seq.fill(64)(1000000L)
+        val traj = (1 to rounds).flatMap { r =>
+          val vArr = s"array(${v.mkString("L,")}L)"
+          val cv = mat
+            .withColumn("cvterm",
+              col("covnum") * expr(s"$vArr[cast(j as int)]"))
+            .groupBy(col("i"))
+            .agg(sum(col("cvterm")).as("cv"))
+            .orderBy(col("i"))
+            .as[(Long, java.math.BigDecimal)].collect()
+          val cvB = cv.map { case (_, x) => BigInt(x.toBigInteger) }
+          val mx = cvB.map(_.abs).max.max(BigInt(1))
+          v = cvB.map { x =>
+            val q = (x.abs * 1000000) / mx
+            (if (x < 0) -q else q).toLong
+          }
+          v.zipWithIndex.map { case (x, i) => (r.toLong, i.toLong, x) }
+        }
+        traj.toDF("round", "i", "v_x1e6")
+          .orderBy(col("round"), col("i"))
+      },
+      Some {
+        val sb = new StringBuilder
+        sb ++= s"WITH $EmbedCovSql,\n"
+        sb ++= """mat AS (
+          SELECT i, j, covnum FROM cov
+          UNION ALL
+          SELECT j AS i, i AS j, covnum FROM cov WHERE i <> j),
+        v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
+          FROM range(0, 64) t(i))"""
+        (1 to rounds).foreach { r =>
+          sb ++= s""",
+          cv$r AS (SELECT m.i, SUM(m.covnum * v.v) AS cv
+            FROM mat m JOIN v${r - 1} v ON m.j = v.i GROUP BY 1),
+          mx$r AS (SELECT greatest(MAX(abs(cv)), 1) AS mx FROM cv$r),
+          v$r AS (SELECT i,
+            CASE WHEN cv < 0 THEN -((-cv * 1000000) // mx)
+              ELSE (cv * 1000000) // mx END AS v
+            FROM cv$r CROSS JOIN mx$r)"""
+        }
+        sb ++= (1 to rounds).map { r =>
+          s"""
+          SELECT CAST($r AS BIGINT) AS round, CAST(i AS BIGINT) AS i,
+            CAST(v AS BIGINT) AS v_x1e6 FROM v$r"""
+        }.mkString("", " UNION ALL", "\nORDER BY round, i")
+        sb.toString
+      },
+      notes = "integer power iteration, infinity-norm sign-preserving " +
+        "renormalization; 5-round 64-vector trajectory bit-exact vs " +
+        "the unrolled-CTE twin; one corpus touch, bounded rounds")
+  }
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qEmbedCov,
+    qEmbedCov, qPowerIter,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
     qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
     qNdcg,
