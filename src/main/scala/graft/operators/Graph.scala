@@ -86,8 +86,12 @@ object Graph {
     // tree grows ×iterations. localCheckpoint (the nearDupGroups
     // discipline, Dedup.scala) truncates each round to a materialized
     // scan — edge list once, node-sized tables per round.
+    // pre-partitioned on src — the per-round contribution join's key —
+    // so each round shuffles only the node-sized rank table, never the
+    // edge stream (the checkpoint preserves the hash partitioning)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w")).localCheckpoint(true)
+      col(weightCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -198,8 +202,11 @@ object Graph {
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
+    // pre-partitioned on the relax join key (see labelPropagationAssign):
+    // each round shuffles only the distance table, not the edge stream
     val nbr = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("node"))
       .localCheckpoint(true)
     // seed set ∩ graph nodes (an isolated seed has no edges to relax)
     var dist = nbr.select(col("node")).distinct()
@@ -297,8 +304,13 @@ object Graph {
     require(iters >= 1 && iters <= 8, "iters in [1,8]")
     val e = canonicalWeighted(edges, srcCol, dstCol, weightCol,
       assumeCanonical)
+    // pre-partition on the per-round join key: the checkpoint preserves
+    // the hash partitioning, so each LPA round shuffles only the small
+    // label table, never the full symmetrized edge stream (iters x full
+    // edge shuffle saved — the dominant cost of the round loop)
     val nbr = e.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(e.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      .repartition(col("nbr"))
       .localCheckpoint(true)
     var labels = nbr.select(col("node")).distinct()
       .withColumn("label", col("node"))
