@@ -70,7 +70,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_ndcg",
     // 1-row broadcast scalar-average / scalar-max / global-total cross
     // joins (the TPC-H Q22/Q15/Q11 uncorrelated-scalar shapes)
-    "q_idle_customers", "q_top_supplier", "q_important_parts")
+    "q_idle_customers", "q_top_supplier", "q_important_parts",
+    // 1-row broadcast corpus-count cross join onto the bounded 64x64
+    // covariance table (and its power-iteration consumer)
+    "q_embed_cov", "q_power_iter")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
