@@ -122,6 +122,68 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** PERSONALIZED PAGERANK (random walk with restart to a SEED set —
+    * the recommendation / relevance-propagation variant): identical
+    * fixed-point integer scheme to [[pageRankFixedPoint]], except the
+    * teleport mass goes uniformly to the seeds only (zero elsewhere)
+    * and the walk starts there:
+    *   r₀(v)   = Scale div |S| · [v ∈ S]
+    *   r'(v)   = [v ∈ S]·(1000−d)·Scale div (1000·|S|)
+    *             + d·Σ_contribs div 1000.
+    * All arithmetic is non-negative scaled-int div — associative sums,
+    * no IEEE nondeterminism, replayable as chained SQL. Dangling mass
+    * leaks (as in the base variant) — rankings, not probabilities.
+    *
+    * Scale shape: seeds resolve via one semi-join; the flagged node
+    * table and pre-partitioned edge list checkpoint ONCE; each round
+    * shuffles only the node-sized rank table. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      seedCol: String, iterations: Int = 3,
+      dampingPermille: Int = 850): DataFrame = {
+    require(iterations >= 1 && iterations <= 8, "iterations in [1,8]")
+    val Scale = 1000000000000L // 10^12
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val flagged = nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint(true)
+    val sRow = flagged.agg(sum(col("__seed")).as("__s"))
+    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+      .localCheckpoint(true)
+    var ranks = flagged.crossJoin(broadcast(sRow))
+      .select(col("node"),
+        when(col("__seed") === 1L, expr(s"${Scale}L div __s"))
+          .otherwise(0L).as("rank_fp"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.join(e, ranks("node") === e("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("node"),
+          (expr("rank_fp div out_w") * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = flagged.crossJoin(broadcast(sRow))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed") === 1L,
+            expr(s"(${1000 - dampingPermille}L * ${Scale}L)" +
+              " div (1000L * __s)")).otherwise(0L)
+            + expr(s"(${dampingPermille}L * coalesce(contrib, 0L))" +
+              " div 1000L"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+    }
+    ranks
+      .select(col("node"), col("rank_fp"),
+        (col("rank_fp").cast("double") / lit(Scale.toDouble)).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** SYNCHRONOUS LABEL PROPAGATION community detection (Raghavan et al.
     * 2007) over a weighted undirected edge list, fully deterministic:
     * labels start as node ids; each of the FIXED `iters` rounds every

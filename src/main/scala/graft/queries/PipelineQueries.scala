@@ -1241,6 +1241,73 @@ object PipelineQueries {
     notes = "k-core peeling, 3 rounds at k=80; per-round degree agg + " +
       "two semi-joins, checkpoint-truncated")
 
+  /** PERSONALIZED PAGERANK ([[graft.operators.Graph
+    * .personalizedPageRank]]) on the weighted symmetrized co-purchase
+    * graph: random walk with restart to the seed parts (partkey < 20) —
+    * the "related items" relevance propagation a recommender or
+    * curation dedup-by-affinity pass runs. Same scaled-int fixed point
+    * as q_pagerank; the twin unrolls the 3 rounds with the seed-flag
+    * teleport. */
+  val qPprSeeds = GQuery("q_ppr_seeds",
+    (s, d) => {
+      val pairs = coPurchaseEdges(s, d, distinctItems = false)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val sym = pairs.union(pairs.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      graft.operators.Graph.personalizedPageRank(sym, "src", "dst", "w",
+        Tables.part(s, d).filter(col("p_partkey") < 20)
+          .select(col("p_partkey")), "p_partkey", iterations = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e0 AS (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS w
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+      e AS (SELECT u AS src, v AS dst, w FROM e0
+        UNION ALL SELECT v, u, w FROM e0),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      flag AS (SELECT node,
+          CASE WHEN node < 20 THEN 1 ELSE 0 END AS seed
+        FROM nodes),
+      ss AS (SELECT SUM(seed) AS s FROM flag),
+      outd AS (SELECT src, SUM(w) AS out_w FROM e GROUP BY 1),
+      r0 AS (SELECT node, CASE WHEN seed = 1
+          THEN 1000000000000 // ss.s ELSE 0 END AS rank_fp
+        FROM flag CROSS JOIN ss),
+      c1 AS (SELECT e.dst AS node,
+          SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r0 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r1 AS (SELECT flag.node,
+          CASE WHEN flag.seed = 1
+            THEN 150000000000000 // (1000 * ss.s) ELSE 0 END
+          + (850 * COALESCE(c1.ct, 0)) // 1000 AS rank_fp
+        FROM flag CROSS JOIN ss LEFT JOIN c1 ON flag.node = c1.node),
+      c2 AS (SELECT e.dst AS node,
+          SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r1 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r2 AS (SELECT flag.node,
+          CASE WHEN flag.seed = 1
+            THEN 150000000000000 // (1000 * ss.s) ELSE 0 END
+          + (850 * COALESCE(c2.ct, 0)) // 1000 AS rank_fp
+        FROM flag CROSS JOIN ss LEFT JOIN c2 ON flag.node = c2.node),
+      c3 AS (SELECT e.dst AS node,
+          SUM((r.rank_fp // o.out_w) * e.w) AS ct
+        FROM r2 r JOIN e ON r.node = e.src JOIN outd o ON e.src = o.src
+        GROUP BY 1),
+      r3 AS (SELECT flag.node,
+          CASE WHEN flag.seed = 1
+            THEN 150000000000000 // (1000 * ss.s) ELSE 0 END
+          + (850 * COALESCE(c3.ct, 0)) // 1000 AS rank_fp
+        FROM flag CROSS JOIN ss LEFT JOIN c3 ON flag.node = c3.node)
+      SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+        CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+      FROM r3 ORDER BY node"""),
+    notes = "random walk with restart; seed-flag teleport, scaled-int " +
+      "div rounds; edge list pre-partitioned, node-sized round shuffles")
+
   /** ADAMIC–ADAR link prediction on the co-purchase graph
     * ([[graft.operators.Graph.adamicAdar]]): top-50 absent edges by
     * Σ 1/log₂ deg(w) over common neighbors, in 64_000_000/lg64 fixed
@@ -1944,5 +2011,6 @@ object PipelineQueries {
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
     qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
+    qPprSeeds,
     qModularity, qAssortativity, qPowerlaw, qChi2, qSpearman)
 }
