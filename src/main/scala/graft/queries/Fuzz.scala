@@ -589,10 +589,45 @@ object Fuzz {
     FuzzCase(seed, "chain_agg", sql, build)
   }
 
+  /** Aggregate top-k: GROUP BY → ORDER BY the first aggregate DESC
+    * (keys as tie-break) → LIMIT — the TakeOrderedAndProject path under
+    * differential test. Ties are broken by the full key list, so the
+    * k-prefix is total-order deterministic in both engines. */
+  private def genTopAgg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val nk = 1 + r.int(2)
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 41 + 17)).shuffle(t.groupables).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val aggs = Seq(agg(r, t.longs.map(_._1),
+      t.strings.map(_._1) ++ t.likes.map(_._1), "a0"))
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val m = 3 + r.int(8)
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val tieSql = kAliases.map(a => s"$a ASC NULLS FIRST").mkString(", ")
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |ORDER BY a0 DESC NULLS LAST, $tieSql LIMIT $m""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2)
+        .orderBy(col("a0").desc_nulls_last +:
+          kAliases.map(a => col(a).asc_nulls_first): _*)
+        .limit(m)
+    }
+    FuzzCase(seed, "top_agg", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too). */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    r.int(18) match {
+    r.int(20) match {
       case 0 | 1 | 2 | 3 => genAgg(r, seed)
       case 4 | 5 => genWindow(r, seed)
       case 6 | 7 => genReagg(r, seed)
@@ -600,7 +635,8 @@ object Fuzz {
       case 11 | 12 => genSemi(r, seed)
       case 13 => genScalar(r, seed)
       case 14 | 15 => genWinAgg(r, seed)
-      case _ => genChain(r, seed)
+      case 16 | 17 => genChain(r, seed)
+      case _ => genTopAgg(r, seed)
     }
   }
 
