@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over edge lists (the near-dup component finder lives
@@ -89,22 +90,25 @@ object Graph {
     // pre-partitioned on src — the per-round contribution join's key —
     // so each round shuffles only the node-sized rank table, never the
     // edge stream (the checkpoint preserves the hash partitioning)
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
       .repartition(col("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     // n as a 1-row broadcast literal table, never a driver collect
     val nRow = nodes.agg(count(lit(1)).as("__n"))
-    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // out-degree FOLDED into the checkpointed edge list (one window over
+    // the already-src-partitioned rows, no extra shuffle): each round is
+    // then ONE join instead of two
+    val e = e0.withColumn("out_w",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), expr(s"${Scale}L div __n").as("rank_fp"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(e, ranks("node") === e("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"),
           (expr("rank_fp div out_w") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
@@ -143,18 +147,21 @@ object Graph {
       dampingPermille: Int = 850): DataFrame = {
     require(iterations >= 1 && iterations <= 8, "iterations in [1,8]")
     val Scale = 1000000000000L // 10^12
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("long").as("w"))
       .repartition(col("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
     val flagged = nodes
       .join(seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("__seed", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint(true)
     val sRow = flagged.agg(sum(col("__seed")).as("__s"))
-    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    // out-degree folded into the checkpointed edge list (window over the
+    // already-src-partitioned rows): one join per round instead of two
+    val e = e0.withColumn("out_w",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
     var ranks = flagged.crossJoin(broadcast(sRow))
       .select(col("node"),
@@ -163,7 +170,6 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(e, ranks("node") === e("src"))
-        .join(outDeg, Seq("src"))
         .select(col("dst").as("node"),
           (expr("rank_fp div out_w") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
