@@ -4481,48 +4481,52 @@ object TextQueries {
     * rounds run on the 64×64 matrix with the current vector as 64 plan
     * literals, one bounded 64-row collect per round (the EM/kMeans
     * bounded-model posture). The twin unrolls rounds as CTE stages. */
-  val qPowerIter = {
-    val rounds = 5
-    GQuery("q_power_iter",
-      (s, d) => {
-        import s.implicits._
-        val upper = embedCovNum(s, d).select(col("i"), col("j"),
-          col("covnum"))
-        val mat = upper.union(upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("covnum")))
-          .localCheckpoint(true)
-        var v: Seq[Long] = Seq.fill(64)(1000000L)
-        val traj = (1 to rounds).flatMap { r =>
-          val vArr = s"array(${v.mkString("L,")}L)"
-          val cv = mat
-            .withColumn("cvterm",
-              col("covnum") * expr(s"$vArr[cast(j as int)]"))
-            .groupBy(col("i"))
-            .agg(sum(col("cvterm")).as("cv"))
-            .orderBy(col("i"))
-            .as[(Long, java.math.BigDecimal)].collect()
-          val cvB = cv.map { case (_, x) => BigInt(x.toBigInteger) }
-          val mx = cvB.map(_.abs).max.max(BigInt(1))
-          v = cvB.map { x =>
-            val q = (x.abs * 1000000) / mx
-            (if (x < 0) -q else q).toLong
-          }
-          v.zipWithIndex.map { case (x, i) => (r.toLong, i.toLong, x) }
-        }
-        traj.toDF("round", "i", "v_x1e6")
-          .orderBy(col("round"), col("i"))
-      },
-      Some {
-        val sb = new StringBuilder
-        sb ++= s"WITH $EmbedCovSql,\n"
-        sb ++= """mat AS (
+  /** Shared power-iteration loop ([[qPowerIter]], [[qRayleigh]]):
+    * returns the mirrored matrix, the per-round trajectory rows, and
+    * the final ∞-normalized vector (1e6 units) after `rounds`. */
+  private def powerIterRun(s: org.apache.spark.sql.SparkSession,
+      d: String, rounds: Int): (org.apache.spark.sql.DataFrame,
+        Seq[(Long, Long, Long)], Seq[Long]) = {
+    import s.implicits._
+    val upper = embedCovNum(s, d).select(col("i"), col("j"),
+      col("covnum"))
+    val mat = upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("covnum")))
+      .localCheckpoint(true)
+    var v: Seq[Long] = Seq.fill(64)(1000000L)
+    val traj = (1 to rounds).flatMap { r =>
+      val vArr = s"array(${v.mkString("L,")}L)"
+      val cv = mat
+        .withColumn("cvterm",
+          col("covnum") * expr(s"$vArr[cast(j as int)]"))
+        .groupBy(col("i"))
+        .agg(sum(col("cvterm")).as("cv"))
+        .orderBy(col("i"))
+        .as[(Long, java.math.BigDecimal)].collect()
+      val cvB = cv.map { case (_, x) => BigInt(x.toBigInteger) }
+      val mx = cvB.map(_.abs).max.max(BigInt(1))
+      v = cvB.map { x =>
+        val q = (x.abs * 1000000) / mx
+        (if (x < 0) -q else q).toLong
+      }
+      v.zipWithIndex.map { case (x, i) => (r.toLong, i.toLong, x) }
+    }
+    (mat, traj, v)
+  }
+
+  /** DuckDB CTE prefix shared by the power-iteration twins: the
+    * mirrored matrix + v0..v`rounds` stages. */
+  private def powerIterSqlPrefix(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH $EmbedCovSql,\n"
+    sb ++= """mat AS (
           SELECT i, j, covnum FROM cov
           UNION ALL
           SELECT j AS i, i AS j, covnum FROM cov WHERE i <> j),
         v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v
           FROM range(0, 64) t(i))"""
-        (1 to rounds).foreach { r =>
-          sb ++= s""",
+    (1 to rounds).foreach { r =>
+      sb ++= s""",
           cv$r AS (SELECT m.i, SUM(m.covnum * v.v) AS cv
             FROM mat m JOIN v${r - 1} v ON m.j = v.i GROUP BY 1),
           mx$r AS (SELECT greatest(MAX(abs(cv)), 1) AS mx FROM cv$r),
@@ -4530,21 +4534,77 @@ object TextQueries {
             CASE WHEN cv < 0 THEN -((-cv * 1000000) // mx)
               ELSE (cv * 1000000) // mx END AS v
             FROM cv$r CROSS JOIN mx$r)"""
-        }
-        sb ++= (1 to rounds).map { r =>
+    }
+    sb.toString
+  }
+
+  val qPowerIter = {
+    val rounds = 5
+    GQuery("q_power_iter",
+      (s, d) => {
+        import s.implicits._
+        val (_, traj, _) = powerIterRun(s, d, rounds)
+        traj.toDF("round", "i", "v_x1e6")
+          .orderBy(col("round"), col("i"))
+      },
+      Some {
+        powerIterSqlPrefix(rounds) ++ (1 to rounds).map { r =>
           s"""
           SELECT CAST($r AS BIGINT) AS round, CAST(i AS BIGINT) AS i,
             CAST(v AS BIGINT) AS v_x1e6 FROM v$r"""
         }.mkString("", " UNION ALL", "\nORDER BY round, i")
-        sb.toString
       },
       notes = "integer power iteration, infinity-norm sign-preserving " +
         "renormalization; 5-round 64-vector trajectory bit-exact vs " +
         "the unrolled-CTE twin; one corpus touch, bounded rounds")
   }
 
+  /** RAYLEIGH QUOTIENT of the power-iteration output — the dominant
+    * EIGENVALUE estimate λ̂ = vᵀCv / vᵀv completing the eigenpair:
+    * vᵀCv as one exact decimal/HUGEINT aggregate over the mirrored
+    * 64×64 matrix with the final vector's entries as plan literals,
+    * vᵀv as a plan-time literal (the driver holds v — bounded-model
+    * posture), and the quotient as a sign-split truncating division
+    * (both operands handled non-negative, so Spark `div` ≡ DuckDB
+    * `//`). Output: 1 row (vtv, vtcv_d, lambda_q12 — λ̂ in the
+    * matrix's 1e-12·n² units). */
+  val qRayleigh = {
+    val rounds = 5
+    GQuery("q_rayleigh",
+      (s, d) => {
+        val (mat, _, v) = powerIterRun(s, d, rounds)
+        val vArr = s"array(${v.mkString("L,")}L)"
+        val vtv = v.map(x => x * x).sum
+        mat
+          .withColumn("t", col("covnum")
+            * expr(s"$vArr[cast(i as int)]")
+            * expr(s"$vArr[cast(j as int)]"))
+          .agg(sum(col("t")).as("vtcv"))
+          .select(lit(vtv).as("vtv"),
+            col("vtcv").cast("double").as("vtcv_d"),
+            expr(s"""cast(case when vtcv < 0
+              then -((-vtcv) div ${vtv}L)
+              else vtcv div ${vtv}L end as bigint)""").as("lambda_q12"))
+      },
+      Some {
+        powerIterSqlPrefix(rounds) ++ s""",
+          ray AS (SELECT SUM(m.covnum * a.v * b.v) AS vtcv
+            FROM mat m JOIN v$rounds a ON a.i = m.i
+              JOIN v$rounds b ON b.i = m.j),
+          vt AS (SELECT SUM(v * v) AS vtv FROM v$rounds)
+          SELECT CAST(vt.vtv AS BIGINT) AS vtv,
+            CAST(ray.vtcv AS DOUBLE) AS vtcv_d,
+            CAST(CASE WHEN ray.vtcv < 0
+              THEN -((-ray.vtcv) // vt.vtv)
+              ELSE ray.vtcv // vt.vtv END AS BIGINT) AS lambda_q12
+          FROM ray CROSS JOIN vt"""
+      },
+      notes = "dominant-eigenvalue estimate; exact quadratic form over " +
+        "the bounded matrix, sign-split truncating division")
+  }
+
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
-    qEmbedCov, qPowerIter,
+    qEmbedCov, qPowerIter, qRayleigh,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
     qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
     qNdcg,
