@@ -72,8 +72,8 @@ class PlanRegressionSpec extends SparkSpec {
     // joins (the TPC-H Q22/Q15/Q11 uncorrelated-scalar shapes)
     "q_idle_customers", "q_top_supplier", "q_important_parts",
     // 1-row broadcast corpus-count cross join onto the bounded 64x64
-    // covariance table (and its power-iteration consumer)
-    "q_embed_cov", "q_power_iter")
+    // covariance table (and its power-iteration/Rayleigh consumers)
+    "q_embed_cov", "q_power_iter", "q_rayleigh")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
