@@ -4,8 +4,9 @@ package graft.queries
   * coverage). SparkEntry derives `queries` and `oracleSql` from here. */
 object Registry {
   val all: Seq[GQuery] =
-    Relational.all ++ WindowQueries.all ++ EntityQueries.all ++
-      TextQueries.all ++ PipelineQueries.all ++ Fuzz.all
+    Relational.all ++ TpchQueries.all ++ WindowQueries.all ++
+      EntityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
+      Fuzz.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")
