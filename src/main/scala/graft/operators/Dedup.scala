@@ -783,4 +783,65 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin family):
+    * exact word-n-gram Jaccard ≥ num/den pairs with candidates from the
+    * rarest-first prefix instead of MinHash-LSH banding.
+    *
+    * Principle: order every document's gram set by ascending global
+    * document frequency (rarest first); two sets with Jaccard ≥ θ MUST
+    * share at least one gram among the first `s − ⌈θ·s⌉ + 1` of each
+    * (pigeonhole on the ≥ ⌈θ·s⌉-sized intersection any qualifying pair
+    * needs). Only prefix grams enter the pairing self-join, and rare
+    * grams have tiny postings — the candidate set is bounded by actual
+    * rarity, with recall EXACTLY 1 (no LSH band-miss probability).
+    * Complement to [[ngramJaccardPairs]]: same exact result contract,
+    * deterministic candidate generation.
+    *
+    * Scale posture: grams cross the df/candidate exchanges only as
+    * xxhash64 longs (collisions can only ADD candidates — removed by the
+    * exact verify); the length filter `den·min ≥ num·max` prunes
+    * impossible pairs inside the join condition; gram text appears only
+    * in the per-doc sorted arrays joined back by id for the verify. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, num: Long = 1L, den: Long = 2L): DataFrame = {
+    // cache blocks projection collapse: the gram pipeline runs once
+    val withGrams = df.select(col(idCol).as("id"),
+      TextFeatures.wordNgrams(col(textCol), n).as("grams")).cache()
+    val gramRows = withGrams
+      .select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("gh"))
+    val dfc = gramRows.groupBy(col("gh")).agg(count(lit(1)).as("dfc"))
+    // per-doc grams ordered (df asc, hash asc) = rarest-first, then the
+    // prefix slice p = s − ⌈s·num/den⌉ + 1 (integer-exact ceil)
+    val ordered = gramRows.join(dfc, Seq("gh"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfc"), col("gh"))))
+        .as("ord"))
+      .withColumn("sz", size(col("ord")).cast("long"))
+      .withColumn("p",
+        expr(s"cast(sz - ((sz * $num + $den - 1) div $den) + 1 as int)"))
+    val prefixes = ordered
+      .select(col("id"), col("sz"),
+        explode(slice(col("ord"), lit(1), col("p"))).as("pe"))
+      .select(col("id"), col("sz"), col("pe.gh").as("gh"))
+    val cands = prefixes
+      .join(prefixes.select(col("gh").as("gh_b"), col("id").as("id_b"),
+          col("sz").as("sz_b")),
+        col("gh") === col("gh_b") && col("id") < col("id_b")
+          && col("sz") * den >= col("sz_b") * num
+          && col("sz_b") * den >= col("sz") * num)
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val grams = withGrams.select(col("id"), sort_array(col("grams")).as("sg"))
+    cands
+      .join(grams.select(col("id").as("id_a"), col("sg").as("g_a")),
+        Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("sg").as("g_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", graft.functions.JaccardSortedArrays
+        .jaccardSorted(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= num.toDouble / den.toDouble)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -988,6 +988,47 @@ object TextQueries {
       WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""))
 
+  /** PREFIX-FILTER set-similarity join ([[graft.operators.Dedup
+    * .prefixJaccardPairs]], the AllPairs/PPJoin family): word-BIGRAM
+    * Jaccard ≥ 0.5 pairs with candidates from the rarest-first gram
+    * prefix (global-df ordering + pigeonhole prefix bound) instead of
+    * MinHash banding — deterministic recall 1.0 by construction. The
+    * brute-force twin is the same construction as [[qNgramJaccard]]'s
+    * at n = 2, so the gate pins candidate completeness AND the exact
+    * verify arithmetic together. */
+  val qPrefixJoin = GQuery("q_prefix_join",
+    (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 2, num = 1L, den = 2L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 2
+            THEN list_distinct(list_transform(range(0, len(tk) - 2 + 1),
+              i -> array_to_string(tk[i + 1 : i + 2], ' ')))
+            ELSE [array_to_string(tk, ' ')] END AS grams
+        FROM toks),
+      s AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        FROM s a JOIN s b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      cnt AS (SELECT doc_id, len(grams) AS n FROM g)
+      SELECT id_a, id_b,
+        CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE)
+          AS jaccard
+      FROM inter JOIN cnt ca ON id_a = ca.doc_id
+        JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(ninter AS DOUBLE) / CAST(ca.n + cb.n - ninter AS DOUBLE)
+        >= 0.5
+      ORDER BY id_a, id_b"""),
+    notes = "AllPairs/PPJoin prefix filtering: df-ordered prefixes, " +
+      "hash-only candidate exchange, exact merge-pass verify")
+
   /** Brute-force cosine top-k: 5 query vectors against the corpus.
     * Output ranks only — rank is stable under float noise; raw cosines are
     * engine-arithmetic-order dependent. */
@@ -4614,7 +4655,8 @@ object TextQueries {
     qMinhashPairs, qDupMatrix, qGramNovelty, qNearDupGroups,
     qDedupIncremental,
     qMinhashCross,
-    qSimhashPairs, qExactSubstr, qNgramJaccard, qCosineTopK, qAnnQuantized,
+    qSimhashPairs, qExactSubstr, qNgramJaccard, qPrefixJoin,
+    qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,
     qAnnLsh, qAnnIvf,

@@ -321,6 +321,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("prefixJaccardPairs ≡ ngramJaccardPairs (two exact candidate paths)") {
+    // both operators promise the EXACT pair set above the threshold; only
+    // the candidate generation differs (df-ordered prefix vs MinHash-LSH),
+    // so their outputs must agree pair-for-pair and jaccard-for-jaccard
+    val viaPrefix = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 1L, den = 2L)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaLsh = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaPrefix === viaLsh)
+    assert(viaPrefix.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
   test("CharRunHashes: fused window hashes match the compositional form") {
     val df = Seq((1L, "abcdefghij"), (2L, "short"), (3L, "aaaaaa"))
       .toDF("id", "t")
