@@ -2446,6 +2446,63 @@ object TextQueries {
     notes = "golden twin: top-50 subwords of the BPE-encoded corpus, " +
       "per-SF sets keyed by the text-length discriminator (gen_bpe_golden.py)")
 
+  /** WORDPIECE merge LEARNING (20 rounds) — the likelihood-scored third
+    * tokenizer trainer next to BPE ([[qBpeMerges]]) and unigram-LM
+    * ([[qUnigramVocab]]): winner = argmax count(l,r)/(count(l)·count(r))
+    * under EXACT BigInt cross-multiplication, `##` continuation
+    * composition ([[graft.operators.WordPiece.learnVocab]]). Same golden
+    * posture as q_bpe_merges: committed table from an independent
+    * pure-Python trainer (tools/gen_wordpiece_golden.py), keyed per SF
+    * by the corpus text-length discriminator. */
+  val qWordpieceMerges = GQuery("q_wordpiece_merges",
+    (s, d) => graft.operators.WordPiece.learnVocab(
+        Tables.documents(s, d), "text", numMerges = 20)
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, lhs, rhs, pair_count, merged) AS (VALUES
+        ${WordpieceGolden.rows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs,
+        CAST(pair_count AS BIGINT) AS pair_count, merged
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: independent Python WordPiece trainer, " +
+      "likelihood argmax via exact integer cross-multiplication")
+
+  /** WordPiece ENCODE after [[qWordpieceMerges]]: top-50 pieces of the
+    * trained word-frequency table (which IS the encoded corpus — the
+    * [[qBpeEncode]] no-second-pass posture), `##` pieces included. */
+  val qWordpieceEncode = GQuery("q_wordpiece_encode",
+    (s, d) => graft.operators.WordPiece.encodeTopK(
+        Tables.documents(s, d), "text", numMerges = 20, k = 50)
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, piece, cnt) AS (VALUES
+        ${WordpieceGolden.encodeRows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, piece,
+        CAST(cnt AS BIGINT) AS cnt
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: same independent trainer's encode pass")
+
+  /** WordPiece INFERENCE ([[graft.functions.WordPieceTokenize]]):
+    * greedy longest-match-first against the trained vocabulary
+    * (alphabet ∪ merges as a plan literal) — max-munch, NOT merge-order
+    * replay, the property separating WordPiece inference from BPE's.
+    * Top-50 weighted piece counts over the bounded word table. */
+  val qWordpieceTokenize = GQuery("q_wordpiece_tokenize",
+    (s, d) => graft.operators.WordPiece.tokenizeTopK(
+        Tables.documents(s, d), "text", numMerges = 20, k = 50)
+      .orderBy(col("rank")),
+    Some(s"""WITH golden(tl, rank, piece, cnt) AS (VALUES
+        ${WordpieceGolden.tokenizeRows}),
+      cur AS (SELECT SUM(len(text)) AS tl FROM documents)
+      SELECT CAST(rank AS BIGINT) AS rank, piece,
+        CAST(cnt AS BIGINT) AS cnt
+      FROM golden, cur WHERE golden.tl = cur.tl
+      ORDER BY rank"""),
+    notes = "golden twin: same independent trainer's max-munch pass " +
+      "(whole-word [UNK] contract)")
+
   /** Compression-ratio quality signal ([[graft.operators.TextCompress]]):
     * deflate(6) size per doc, aggregated per source — within-doc
     * redundancy (templated/spammy text compresses hard) as a corpus
@@ -4669,6 +4726,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qBpeMerges, qBpeEncode,
+    qWordpieceMerges, qWordpieceEncode, qWordpieceTokenize,
     qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,

@@ -111,4 +111,35 @@ class TokenizerPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WordPieceTokenize: max-munch round trip, longest-first, whole-word UNK") {
+    import graft.functions.WordPieceTokenize
+    val vocab = Seq("a", "b", "c", "ab", "abc", "##b", "##c", "##bc", "##cb")
+    val rows = Seq("abc", "abcbc", "a", "cab", "abd", "")
+      .map(Tuple1(_)).toDF("w")
+      .select($"w", WordPieceTokenize.tokenize($"w", vocab).as("p"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(rows("abc") === Seq("abc"))              // longest prefix wins
+    assert(rows("abcbc") === Seq("abc", "##bc"))    // greedy continuation
+    assert(rows("a") === Seq("a"))
+    assert(rows("cab") === Seq("c", "##b") || rows("cab") === Seq("[UNK]"))
+    assert(rows("abd") === Seq("[UNK]"))            // 'd' unmatchable → whole-word UNK
+    assert(rows("") === Seq.empty)
+    // round-trip invariant: without UNK, stripping '##' concatenates back
+    rows.foreach { case (w, p) =>
+      if (p != Seq("[UNK]"))
+        assert(p.map(_.stripPrefix("##")).mkString === w)
+    }
+  }
+
+  test("WordPiece trainer: likelihood argmax prefers exclusive pair on tiny corpus") {
+    // corpus: "xy" ×3, "zy" ×1, "zq" ×2 — raw-count BPE would pick
+    // (x,##y) cnt 3; WordPiece score cnt/(cl·cr): (x,##y)=3/(3·4)=1/4,
+    // (z,##q)=2/(3·2)=1/3 → likelihood picks the EXCLUSIVE pair (z,##q)
+    val docs = Seq("xy xy xy zy zq zq").map(Tuple1(_)).toDF("text")
+    val m = graft.operators.WordPiece.learnVocab(docs, "text", 1)
+      .select("lhs", "rhs", "pair_count", "merged")
+      .as[(String, String, Long, String)].collect()
+    assert(m === Array(("z", "##q", 2L, "zq")))
+  }
 }
