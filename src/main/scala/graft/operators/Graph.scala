@@ -292,6 +292,53 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  /** WEIGHTED MULTI-SOURCE SHORTEST PATHS (synchronous Bellman–Ford)
+    * over the canonicalized undirected weighted graph: cheapest-path
+    * cost from the nearest seed under INTEGER edge weights, as `rounds`
+    * frontier relaxations — dist'(v) = min(dist(v),
+    * min_{(u,v)} dist(u) + w(u,v)). Min-relaxation is MONOTONE, so the
+    * fixed round count is deterministic and the output is the exact
+    * ≤`rounds`-EDGE cheapest cost (Bellman–Ford's standard prefix
+    * guarantee: round k finishes every path of ≤ k edges; the twin
+    * replays the same truncation). Unlike [[bfsDistances]], parallel
+    * edges are NOT free to keep: they're collapsed to the per-pair MIN
+    * weight up front (one edge-keyed agg) so each round relaxes one
+    * candidate per neighbor, not one per duplicate.
+    *
+    * Plan: the [[bfsDistances]] Pregel shape — weighted adjacency
+    * pre-partitioned on the relax key behind a checkpoint (rounds
+    * shuffle only the |reached|-row distance table), one join + one
+    * min agg per round. Output: (node, dist), node-ascending, seeds at
+    * dist 0. */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, "rounds in [1,8]")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+    val nbr = e.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      .repartition(col("node"))
+      .localCheckpoint(true)
+    var dist = nbr.select(col("node")).distinct()
+      .join(seeds.select(col(seedCol).as("node")).distinct(), Seq("node"),
+        "semi")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(nbr, Seq("node"))
+        .select(col("nbr").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** ADAMIC–ADAR LINK PREDICTION over the canonicalized undirected
     * graph: for each NON-ADJACENT pair (u < v) sharing at least one
     * neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/log₂ deg(w) — computed in

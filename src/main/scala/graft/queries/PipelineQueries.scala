@@ -1728,6 +1728,54 @@ object PipelineQueries {
     notes = "synchronous frontier min-relaxation, 3 rounds; " +
       "node-keyed joins, checkpoint-truncated")
 
+  /** WEIGHTED SSSP ([[graft.operators.Graph.weightedSssp]]): cheapest
+    * association cost from the size-50 parts over the weighted
+    * co-purchase graph — edge cost `1000 div support` (strong ties are
+    * short), 3 Bellman–Ford rounds. The affinity-expansion primitive
+    * with STRENGTH-aware distance: a frequent co-purchase chain beats a
+    * one-off hop, so the result ranking differs structurally from
+    * [[qBfsDist]]'s hop counts. Exact ≤3-edge cheapest cost (monotone
+    * min-relaxation; the twin replays the same truncation). */
+  val qSssp = GQuery("q_sssp",
+    (s, d) => {
+      val weighted = coPurchaseEdges(s, d, distinctItems = false)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        .select(col("src"), col("dst"),
+          expr("1000 div cnt").as("w"))
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey"))
+      graft.operators.Graph.weightedSssp(weighted, "src", "dst", "w",
+        seeds, "p_partkey", rounds = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT a.p AS u, b.p AS v, 1000 // COUNT(*) AS w
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p),
+      nbr AS (SELECT u AS node, v AS nbr, w FROM e
+        UNION ALL SELECT v, u, w FROM e),
+      sd AS (SELECT DISTINCT p_partkey AS node FROM part
+        WHERE p_size = 50),
+      d0 AS (SELECT n.node, 0 AS dist
+        FROM (SELECT DISTINCT node FROM nbr) n JOIN sd USING (node)),
+      r1 AS (SELECT nbr.nbr AS node, d0.dist + nbr.w AS dist
+        FROM d0 JOIN nbr ON d0.node = nbr.node),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY 1),
+      r2 AS (SELECT nbr.nbr AS node, d1.dist + nbr.w AS dist
+        FROM d1 JOIN nbr ON d1.node = nbr.node),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY 1),
+      r3 AS (SELECT nbr.nbr AS node, d2.dist + nbr.w AS dist
+        FROM d2 JOIN nbr ON d2.node = nbr.node),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM
+        (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY 1)
+      SELECT node, CAST(dist AS BIGINT) AS dist FROM d3
+      ORDER BY node"""),
+    notes = "Bellman-Ford prefix-exact rounds; per-pair min-collapsed " +
+      "integer weights, pre-partitioned adjacency, node-sized round " +
+      "shuffles")
+
   /** NEWMAN MODULARITY ([[graft.operators.Graph.modularity]]) of the
     * 3-round LPA communities on the weighted co-purchase graph — the
     * graph-clustering quality gate, per community in exact per-mille
@@ -2010,7 +2058,7 @@ object PipelineQueries {
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
-    qKcore, qAdamicAdar, qBenford, qBfsDist, qMutualInfo, qJackknife,
+    qKcore, qAdamicAdar, qBenford, qBfsDist, qSssp, qMutualInfo, qJackknife,
     qPprSeeds,
     qModularity, qAssortativity, qPowerlaw, qChi2, qSpearman)
 }

@@ -125,6 +125,24 @@ class GraphSpec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 0L)))
   }
 
+  test("weightedSssp: cheap 2-hop beats expensive direct edge; parallel edges collapse to min") {
+    import spark.implicits._
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5 → dist(3)=5. A duplicate
+    // (1,2) edge at cost 9 must NOT shadow the cheaper 2.
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (1L, 2L, 9L),
+      (2L, 3L, 3L)).toDF("s", "t", "w")
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graph.weightedSssp(edges, "s", "t", "w", seeds, "seed",
+        rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L), (2L, 2L), (3L, 5L)))
+    // rounds=1 is the ≤1-edge prefix: dist(3) is the direct edge's 10
+    val one = Graph.weightedSssp(edges, "s", "t", "w", seeds, "seed",
+        rounds = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(one === Seq((1L, 0L), (2L, 2L), (3L, 10L)))
+  }
+
   test("adamicAdar: square predicts its two diagonals, hand-scored") {
     // cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each share
     // two degree-2 neighbors → aa = 2 · (64000000 div 64) = 2000000
