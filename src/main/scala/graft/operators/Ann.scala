@@ -762,6 +762,42 @@ object Ann {
           .cast("int").as("q"),
         col("qscale"))
 
+  /** JOHNSON–LINDENSTRAUSS random projection with a DERIVED ±1 sign
+    * matrix (Achlioptas' database-friendly construction): out_j =
+    * Σ_i sign(i,j) · q_i where q_i = ⌊1000·v_i⌋ (exact integer
+    * quantization — float→double exact, one IEEE multiply, floor) and
+    * sign(i,j) comes from md5("i_j") parity — the same engine-portable
+    * hash [[Dsir]] buckets with, so the matrix needs no storage, no
+    * randomness state, and regenerates identically anywhere (DuckDB
+    * recomputes it from md5 in SQL; here it folds to PLAN LITERALS at
+    * build time — inDim×outDim ints, a bounded model artifact).
+    *
+    * Everything after quantization is integer, so projected coordinates
+    * are hash-exact cross-engine. One corpus pass, zero shuffles: the
+    * fold runs inside the row via zip_with/aggregate. Output:
+    * (id, j, p) — outDim rows per vector. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signOf(s: String): Int = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def hv(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+      if ((hv(hex(0)) * 16 + hv(hex(1))) % 2 == 0) 1 else -1
+    }
+    // sign matrix as nested literals: row j = [sign(0,j) … sign(inDim−1,j)]
+    val signLit = array((0 until outDim).map { j =>
+      array((0 until inDim).map(i => lit(signOf(s"${i}_${j}").toLong)): _*)
+    }: _*)
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * lit(1000.0)).cast("long"))
+    df.select(col(idCol).as("id"),
+        posexplode(transform(signLit, row =>
+          aggregate(zip_with(q, row, (x, s) => x * s),
+            lit(0L), (acc, x) => acc + x))).as(Seq("j", "p")))
+      .select(col("id"), col("j").cast("long").as("j"), col("p"))
+  }
+
   /** Distance-to-centroid outlier mining: for each group, the `k` vectors
     * FARTHEST from the group's exact centroid — the hard-example /
     * mislabel-detection primitive of embedding curation. Output:

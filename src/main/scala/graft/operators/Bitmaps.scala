@@ -30,6 +30,57 @@ object Bitmaps {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("_c")).as(outCol))
 
+  /** Exact SEGMENT-OVERLAP matrix (audience intersection): for every
+    * segment pair a < b, |A|, |B|, |A∩B|, |A∪B| and Jaccard per-mille —
+    * all from the per-(segment, bucket) bitmaps, never from id sets.
+    * Spark ships no bitmap AND, so the intersection is inclusion-
+    * exclusion: |A∩B| = |A| + |B| − |A∪B|, with the union from
+    * `bitmap_or_agg` over the PAIR-EXPLODED bounded bitmap table
+    * (#segments × #buckets rows — the corpus contributes exactly one
+    * shuffle to build the bitmaps; every pair statistic re-aggregates
+    * mergeable state). The pair fan-out is an equi-join against the
+    * exploded pair-side table, not an OR-condition nested loop.
+    * Output: (seg_a, seg_b, n_a, n_b, n_inter, n_union,
+    * jaccard_x1000), pair-ascending. */
+  def bitmapOverlap(df: DataFrame, segCol: String,
+      idCol: String): DataFrame = {
+    val bm = df
+      .groupBy(col(segCol).as("seg"),
+        expr(s"bitmap_bucket_number($idCol)").as("_bkt"))
+      .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($idCol))")
+        .as("_bm"))
+      .localCheckpoint(true) // counts, pairs, and the union all reuse it
+    val counts = bm
+      .select(col("seg"), expr("bitmap_count(_bm)").as("_c"))
+      .groupBy(col("seg")).agg(sum(col("_c")).as("n"))
+    val segs = bm.select(col("seg")).distinct()
+    // #segments is bounded (a segmentation column, not an id); the pair
+    // enumeration is an intended broadcast cross join over that bound
+    val pairs = segs
+      .crossJoin(broadcast(segs.select(col("seg").as("seg_b"))))
+      .filter(col("seg") < col("seg_b"))
+      .select(col("seg").as("seg_a"), col("seg_b"))
+    val unions = pairs
+      .select(col("seg_a"), col("seg_b"),
+        explode(array(col("seg_a"), col("seg_b"))).as("seg"))
+      .join(bm, Seq("seg"))
+      .groupBy(col("seg_a"), col("seg_b"), col("_bkt"))
+      .agg(expr("bitmap_count(bitmap_or_agg(_bm))").as("_cu"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(sum(col("_cu")).as("n_union"))
+    unions
+      .join(counts.select(col("seg").as("seg_a"), col("n").as("n_a")),
+        Seq("seg_a"))
+      .join(counts.select(col("seg").as("seg_b"), col("n").as("n_b")),
+        Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+        col("n_union"),
+        expr("(n_a + n_b - n_union) * 1000 div n_union")
+          .as("jaccard_x1000"))
+      .orderBy(col("seg_a"), col("seg_b"))
+  }
+
   /** Exact distinct `idCol` per (`keyCol`, trailing `days`-day window
     * ending at each active day): daily bitmaps are built ONCE from the
     * corpus [one shuffle], then the trailing window is answered by

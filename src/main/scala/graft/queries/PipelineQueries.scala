@@ -870,6 +870,81 @@ object PipelineQueries {
     notes = "daily bitmaps OR-merge per trailing window; corpus touched " +
       "once, window math on the bounded bitmap table")
 
+  /** Exact SEGMENT-OVERLAP matrix ([[graft.operators.Bitmaps
+    * .bitmapOverlap]]): pairwise audience intersection across event
+    * types via inclusion–exclusion on OR-merged bitmaps (Spark ships no
+    * bitmap AND) — |A∩B| = |A|+|B|−|A∪B|, with Jaccard per-mille. The
+    * corpus contributes ONE shuffle (the per-(segment, bucket) bitmap
+    * build); all 10 pair statistics re-aggregate that bounded mergeable
+    * state. Oracle recomputes every intersection from raw distinct id
+    * sets, gating exactness end to end. */
+  val qBitmapIntersect = GQuery("q_bitmap_intersect",
+    (s, d) => graft.operators.Bitmaps.bitmapOverlap(
+      Tables.events(s, d), "event_type", "user_id"),
+    Some("""WITH s AS (SELECT DISTINCT event_type AS seg, user_id AS id
+          FROM events),
+      cnt AS (SELECT seg, COUNT(*) AS n FROM s GROUP BY 1),
+      segs AS (SELECT DISTINCT seg FROM s),
+      pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b
+        FROM segs a JOIN segs b ON a.seg < b.seg),
+      ix AS (SELECT p.seg_a, p.seg_b, COUNT(*) AS ni
+        FROM pairs p
+          JOIN s x ON x.seg = p.seg_a
+          JOIN s y ON y.seg = p.seg_b AND y.id = x.id
+        GROUP BY 1, 2)
+      SELECT p.seg_a, p.seg_b,
+        ca.n AS n_a, cb.n AS n_b,
+        COALESCE(ix.ni, 0) AS n_inter,
+        ca.n + cb.n - COALESCE(ix.ni, 0) AS n_union,
+        COALESCE(ix.ni, 0) * 1000
+          // (ca.n + cb.n - COALESCE(ix.ni, 0)) AS jaccard_x1000
+      FROM pairs p
+        JOIN cnt ca ON ca.seg = p.seg_a
+        JOIN cnt cb ON cb.seg = p.seg_b
+        LEFT JOIN ix ON ix.seg_a = p.seg_a AND ix.seg_b = p.seg_b
+      ORDER BY p.seg_a, p.seg_b"""),
+    notes = "inclusion-exclusion over mergeable bitmaps; corpus " +
+      "touched once, pair matrix from bounded state")
+
+  /** JOHNSON–LINDENSTRAUSS ±1 projection ([[graft.operators.Ann
+    * .randomProjection]]): 64-dim embeddings → 8 integer coordinates
+    * under the md5-parity sign matrix (Achlioptas construction — the
+    * dimensionality-reduction front end for sketched distance and
+    * cheap pre-filtering before exact reranking). Quantization
+    * ⌊1000·v⌋ then pure integer folds ⇒ hash-exact; the twin
+    * REGENERATES the sign matrix from md5 in SQL, pinning matrix
+    * derivation and projection arithmetic together. */
+  val qRandProj = GQuery("q_rand_proj",
+    (s, d) => graft.operators.Ann.randomProjection(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        inDim = 64, outDim = 8)
+      .select(col("id").as("vec_id"), col("j"), col("p"))
+      .orderBy(col("vec_id"), col("j")),
+    Some {
+      def hv(arg: String, i: Int) =
+        s"""(CASE WHEN ascii(substr(md5($arg), $i, 1)) >= 97
+           THEN ascii(substr(md5($arg), $i, 1)) - 87
+           ELSE ascii(substr(md5($arg), $i, 1)) - 48 END)"""
+      val arg = "concat(CAST(i AS VARCHAR), '_', CAST(j AS VARCHAR))"
+      s"""WITH q AS (
+        SELECT vec_id,
+          generate_subscripts(embedding, 1) - 1 AS i,
+          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+            AS qv
+        FROM embeddings),
+      m AS (
+        SELECT ti.i, tj.j,
+          CASE WHEN (${hv(arg, 1)} * 16 + ${hv(arg, 2)}) % 2 = 0
+            THEN 1 ELSE -1 END AS sgn
+        FROM range(0, 64) ti(i), range(0, 8) tj(j))
+      SELECT vec_id, CAST(j AS BIGINT) AS j,
+        CAST(SUM(qv * sgn) AS BIGINT) AS p
+      FROM q JOIN m USING (i)
+      GROUP BY 1, 2 ORDER BY vec_id, j"""
+    },
+    notes = "derived sign matrix (md5 parity, no stored randomness); " +
+      "integer-exact projection, one corpus pass, zero shuffles")
+
   /** Zone-map pruned scan ([[graft.operators.Layout.zoneMapPrune]]):
     * the READ path of the Z-order layout — a 2D range query consults
     * per-file min/max stats and scans only intersecting files. The
@@ -2056,6 +2131,7 @@ object PipelineQueries {
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,
+    qBitmapIntersect, qRandProj,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
     qKcore, qAdamicAdar, qBenford, qBfsDist, qSssp, qMutualInfo, qJackknife,

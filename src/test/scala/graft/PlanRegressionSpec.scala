@@ -73,7 +73,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_idle_customers", "q_top_supplier", "q_important_parts",
     // 1-row broadcast corpus-count cross join onto the bounded 64x64
     // covariance table (and its power-iteration/Rayleigh consumers)
-    "q_embed_cov", "q_power_iter", "q_rayleigh")
+    "q_embed_cov", "q_power_iter", "q_rayleigh",
+    // |segments|-row broadcast cross join enumerating segment pairs
+    // (bounded by the segmentation cardinality, never by ids)
+    "q_bitmap_intersect")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
