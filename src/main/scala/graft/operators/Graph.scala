@@ -292,6 +292,60 @@ object Graph {
     dist.orderBy(col("node"))
   }
 
+  /** DETERMINISTIC RANDOM-WALK CORPUS (the DeepWalk/node2vec front end):
+    * one `steps`-step walk per seed over the canonicalized undirected
+    * graph, with the next hop DERIVED rather than sampled — at walk `w`,
+    * step `t`, the neighbor `v` minimizing `md5("w_t_v")` wins (ties by
+    * `v`; md5 of the same UTF-8 digits is byte-identical in any engine,
+    * the [[Dsir.bucketOf]] portability argument). Derived randomness
+    * makes the walk corpus REPRODUCIBLE and shard-independent — the
+    * property a training pipeline needs when walks feed an embedding
+    * trainer and must be regenerable bit-exact (same reason the sampling
+    * family derives from md5 thresholds, not RNG state).
+    *
+    * Plan per step: one join of the |walks|-row frontier to the
+    * pre-partitioned adjacency (the [[bfsDistances]] discipline: rounds
+    * shuffle only the frontier, never the edge stream) + one per-walk
+    * argmin window over the frontier×degree candidate rows. Walks may
+    * revisit nodes (standard DeepWalk semantics — no visited-set state).
+    * Output: (walk_id, step, node), steps 0..`steps`, walk/step asc. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, "steps in [1,8]")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val nbr = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .repartition(col("node"))
+      .localCheckpoint(true)
+    // seeds ∩ graph nodes: an isolated seed has nowhere to walk
+    var cur = nbr.select(col("node")).distinct()
+      .join(seeds.select(col(seedCol).as("node")).distinct(), Seq("node"),
+        "semi")
+      .select(col("node").as("walk_id"), col("node"))
+      .localCheckpoint(true)
+    var out = cur.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    for (t <- 1 to steps) {
+      val w = Window.partitionBy(col("walk_id"))
+        .orderBy(col("h"), col("nbr"))
+      cur = cur.join(nbr, Seq("node"))
+        .withColumn("h", md5(concat(col("walk_id").cast("string"),
+          lit("_"), lit(t.toLong).cast("string"), lit("_"),
+          col("nbr").cast("string"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("walk_id"), col("nbr").as("node"))
+        .localCheckpoint(true)
+      out = out.union(
+        cur.select(col("walk_id"), lit(t.toLong).as("step"), col("node")))
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
   /** WEIGHTED MULTI-SOURCE SHORTEST PATHS (synchronous Bellman–Ford)
     * over the canonicalized undirected weighted graph: cheapest-path
     * cost from the nearest seed under INTEGER edge weights, as `rounds`

@@ -1851,6 +1851,54 @@ object PipelineQueries {
       "integer weights, pre-partitioned adjacency, node-sized round " +
       "shuffles")
 
+  /** DETERMINISTIC RANDOM WALKS ([[graft.operators.Graph.randomWalks]]):
+    * one 3-step walk per size-50 seed part over the co-purchase graph —
+    * the DeepWalk corpus generator with md5-DERIVED next hops, so the
+    * walk corpus is reproducible bit-exact in both engines (the twin
+    * replays every hop from the same md5 argmin). Frontier-only round
+    * shuffles; standard may-revisit semantics. */
+  val qRandomWalk = GQuery("q_random_walk",
+    (s, d) => {
+      val pairs = coPurchaseEdges(s, d)
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey"))
+      graft.operators.Graph.randomWalks(pairs, "src", "dst",
+        seeds, "p_partkey", steps = 3)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+          FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      nbr AS (SELECT u AS node, v AS nbr FROM e
+        UNION ALL SELECT v, u FROM e),
+      sd AS (SELECT DISTINCT p_partkey AS node FROM part
+        WHERE p_size = 50),
+      w0 AS (SELECT n.node AS walk_id, n.node
+        FROM (SELECT DISTINCT node FROM nbr) n JOIN sd USING (node)),
+      w1 AS (SELECT walk_id, nbr.nbr AS node
+        FROM w0 JOIN nbr ON w0.node = nbr.node
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id
+          ORDER BY md5(concat(CAST(walk_id AS VARCHAR), '_1_',
+            CAST(nbr.nbr AS VARCHAR))), nbr.nbr) = 1),
+      w2 AS (SELECT walk_id, nbr.nbr AS node
+        FROM w1 JOIN nbr ON w1.node = nbr.node
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id
+          ORDER BY md5(concat(CAST(walk_id AS VARCHAR), '_2_',
+            CAST(nbr.nbr AS VARCHAR))), nbr.nbr) = 1),
+      w3 AS (SELECT walk_id, nbr.nbr AS node
+        FROM w2 JOIN nbr ON w2.node = nbr.node
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY walk_id
+          ORDER BY md5(concat(CAST(walk_id AS VARCHAR), '_3_',
+            CAST(nbr.nbr AS VARCHAR))), nbr.nbr) = 1)
+      SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+        SELECT walk_id, 0 AS step, node FROM w0
+        UNION ALL SELECT walk_id, 1, node FROM w1
+        UNION ALL SELECT walk_id, 2, node FROM w2
+        UNION ALL SELECT walk_id, 3, node FROM w3)
+      ORDER BY walk_id, step"""),
+    notes = "derived-randomness walks (md5 argmin next hop); " +
+      "reproducible corpus, frontier-sized round shuffles")
+
   /** NEWMAN MODULARITY ([[graft.operators.Graph.modularity]]) of the
     * 3-round LPA communities on the weighted co-purchase graph — the
     * graph-clustering quality gate, per community in exact per-mille
@@ -2134,7 +2182,8 @@ object PipelineQueries {
     qBitmapIntersect, qRandProj,
     qKsDrift, qPsiDrift, qHolt, qSkewProfile, qLabelProp, qJoinSize,
     qSnapshotDiff, qTrending, qAbTest, qWowDelta, qPropTest,
-    qKcore, qAdamicAdar, qBenford, qBfsDist, qSssp, qMutualInfo, qJackknife,
+    qKcore, qAdamicAdar, qBenford, qBfsDist, qSssp, qRandomWalk,
+    qMutualInfo, qJackknife,
     qPprSeeds,
     qModularity, qAssortativity, qPowerlaw, qChi2, qSpearman)
 }

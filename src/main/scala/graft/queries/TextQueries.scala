@@ -989,16 +989,24 @@ object TextQueries {
       ORDER BY id_a, id_b"""))
 
   /** PREFIX-FILTER set-similarity join ([[graft.operators.Dedup
-    * .prefixJaccardPairs]], the AllPairs/PPJoin family): word-BIGRAM
+    * .prefixJaccardPairs]], the AllPairs/PPJoin family): word-4-GRAM
     * Jaccard ≥ 0.5 pairs with candidates from the rarest-first gram
     * prefix (global-df ordering + pigeonhole prefix bound) instead of
     * MinHash banding — deterministic recall 1.0 by construction. The
     * brute-force twin is the same construction as [[qNgramJaccard]]'s
-    * at n = 2, so the gate pins candidate completeness AND the exact
-    * verify arithmetic together. */
+    * at n = 4, so the gate pins candidate completeness AND the exact
+    * verify arithmetic together.
+    *
+    * Gram length is the COST knob, measured in-round at sf0.1: with
+    * word bigrams this corpus has only 931 distinct grams at median
+    * df 285, so Σ(prefix-posting)² — the AllPairs candidate bound —
+    * explodes and the join ran 29 s; at n = 4 the inventory is 210k
+    * grams at median df 1 (Σdf² ÷ ~200) and the same 256 pairs
+    * survive. Prefix filtering needs a discriminative token
+    * distribution; on a low-vocabulary corpus, lengthen the gram. */
   val qPrefixJoin = GQuery("q_prefix_join",
     (s, d) => Dedup.prefixJaccardPairs(Tables.documents(s, d),
-        "doc_id", "text", n = 2, num = 1L, den = 2L)
+        "doc_id", "text", n = 4, num = 1L, den = 2L)
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH toks AS (
         SELECT doc_id,
@@ -1007,9 +1015,9 @@ object TextQueries {
         FROM documents),
       g AS (
         SELECT doc_id,
-          CASE WHEN len(tk) >= 2
-            THEN list_distinct(list_transform(range(0, len(tk) - 2 + 1),
-              i -> array_to_string(tk[i + 1 : i + 2], ' ')))
+          CASE WHEN len(tk) >= 4
+            THEN list_distinct(list_transform(range(0, len(tk) - 4 + 1),
+              i -> array_to_string(tk[i + 1 : i + 4], ' ')))
             ELSE [array_to_string(tk, ' ')] END AS grams
         FROM toks),
       s AS (SELECT doc_id, unnest(grams) AS gr FROM g),

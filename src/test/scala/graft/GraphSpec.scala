@@ -143,6 +143,29 @@ class GraphSpec extends SparkSpec {
     assert(one === Seq((1L, 0L), (2L, 2L), (3L, 10L)))
   }
 
+  test("randomWalks: derived hops are partition-independent and edge-valid") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "t")
+    val seeds = Seq(1L, 3L).toDF("seed")
+    val r1 = Graph.randomWalks(edges, "s", "t", seeds, "seed", steps = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val r2 = Graph.randomWalks(edges.repartition(7), "s", "t", seeds,
+        "seed", steps = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r1 === r2)                       // md5-derived, not sampled
+    assert(r1.count(_._2 == 0L) === 2)      // both seeds start a walk
+    // every consecutive hop is a real edge
+    val adj = Set((1L,2L),(2L,3L),(3L,4L),(1L,4L),(1L,3L))
+      .flatMap { case (a,b) => Seq((a,b),(b,a)) }
+    r1.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(adj.contains((a, b)), s"hop $a->$b")
+        case _ => ()
+      }
+    }
+  }
+
   test("adamicAdar: square predicts its two diagonals, hand-scored") {
     // cycle 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4) each share
     // two degree-2 neighbors → aa = 2 · (64000000 div 64) = 2000000
