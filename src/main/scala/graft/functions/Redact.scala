@@ -28,4 +28,15 @@ object Redact {
     regexp_replace(
       regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
+
+  /** CONSISTENT PSEUDONYMIZATION: stable salted-hash surrogate for an
+    * identifier — the GDPR-pipeline primitive that keeps per-user joins
+    * and distinct counts working after the raw id is dropped. SHA-256
+    * over `salt:id` (Spark `sha2` and DuckDB `sha256` emit the same
+    * lowercase hex), truncated to 16 hex chars (64 bits — collision
+    * odds n²/2⁶⁵, the accepted fingerprint trade). Same id ⇒ same
+    * token everywhere; codegen'd, no UDF. */
+  def pseudonymize(id: Column, salt: String = "graft"): Column =
+    substring(sha2(concat(lit(salt), lit(":"), id.cast("string")), 256),
+      1, 16)
 }

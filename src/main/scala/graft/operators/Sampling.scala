@@ -390,4 +390,59 @@ object Sampling {
     ranked.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col(idCol), col(weightCol), col("priority"))
   }
+
+  /** ITERATIVE PROPORTIONAL FITTING (raking) of 2-D sampling weights —
+    * the mixture-balancing step ABOVE [[mixturePlan]]'s 1-D allocator:
+    * fit per-cell weights so BOTH marginals (e.g. source share AND
+    * language share) approach uniform targets simultaneously, the
+    * standard survey/curation technique when the two dimensions are
+    * correlated and per-dimension capping can't fix both at once.
+    *
+    * Algorithm (classic alternating scaling, integer fixed point):
+    * w⁰_ij = n_ij · 10⁶; each scaling multiplies a row (then a column)
+    * by `target·/current·` via DECIMAL(38,0) cross-multiplication with
+    * truncating division (both operands non-negative ⇒ Spark `div` ≡
+    * DuckDB `//`; int64 would overflow at w·target ≈ D²·10¹²). Targets
+    * are the uniform marginals total/|rows| and total/|cols| of the
+    * FIXED initial total. A fixed `scalings` count (row, col, row, …)
+    * is deterministic and replayable as an unrolled-CTE twin; IPF
+    * converges geometrically, so small fixed counts are the production
+    * shape too.
+    *
+    * Scale posture: ONE corpus shuffle (the (row, col) count agg);
+    * every scaling is a window sum over the |rows|·|cols|-bounded cell
+    * table. Output: (rowv, colv, n, w) — `w` the fitted 10⁶-scaled
+    * weight, keyed ascending. */
+  def ipfWeights(df: DataFrame, rowCol: String, colCol: String,
+      scalings: Int = 3): DataFrame = {
+    require(scalings >= 1 && scalings <= 8, "scalings in [1,8]")
+    val cells = df.groupBy(col(rowCol).as("rowv"), col(colCol).as("colv"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounded; targets and every round reuse it
+    val wAll = Window.partitionBy(lit(1))
+    val wr = Window.partitionBy(col("rowv"))
+    val wc = Window.partitionBy(col("colv"))
+    // fixed targets from the INITIAL total (classic IPF: target marginals
+    // are constants; only the current marginals move between scalings)
+    var w = cells
+      .withColumn("_t0",
+        (sum(col("n")).over(wAll) * lit(1000000L)).cast("decimal(38,0)"))
+      .withColumn("_nr",
+        size(collect_set(col("rowv")).over(wAll)).cast("long"))
+      .withColumn("_nc",
+        size(collect_set(col("colv")).over(wAll)).cast("long"))
+      .withColumn("w", (col("n") * lit(1000000L)).cast("decimal(38,0)"))
+    for (k <- 1 to scalings) {
+      val (part, tgt) =
+        if (k % 2 == 1) (wr, "_t0 div _nr") else (wc, "_t0 div _nc")
+      w = w
+        .withColumn("_cur", sum(col("w")).over(part))
+        .withColumn("w",
+          expr(s"cast((w * ($tgt)) div _cur as decimal(38,0))"))
+        .drop("_cur")
+    }
+    w.select(col("rowv"), col("colv"), col("n"),
+        col("w").cast("long").as("w"))
+      .orderBy(col("rowv"), col("colv"))
+  }
 }

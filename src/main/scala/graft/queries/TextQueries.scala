@@ -209,6 +209,39 @@ object TextQueries {
       ORDER BY doc_id"""),
     notes = "planted self-repetition; twin recomputes distinct-gram counts and the exact IEEE ratio")
 
+  /** CONSISTENT PSEUDONYMIZATION ([[graft.functions.Redact
+    * .pseudonymize]]): user ids replaced by salted SHA-256 surrogates —
+    * the keep-joins-drop-identity primitive. The gate proves the two
+    * contracts at once: per event type the DISTINCT-token count equals
+    * the distinct-user count (stability + injectivity on this corpus),
+    * and the lexicographically-first token pins the byte-exact hex so
+    * an engine emitting different case/length would hash-fail. */
+  val qPseudonymize = GQuery("q_pseudonymize",
+    (s, d) => {
+      import graft.functions.Redact
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          Redact.pseudonymize(col("user_id")).as("token"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("token")).as("n_tokens"),
+          min(col("token")).as("first_token"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH t AS (
+        SELECT event_type, user_id,
+          substr(sha256('graft:' || CAST(user_id AS VARCHAR)), 1, 16)
+            AS token
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(DISTINCT token) AS n_tokens,
+        MIN(token) AS first_token
+      FROM t GROUP BY 1 ORDER BY event_type"""),
+    notes = "salted sha-256 surrogate ids; distinct-count preservation " +
+      "and byte-exact hex pinned together")
+
   /** PII SCRUB ([[graft.functions.Redact]]): email/phone redaction with
     * per-doc counts and the md5 of the scrubbed text. The corpus carries no
     * PII, so the gate PLANTS it: every 17th doc gains a doc-unique email
@@ -712,6 +745,42 @@ object TextQueries {
              ELSE 'test' END AS split
       FROM canon ORDER BY doc_id"""),
     notes = "cluster-atomic train/val/test: no near-dup pair ever straddles a split")
+
+  /** IPF RAKING ([[graft.operators.Sampling.ipfWeights]]): fit per-
+    * (source, lang) sampling weights so BOTH marginals approach uniform
+    * simultaneously (3 alternating scalings) — the 2-D mixture
+    * balancer above [[qMixturePlan]]'s 1-D allocator, needed when the
+    * dimensions are correlated (this corpus is 43% English, unevenly
+    * across sources). Integer fixed point: 10⁶-scaled weights,
+    * DECIMAL(38,0)/HUGEINT products, truncating division — the weight
+    * TRAJECTORY is bit-exact cross-engine; the twin unrolls the three
+    * scalings as chained window-sum CTEs. */
+  val qIpfRaking = GQuery("q_ipf_raking",
+    (s, d) => graft.operators.Sampling.ipfWeights(
+      Tables.documents(s, d), "source", "lang", scalings = 3),
+    Some("""WITH cells AS (
+        SELECT source AS rowv, lang AS colv, COUNT(*) AS n
+        FROM documents GROUP BY 1, 2),
+      t AS (SELECT CAST(SUM(n) AS HUGEINT) * 1000000 AS t0,
+          CAST(COUNT(DISTINCT rowv) AS HUGEINT) AS nr,
+          CAST(COUNT(DISTINCT colv) AS HUGEINT) AS nc
+        FROM cells),
+      w0 AS (SELECT rowv, colv, n, CAST(n AS HUGEINT) * 1000000 AS w
+        FROM cells),
+      w1 AS (SELECT rowv, colv, n,
+          (w * (t.t0 // t.nr)) // (SUM(w) OVER (PARTITION BY rowv)) AS w
+        FROM w0, t),
+      w2 AS (SELECT rowv, colv, n,
+          (w * (t.t0 // t.nc)) // (SUM(w) OVER (PARTITION BY colv)) AS w
+        FROM w1, t),
+      w3 AS (SELECT rowv, colv, n,
+          (w * (t.t0 // t.nr)) // (SUM(w) OVER (PARTITION BY rowv)) AS w
+        FROM w2, t)
+      SELECT rowv, colv, CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS w
+      FROM w3 ORDER BY rowv, colv"""),
+    notes = "2-D marginal raking, fixed uniform targets from the " +
+      "initial total; one corpus shuffle, rounds on the bounded cell " +
+      "table")
 
   /** MIXTURE PLAN ([[graft.operators.Sampling.mixturePlan]]): the
     * data-mix allocator — double-weight sources src0..src9, cap every
@@ -4715,7 +4784,8 @@ object TextQueries {
     qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
     qNdcg,
     qTokenCount,
-    qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qLangId, qFingerprint,
+    qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qPseudonymize,
+    qLangId, qFingerprint,
     qKnnClassify,
     qMinhashPairs, qDupMatrix, qGramNovelty, qNearDupGroups,
     qDedupIncremental,
@@ -4738,7 +4808,8 @@ object TextQueries {
     qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
-    qClusterRep, qLeakageSafeSplit, qMixturePlan, qDomainCap, qHardNegatives,
+    qClusterRep, qLeakageSafeSplit, qMixturePlan, qIpfRaking, qDomainCap,
+    qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,
     qCoresetBatched, qMmr,
     qContrastivePairs, qKmeans, qSilhouette, qSemDedup, qRrfFusion,

@@ -261,4 +261,36 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(e1.subsetOf(e2)) // prefix property of without-replacement
   }
+
+  test("ipfWeights: marginals converge to uniform targets, shard-stable") {
+    // correlated 2x2 grid: row A is 90% of mass and col x is 85% —
+    // 1-D capping can't fix both; IPF must
+    val rows = Seq.fill(80)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(5)(("B", "x")) ++ Seq.fill(5)(("B", "y"))
+    val df = rows.toDF("src", "lang")
+    val out = Sampling.ipfWeights(df, "src", "lang", scalings = 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sum === 100L)
+    val t0 = 100L * 1000000L
+    // last scaling was a ROW scaling: row marginals hit t0/2 exactly up
+    // to per-cell truncation (<1 unit each, 2 cells per row)
+    val byRow = out.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    byRow.foreach { case (r, s) =>
+      assert(math.abs(s - t0 / 2) <= 2, s"row $r marginal $s") }
+    // column marginals: raked from 70% relative error (85/15 split) to
+    // under 10% after 3 scalings, and geometric convergence — 5 scalings
+    // (last = col) pins the COL marginal to truncation exactness
+    def colErr(o: Seq[(String, String, Long, Long)]): Double =
+      o.groupBy(_._2).values
+        .map(g => math.abs(g.map(_._4).sum - t0 / 2).toDouble / (t0 / 2))
+        .max
+    assert(colErr(out) < 0.10, s"col err ${colErr(out)}")
+    val out5 = Sampling.ipfWeights(df, "src", "lang", scalings = 4)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(colErr(out5) <= 4.0 / t0, s"col err after col-scaling round")
+    // deterministic across partitionings (exact integer trajectory)
+    val out7 = Sampling.ipfWeights(df.repartition(7), "src", "lang", 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out === out7)
+  }
 }
