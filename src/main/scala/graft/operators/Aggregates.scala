@@ -254,4 +254,43 @@ object Aggregates {
         col("norm_val"))
       .orderBy(col(idCol))
   }
+
+  /** MERGEABLE QUANTILE SKETCH — bottom-k-by-md5 sampling
+    * ([[graft.functions.BottomKAgg]]): per group, keep the k rows whose
+    * md5(salt:key) is smallest (a deterministic uniform sample —
+    * md5 order is a property of the data, not the partitioning), then
+    * read quantile estimates as order statistics of the sample. The
+    * scale story exact quantiles can't tell: state is k rows per group
+    * bounded BEFORE the exchange (map-side partials), merge is
+    * associative/commutative union-take-k, so a 100 TB group costs the
+    * same shuffle bytes as a 100-row one — and unlike
+    * `percentile_approx`'s reservoir the result is bit-reproducible on
+    * any cluster layout. Standard error ~ sqrt(q(1-q)/k) quantile mass.
+    *
+    * Estimate index is the floor order statistic idx = (k_eff-1)·q/100
+    * + 1 (1-based); ties in the sample sort break by hash, so the
+    * element chosen is total-order deterministic. Output per group:
+    * n (exact), k_eff, and one `p<q>_est` column per requested
+    * percentile — raw data values, byte-exact across engines. */
+  def bottomKQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+      valCol: String, k: Int = 64, qs: Seq[Int] = Seq(50, 90, 99),
+      salt: String = "qsk"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100))
+    val bk = udaf(new graft.functions.BottomKAgg(k))
+    val hashed = df.select(col(groupCol),
+      md5(concat(lit(salt), lit(":"), col(keyCol).cast("string")))
+        .as("__h"),
+      col(valCol).cast("double").as("__v"))
+    val est = qs.map { q =>
+      element_at(col("__smp"),
+        (expr(s"((__k - 1) * $q) div 100") + lit(1L)).cast("int"))
+        .as(s"p${q}_est")
+    }
+    hashed.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), bk(col("__h"), col("__v")).as("__smp"))
+      .withColumn("__k", size(col("__smp")).cast("long"))
+      .select(col(groupCol) +: col("n") +: col("__k").as("k_eff") +:
+        est: _*)
+      .orderBy(col(groupCol))
+  }
 }

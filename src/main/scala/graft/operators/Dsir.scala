@@ -119,4 +119,35 @@ object Dsir {
       CAST(weight64 AS BIGINT) AS weight64
     FROM wts ORDER BY weight64 DESC, doc_id LIMIT $k"""
   }
+
+  /** FEATURE HASHING (the "hashing trick", Weinberger et al. 2009):
+    * each document becomes a FIXED-width signed bag-of-words vector —
+    * bucket = two md5 nibbles mod `nBuckets`, sign = third-nibble
+    * parity — so the feature space is independent of vocabulary size
+    * (no vocab table to build, broadcast, or keep consistent across
+    * training runs; new words at 100 TB never change the schema). The
+    * random sign makes collision noise zero-mean (E[⟨φ(x),φ(y)⟩] =
+    * ⟨x,y⟩), which is why hashed features train linear models almost
+    * as well as exact ones. md5-derived bucket AND sign are properties
+    * of the token bytes, so the vectors are bit-identical on any
+    * engine or layout. One explode + one map-side-combined agg
+    * (`nBuckets` longs of state per doc); no join, no vocab state. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 12): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 64)
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("w"))
+    val m = md5(col("w"))
+    val signed = tok
+      .withColumn("b", bucketOf(col("w"), nBuckets))
+      .withColumn("sgn",
+        when(hexVal(ascii(substring(m, 3, 1))) % 2 === 0, 1L)
+          .otherwise(-1L))
+    signed.groupBy(col("doc_id"))
+      .agg(sum(when(col("b") === 0, col("sgn")).otherwise(0L)).as("f0"),
+        (1 until nBuckets).map(i =>
+          sum(when(col("b") === i, col("sgn")).otherwise(0L))
+            .as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
 }

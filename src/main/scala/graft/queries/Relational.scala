@@ -1171,6 +1171,54 @@ object Relational {
     notes = "histogram-refinement selection (no global sort) vs the " +
       "oracle's ORDER BY offset read; exact lower-element quantiles")
 
+  /** MERGEABLE QUANTILE SKETCH ([[graft.operators.Aggregates
+    * .bottomKQuantiles]]): per event type, p50/p90/p99 ESTIMATES from
+    * the 64 md5-smallest rows — the bounded-state shape that replaces
+    * [[qExactQuantiles]]'s full pass when the group no longer fits a
+    * sort: map-side partials cap state at k rows/group, the shuffle
+    * carries ≤ k·groups rows at any corpus size, and the md5 order
+    * makes the sample (hence the estimate) bit-reproducible on any
+    * cluster layout — the property `percentile_approx` gives up.
+    * Values flow as exact micro-longs (the [[qExactQuantiles]]
+    * DECIMAL(27,6) conversion, proven cross-engine); the twin replays
+    * the same bottom-64 selection with window ranks. */
+  val qQuantileSketch = GQuery("q_quantile_sketch",
+    (s, d) => {
+      val v = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(27, 6))
+          * lit(1000000)).cast("long").as("x"))
+      graft.operators.Aggregates
+        .bottomKQuantiles(v, "event_type", "event_id", "x", k = 64)
+        .select(col("event_type"), col("n"), col("k_eff"),
+          col("p50_est").cast("long").as("p50_est"),
+          col("p90_est").cast("long").as("p90_est"),
+          col("p99_est").cast("long").as("p99_est"))
+    },
+    Some("""WITH v AS (
+        SELECT event_type,
+          md5('qsk:' || CAST(event_id AS VARCHAR)) AS hh,
+          CAST(CAST(value AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS x
+        FROM events),
+      r AS (SELECT event_type, x, hh,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hh) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v),
+      o AS (SELECT event_type, n, x,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x, hh) AS i,
+          COUNT(*) OVER (PARTITION BY event_type) AS k_eff
+        FROM r WHERE rn <= 64)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(k_eff) AS BIGINT) AS k_eff,
+        CAST(MAX(CASE WHEN i = ((k_eff - 1) * 50) // 100 + 1 THEN x END)
+          AS BIGINT) AS p50_est,
+        CAST(MAX(CASE WHEN i = ((k_eff - 1) * 90) // 100 + 1 THEN x END)
+          AS BIGINT) AS p90_est,
+        CAST(MAX(CASE WHEN i = ((k_eff - 1) * 99) // 100 + 1 THEN x END)
+          AS BIGINT) AS p99_est
+      FROM o GROUP BY event_type ORDER BY event_type"""),
+    notes = "bottom-k-by-md5 mergeable sample; k rows/group state " +
+      "bound, layout-independent estimates read as order statistics")
+
   /** SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): lineitems whose
     * quantity is below HALF the part's average quantity, for one brand
     * family — the canonical CORRELATED-SCALAR-SUBQUERY decorrelation:
@@ -1472,7 +1520,7 @@ object Relational {
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
-    qSkyline, qExactQuantiles, qAssocRules, qShippingPriority,
+    qSkyline, qExactQuantiles, qQuantileSketch, qAssocRules, qShippingPriority,
     qRegionalVolume, qTargetEncode,
     qSmallQtyRev, qBigOrders, qIdleCustomers, qOnlyLateSupplier,
     qTopSupplier, qImportantParts, qMelt)

@@ -3235,6 +3235,207 @@ object TextQueries {
       FROM sc ORDER BY sco DESC, doc_id LIMIT 50"""),
     notes = "exact-integer Okapi BM25: tf saturation + length norm, zero libm")
 
+  /** MEAN RECIPROCAL RANK — the first-hit retrieval metric next to
+    * [[qNdcg]] (graded) and [[qLiftAtK]] (set): for each query term,
+    * rank the docs containing it by (tf desc, doc_id) and find the rank
+    * of the first RELEVANT one (relevance = lang='en', the same
+    * independent label qNdcg uses); RR = 1/first_rank in exact integer
+    * per-million (10⁶ div rank), MRR the mean over the fixed 5-term
+    * query set with missing-relevant terms contributing 0 — the
+    * convention that keeps the metric defined on degenerate corpora
+    * (the qNdcg zero-positive incident class). One tokenize pass with
+    * the term filter pushed below the explode; everything after the
+    * (term, doc) tf agg is bounded by hits. */
+  val qMrr = GQuery("q_mrr",
+    (s, d) => {
+      val terms = Seq("join", "filter", "scan", "shuffle", "window")
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          explode(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).as("term"))
+        .filter(col("term").isInCollection(terms))
+        .groupBy(col("term"), col("doc_id"), col("pos"))
+        .agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(desc("tf"), col("doc_id"))
+      val perTerm = tf.withColumn("rank", row_number().over(w))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_ranked"),
+          min(when(col("pos") === 1L, col("rank"))).cast("long")
+            .as("first_rank"))
+        .withColumn("rr_x1e6", expr("1000000 div first_rank"))
+      perTerm
+        .withColumn("mrr_x1e6",
+          expr(s"sum(coalesce(rr_x1e6, 0)) over () div ${terms.size}"))
+        .select(col("term"), col("n_ranked"), col("first_rank"),
+          col("rr_x1e6"), col("mrr_x1e6"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH tk AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> len(w) > 0)) AS term
+        FROM documents),
+      tf AS (
+        SELECT term, doc_id, pos, COUNT(*) AS tf FROM tk
+        WHERE term IN ('join', 'filter', 'scan', 'shuffle', 'window')
+        GROUP BY 1, 2, 3),
+      rk AS (
+        SELECT term, pos,
+          ROW_NUMBER() OVER (PARTITION BY term
+            ORDER BY tf DESC, doc_id) AS rank
+        FROM tf),
+      pt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+          CAST(MIN(CASE WHEN pos = 1 THEN rank END) AS BIGINT)
+            AS first_rank
+        FROM rk GROUP BY term)
+      SELECT term, n_ranked, first_rank,
+        CAST(1000000 // first_rank AS BIGINT) AS rr_x1e6,
+        CAST(SUM(COALESCE(1000000 // first_rank, 0)) OVER () // 5
+          AS BIGINT) AS mrr_x1e6
+      FROM pt ORDER BY term"""),
+    notes = "reciprocal rank in exact per-million; fixed 5-term query " +
+      "set, absent-relevant terms count 0 in the mean")
+
+  /** RANK-BIASED OVERLAP — the top-weighted ranking-agreement metric
+    * (Webber et al. 2010) between two retrieval systems answering the
+    * same query: truncated RBO@10 = (1−p)·Σ_{d≤10} p^(d−1)·X_d/d with
+    * p=9/10, X_d the overlap of the depth-d prefixes of the BM25 and
+    * raw-tf rankings. Where [[qRrfFusion]] MERGES rankings, RBO
+    * measures how much they AGREE — the monitoring number for "did the
+    * scorer change reorder what users see". All-integer: every
+    * p^(d−1)/d is the exact rational 9^(d−1)/(10^(d−1)·d), cleared by
+    * the common denominator 2520·10⁹ (lcm(1..10)=2520), so the per-
+    * depth weights are int64 literals derived in Scala and the twin
+    * carries the SAME literals in a VALUES table; identical lists score
+    * 1−p¹⁰ = 0.6513 (truncated-sum convention — no extrapolation).
+    * Both prefix sets are ≤10 rows, so the overlap join is trivially
+    * bounded; the corpus is touched twice (once per scorer), each a
+    * single tokenize+agg pass. */
+  val qRbo = GQuery("q_rbo",
+    (s, d) => {
+      val terms = Seq("join", "filter", "scan")
+      val k = 10
+      // exact integer weights: w_d = 9^(d-1) · (2520/d) · 10^(10-d)
+      val ws: Seq[Long] = (1 to k).map(dd =>
+        BigInt(9).pow(dd - 1).toLong * (2520L / dd)
+          * math.pow(10, k - dd).toLong)
+      val docs = Tables.documents(s, d)
+      val a = graft.operators.Index
+        .bm25Search(docs, "doc_id", "text", terms, k = k)
+        .select(col("doc_id"), col("rank").as("ra"))
+      val tfRank = docs
+        .select(col("doc_id"),
+          explode(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0)).as("term"))
+        .filter(col("term").isInCollection(terms))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("doc_id")).limit(k)
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("tf"), col("doc_id"))
+      val b = tfRank.withColumn("rb", row_number().over(wb).cast("long"))
+        .select(col("doc_id"), col("rb"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .select(greatest(col("ra"), col("rb")).as("dmax"))
+      val ds = s.range(1, k + 1).toDF("d")
+      ds.join(pairs, col("dmax") <= col("d"), "left")
+        .groupBy(col("d"))
+        .agg(count(col("dmax")).as("x_d"))
+        .withColumn("w", element_at(typedLit(ws), col("d").cast("int")))
+        .withColumn("rbo_x1e4",
+          expr("sum(x_d * w) over () div 2520000000"))
+        .select(col("d"), col("x_d"), col("w"), col("rbo_x1e4"))
+        .orderBy(col("d"))
+    },
+    Some {
+      val k = 10
+      val ws = (1 to k).map(dd =>
+        BigInt(9).pow(dd - 1).toLong * (2520L / dd)
+          * math.pow(10, k - dd).toLong)
+      val wt = ws.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v}::BIGINT)" }.mkString(", ")
+      s"""WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      dd AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        FROM tk),
+      q AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf FROM dd
+        WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2, 3),
+      s AS (
+        SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS tt FROM tk),
+      w AS (
+        SELECT term, (s.n * 1000000) // COUNT(*) AS idf, s.n AS n,
+          s.tt AS tt
+        FROM q, s GROUP BY term, s.n, s.tt),
+      sc AS (
+        SELECT doc_id,
+          SUM(idf * ((44 * tf * tt * 1000)
+            // (20 * tf * tt + 6 * tt + 18 * dl * n))) AS sco
+        FROM q JOIN w USING (term) GROUP BY doc_id),
+      a AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY sco DESC, doc_id) AS ra
+        FROM sc ORDER BY sco DESC, doc_id LIMIT $k),
+      btf AS (
+        SELECT doc_id, COUNT(*) AS tf FROM dd
+        WHERE term IN ('join', 'filter', 'scan') GROUP BY doc_id),
+      b AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rb
+        FROM btf ORDER BY tf DESC, doc_id LIMIT $k),
+      pairs AS (
+        SELECT GREATEST(a.ra, b.rb) AS dmax
+        FROM a JOIN b USING (doc_id)),
+      wt(d, w) AS (VALUES $wt),
+      xd AS (
+        SELECT wt.d, CAST(COUNT(pairs.dmax) AS BIGINT) AS x_d, wt.w
+        FROM wt LEFT JOIN pairs ON pairs.dmax <= wt.d
+        GROUP BY wt.d, wt.w)
+      SELECT CAST(d AS BIGINT) AS d, x_d, w,
+        CAST(SUM(x_d * w) OVER () // 2520000000 AS BIGINT) AS rbo_x1e4
+      FROM xd ORDER BY d"""
+    },
+    notes = "truncated RBO@10 (p=0.9) between BM25 and raw-tf " +
+      "rankings; lcm-cleared integer weights shared as literals")
+
+  /** FEATURE HASHING ([[graft.operators.Dsir.hashedFeatures]]): fixed
+    * 12-bucket signed bag-of-words per doc — the vocab-free featurizer
+    * (bucket and sign both md5-derived, so vectors are layout- and
+    * engine-independent). Complements [[qTokenIds]] (exact vocab
+    * lookup) with the shape that needs NO vocabulary state at all.
+    * Twin regenerates bucket and sign from the same md5 nibbles. */
+  val qFeatureHash = GQuery("q_feature_hash",
+    (s, d) => graft.operators.Dsir.hashedFeatures(
+      Tables.documents(s, d), "doc_id", "text", nBuckets = 12),
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(md5(w), $i, 1)) >= 97
+           THEN ascii(substr(md5(w), $i, 1)) - 87
+           ELSE ascii(substr(md5(w), $i, 1)) - 48 END)"""
+      val fs = (0 until 12).map(i =>
+        s"CAST(SUM(CASE WHEN b = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n        ")
+      s"""WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> len(w) > 0)) AS w
+        FROM documents),
+      h AS (
+        SELECT doc_id, ((${hv(1)} * 16 + ${hv(2)}) % 12) AS b,
+          CASE WHEN ${hv(3)} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        FROM tok)
+      SELECT doc_id, $fs
+      FROM h GROUP BY doc_id ORDER BY doc_id"""
+    },
+    notes = "hashing-trick featurizer: md5 bucket + parity sign, " +
+      "zero vocabulary state, zero-mean collision noise")
+
   /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
     * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
     * with one multiply + one divide of exact integer counts, so the score
@@ -4807,7 +5008,8 @@ object TextQueries {
     qWordpieceMerges, qWordpieceEncode, qWordpieceTokenize,
     qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,
-    qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qNtileBins,
+    qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qMrr, qRbo,
+    qFeatureHash, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qIpfRaking, qDomainCap,
     qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,

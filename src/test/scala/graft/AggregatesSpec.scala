@@ -106,4 +106,35 @@ class AggregatesSpec extends SparkSpec {
     // {x,z} has support 1 < minSup — no rule
     assert(!out.contains(("x", "z")) && !out.contains(("z", "x")))
   }
+
+  test("bottomKQuantiles: layout-independent, small groups exact, " +
+      "estimates within sampling error") {
+    import spark.implicits._
+    // group "small" has 10 rows < k ⇒ the sample IS the group and the
+    // estimate is the exact order statistic; group "big" has 5000
+    val rows = (0L until 10L).map(i => ("small", i, i.toDouble)) ++
+      (0L until 5000L).map(i => ("big", 100L + i, i.toDouble))
+    val df = rows.toDF("g", "key", "v")
+    val out = Aggregates.bottomKQuantiles(df, "g", "key", "v", k = 64)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, nS, kS, p50S, p90S, p99S) = out("small")
+    assert(nS === 10L && kS === 10L)
+    // idx = (9·q) div 100 + 1 → p50 = 5th smallest = 4.0, p90 = 9th,
+    // p99 = 9th (floor order statistic)
+    assert((p50S, p90S, p99S) === ((4.0, 8.0, 8.0)))
+    val (_, nB, kB, p50B, p90B, p99B) = out("big")
+    assert(nB === 5000L && kB === 64L)
+    // uniform 0..4999: sampling s.e. ≈ sqrt(q(1-q)/64)·5000 ≈ 310 at
+    // the median — assert a generous 4-s.e. band (deterministic: the
+    // md5 sample is fixed, this pins today's draw stays sane)
+    assert(math.abs(p50B - 2500.0) < 1250, s"p50 $p50B")
+    assert(p90B > 3500 && p99B > p90B - 1e-9, s"p90 $p90B p99 $p99B")
+    // layout independence: same result on any partitioning
+    val out7 = Aggregates.bottomKQuantiles(
+        df.repartition(13), "g", "key", "v", k = 64)
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out7 === out)
+  }
 }

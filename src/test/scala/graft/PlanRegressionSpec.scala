@@ -76,7 +76,11 @@ class PlanRegressionSpec extends SparkSpec {
     "q_embed_cov", "q_power_iter", "q_rayleigh",
     // |segments|-row broadcast cross join enumerating segment pairs
     // (bounded by the segmentation cardinality, never by ids)
-    "q_bitmap_intersect")
+    "q_bitmap_intersect",
+    // 10-row depth table left-joined to the ≤10-row ranking-overlap
+    // pair list on a non-equi prefix predicate (both sides bounded by
+    // the RBO truncation depth, never by the corpus)
+    "q_rbo")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
