@@ -1219,6 +1219,36 @@ object Relational {
     notes = "bottom-k-by-md5 mergeable sample; k rows/group state " +
       "bound, layout-independent estimates read as order statistics")
 
+  /** K-ANONYMITY / L-DIVERSITY AUDIT ([[graft.operators.Privacy
+    * .kAnonymityAudit]]) — the release gate after
+    * [[graft.functions.Redact.pseudonymize]] drops direct identifiers:
+    * every (nation, segment, balance-band) equivalence class must hold
+    * ≥5 rows (else the combination re-identifies) AND ≥2 distinct
+    * sensitive values (else a k-large class still leaks the attribute
+    * — the homogeneity hole). Banding uses floor-before-cast (negative
+    * balances land in band −1 identically in both engines); the
+    * sensitive proxy is the customer-name last digit. One map-side
+    * agg; class count bounded by the generalized domain. */
+  val qKAnonymity = GQuery("q_k_anonymity",
+    (s, d) => graft.operators.Privacy.kAnonymityAudit(
+        Tables.customer(s, d),
+        Seq(col("c_nationkey").cast("long"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(2000.0)).cast("long")),
+        substring(col("c_name"), -1, 1), k = 5, l = 2)
+      .withColumnRenamed("q0", "nation")
+      .withColumnRenamed("q1", "segment")
+      .withColumnRenamed("q2", "bal_band"),
+    Some("""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        c_mktsegment AS segment,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        COUNT(*) AS n,
+        COUNT(DISTINCT substr(c_name, -1, 1)) AS l_div,
+        COUNT(*) >= 5 AS k_anon,
+        COUNT(DISTINCT substr(c_name, -1, 1)) >= 2 AS l_diverse
+      FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+    notes = "per-equivalence-class size + sensitive diversity with " +
+      "pass flags; generalization (banding) is a caller policy input")
+
   /** SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): lineitems whose
     * quantity is below HALF the part's average quantity, for one brand
     * family — the canonical CORRELATED-SCALAR-SUBQUERY decorrelation:
@@ -1520,7 +1550,8 @@ object Relational {
     qJsonExtract, qDateArith, qRetention,
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
-    qSkyline, qExactQuantiles, qQuantileSketch, qAssocRules, qShippingPriority,
+    qSkyline, qExactQuantiles, qQuantileSketch, qKAnonymity,
+    qAssocRules, qShippingPriority,
     qRegionalVolume, qTargetEncode,
     qSmallQtyRev, qBigOrders, qIdleCustomers, qOnlyLateSupplier,
     qTopSupplier, qImportantParts, qMelt)

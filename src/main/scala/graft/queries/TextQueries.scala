@@ -3436,6 +3436,105 @@ object TextQueries {
     notes = "hashing-trick featurizer: md5 bucket + parity sign, " +
       "zero vocabulary state, zero-mean collision noise")
 
+  /** FILL-IN-THE-MIDDLE TRANSFORM (Bavarian et al. 2022): rewrite each
+    * document as ⟨PRE⟩prefix⟨SUF⟩suffix⟨MID⟩middle — the training-data
+    * reordering that teaches a causal LM to infill. The two character
+    * cut points are md5-DERIVED (4-nibble fold mod len−1, the
+    * [[graft.operators.Sampling]] portability argument: a property of
+    * the bytes, not of partitioning or RNG state), so the corpus
+    * transform is bit-reproducible anywhere; p1=p2 degenerates to an
+    * empty middle, which stays a valid example. Pure per-row project —
+    * zero shuffles except the presentation sort; the gate pins the cut
+    * arithmetic AND the reassembled string bytes via md5. */
+  val qFimTransform = GQuery("q_fim_transform",
+    (s, d) => graft.operators.Denoise.fimTransform(
+        Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("len"), col("p1"), col("p2"),
+        md5(col("fim")).as("fim_md5"))
+      .orderBy(col("doc_id")),
+    Some {
+      def hv(salt: String, i: Int) =
+        s"""(CASE WHEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), $i, 1)) >= 97
+           THEN ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), $i, 1)) - 87
+           ELSE ascii(substr(md5('$salt' || CAST(doc_id AS VARCHAR)), $i, 1)) - 48 END)"""
+      def fold4(salt: String) = (1 to 4)
+        .map(i => s"${hv(salt, i)} * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH c AS (
+        SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len,
+          (${fold4("fim1:")}) % (len(text) - 1) + 1 AS a,
+          (${fold4("fim2:")}) % (len(text) - 1) + 1 AS b
+        FROM documents WHERE len(text) >= 8),
+      p AS (
+        SELECT doc_id, len, LEAST(a, b) AS p1, GREATEST(a, b) AS p2, text
+        FROM c)
+      SELECT doc_id, len, CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+        md5('<PRE>' || substr(text, 1, CAST(p1 AS INT))
+          || '<SUF>' || substr(text, CAST(p2 + 1 AS INT))
+          || '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)))
+          AS fim_md5
+      FROM p ORDER BY doc_id"""
+    },
+    notes = "md5-derived character cut points; reassembled " +
+      "PRE/SUF/MID bytes pinned by md5; zero-shuffle per-row transform")
+
+  /** SPAN CORRUPTION (T5, Raffel et al. 2020): mask ~9% of tokens in
+    * length-3 spans, emitting the sentinel-bearing INPUT and the
+    * sentinel→tokens TARGET — the denoising-objective pair builder.
+    * Span starts are md5-coin decisions at every 8th position (stride
+    * 8 > span 3 ⇒ spans can never overlap, so no greedy scan is
+    * needed and the decision is embarrassingly per-position); sentinel
+    * ordinals come from a cumulative count of starts, the only
+    * non-per-row step. Deterministic: the coin is a property of
+    * (doc_id, position) bytes. One explode + one doc-keyed
+    * reassembly agg; both output strings pinned by md5. */
+  val qSpanMask = GQuery("q_span_mask",
+    (s, d) => graft.operators.Denoise.spanCorrupt(
+        Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"), md5(col("input")).as("input_md5"),
+        md5(col("target")).as("target_md5"))
+      .orderBy(col("doc_id")),
+    Some {
+      val hv = """(CASE WHEN ascii(substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - (i % 8) AS VARCHAR)), 1, 1)) >= 97
+        THEN ascii(substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - (i % 8) AS VARCHAR)), 1, 1)) - 87
+        ELSE ascii(substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - (i % 8) AS VARCHAR)), 1, 1)) - 48 END)"""
+      s"""WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+          generate_subscripts(toks, 1) - 1 AS i
+        FROM tk),
+      c AS (
+        SELECT doc_id, i, tok,
+          ($hv < 4) AND (i % 8) < 3 AS masked,
+          ($hv < 4) AND (i % 8) = 0 AS is_start
+        FROM tok),
+      k AS (
+        SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY i) AS span_idx
+        FROM c),
+      p AS (
+        SELECT doc_id, i, masked, is_start,
+          CASE WHEN is_start THEN '<X' || CAST(span_idx - 1 AS VARCHAR) || '>'
+            WHEN masked THEN NULL ELSE tok END AS pin,
+          CASE WHEN is_start THEN '<X' || CAST(span_idx - 1 AS VARCHAR) || '>' || ' ' || tok
+            WHEN masked THEN tok ELSE NULL END AS ptg
+        FROM k)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        md5(COALESCE(string_agg(pin, ' ' ORDER BY i), '')) AS input_md5,
+        md5(COALESCE(string_agg(ptg, ' ' ORDER BY i), '')) AS target_md5
+      FROM p GROUP BY doc_id ORDER BY doc_id"""
+    },
+    notes = "stride-8 md5-coin span starts (never overlapping), " +
+      "sentinel ordinals from one cumulative count; input/target " +
+      "strings pinned by md5")
+
   /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
     * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
     * with one multiply + one divide of exact integer counts, so the score
@@ -5009,7 +5108,7 @@ object TextQueries {
     qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,
     qInvertedIndex, qCollocations, qKeywordSearch, qBm25, qMrr, qRbo,
-    qFeatureHash, qNtileBins,
+    qFeatureHash, qFimTransform, qSpanMask, qNtileBins,
     qClusterRep, qLeakageSafeSplit, qMixturePlan, qIpfRaking, qDomainCap,
     qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,
