@@ -844,4 +844,66 @@ object Dedup {
       .filter(col("jaccard") >= num.toDouble / den.toDouble)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** SORTED-NEIGHBORHOOD near-dup pairs (Hernández–Stolfo 1995) — the
+    * third blocking strategy next to LSH ([[minhashLshPairs]],
+    * probabilistic) and prefix filtering ([[prefixJaccardPairs]],
+    * df-bounded): sort the corpus by the text itself and compare only
+    * rows within a fixed `window` of the sort order. Catches exactly
+    * the duplicates that share a sort prefix — on prefix-preserving
+    * corpora (boilerplate, templated docs, log lines) that is all of
+    * them at a fraction of the candidate cost: candidates = (window−1)·n
+    * regardless of gram statistics, where AllPairs degrades on
+    * low-vocabulary grams (the q_prefix_join bigram incident) and LSH
+    * pays band×row signatures.
+    *
+    * The global sort rank is computed WITHOUT a global sort: rank
+    * within a key-prefix shard (prefix order respects key order) plus
+    * broadcast shard offsets — the [[Sampling.deterministicShuffle]]
+    * shape. Window pairs come from one rank equi-join (offsets
+    * exploded 1..window−1); gram arrays join back BY ID for the exact
+    * verify, so only (rank, id) ints cross the pairing exchanges.
+    * Prefix-shard skew on templated corpora is bounded by widening
+    * `shardPrefix` — boundary pairs stay correct at any width because
+    * the rank is global. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, n: Int = 4, num: Long = 1L, den: Long = 2L,
+      shardPrefix: Int = 2): DataFrame = {
+    require(window >= 2)
+    val base = df.select(col(idCol).as("id"), col(textCol).as("key"),
+      graft.functions.TextFeatures.wordNgrams(col(textCol), n).as("grams"))
+      .withColumn("__shard", substring(col("key"), 1, shardPrefix))
+      .cache()
+    val counts = base.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+    val wOff = Window.orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    val wIn = Window.partitionBy(col("__shard"))
+      .orderBy(col("key"), col("id"))
+    val ranked = base
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("__shard"))
+      .withColumn("rank", col("__off") + col("__r"))
+      .select(col("rank"), col("id"))
+    val probes = ranked
+      .select(col("rank").as("ra"), col("id").as("id_a"),
+        explode(sequence(lit(1L), lit((window - 1).toLong))).as("dist"))
+      .withColumn("rb", col("ra") + col("dist"))
+    val pairs = probes
+      .join(ranked.select(col("rank").as("rb"), col("id").as("id_b")),
+        Seq("rb"))
+      .select(col("id_a"), col("id_b"), col("dist"))
+    val grams = base.select(col("id"), sort_array(col("grams")).as("sg"))
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("sg").as("g_a")),
+        Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("sg").as("g_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", graft.functions.JaccardSortedArrays
+        .jaccardSorted(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= num.toDouble / den.toDouble)
+      .select(col("id_a"), col("id_b"), col("dist"), col("jaccard"))
+  }
 }

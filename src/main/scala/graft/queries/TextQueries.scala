@@ -1106,6 +1106,50 @@ object TextQueries {
     notes = "AllPairs/PPJoin prefix filtering: df-ordered prefixes, " +
       "hash-only candidate exchange, exact merge-pass verify")
 
+  /** SORTED-NEIGHBORHOOD near-dup pairs ([[graft.operators.Dedup
+    * .sortedNeighborPairs]]): the THIRD blocking strategy gated on the
+    * same ≥0.5 word-4-gram contract as [[qPrefixJoin]] and the LSH
+    * path — sort by text, compare within a 10-row window. On this
+    * prefix-preserving corpus the window catches every natural pair
+    * (equivalence spec pins pair-set equality with the prefix join),
+    * with candidates = 9n independent of gram statistics. Global rank
+    * via prefix-sharded window + broadcast offsets — no global sort;
+    * only (rank, id) ints cross the pairing exchanges. */
+  val qSnmPairs = GQuery("q_snm_pairs",
+    (s, d) => Dedup.sortedNeighborPairs(Tables.documents(s, d),
+        "doc_id", "text", window = 10, n = 4, num = 1L, den = 2L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> len(t) > 0) AS tk
+        FROM documents),
+      g AS (
+        SELECT doc_id, text,
+          CASE WHEN len(tk) >= 4
+            THEN list_distinct(list_transform(range(0, len(tk) - 4 + 1),
+              i -> array_to_string(tk[i + 1 : i + 4], ' ')))
+            ELSE [array_to_string(tk, ' ')] END AS grams
+        FROM toks),
+      p AS (
+        SELECT doc_id, grams,
+          ROW_NUMBER() OVER (ORDER BY text, doc_id) AS r
+        FROM g),
+      pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(b.r - a.r AS BIGINT) AS dist,
+          len(list_intersect(a.grams, b.grams)) AS ninter,
+          len(a.grams) + len(b.grams)
+            - len(list_intersect(a.grams, b.grams)) AS nunion
+        FROM p a JOIN p b ON b.r > a.r AND b.r <= a.r + 9)
+      SELECT id_a, id_b, dist,
+        CAST(ninter AS DOUBLE) / CAST(nunion AS DOUBLE) AS jaccard
+      FROM pr
+      WHERE CAST(ninter AS DOUBLE) / CAST(nunion AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""),
+    notes = "window-10 sorted-neighborhood blocking; candidates 9n " +
+      "regardless of gram statistics; sharded rank, no global sort")
+
   /** Brute-force cosine top-k: 5 query vectors against the corpus.
     * Output ranks only — rank is stable under float noise; raw cosines are
     * engine-arithmetic-order dependent. */
@@ -5090,7 +5134,7 @@ object TextQueries {
     qMinhashPairs, qDupMatrix, qGramNovelty, qNearDupGroups,
     qDedupIncremental,
     qMinhashCross,
-    qSimhashPairs, qExactSubstr, qNgramJaccard, qPrefixJoin,
+    qSimhashPairs, qExactSubstr, qNgramJaccard, qPrefixJoin, qSnmPairs,
     qCosineTopK, qAnnQuantized,
     qPqEncode, qPqTopk, qEmbedCentroid,
     qEmbedNormalize, qEmbedQuantize, qCentroidOutliers, qClusterVariance,

@@ -337,6 +337,35 @@ class DedupSpec extends SparkSpec {
     assert(viaPrefix.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("sortedNeighborPairs ≡ prefixJaccardPairs on the prefix-" +
+      "preserving corpus; misses a window-separated pair (documented)") {
+    // on the real sf0.001 corpus every natural ≥0.5 4-gram pair shares
+    // a sort prefix, so window-10 SNM recovers the EXACT pair set of
+    // the recall-1 prefix join (canonicalize: SNM keys by sort order)
+    val real = Tables.documents(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect()
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val viaSnm = canon(Dedup.sortedNeighborPairs(real, "doc_id", "text",
+      window = 10, n = 4, num = 1L, den = 2L))
+    val viaPfx = canon(Dedup.prefixJaccardPairs(real, "doc_id", "text",
+      n = 4, num = 1L, den = 2L))
+    assert(viaSnm === viaPfx && viaSnm.nonEmpty)
+    // the honesty half: a near-dup pair whose texts DIVERGE at char 1
+    // and sit > window apart in sort order is invisible to SNM — the
+    // known recall limitation that keeps LSH/prefix join in the toolbox
+    val tail = "quick brown fox jumps over the lazy dog tonight"
+    val sep = (0 until 12).map(i =>
+      (10L + i, s"m$i filler row entirely unrelated content piece $i"))
+    val adversarial = (Seq((1L, s"aaa $tail"), (30L, s"zzz $tail"))
+      ++ sep).toDF("doc_id", "text")
+    val snmA = canon(Dedup.sortedNeighborPairs(adversarial, "doc_id",
+      "text", window = 10, n = 4, num = 1L, den = 2L))
+    val pfxA = canon(Dedup.prefixJaccardPairs(adversarial, "doc_id",
+      "text", n = 4, num = 1L, den = 2L))
+    assert(pfxA.contains((1L, 30L)) && !snmA.contains((1L, 30L)))
+  }
+
   test("CharRunHashes: fused window hashes match the compositional form") {
     val df = Seq((1L, "abcdefghij"), (2L, "short"), (3L, "aaaaaa"))
       .toDF("id", "t")
