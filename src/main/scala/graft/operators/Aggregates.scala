@@ -293,4 +293,69 @@ object Aggregates {
         est: _*)
       .orderBy(col(groupCol))
   }
+
+  /** KMV DISTINCT SKETCH WITH SET ALGEBRA (Beyer et al. 2007) — the
+    * third cardinality sketch next to HLL (q_approx_distinct,
+    * fixed-register approximate) and the exact two-level bitmap
+    * (q_bitmap_distinct): k minimum hash VALUES per set. What KMV adds
+    * is closed set algebra — the union sketch of two sets is just the
+    * k smallest of their samples' union, so |A∪B| and (by
+    * inclusion–exclusion) |A∩B| come from the two k-row samples with
+    * NO second corpus pass. Estimator n̂ = (k−1)·H / v_k with v_k the
+    * kth smallest hash and H the hash-space size; a sample that never
+    * filled (k_eff < k) holds the whole set, so n̂ = k_eff exactly.
+    *
+    * Determinism: the hash is a 48-bit fold of the md5 hex (exact in
+    * both long and double), the sample is bottom-k by full hex (which
+    * refines fold order), and the estimate is integer division —
+    * bit-reproducible anywhere. Input is deduped on (group, key)
+    * first (KMV is a sketch of a SET); state is k rows per group
+    * before any exchange. Output: one row —
+    * (k, n_a, n_b, n_union, est_a, est_b, est_union, est_inter). */
+  def kmvSetCardinality(df: DataFrame, groupCol: String, keyCol: String,
+      grpA: String, grpB: String, k: Int = 128,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2)
+    val H = 1L << 48
+    def hexVal(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c >= 97, c - 87).otherwise(c - 48)
+    val pairs = df.filter(col(groupCol).isInCollection(Seq(grpA, grpB)))
+      .select(col(groupCol).as("g"), col(keyCol).as("key"))
+      .distinct()
+      .withColumn("hh",
+        md5(concat(lit(salt), lit(":"), col("key").cast("string"))))
+    val v = (1 to 12).map { i =>
+      hexVal(ascii(substring(col("hh"), i, 1))).cast("long") *
+        lit(BigInt(16).pow(12 - i).toLong)
+    }.reduce(_ + _)
+    val bk = udaf(new graft.functions.BottomKAgg(k))
+    val sk = pairs.withColumn("v", v.cast("double"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), bk(col("hh"), col("v")).as("smp"))
+    val kH = (k - 1).toLong * H // (k−1)·2⁴⁸, the estimator numerator
+    def est(kEff: String, vk: String): org.apache.spark.sql.Column =
+      when(col(kEff) < k, col(kEff))
+        .otherwise(expr(s"${kH}L div cast($vk as bigint)")).cast("long")
+    val a = sk.filter(col("g") === grpA)
+      .select(col("n").as("n_a"), col("smp").as("smp_a"))
+    val b = sk.filter(col("g") === grpB)
+      .select(col("n").as("n_b"), col("smp").as("smp_b"))
+    val nu = pairs.select(col("key")).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(nu))
+      .withColumn("ka", size(col("smp_a")).cast("long"))
+      .withColumn("kb", size(col("smp_b")).cast("long"))
+      .withColumn("us", slice(array_sort(array_distinct(
+        concat(col("smp_a"), col("smp_b")))), 1, k))
+      .withColumn("ku", size(col("us")).cast("long"))
+      .withColumn("vka", element_at(col("smp_a"), col("ka").cast("int")))
+      .withColumn("vkb", element_at(col("smp_b"), col("kb").cast("int")))
+      .withColumn("vku", element_at(col("us"), col("ku").cast("int")))
+      .withColumn("est_a", est("ka", "vka"))
+      .withColumn("est_b", est("kb", "vkb"))
+      .withColumn("est_union", est("ku", "vku"))
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+        col("n_union"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+  }
 }

@@ -1249,6 +1249,69 @@ object Relational {
     notes = "per-equivalence-class size + sensitive diversity with " +
       "pass flags; generalization (banding) is a caller policy input")
 
+  /** KMV SET-ALGEBRA SKETCH ([[graft.operators.Aggregates
+    * .kmvSetCardinality]]): distinct customers of the URGENT vs HIGH
+    * order books, their union and intersection, all estimated from
+    * two 128-row k-minimum-value samples — the sketch whose set
+    * algebra is CLOSED (union sketch = k smallest of the samples'
+    * union; intersection by inclusion–exclusion), so cross-segment
+    * audience arithmetic needs no second corpus pass. Exact distinct
+    * counts ride along, putting the estimator error on the record.
+    * The twin replays the same bottom-128-by-md5 selection, 48-bit
+    * fold, and integer estimator. */
+  val qKmvDistinct = GQuery("q_kmv_distinct",
+    (s, d) => graft.operators.Aggregates.kmvSetCardinality(
+      Tables.orders(s, d), "o_orderpriority", "o_custkey",
+      "1-URGENT", "2-HIGH", k = 128),
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(hh, $i, 1)) >= 97
+           THEN ascii(substr(hh, $i, 1)) - 87
+           ELSE ascii(substr(hh, $i, 1)) - 48 END)"""
+      val fold = (1 to 12)
+        .map(i =>
+          s"CAST(${hv(i)} AS BIGINT) * ${BigInt(16).pow(12 - i).toLong}")
+        .mkString(" + ")
+      val kH = 127L * (1L << 48)
+      s"""WITH pairs AS (
+        SELECT DISTINCT o_orderpriority AS g, o_custkey AS key
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+      h AS (
+        SELECT g, key, md5('kmv:' || CAST(key AS VARCHAR)) AS hh
+        FROM pairs),
+      hvt AS (SELECT g, key, hh, $fold AS v FROM h),
+      r AS (SELECT g, hh, v,
+          ROW_NUMBER() OVER (PARTITION BY g ORDER BY hh, key) AS rn,
+          COUNT(*) OVER (PARTITION BY g) AS n
+        FROM hvt),
+      s AS (SELECT g, v, n FROM r WHERE rn <= 128),
+      ga AS (SELECT MAX(n) AS n_a, COUNT(*) AS ka, MAX(v) AS vka
+        FROM s WHERE g = '1-URGENT'),
+      gb AS (SELECT MAX(n) AS n_b, COUNT(*) AS kb, MAX(v) AS vkb
+        FROM s WHERE g = '2-HIGH'),
+      u AS (SELECT DISTINCT v FROM s),
+      ur AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM u),
+      gu AS (SELECT COUNT(*) AS ku, MAX(v) AS vku FROM ur
+        WHERE rn <= 128),
+      nu AS (SELECT COUNT(DISTINCT key) AS n_union FROM pairs),
+      e AS (SELECT
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          CAST(n_union AS BIGINT) AS n_union,
+          CAST(CASE WHEN ka < 128 THEN ka
+            ELSE $kH // CAST(vka AS BIGINT) END AS BIGINT) AS est_a,
+          CAST(CASE WHEN kb < 128 THEN kb
+            ELSE $kH // CAST(vkb AS BIGINT) END AS BIGINT) AS est_b,
+          CAST(CASE WHEN ku < 128 THEN ku
+            ELSE $kH // CAST(vku AS BIGINT) END AS BIGINT) AS est_union
+        FROM ga, gb, gu, nu)
+      SELECT CAST(128 AS BIGINT) AS k, n_a, n_b, n_union,
+        est_a, est_b, est_union,
+        est_a + est_b - est_union AS est_inter
+      FROM e"""
+    },
+    notes = "k-minimum-values sketch: closed union algebra from two " +
+      "bounded samples, exact counts alongside for the error record")
+
   /** SMALL-QUANTITY REVENUE (the TPC-H Q17 shape): lineitems whose
     * quantity is below HALF the part's average quantity, for one brand
     * family — the canonical CORRELATED-SCALAR-SUBQUERY decorrelation:
@@ -1551,7 +1614,7 @@ object Relational {
     qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
     qSkyline, qExactQuantiles, qQuantileSketch, qKAnonymity,
-    qAssocRules, qShippingPriority,
+    qKmvDistinct, qAssocRules, qShippingPriority,
     qRegionalVolume, qTargetEncode,
     qSmallQtyRev, qBigOrders, qIdleCustomers, qOnlyLateSupplier,
     qTopSupplier, qImportantParts, qMelt)

@@ -137,4 +137,34 @@ class AggregatesSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(out7 === out)
   }
+
+  test("kmvSetCardinality: small sets exact, estimates and " +
+      "inclusion-exclusion within sampling error, layout-stable") {
+    import spark.implicits._
+    // small disjoint sets (< k): sketch holds everything ⇒ ALL exact
+    val small = ((0L until 50L).map(i => ("a", i)) ++
+      (100L until 130L).map(i => ("b", i))).toDF("g", "key")
+    val s = Aggregates.kmvSetCardinality(small, "g", "key", "a", "b",
+        k = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(s === ((128L, 50L, 30L, 80L, 50L, 30L, 80L, 0L)))
+    // overlapping large sets: A = 0..3999, B = 2000..5999, |∩| = 2000
+    val big = ((0L until 4000L).map(i => ("a", i)) ++
+      (2000L until 6000L).map(i => ("b", i))).toDF("g", "key")
+    val e = Aggregates.kmvSetCardinality(big, "g", "key", "a", "b",
+        k = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(e._2 === 4000L && e._3 === 4000L && e._4 === 6000L)
+    // s.e. ≈ n/sqrt(k) ≈ 354; assert generous 4-s.e. bands
+    assert(math.abs(e._5 - 4000) < 1400 && math.abs(e._6 - 4000) < 1400)
+    assert(math.abs(e._7 - 6000) < 2100, s"est_union ${e._7}")
+    assert(math.abs(e._8 - 2000) < 2000, s"est_inter ${e._8}")
+    // duplicates in the input collapse (sketch of a SET), and the
+    // result is partitioning-independent
+    val dup = big.union(big).repartition(17)
+    val e2 = Aggregates.kmvSetCardinality(dup, "g", "key", "a", "b",
+        k = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(e2 === e)
+  }
 }

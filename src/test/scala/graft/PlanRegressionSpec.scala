@@ -80,7 +80,10 @@ class PlanRegressionSpec extends SparkSpec {
     // 10-row depth table left-joined to the ≤10-row ranking-overlap
     // pair list on a non-equi prefix predicate (both sides bounded by
     // the RBO truncation depth, never by the corpus)
-    "q_rbo")
+    "q_rbo",
+    // 1-row × 1-row × 1-row sketch assembly (two KMV samples + the
+    // exact-union scalar) — the bounded-model posture
+    "q_kmv_distinct")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
