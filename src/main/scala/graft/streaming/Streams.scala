@@ -107,6 +107,39 @@ object Streams {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("n_buckets"), col("ent_x64"))
 
+  /** STREAMING QUANTILE SKETCH — the stream twin of
+    * [[graft.operators.Aggregates.bottomKQuantiles]] (q_quantile_sketch):
+    * per (day window, event type), p50/p90 estimates from the k
+    * md5-smallest rows. The reason this streams AT ALL is the sketch's
+    * merge property: union-take-k is associative/commutative, so the
+    * micro-batch partials merge in the state store exactly like
+    * map-side partials do in batch, and state is k rows per (window,
+    * type) — watermark-bounded, never the raw stream. Because the
+    * sample is an md5 property of the data, the stream and batch runs
+    * emit BIT-IDENTICAL estimates regardless of micro-batch slicing
+    * (the StreamsSpec pin). */
+  def quantileSketchStream(events: DataFrame, k: Int = 64): DataFrame = {
+    val bk = udaf(new graft.functions.BottomKAgg(k))
+    events
+      .withWatermark("ts", "30 minutes")
+      .withColumn("_h",
+        md5(concat(lit("qsk:"), col("event_id").cast("string"))))
+      .withColumn("_v",
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(27, 6))
+          * lit(1000000)).cast("long").cast("double"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), bk(col("_h"), col("_v")).as("_smp"))
+      .withColumn("_k", size(col("_smp")).cast("long"))
+      .select(col("window.start").as("day_start"), col("event_type"),
+        col("n"), col("_k").as("k_eff"),
+        element_at(col("_smp"),
+          (expr("((_k - 1) * 50) div 100") + lit(1L)).cast("int"))
+          .cast("long").as("p50_est"),
+        element_at(col("_smp"),
+          (expr("((_k - 1) * 90) div 100") + lit(1L)).cast("int"))
+          .cast("long").as("p90_est"))
+  }
+
   /** EXACT daily distinct users per event type on the stream via
     * mergeable bitmaps (stream twin of the [[graft.operators.Bitmaps]]
     * family, q_bitmap_distinct / q_bitmap_rolling): level 1 groups

@@ -685,6 +685,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantileSketchStream: micro-batch slicing invisible — stream " +
+      "equals batch bit-exact; small group is the exact order statistic") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.quantileSketchStream(df, k = 64)
+      .writeStream.format("memory").queryName("qsk_stream")
+      .outputMode("append").start()
+    val day1 = (0 until 10).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, "click",
+        (i + 1).toDouble))
+    try {
+      // deliver in two slices — the sketch must not notice
+      mem.addData(day1.take(4): _*); q.processAllAvailable()
+      mem.addData(day1.drop(4): _*); q.processAllAvailable()
+      mem.addData((99L, ts("2024-01-02 09:00:00"), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("qsk_stream")
+        .select("event_type", "n", "k_eff", "p50_est", "p90_est")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      // 10 rows < k: sample = group; values 1..10 (micros ×1e6);
+      // idx50 = (9·50) div 100 + 1 = 5 → 5e6; idx90 = 9·90 div 100+1=9
+      assert(rows === Set(("click", 10L, 10L, 5000000L, 9000000L)))
+      // batch twin of the same function body, same data one frame
+      val batch = Streams.quantileSketchStream(
+          day1.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          k = 64)
+        .select("event_type", "n", "k_eff", "p50_est", "p90_est")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("entropyMonitorStream: collapse day scores 0, batch run bit-exact") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
