@@ -1386,7 +1386,8 @@ object Relational {
         big.sum_qty
       FROM customer
         JOIN orders ON c_custkey = o_custkey
-        JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        JOIN (SELECT l_orderkey,
+                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
               FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
           big ON o_orderkey = big.l_orderkey
       ORDER BY total_cents DESC, o_orderkey LIMIT 100"""),
@@ -1587,7 +1588,7 @@ object Relational {
     },
     Some("""WITH wide AS (
         SELECT l_returnflag, l_linestatus,
-          SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100)
             AS BIGINT) AS base_cents,
           COUNT(*) AS n_rows
