@@ -3579,6 +3579,63 @@ object TextQueries {
       "sentinel ordinals from one cumulative count; input/target " +
       "strings pinned by md5")
 
+  /** NEGATIVE SAMPLING TABLE ([[graft.operators.Contrastive
+    * .negativeSamples]]): 3 word2vec negatives per (doc, position)
+    * from the unigram^(3/4) distribution — weights from the FULL
+    * corpus, draws md5-derived (reproducible on any layout/retry),
+    * the c^(3/4) smoothing realized as floor(sqrt·sqrt∘sqrt) so both
+    * engines share correctly-rounded IEEE with no libm pow. The gate
+    * draws for every 50th doc (the vocabulary still builds from all
+    * docs); the twin replays weights, cumulative ranges, fold, and
+    * the inverse-CDF range lookup. */
+  val qNegSampling = GQuery("q_neg_sampling",
+    (s, d) => graft.operators.Contrastive.negativeSamples(
+      Tables.documents(s, d), "doc_id", "text", k = 3,
+      docFilter = col("doc_id") % 50 === 0),
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(hh, $i, 1)) >= 97
+           THEN ascii(substr(hh, $i, 1)) - 87
+           ELSE ascii(substr(hh, $i, 1)) - 48 END)"""
+      val fold = (1 to 12)
+        .map(i => s"CAST(${hv(i)} AS BIGINT) * ${BigInt(16).pow(12 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            w -> len(w) > 0) AS toks
+        FROM documents),
+      inst AS (
+        SELECT doc_id, unnest(toks) AS center,
+          generate_subscripts(toks, 1) - 1 AS pos
+        FROM tk),
+      vc AS (SELECT center AS w_tok, COUNT(*) AS c FROM inst GROUP BY 1),
+      vw AS (SELECT w_tok,
+          CAST(floor(sqrt(c) * sqrt(sqrt(c))) AS BIGINT) AS w
+        FROM vc),
+      rng AS (SELECT w_tok, w,
+          COALESCE(SUM(w) OVER (ORDER BY w_tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+        FROM vw),
+      rng2 AS (SELECT w_tok, lo, lo + w AS hi FROM rng),
+      tw AS (SELECT SUM(w) AS tw FROM vw),
+      dr AS (
+        SELECT doc_id, pos, center, t.i,
+          md5('neg:' || CAST(doc_id AS VARCHAR) || ':'
+            || CAST(pos AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)) AS hh
+        FROM inst CROSS JOIN range(1, 4) t(i)
+        WHERE doc_id % 50 = 0),
+      fv AS (SELECT doc_id, pos, center, i, ($fold) % tw.tw AS r
+        FROM dr, tw)
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, center,
+        CAST(i AS BIGINT) AS i, rng2.w_tok AS neg
+      FROM fv JOIN rng2 ON fv.r >= rng2.lo AND fv.r < rng2.hi
+      ORDER BY doc_id, pos, i"""
+    },
+    notes = "unigram^0.75 inverse-CDF draws, md5-deterministic; " +
+      "bounded-vocab broadcast range lookup; full-corpus weights, " +
+      "sampled draw set")
+
   /** COLLOCATIONS ([[graft.operators.Index.collocations]]): adjacent-pair
     * lift `c_ab/(c_a·c_b)` — PMI-monotone for a fixed corpus but computed
     * with one multiply + one divide of exact integer counts, so the score
@@ -5157,7 +5214,8 @@ object TextQueries {
     qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,
     qCoresetBatched, qMmr,
-    qContrastivePairs, qKmeans, qSilhouette, qSemDedup, qRrfFusion,
+    qContrastivePairs, qNegSampling, qKmeans, qSilhouette, qSemDedup,
+    qRrfFusion,
     qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,
     qClusterTerms, qTypoPairs, qAudioPhash)

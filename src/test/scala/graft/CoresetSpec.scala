@@ -120,4 +120,35 @@ class CoresetSpec extends SparkSpec {
       assert((n, d) === best, s"pair ($a, $p)")
     }
   }
+
+  test("negativeSamples: draws follow unigram^0.75, layout-stable, " +
+      "k per instance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed corpus: 'the' dominates; negatives must see it most, but
+    // sub-proportionally (3/4 power), and rare words must still appear
+    val docs = (0L until 60L).map { i =>
+      (i, ("the the the the common word" +
+        (if (i % 3 == 0) s" rare$i" else "")))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Contrastive
+      .negativeSamples(docs, "doc_id", "text", k = 4)
+      .as[(Long, Long, String, Long, String)].collect()
+    val nInst = docs.select(explode(split(trim(col("text")), "\\s+")))
+      .count()
+    assert(out.length === nInst * 4) // k draws per token instance
+    val freq = out.groupBy(_._5).view.mapValues(_.size).toMap
+    // weights: the c=240 ⇒ w=61; common/word c=60 ⇒ w=21; rare c=1 ⇒ 1
+    assert(freq("the") > freq("common"))
+    // 3/4-power compression: the/common draw ratio ≈ 61/21 ≈ 2.9, far
+    // below the raw count ratio 4.0 with margin at these sample sizes
+    val ratio = freq("the").toDouble / freq("common")
+    assert(ratio > 1.8 && ratio < 3.9, s"ratio $ratio")
+    // md5 determinism: identical table on a different partitioning
+    val out7 = graft.operators.Contrastive
+      .negativeSamples(docs.repartition(7), "doc_id", "text", k = 4)
+      .as[(Long, Long, String, Long, String)].collect()
+    assert(out7.sortBy(r => (r._1, r._2, r._4)).toSeq ===
+      out.sortBy(r => (r._1, r._2, r._4)).toSeq)
+  }
 }

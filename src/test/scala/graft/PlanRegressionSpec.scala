@@ -83,7 +83,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_rbo",
     // 1-row × 1-row × 1-row sketch assembly (two KMV samples + the
     // exact-union scalar) — the bounded-model posture
-    "q_kmv_distinct")
+    "q_kmv_distinct",
+    // Heaps-bounded vocabulary broadcast, probed by the draws on the
+    // non-equi inverse-CDF range predicate (lo ≤ r < hi)
+    "q_neg_sampling")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
