@@ -11,19 +11,29 @@ import graft.queries.Fuzz
   * suite deterministic while letting a session burn idle cycles
   * widening coverage.
   *
-  * Usage: runMain graft.FuzzSweep <sfDir> <fromSeed> <toSeedExcl>
+  * Usage: runMain graft.FuzzSweep <sfDir> <fromSeed> <toSeedExcl> [dumpDir]
+  *
+  * With `dumpDir`, each seed's DataFrame-build result is ALSO written in
+  * the Verify layout (dumpDir/fz<seed>/ parquet + oracle_sql.json of the
+  * shared SQL), so `tools/compare.py dumpDir sfDir` runs the full
+  * cross-ENGINE (DuckDB) differential over the swept range — the same
+  * gate the driver applies to the pinned seeds, at exploration scale.
   */
 object FuzzSweep {
   def main(args: Array[String]): Unit = {
     val (sfDir, from, to) = (args(0), args(1).toLong, args(2).toLong)
+    val dumpDir = args.lift(3)
     val spark = GraftSession.fromEnv()
     for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
         "nation"))
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    dumpDir.foreach(d => new java.io.File(d).mkdirs())
+    val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
     var bad = 0
     for (seed <- from until to) {
       val fc = Fuzz.gen(seed)
-      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val df = fc.build(spark, sfDir)
+      val viaDf = df.collect().map(_.toString).toSeq
       val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
       if (viaDf != viaSql) {
         bad += 1
@@ -33,9 +43,28 @@ object FuzzSweep {
           viaDf.zipAll(viaSql, "<missing>", "<missing>")
             .find(p => p._1 != p._2))
       }
+      dumpDir.foreach { d =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$d/fz$seed")
+        oracle(s"fz$seed") = fc.sql
+      }
       if ((seed - from) % 100 == 99)
         println(s"FUZZ_PROGRESS ${seed + 1 - from}/${to - from} " +
           s"diverged=$bad")
+    }
+    dumpDir.foreach { d =>
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      } + "\""
+      val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ", ", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "oracle_sql.json"),
+        json.getBytes("UTF-8"))
     }
     println(s"FUZZ_SWEEP_DONE range=[$from,$to) diverged=$bad")
     spark.stop()

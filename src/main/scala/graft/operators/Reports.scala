@@ -545,4 +545,32 @@ object Reports {
       .select(col("bucket"), col("cb"), col("ca"), col("psi64"))
       .orderBy(col("bucket"))
   }
+
+  /** DATASET RELEASE MANIFEST — the reproducibility audit a curated
+    * training set ships with: per pipeline stage, the surviving row
+    * count AND an ORDER-INDEPENDENT content fingerprint (sum of 48-bit
+    * md5 folds of the ids, as DECIMAL(38,0) — overflow-free past 10²³
+    * rows and commutative, so the fingerprint is a property of the SET,
+    * computable under any partitioning and mergeable across shards).
+    * Re-running the pipeline anywhere must reproduce every (n, fp)
+    * pair exactly, or the release differs — the cheap equality witness
+    * that replaces shipping full id lists. Each stage is one map-side
+    * agg; stages evaluate independently (no barrier). */
+  def datasetManifest(stages: Seq[(String, DataFrame)],
+      idCol: String): DataFrame = {
+    def hexVal(c: org.apache.spark.sql.Column) =
+      when(c >= 97, c - 87).otherwise(c - 48)
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      val hh = md5(concat(lit("mf:"), col(idCol).cast("string")))
+      val v = (1 to 12).map { j =>
+        hexVal(ascii(substring(hh, j, 1))).cast("long") *
+          lit(BigInt(16).pow(12 - j).toLong)
+      }.reduce(_ + _)
+      df.select(v.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("__v"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("fp"))
+        .select(lit(i.toLong).as("stage_no"), lit(name).as("stage"),
+          col("n_rows"), col("fp").cast("decimal(38,0)").as("fp"))
+    }.reduce(_ unionByName _).orderBy(col("stage_no"))
+  }
 }

@@ -503,6 +503,63 @@ object PipelineQueries {
       ORDER BY entity"""),
     notes = "expected-range volume validation; orders_tight range fails by design")
 
+  /** DATASET RELEASE MANIFEST ([[graft.operators.Reports
+    * .datasetManifest]]): per curation stage, row count + an
+    * order-independent content fingerprint (DECIMAL(38,0) sum of
+    * 48-bit md5 folds of the surviving ids) — the cheap equality
+    * witness a training-data release ships instead of full id lists:
+    * re-running the pipeline anywhere must reproduce every (n, fp)
+    * pair or the release differs. Stages here are deliberately simple
+    * transparent filters (length gate → declared-language gate →
+    * exact text dedup); the heavyweight gates have their own oracle
+    * queries — this gate pins the MANIFEST algebra. fp travels as a
+    * string (decimal-to-pandas dtype drift is engine-dependent; digits
+    * are not). */
+  val qManifest = GQuery("q_manifest",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val s1 = docs.filter(length(col("text")) >= 200)
+      val s2 = s1.filter(col("lang") === "en")
+      val s3 = s2.groupBy(md5(col("text")).as("__k"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      graft.operators.Reports.datasetManifest(Seq(
+          ("raw", docs), ("len_gate", s1), ("lang_en", s2),
+          ("exact_dedup", s3)), "doc_id")
+        .select(col("stage_no"), col("stage"), col("n_rows"),
+          col("fp").cast("string").as("fp"))
+    },
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(hh, $i, 1)) >= 97
+           THEN ascii(substr(hh, $i, 1)) - 87
+           ELSE ascii(substr(hh, $i, 1)) - 48 END)"""
+      val fold = (1 to 12)
+        .map(i => s"CAST(${hv(i)} AS HUGEINT) * ${BigInt(16).pow(12 - i).toLong}")
+        .mkString(" + ")
+      def fp(src: String) =
+        s"""(SELECT CAST(CAST(SUM($fold) AS DECIMAL(38,0)) AS VARCHAR)
+           FROM (SELECT md5('mf:' || CAST(doc_id AS VARCHAR)) AS hh
+                 FROM $src))"""
+      s"""WITH s1 AS (SELECT doc_id FROM documents WHERE len(text) >= 200),
+      s2 AS (SELECT doc_id FROM documents
+        WHERE len(text) >= 200 AND lang = 'en'),
+      s3 AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        WHERE len(text) >= 200 AND lang = 'en' GROUP BY md5(text))
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS stage_no, 'raw' AS stage,
+          (SELECT COUNT(*) FROM documents) AS n_rows,
+          ${fp("documents")} AS fp
+        UNION ALL
+        SELECT 1, 'len_gate', (SELECT COUNT(*) FROM s1), ${fp("s1")}
+        UNION ALL
+        SELECT 2, 'lang_en', (SELECT COUNT(*) FROM s2), ${fp("s2")}
+        UNION ALL
+        SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM s3), ${fp("s3")})
+      ORDER BY stage_no"""
+    },
+    notes = "order-independent mergeable id fingerprints per stage; " +
+      "fp as digit string to dodge decimal dtype drift")
+
   /** FIRST-ORDER TRANSITION MATRIX ([[graft.operators.Funnel
     * .transitionMatrix]]): per-user consecutive (prev → next) event-type
     * counts + row-conditional probability — the Markov view of the event
@@ -2175,7 +2232,7 @@ object PipelineQueries {
   val all: Seq[GQuery] = Seq(qJobDerivation, qJobLifecycle, qJobMerge,
     qNestedRoundtrip, qPivotWide, qTwoArrayFlatten, qOddsFlatten,
     qApproxDistinct, qHeavyHitters, qTeamEvents, qWeeklyDaily,
-    qHealthStatus, qApiUsage, qDashboard, qProfile, qValidate,
+    qHealthStatus, qApiUsage, qDashboard, qProfile, qValidate, qManifest,
     qTransitionMatrix, qAnomalyZscore, qDrift, qRollingActive,
     qSeqMining, qEwma, qPagerank, qTriangles, qLinreg, qShardRoute,
     qZorder, qZonemapPrune, qBucketedJoin, qBitmapDistinct, qBitmapRolling,

@@ -331,4 +331,32 @@ class ReportsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("psi64") >= 0L))
     assert(rows.map(_.getAs[Long]("psi64")).sum > 0L)
   }
+
+  test("datasetManifest: set-property fingerprints — layout-independent, " +
+      "row-sensitive, stage counts exact") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("id")
+    val half = ids.filter(col("id") % 2 === 0)
+    val m = Reports.datasetManifest(
+        Seq(("all", ids), ("half", half)), "id")
+      .as[(Long, String, Long, BigDecimal)].collect()
+    assert(m.map(r => (r._2, r._3)).toSeq === Seq(("all", 1000L), ("half", 500L)))
+    // fingerprint is a property of the SET: any partitioning, any order
+    val m17 = Reports.datasetManifest(
+        Seq(("all", ids.repartition(17)), ("half", half.orderBy(desc("id")))),
+        "id")
+      .as[(Long, String, Long, BigDecimal)].collect()
+    assert(m17.map(r => (r._2, r._4)).toMap === m.map(r => (r._2, r._4)).toMap)
+    // and sensitive to membership: drop one row ⇒ different fp
+    val m999 = Reports.datasetManifest(
+        Seq(("all", ids.filter(col("id") =!= 123L))), "id")
+      .as[(Long, String, Long, BigDecimal)].head()
+    assert(m999._3 === 999L && m999._4 != m.head._4)
+    // mergeable: fp(all) = fp(half) + fp(odd half) — shard-wise manifests
+    // sum to the release manifest
+    val mOdd = Reports.datasetManifest(
+        Seq(("odd", ids.filter(col("id") % 2 === 1))), "id")
+      .as[(Long, String, Long, BigDecimal)].head()
+    assert(m.head._4 === m.last._4 + mOdd._4)
+  }
 }
