@@ -501,6 +501,12 @@ object Fuzz {
            |      ORDER BY $tieOrd) AS lagv""".stripMargin
     val outCols = Seq("k0") ++ uAliases ++ Seq("vv", "running") ++
       (if (rangeFrame) Seq.empty else Seq("lagv"))
+    // final sort over EVERY output column: the catalog's `uniq` is a
+    // DECLARED key, but the synthetic lineitem actually carries ~2%
+    // duplicate (l_orderkey, l_linenumber) pairs — seed 1300 (now a
+    // pinned gate) produced two rows tied on (k0, u0, u1) whose
+    // engine-dependent tie order hash-diverged. Ordering on all columns
+    // is total up to fully-identical rows, which are hash-equivalent.
     val sql =
       s"""SELECT ${outCols.mkString(", ")} FROM (
          |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
@@ -509,7 +515,7 @@ object Fuzz {
          |  FROM ${t.name}
          |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
          |) WHERE (u0 % $mod) = 0
-         |${orderByAll(Seq("k0") ++ uAliases)}""".stripMargin
+         |${orderByAll(outCols)}""".stripMargin
     val build = (s: SparkSession, d: String) => {
       var df = t.load(s, d)
       where.foreach { w => df = df.filter(w._2) }
@@ -535,7 +541,7 @@ object Fuzz {
             .withColumn("lagv", lag(col("vv"), 1).over(wl))
         }
       sortAll(withWins.filter(col("u0") % mod === 0)
-        .select(outCols.map(col): _*), Seq("k0") ++ uAliases)
+        .select(outCols.map(col): _*), outCols)
     }
     FuzzCase(seed,
       if (rangeFrame) "winagg_range" else "winagg_rows", sql, build)
@@ -643,8 +649,16 @@ object Fuzz {
   /** Seed-pinned registry gates: the driver's DuckDB oracle runs the
     * shared SQL; the Spark side runs the independent DataFrame build.
     * Seeds are stable constants — a divergence found by the 200-seed
-    * sweep gets PROMOTED into this list as a named regression. */
-  val pinnedSeeds: Seq[Long] = (1001L to 1024L)
+    * sweep gets PROMOTED into this list as a named regression.
+    *
+    * 1300: the FuzzSweep cross-ENGINE sweep's first real catch (range
+    * [1200,1700), round 8) — a winagg_rows case over lineitem whose
+    * final ORDER BY relied on the catalog's declared (l_orderkey,
+    * l_linenumber) key; the synthetic data carries ~2% duplicate pairs,
+    * the presentation sort tied, and Spark/DuckDB emitted different
+    * tie orders. Fixed by sorting on every output column; pinned so
+    * the class never regresses. */
+  val pinnedSeeds: Seq[Long] = (1001L to 1024L) :+ 1300L
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)
