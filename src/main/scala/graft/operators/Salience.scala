@@ -291,4 +291,68 @@ object Salience {
       .orderBy(desc("surprisal_milli"), asc("doc_id"))
       .limit(k)
   }
+
+  /** INTERPOLATED KNESER–NEY surprisal — the smoothed counterpart of
+    * [[lmSurprisal]]'s MLE model, the actual n-gram-LM scoring every
+    * perplexity-filter paper uses (Chen & Goodman 1999). Absolute
+    * discount d = 3/4 (all quantities ×4 to stay integer):
+    *
+    *   p(cur|prev) = (c_pc − d)/c_p + (d·N1+(prev,•)/c_p)·N1+(•,cur)/T
+    *
+    * with N1+(prev,•) = distinct followers of prev, N1+(•,cur) =
+    * distinct predecessors of cur (the continuation count — how many
+    * contexts a word completes, the KN signature), T = total bigram
+    * types. Realized exactly over a common denominator 4·c_p·T in
+    * DECIMAL(38,0)/HUGEINT (int64 would wrap at 100 TB: c_pc·T can
+    * pass 10¹⁸ once either factor passes ~10⁹):
+    *
+    *   p9 = max( ((4·c_pc − 3)·T + 3·N1p_prev·N1p_cur) · 10⁹
+    *               div (4·c_p·T),  1 )
+    *
+    * (self-training means every scored bigram is seen, so 4·c_pc−3 ≥ 1;
+    * the max(…,1) floors sub-nano probabilities for the log). Per-gram
+    * surprisal s = lg64(10⁹) − lg64(p9) in 1/64-bit units via the
+    * shared codegen'd fixed-point log — deterministic cross-engine, no
+    * libm. Doc score = Σ s; per-gram normalization ×1000 integer div.
+    *
+    * Scale shape identical to [[lmSurprisal]]: the model (big/ctx/cont
+    * tables) is vocabulary-bounded and derives from ONE corpus
+    * explode+groupBy; T is a 1-row broadcast; scoring joins the
+    * instance table once on (prev, cur) and re-aggregates per doc. */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= lit(""))
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(zip_with(slice(toks, 1, Int.MaxValue - 1),
+          slice(toks, 2, Int.MaxValue - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("g"))
+      .filter(col("g.cur").isNotNull)
+      .select(col("doc_id"), col("g.prev").as("prev"),
+        col("g.cur").as("cur"))
+    val big = grams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_pc"))
+    val ctx = big.groupBy(col("prev"))
+      .agg(sum(col("c_pc")).as("c_p"), count(lit(1)).as("n1p_prev"))
+    val cont = big.groupBy(col("cur"))
+      .agg(count(lit(1)).as("n1p_w"))
+    val tt = big.agg(count(lit(1)).cast("decimal(38,0)").as("t"))
+    val l9 = NaiveBayes.lg64Long(1000000000L)
+    val prob = big.join(ctx, Seq("prev")).join(cont, Seq("cur"))
+      .crossJoin(broadcast(tt))
+      .select(col("prev"), col("cur"),
+        expr("""greatest(
+            ((4 * cast(c_pc as decimal(38,0)) - 3) * t
+              + 3 * cast(n1p_prev as decimal(38,0)) * n1p_w)
+              * 1000000000 div (4 * cast(c_p as decimal(38,0)) * t),
+            1L)""").as("p9"))
+      .select(col("prev"), col("cur"),
+        (lit(l9) - NaiveBayes.lg64(col("p9"))).as("s"))
+    grams.join(prob, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("kn_x64"))
+      .withColumn("kn_milli", expr("kn_x64 * 1000 div n_bigrams"))
+      .orderBy(desc("kn_milli"), asc("doc_id"))
+      .limit(k)
+  }
 }

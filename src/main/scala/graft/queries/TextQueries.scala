@@ -2485,6 +2485,171 @@ object TextQueries {
     notes = "integer-log2 bigram surprisal; score is exact cross-engine " +
       "(binary-string-length floor-log2, fixed-point per-gram normalization)")
 
+  /** INTERPOLATED KNESER–NEY surprisal ([[graft.operators.Salience
+    * .knSurprisal]]) — the smoothed counterpart of [[qLmSurprisal]]'s
+    * MLE model and the scoring rule actual perplexity filters use:
+    * absolute discount d = 3/4 with the freed mass interpolated against
+    * the CONTINUATION probability N1+(•,cur)/T (how many distinct
+    * contexts a word completes — the KN signature, which demotes
+    * words frequent only inside one collocation). Probabilities exact
+    * over the common denominator 4·c_p·T in DECIMAL(38,0)/HUGEINT;
+    * per-gram surprisal lg64(10⁹) − lg64(p_x1e9) in shared fixed-point
+    * log units. Top 50 most-surprising documents. */
+  val qKnSurprisal = GQuery("q_kn_surprisal",
+    (s, d) => graft.operators.Salience.knSurprisal(
+      Tables.documents(s, d), "doc_id", "text", k = 50),
+    Some(s"""WITH words AS (
+        SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+          '\\s+'), t -> len(t) > 0) AS l
+        FROM documents),
+      grams AS (
+        SELECT doc_id, unnest(l[1:len(l)-1]) AS prev,
+          unnest(l[2:len(l)]) AS cur
+        FROM words),
+      big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_pc
+        FROM grams GROUP BY 1, 2),
+      ctx AS (SELECT prev, CAST(SUM(c_pc) AS BIGINT) AS c_p,
+          CAST(COUNT(*) AS BIGINT) AS n1p_prev
+        FROM big GROUP BY 1),
+      cont AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1p_w
+        FROM big GROUP BY 1),
+      tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM big),
+      prob AS (SELECT big.prev AS prev, big.cur AS cur,
+          CAST(greatest(
+            ((4 * CAST(c_pc AS HUGEINT) - 3) * t
+              + 3 * CAST(n1p_prev AS HUGEINT) * n1p_w)
+              * 1000000000 // (4 * CAST(c_p AS HUGEINT) * t),
+            1) AS BIGINT) AS p9
+        FROM big JOIN ctx USING (prev) JOIN cont USING (cur), tt),
+      ${graft.operators.NaiveBayes.sqlLg64Chain(
+        "prob", "p9", Seq("prev", "cur"), "lg", "lgp")},
+      scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          CAST(SUM(${graft.operators.NaiveBayes
+            .lg64Long(1000000000L)} - lgp) AS BIGINT) AS kn_x64
+        FROM grams JOIN lg USING (prev, cur) GROUP BY 1)
+      SELECT doc_id, n_bigrams, kn_x64,
+        kn_x64 * 1000 // n_bigrams AS kn_milli
+      FROM scored ORDER BY kn_milli DESC, doc_id LIMIT 50"""),
+    notes = "Kneser-Ney d=3/4 interpolated bigram surprisal; exact " +
+      "common-denominator probabilities, lg64 fixed-point log, " +
+      "continuation counts from the bounded bigram-type table")
+
+  /** ROUGE-1/2 RECALL against a per-stratum reference — the n-gram
+    * overlap metric summarization/distillation pipelines score
+    * generated text with (Lin 2004): clipped gram recall
+    * Σ_g min(c_cand(g), c_ref(g)) / Σ_g c_ref(g). Reference = the
+    * longest document of each (lang, source) stratum (token count,
+    * doc_id tie-break); every other stratum member is scored against
+    * it, top 100 by ROUGE-2 reported in exact ppm (all counts integer;
+    * grams never leave int64-safe arithmetic).
+    *
+    * Scale shape: the reference gram table is bounded by
+    * strata × max-doc-length regardless of corpus size, so both clip
+    * joins BROADCAST it; the corpus contributes the same per-(doc,gram)
+    * count shuffle as TF-IDF. Distinct from [[qNgramJaccard]] (set
+    * overlap between pair candidates) — ROUGE is multiset-clipped,
+    * asymmetric, and recall-normalized by the reference. */
+  val qRouge = GQuery("q_rouge",
+    (s, d) => {
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), words.as("w"))
+        .filter(size(col("w")) > 0)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(size(col("w")).desc, col("doc_id"))
+      val ranked = docs.withColumn("rn", row_number().over(wr))
+      val refs = ranked.filter(col("rn") === 1)
+        .select(col("lang"), col("source"), col("doc_id").as("ref_id"),
+          col("w").as("rw"))
+      val cands = ranked.filter(col("rn") > 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("w"))
+      def bigrams(c: org.apache.spark.sql.Column) =
+        filter(zip_with(slice(c, 1, Int.MaxValue - 1),
+          slice(c, 2, Int.MaxValue - 1),
+          (a, b) => concat(a, lit(" "), b)), g => g.isNotNull)
+      def gramCounts(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          grams: org.apache.spark.sql.Column, cnt: String) =
+        df.select(keys.map(col) :+ explode(grams).as("gram"): _*)
+          .groupBy((keys :+ "gram").map(col): _*)
+          .agg(count(lit(1)).as(cnt))
+      val refKeys = Seq("lang", "source")
+      val candKeys = Seq("doc_id", "lang", "source")
+      val rc1 = gramCounts(refs, refKeys, col("rw"), "rc")
+      val rc2 = gramCounts(refs, refKeys, bigrams(col("rw")), "rc")
+      def clipped(cg: org.apache.spark.sql.DataFrame,
+          rc: org.apache.spark.sql.DataFrame, out: String) =
+        cg.join(broadcast(rc), Seq("lang", "source", "gram"))
+          .groupBy(col("doc_id"))
+          .agg(sum(least(col("cc"), col("rc"))).as(out))
+      val c1 = clipped(gramCounts(cands, candKeys, col("w"), "cc"),
+        rc1, "c1")
+      val c2 = clipped(gramCounts(cands, candKeys, bigrams(col("w")), "cc"),
+        rc2, "c2")
+      val rt = refs.select(col("lang"), col("source"), col("ref_id"),
+        size(col("rw")).cast("long").as("rt1"),
+        greatest(size(col("rw")) - 1, lit(0)).cast("long").as("rt2"))
+      cands.drop("w")
+        .join(broadcast(rt), Seq("lang", "source"))
+        .join(c1, Seq("doc_id"), "left")
+        .join(c2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"), col("ref_id"),
+          expr("cast(coalesce(c1, 0L) * 1000000 div rt1 as bigint)")
+            .as("r1_ppm"),
+          expr("""cast(coalesce(
+              coalesce(c2, 0L) * 1000000 div nullif(rt2, 0), 0L)
+            as bigint)""").as("r2_ppm"))
+        .orderBy(desc("r2_ppm"), desc("r1_ppm"), col("doc_id"))
+        .limit(100)
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, lang, source,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> len(t) > 0) AS w
+        FROM documents),
+      wnz AS (SELECT * FROM words WHERE len(w) > 0),
+      ranked AS (SELECT doc_id, lang, source, w,
+          ROW_NUMBER() OVER (PARTITION BY lang, source
+            ORDER BY len(w) DESC, doc_id) AS rn
+        FROM wnz),
+      refs AS (SELECT lang, source, doc_id AS ref_id, w AS rw
+        FROM ranked WHERE rn = 1),
+      cands AS (SELECT doc_id, lang, source, w FROM ranked WHERE rn > 1),
+      rc1 AS (SELECT lang, source, gram, CAST(COUNT(*) AS BIGINT) AS rc
+        FROM (SELECT lang, source, unnest(rw) AS gram FROM refs)
+        GROUP BY 1, 2, 3),
+      rc2 AS (SELECT lang, source, a || ' ' || b AS gram,
+          CAST(COUNT(*) AS BIGINT) AS rc
+        FROM (SELECT lang, source, unnest(rw[1:len(rw)-1]) AS a,
+            unnest(rw[2:len(rw)]) AS b FROM refs)
+        GROUP BY 1, 2, 3),
+      cg1 AS (SELECT doc_id, lang, source, gram,
+          CAST(COUNT(*) AS BIGINT) AS cc
+        FROM (SELECT doc_id, lang, source, unnest(w) AS gram FROM cands)
+        GROUP BY 1, 2, 3, 4),
+      cg2 AS (SELECT doc_id, lang, source, a || ' ' || b AS gram,
+          CAST(COUNT(*) AS BIGINT) AS cc
+        FROM (SELECT doc_id, lang, source, unnest(w[1:len(w)-1]) AS a,
+            unnest(w[2:len(w)]) AS b FROM cands)
+        GROUP BY 1, 2, 3, 4),
+      c1 AS (SELECT doc_id, SUM(least(cc, rc)) AS c1
+        FROM cg1 JOIN rc1 USING (lang, source, gram) GROUP BY 1),
+      c2 AS (SELECT doc_id, SUM(least(cc, rc)) AS c2
+        FROM cg2 JOIN rc2 USING (lang, source, gram) GROUP BY 1),
+      rt AS (SELECT lang, source, ref_id, CAST(len(rw) AS BIGINT) AS rt1,
+          CAST(greatest(len(rw) - 1, 0) AS BIGINT) AS rt2 FROM refs)
+      SELECT doc_id, lang, source, ref_id,
+        CAST(coalesce(c1, 0) * 1000000 // rt1 AS BIGINT) AS r1_ppm,
+        CAST(coalesce(coalesce(c2, 0) * 1000000 // nullif(rt2, 0), 0)
+          AS BIGINT) AS r2_ppm
+      FROM cands JOIN rt USING (lang, source)
+        LEFT JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id)
+      ORDER BY r2_ppm DESC, r1_ppm DESC, doc_id LIMIT 100"""),
+    notes = "clipped multiset n-gram recall vs the per-stratum longest " +
+      "doc; reference gram tables bounded and broadcast, exact ppm")
+
   /** Unigram-LM tokenizer TRAINING ([[graft.operators.Unigram]]) — the
     * SentencePiece-family counterpart of [[qBpeMerges]]: substring-seeded
     * vocabulary refined by 3 integer-exact EM rounds (Viterbi
@@ -5204,7 +5369,8 @@ object TextQueries {
     qSampleDet, qMixSample, qStratifiedSample, qTemperatureSample,
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
-    qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qBpeMerges, qBpeEncode,
+    qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qKnSurprisal, qRouge,
+    qBpeMerges, qBpeEncode,
     qWordpieceMerges, qWordpieceEncode, qWordpieceTokenize,
     qUnigramVocab, qUnigramEncode,
     qCompressRatio, qLengthHistogram,

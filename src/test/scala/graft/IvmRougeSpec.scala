@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.{IvmQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** In-JVM oracles for the IVM maintenance gate and the ROUGE recall
+  * gate — independent of the DuckDB twins that gate the same queries. */
+class IvmRougeSpec extends SparkSpec {
+
+  test("q_ivm_agg: incremental merge equals a from-scratch recompute") {
+    val incremental = IvmQueries.qIvmAgg.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val scratch = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 =!= 3)
+      .groupBy(col("user_id"),
+        Det.fmtDate(to_date(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("user_id"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(incremental.toSeq === scratch.toSeq)
+    // bag-semantics invariant: no zero-or-negative multiplicity survives
+    assert(incremental.forall(_._3 > 0))
+  }
+
+  test("q_ivm_agg: the delta actually changes maintained groups") {
+    // retractions must be visible: at least one group's count shrinks
+    // vs the pre-delta base view (otherwise the gate would be vacuous)
+    val base = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 10 =!= 7)
+      .groupBy(col("user_id"), Det.fmtDate(to_date(col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val maintained = IvmQueries.qIvmAgg.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shrunk = maintained.count { case (k, n) => base.get(k).exists(_ > n) }
+    val grew = maintained.count { case (k, n) => base.get(k).exists(_ < n) }
+    assert(shrunk > 0, "no group shrank — deletes were not applied")
+    assert(grew > 0, "no group grew — inserts were not applied")
+  }
+
+  test("q_rouge: exact Scala clipped-recall re-derivation") {
+    val out = TextQueries.qRouge.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect().map { r =>
+        val w = r.getString(3).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1), r.getString(2), w)
+      }.filter(_._4.nonEmpty)
+    def counts(g: Seq[String]) =
+      g.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def clipped(c: Map[String, Long], r: Map[String, Long]) =
+      c.map { case (g, n) => math.min(n, r.getOrElse(g, 0L)) }.sum
+    val scored = docs.groupBy(t => (t._2, t._3)).toSeq.flatMap {
+      case ((lang, src), rows) =>
+        val ref = rows.minBy(t => (-t._4.length, t._1))
+        val r1 = counts(ref._4.toSeq)
+        val r2 = counts(ref._4.toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq)
+        val rt1 = ref._4.length.toLong
+        val rt2 = math.max(ref._4.length - 1, 0).toLong
+        rows.filterNot(_ eq ref).map { c =>
+          val c1 = clipped(counts(c._4.toSeq), r1)
+          val c2 = clipped(counts(c._4.toSeq.sliding(2)
+            .filter(_.size == 2).map(_.mkString(" ")).toSeq), r2)
+          val r1p = c1 * 1000000L / rt1
+          val r2p = if (rt2 == 0) 0L else c2 * 1000000L / rt2
+          (c._1, lang, src, ref._1, r1p, r2p)
+        }
+    }.toSeq
+    val top = scored.sortBy(x => (-x._6, -x._5, x._1)).take(100)
+    assert(out.toSeq === top)
+    // the metric must discriminate: top scores strictly above the floor
+    assert(top.head._6 > top.last._6 || top.head._5 > top.last._5)
+  }
+}

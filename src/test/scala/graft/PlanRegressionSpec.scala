@@ -86,7 +86,16 @@ class PlanRegressionSpec extends SparkSpec {
     "q_kmv_distinct",
     // Heaps-bounded vocabulary broadcast, probed by the draws on the
     // non-equi inverse-CDF range predicate (lo ≤ r < hi)
-    "q_neg_sampling")
+    "q_neg_sampling",
+    // 1-row broadcast bigram-type-total cross join onto the
+    // vocabulary-bounded bigram model table
+    "q_kn_surprisal",
+    // 1-row stats/denominator broadcasts + 7-row lag-table cross join
+    // onto the bounded daily series
+    "q_acf",
+    // bounded band-cell self cross join (≤ ~11×40 cells) + 1-row
+    // marginal/total assembly — the grouped-data tau-b estimator
+    "q_kendall_binned")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
