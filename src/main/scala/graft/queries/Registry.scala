@@ -6,7 +6,8 @@ object Registry {
   val all: Seq[GQuery] =
     Relational.all ++ TpchQueries.all ++ WindowQueries.all ++
       EntityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
-      ChatQueries.all ++ SeriesQueries.all ++ IvmQueries.all ++ Fuzz.all
+      ChatQueries.all ++ SeriesQueries.all ++ IvmQueries.all ++
+      InferenceQueries.all ++ Fuzz.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")
