@@ -364,4 +364,103 @@ object Clustering {
     FROM sc
     QUALIFY rank <= $topN
     ORDER BY cluster, rank"""
+
+  /** GRID-DBSCAN — density-based clustering, the family k-means can't
+    * express (arbitrary-shape clusters + an explicit noise class), in
+    * its grid formulation (the GriDBSCAN/GriT lineage): quantize the
+    * first two embedding dimensions to cells of side 1/scale
+    * (`floor(x·scale)` — scale a power of two, so the multiply is IEEE-
+    * exact and identical cross-engine), call a cell CORE when it holds
+    * ≥ minPts points, and define clusters as connected components of
+    * 8-ADJACENT core cells. Points in core cells are members; all other
+    * points are noise. (Point-level DBSCAN's border rule is deliberately
+    * dropped — the cell-level definition is exact, deterministic, and
+    * what the grid variants actually compute at scale.)
+    *
+    * Output: one row per cluster (cluster = min packed cell id of the
+    * component, n_cells, n_points) ordered by size, plus a final
+    * cluster = −1 noise row aggregating every sub-core cell.
+    *
+    * Scale shape: the corpus contributes ONE cell-keyed aggregate; every
+    * later step (adjacency join, [[Dedup.nearDupGroupsStar]] components,
+    * membership join) runs on the CELL table, bounded by min(#points,
+    * grid area) regardless of corpus size. Adjacency is realized as a
+    * 9-way neighbor-key equi-join (bounded fan-out), never a theta
+    * join. */
+  def gridDbscan(df: DataFrame, idCol: String, vecCol: String,
+      scale: Int, minPts: Long): DataFrame = {
+    val off = 1048576L
+    def packed(cx: Column, cy: Column): Column =
+      (cx + off) * lit(2097152L) + (cy + off)
+    val pts = df.select(col(idCol).as("id"),
+      floor(col(vecCol).getItem(0).cast(DoubleType) * scale)
+        .cast(LongType).as("cx"),
+      floor(col(vecCol).getItem(1).cast(DoubleType) * scale)
+        .cast(LongType).as("cy"))
+    val cells = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cell", packed(col("cx"), col("cy")))
+      .localCheckpoint(true)
+    val core = cells.filter(col("n") >= minPts)
+    // 9 neighbor keys per core cell (incl. self, so singleton core
+    // cells survive as nodes); inner join back to core = adjacency
+    val pairs = core
+      .select(col("cell").as("id_a"), col("cx"), col("cy"))
+      .withColumn("dx", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .withColumn("dy", explode(typedLit(Seq(-1L, 0L, 1L))))
+      .select(col("id_a"),
+        packed(col("cx") + col("dx"), col("cy") + col("dy")).as("id_b"))
+      .join(core.select(col("cell").as("id_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.nearDupGroupsStar(pairs)
+      .select(col("id").as("cell"), col("label"))
+    val clusters = core.join(labels, Seq("cell"))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+    val noise = cells.filter(col("n") < minPts)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_cells"),
+        coalesce(sum(col("n")), lit(0L)).as("n_points"))
+      .select(lit(-1L).as("cluster"), col("n_cells"), col("n_points"))
+    clusters.unionByName(noise)
+      .orderBy(desc("n_points"), asc("cluster"))
+  }
+
+  /** DuckDB twin of [[gridDbscan]] over `embeddings` (1-based list
+    * indexing; recursive-CTE min-label components). */
+  def sqlGridDbscan(scale: Int, minPts: Long): String =
+    s"""WITH RECURSIVE pts AS (
+        SELECT vec_id AS id,
+          CAST(floor(CAST(embedding[1] AS DOUBLE) * $scale) AS BIGINT)
+            AS cx,
+          CAST(floor(CAST(embedding[2] AS DOUBLE) * $scale) AS BIGINT)
+            AS cy
+        FROM embeddings),
+      cells AS (SELECT cx, cy,
+          (cx + 1048576) * 2097152 + (cy + 1048576) AS cell,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1, 2),
+      core AS (SELECT * FROM cells WHERE n >= $minPts),
+      edges AS (
+        SELECT a.cell AS src, b.cell AS dst
+        FROM core a JOIN core b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+      reach AS (
+        SELECT cell AS id, cell AS label FROM core
+        UNION
+        SELECT e.src AS id, r.label FROM edges e JOIN reach r
+          ON e.dst = r.id),
+      comp AS (SELECT id AS cell, MIN(label) AS label FROM reach
+        GROUP BY id),
+      clusters AS (
+        SELECT c.label AS cluster,
+          CAST(COUNT(*) AS BIGINT) AS n_cells,
+          CAST(SUM(k.n) AS BIGINT) AS n_points
+        FROM comp c JOIN core k USING (cell) GROUP BY 1)
+      SELECT cluster, n_cells, n_points FROM clusters
+      UNION ALL
+      SELECT -1 AS cluster,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      FROM cells WHERE n < $minPts
+      ORDER BY n_points DESC, cluster"""
 }

@@ -2650,6 +2650,92 @@ object TextQueries {
     notes = "clipped multiset n-gram recall vs the per-stratum longest " +
       "doc; reference gram tables bounded and broadcast, exact ppm")
 
+  /** DATA-MIXTURE DIVERGENCE: KL(source ‖ corpus) over unigram word
+    * distributions, per source — the domain-shift diagnostic a mixture-
+    * weighted pretraining pipeline monitors (which sources are
+    * distributionally redundant vs distinct). Complements [[graft.queries
+    * .PipelineQueries.qPsiDrift]] (PSI over numeric bins, time axis) with
+    * the vocabulary axis.
+    *
+    * Exact fixed point: KL·n_s carried as
+    * Σ_w c_sw·(lg64(c_sw) + lg64(n) − lg64(c_w) − lg64(n_s)) — the
+    * SPLIT lg64 form, which keeps every log argument an int64 count at
+    * any corpus size (the product forms c_sw·n overflow first);
+    * deterministic because both engines evaluate the same floored-log
+    * sum. Contributions accumulate in DECIMAL(38,0); the per-token
+    * normalization uses the sign-split division (floored logs can push
+    * individual sums a hair negative).
+    *
+    * Scale shape: one corpus gram shuffle (the TF-IDF shape); c_w is
+    * vocabulary-bounded and n_s source-bounded — both broadcast; the
+    * total is a 1-row broadcast. */
+  val qKlSource = GQuery("q_kl_source",
+    (s, d) => {
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val csw = Tables.documents(s, d)
+        .select(col("source"), explode(words).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c_sw"))
+      val cw = csw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+      val ns = csw.groupBy(col("source"))
+        .agg(sum(col("c_sw")).as("n_s"))
+      val tot = cw.agg(sum(col("c_w")).as("n"))
+      import graft.operators.NaiveBayes.lg64
+      csw.join(broadcast(cw), Seq("w"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          (col("c_sw").cast("decimal(38,0)") *
+            (lg64(col("c_sw")) + lg64(col("n"))
+              - lg64(col("c_w")) - lg64(col("n_s")))).as("contrib"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("contrib")).as("kl"))
+        .select(col("source"), col("n_tokens"),
+          col("kl").cast("bigint").as("kl_x64_scaled"),
+          expr("""cast(case when kl < 0 then -1 else 1 end
+              * ((abs(kl) * 1000) div (64 * n_tokens)) as bigint)""")
+            .as("kl_milli"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH inst AS (
+        SELECT source,
+          unnest(list_filter(string_split_regex(trim(lower(text)),
+            '\\s+'), t -> len(t) > 0)) AS w
+        FROM documents),
+      csw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+        FROM inst GROUP BY 1, 2),
+      cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+        FROM csw GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+        FROM csw GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS nt FROM cw),
+      j AS (SELECT source, w, c_sw, c_w, n_s, nt
+        FROM csw JOIN cw USING (w) JOIN ns USING (source), tot),
+      ${graft.operators.NaiveBayes.sqlLg64Chain("j", "c_sw",
+        Seq("source", "w", "c_sw", "c_w", "n_s", "nt"), "l1", "lcsw")},
+      ${graft.operators.NaiveBayes.sqlLg64Chain("l1", "nt",
+        Seq("source", "w", "c_sw", "c_w", "n_s", "nt", "lcsw"),
+        "l2", "ln")},
+      ${graft.operators.NaiveBayes.sqlLg64Chain("l2", "c_w",
+        Seq("source", "w", "c_sw", "c_w", "n_s", "nt", "lcsw", "ln"),
+        "l3", "lcw")},
+      ${graft.operators.NaiveBayes.sqlLg64Chain("l3", "n_s",
+        Seq("source", "w", "c_sw", "c_w", "n_s", "nt", "lcsw", "ln",
+          "lcw"), "l4", "lns")},
+      agg AS (SELECT source, MAX(n_s) AS n_tokens,
+          SUM(CAST(c_sw AS HUGEINT) * (lcsw + ln - lcw - lns)) AS kl
+        FROM l4 GROUP BY 1)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(kl AS BIGINT) AS kl_x64_scaled,
+        CAST(CASE WHEN kl < 0 THEN -1 ELSE 1 END
+          * ((abs(kl) * 1000) // (64 * n_tokens)) AS BIGINT) AS kl_milli
+      FROM agg ORDER BY source"""),
+    notes = "per-source unigram KL vs corpus in lg64 fixed point " +
+      "(split-log form, int64-safe at any scale); vocab-bounded " +
+      "broadcasts, one gram shuffle, sign-split normalization")
+
   /** Unigram-LM tokenizer TRAINING ([[graft.operators.Unigram]]) — the
     * SentencePiece-family counterpart of [[qBpeMerges]]: substring-seeded
     * vocabulary refined by 3 integer-exact EM rounds (Viterbi
@@ -4062,6 +4148,25 @@ object TextQueries {
     notes = "exact Lloyd rounds; integer floor-mean centroids, " +
       "trajectory replayed by the unrolled twin")
 
+  /** GRID-DBSCAN ([[graft.operators.Clustering.gridDbscan]]) — the
+    * density-based member of the clustering family (arbitrary-shape
+    * clusters + an explicit noise class, which k-means cannot express):
+    * 1/32-side cells over the first two embedding dims, core at
+    * ≥ 3 points, clusters = components of 8-adjacent core cells via
+    * the large-star/small-star operator. Cell side 1/32 is a power of
+    * two, so the quantizing multiply is IEEE-exact cross-engine. The
+    * corpus contributes one cell-keyed agg; everything downstream runs
+    * on the bounded cell table. */
+  val qDbscanGrid = GQuery("q_dbscan_grid",
+    (s, d) => graft.operators.Clustering.gridDbscan(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      scale = 32, minPts = 3L),
+    Some(graft.operators.Clustering.sqlGridDbscan(scale = 32,
+      minPts = 3L)),
+    notes = "grid-DBSCAN: core cells + 8-adjacency components " +
+      "(recursive-CTE twin), explicit noise row; cell-bounded " +
+      "post-aggregation work")
+
   /** CLUSTERING QUALITY gate ([[graft.operators.Clustering
     * .silhouetteSummary]]): simplified (centroid-based) silhouette per
     * k-means cluster in integer per-mille — the "is this clustering
@@ -5370,6 +5475,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qKnSurprisal, qRouge,
+    qKlSource,
     qBpeMerges, qBpeEncode,
     qWordpieceMerges, qWordpieceEncode, qWordpieceTokenize,
     qUnigramVocab, qUnigramEncode,
@@ -5380,7 +5486,8 @@ object TextQueries {
     qHardNegatives,
     qMatryoshka, qReadability, qNbModel, qNbClassify, qCoreset,
     qCoresetBatched, qMmr,
-    qContrastivePairs, qNegSampling, qKmeans, qSilhouette, qSemDedup,
+    qContrastivePairs, qNegSampling, qKmeans, qDbscanGrid, qSilhouette,
+    qSemDedup,
     qRrfFusion,
     qDsirSelect,
     qPerceptron, qImagePhash, qWeightedSample, qMarginMining,

@@ -158,4 +158,43 @@ class ClusteringSpec extends SparkSpec {
     assert(centers.find(_._1 == 0).get._2 === Seq(-416667L, 0L))
     assert(centers.find(_._1 == 1).get._2 === Seq(1000000L, 1000000L))
   }
+
+  test("gridDbscan matches a union-find oracle over cells") {
+    val out = TextQueries.qDbscanGrid.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val v = r.getSeq[Float](1)
+        (math.floor(v(0).toDouble * 32).toLong,
+          math.floor(v(1).toDouble * 32).toLong)
+      }
+    val cellN = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def pack(c: (Long, Long)) =
+      (c._1 + 1048576L) * 2097152L + (c._2 + 1048576L)
+    val core = cellN.filter(_._2 >= 3L).keys.toSeq
+    // union-find over 8-adjacency
+    val parent = scala.collection.mutable.Map(
+      core.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) =
+      if (parent(c) == c) c
+      else { val r = find(parent(c)); parent(c) = r; r }
+    for (a <- core; dx <- -1L to 1L; dy <- -1L to 1L) {
+      val b = (a._1 + dx, a._2 + dy)
+      if (parent.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (pack(ra) < pack(rb)) rb else ra) =
+          if (pack(ra) < pack(rb)) ra else rb
+      }
+    }
+    val expClusters = core.groupBy(c => pack(find(c))).map {
+      case (lbl, cs) => (lbl, cs.size.toLong, cs.map(cellN).sum) }.toSeq
+    val noiseCells = cellN.filter(_._2 < 3L)
+    val expected = (expClusters :+
+      ((-1L, noiseCells.size.toLong, noiseCells.values.sum)))
+      .sortBy(t => (-t._3, t._1))
+    assert(out.toSeq === expected)
+    // non-vacuity: at least 2 clusters and a non-empty noise class
+    assert(expClusters.size >= 2 && noiseCells.nonEmpty)
+  }
 }

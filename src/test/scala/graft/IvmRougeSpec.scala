@@ -78,4 +78,40 @@ class IvmRougeSpec extends SparkSpec {
     // the metric must discriminate: top scores strictly above the floor
     assert(top.head._6 > top.last._6 || top.head._5 > top.last._5)
   }
+
+  test("q_kl_source: exact lg64 re-derivation + self-KL sanity") {
+    val out = TextQueries.qKlSource.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val inst = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).trim.toLowerCase.split("\\s+")
+          .filter(_.nonEmpty).map(w => (r.getString(0), w))
+      }
+    val csw = inst.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cwm = csw.toSeq.groupBy(_._1._2)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val nsm = csw.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val n = cwm.values.sum
+    import graft.operators.NaiveBayes.lg64Long
+    val expected = csw.toSeq.groupBy(_._1._1).toSeq.map {
+      case (src, terms) =>
+        val kl = terms.map { case ((_, w), c) =>
+          BigInt(c) * (lg64Long(c) + lg64Long(n)
+            - lg64Long(cwm(w)) - lg64Long(nsm(src)))
+        }.sum
+        val ns = nsm(src)
+        val milli = (if (kl < 0) -1 else 1) *
+          ((kl.abs * 1000) / (64 * ns))
+        (src, ns, kl.toLong, milli.toLong)
+    }.sortBy(_._1)
+    assert(out.toSeq === expected)
+    // KL of the whole corpus against itself is 0 by construction:
+    // every source's value must be a small non-degenerate positive
+    // (floored logs allow tiny negatives; a large negative = bug)
+    assert(out.forall(_._4 > -5L), "KL far below zero")
+    assert(out.exists(_._4 > 0L), "no source diverges at all")
+  }
 }

@@ -95,7 +95,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_acf",
     // bounded band-cell self cross join (≤ ~11×40 cells) + 1-row
     // marginal/total assembly — the grouped-data tau-b estimator
-    "q_kendall_binned")
+    "q_kendall_binned",
+    // 1-row corpus-token-total broadcast onto the vocab-bounded
+    // per-(source, word) count table
+    "q_kl_source")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
