@@ -105,25 +105,37 @@ object NaiveBayes {
     * carrying `keep` columns and emitting `outCol` = lg64(`nExpr`).
     * The final stage is named `outCte`. Chained CTEs (not one nested
     * expression) because each stage's mantissa feeds the next stage's
-    * 4th power — inlining would blow up the SQL text 6× per stage. */
+    * 4th power — inlining would blow up the SQL text 6× per stage.
+    *
+    * Every internal column is `outCte`-prefixed: an unprefixed alias
+    * (the original code used bare `n`) is silently SHADOWED by any
+    * same-named `keep` column — q_kl_source's corpus total `n` made
+    * all four of its chained lg64s collapse to the same value (KL ≡ 0
+    * in DuckDB while Spark was right). Prefixing makes collision with
+    * caller columns impossible by construction. */
   def sqlLg64Chain(inCte: String, nExpr: String, keep: Seq[String],
       outCte: String, outCol: String): String = {
     val ks = keep.mkString(", ")
     val pfx = outCte
-    s"""${pfx}_a AS (SELECT $ks, CAST(($nExpr) AS BIGINT) AS n FROM $inCte),
-      ${pfx}_b AS (SELECT $ks, n,
-        length(format('{:b}', n)) - 1 AS e0 FROM ${pfx}_a),
-      ${pfx}_c AS (SELECT $ks, e0, (n * 8192) >> e0 AS m0 FROM ${pfx}_b),
-      ${pfx}_d AS (SELECT $ks, e0,
-        length(format('{:b}', m0*m0*m0*m0)) - 53 AS f1,
-        (m0*m0*m0*m0) >> (length(format('{:b}', m0*m0*m0*m0)) - 14)
-          AS m1 FROM ${pfx}_c),
-      ${pfx}_e AS (SELECT $ks, e0, f1,
-        length(format('{:b}', m1*m1*m1*m1)) - 53 AS f2,
-        (m1*m1*m1*m1) >> (length(format('{:b}', m1*m1*m1*m1)) - 14)
-          AS m2 FROM ${pfx}_d),
-      $outCte AS (SELECT $ks, e0*64 + f1*16 + f2*4 +
-        (length(format('{:b}', m2*m2*m2*m2)) - 53) AS $outCol
+    val (n, e0, m0, f1, m1, f2, m2) = (s"${pfx}_n", s"${pfx}_e0",
+      s"${pfx}_m0", s"${pfx}_f1", s"${pfx}_m1", s"${pfx}_f2",
+      s"${pfx}_m2")
+    s"""${pfx}_a AS (SELECT $ks, CAST(($nExpr) AS BIGINT) AS $n
+        FROM $inCte),
+      ${pfx}_b AS (SELECT $ks, $n,
+        length(format('{:b}', $n)) - 1 AS $e0 FROM ${pfx}_a),
+      ${pfx}_c AS (SELECT $ks, $e0, ($n * 8192) >> $e0 AS $m0
+        FROM ${pfx}_b),
+      ${pfx}_d AS (SELECT $ks, $e0,
+        length(format('{:b}', $m0*$m0*$m0*$m0)) - 53 AS $f1,
+        ($m0*$m0*$m0*$m0) >> (length(format('{:b}', $m0*$m0*$m0*$m0)) - 14)
+          AS $m1 FROM ${pfx}_c),
+      ${pfx}_e AS (SELECT $ks, $e0, $f1,
+        length(format('{:b}', $m1*$m1*$m1*$m1)) - 53 AS $f2,
+        ($m1*$m1*$m1*$m1) >> (length(format('{:b}', $m1*$m1*$m1*$m1)) - 14)
+          AS $m2 FROM ${pfx}_d),
+      $outCte AS (SELECT $ks, $e0*64 + $f1*16 + $f2*4 +
+        (length(format('{:b}', $m2*$m2*$m2*$m2)) - 53) AS $outCol
         FROM ${pfx}_e)"""
   }
 

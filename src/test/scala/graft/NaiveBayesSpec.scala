@@ -140,4 +140,27 @@ class NaiveBayesSpec extends SparkSpec {
       prev = v
     }
   }
+
+  test("sqlLg64Chain: internal aliases cannot be shadowed by keep columns") {
+    // regression for the q_kl_source incident: a keep column named `n`
+    // silently shadowed the chain's internal alias and collapsed every
+    // chained lg64 to the same value in DuckDB. All internal columns
+    // are now outCte-prefixed, so hostile keep names are inert.
+    val hostile = Seq("n", "e0", "m0", "f1", "m1", "f2", "m2", "key")
+    val sql = NaiveBayes.sqlLg64Chain("src", "key", hostile, "lgx", "lgv")
+    // every alias the chain introduces must carry the lgx_ prefix
+    val aliases = "AS\\s+([A-Za-z0-9_]+)".r.findAllMatchIn(sql)
+      .map(_.group(1)).toSeq
+    val introduced = aliases
+      .filterNot(Set("lgv", "BIGINT")) // BIGINT = the CAST target type
+    assert(introduced.nonEmpty)
+    introduced.foreach { a =>
+      assert(a.startsWith("lgx_"), s"unprefixed internal alias: $a")
+    }
+    // keep columns ride through every stage untouched
+    hostile.foreach { k =>
+      assert(!sql.matches(s"(?s).*AS\\s+$k\\b.*"),
+        s"chain re-aliases keep column $k")
+    }
+  }
 }
