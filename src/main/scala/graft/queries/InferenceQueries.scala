@@ -255,5 +255,179 @@ object InferenceQueries {
       "integer denominator; exactKth histogram selection for the " +
       "calibration quantile, integer coverage check, alpha=0.1")
 
-  val all: Seq[GQuery] = Seq(qBhFdr, qConformal)
+  /** COHEN'S KAPPA — chance-corrected inter-annotator agreement, the
+    * number every labeling/RLHF pipeline reports before trusting its
+    * annotations. Here the two "annotators" are deterministic quality
+    * heuristics over the same documents (type-token ratio ≥ 500‰ vs
+    * mean word length ≥ 4.5 chars), so the gate is self-contained and
+    * the 2×2 confusion is exactly reproducible.
+    *
+    * κ = (p_o − p_e)/(1 − p_e) cleared to one integer rational:
+    * κ·10⁶ = (N·(n00+n11) − r0·c0 − r1·c1)·10⁶ / (N² − r0·c0 − r1·c1),
+    * computed in DECIMAL(38,0)/HUGEINT with the sign-split division
+    * (κ can be negative). One corpus scan to the 2×2; everything after
+    * is constant-size arithmetic. */
+  val qCohenKappa = GQuery("q_cohen_kappa",
+    (s, d) => {
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val cell = Tables.documents(s, d)
+        .select(words.as("w")).filter(size(col("w")) > 0)
+        .select(
+          (expr("size(array_distinct(w)) * 1000L div size(w)") >= 500L)
+            .as("a"),
+          (expr("aggregate(w, 0L, (acc, t) -> acc + length(t)) * 10L" +
+            " div size(w)") >= 45L).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      cell.agg(
+          sum(col("c")).as("n"),
+          sum(when(col("a") && col("b"), col("c")).otherwise(0L))
+            .as("n11"),
+          sum(when(col("a") && !col("b"), col("c")).otherwise(0L))
+            .as("n10"),
+          sum(when(!col("a") && col("b"), col("c")).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("a") && !col("b"), col("c")).otherwise(0L))
+            .as("n00"))
+        .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+          expr("""cast((n11 + n10) * 1000000 div n as bigint)""")
+            .as("p_a_ppm"),
+          expr("""cast((n11 + n01) * 1000000 div n as bigint)""")
+            .as("p_b_ppm"),
+          expr("""cast(
+            (case when cast(n as decimal(38,0)) * (n00 + n11)
+                - (n10 + n11) * cast(n01 + n11 as decimal(38,0))
+                - (n00 + n01) * cast(n00 + n10 as decimal(38,0)) < 0
+              then -1 else 1 end)
+            * ((abs(cast(n as decimal(38,0)) * (n00 + n11)
+                - (n10 + n11) * cast(n01 + n11 as decimal(38,0))
+                - (n00 + n01) * cast(n00 + n10 as decimal(38,0)))
+                * 1000000)
+              div (cast(n as decimal(38,0)) * n
+                - (n10 + n11) * cast(n01 + n11 as decimal(38,0))
+                - (n00 + n01) * cast(n00 + n10 as decimal(38,0))))
+            as bigint)""").as("kappa_ppm"))
+    },
+    Some("""WITH w AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          t -> len(t) > 0) AS l
+        FROM documents),
+      s AS (SELECT
+          (len(list_distinct(l)) * 1000 // len(l) >= 500) AS a,
+          (list_sum(list_transform(l, t -> len(t))) * 10 // len(l)
+            >= 45) AS b
+        FROM w WHERE len(l) > 0),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n11,
+          CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n10,
+          CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n01,
+          CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00
+        FROM s),
+      k AS (SELECT *,
+          CAST(n AS HUGEINT) * (n00 + n11)
+            - (n10 + n11) * CAST(n01 + n11 AS HUGEINT)
+            - (n00 + n01) * CAST(n00 + n10 AS HUGEINT) AS num,
+          CAST(n AS HUGEINT) * n
+            - (n10 + n11) * CAST(n01 + n11 AS HUGEINT)
+            - (n00 + n01) * CAST(n00 + n10 AS HUGEINT) AS den
+        FROM m)
+      SELECT n, n00, n01, n10, n11,
+        CAST((n11 + n10) * 1000000 // n AS BIGINT) AS p_a_ppm,
+        CAST((n11 + n01) * 1000000 // n AS BIGINT) AS p_b_ppm,
+        CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+          * ((abs(num) * 1000000) // den) AS BIGINT) AS kappa_ppm
+      FROM k"""),
+    notes = "chance-corrected 2x2 agreement as one integer rational; " +
+      "sign-split division, one corpus scan to the confusion table")
+
+  /** POISSON BOOTSTRAP — the distributed bootstrap (Chamandy et al.,
+    * Google 2012): instead of resampling n rows with replacement
+    * (impossible without a global pass), each (row, replicate) draws an
+    * INDEPENDENT Poisson(1) weight, which converges to multinomial
+    * resampling at corpus scale and needs only a map over the data.
+    * Here the draw is md5-deterministic: u = 48-bit fold of
+    * md5("pb:" + b + ":" + event_id), weight = #{k : u ≥ T_k} with
+    * T_k = ⌊cdf_Poisson(1)(k)·2⁴⁸⌋ embedded as shared integer literals
+    * (both engines walk the SAME inverse-CDF table, so every draw is
+    * reproducible bit-for-bit on any layout — the property RNG-state
+    * bootstraps lose the moment partitioning changes).
+    *
+    * Gate: B = 64 replicate estimates of the mean event value in cents
+    * (exact integer Σw·cents div Σw per replicate) — the full replicate
+    * table IS the output, pinning every draw; CI quantiles are order
+    * statistics the caller reads off it. Scale: the ×B row fan-out is
+    * the method's true cost; per-replicate map-side partials collapse
+    * the shuffle to B·partitions rows. */
+  val qBootstrap = GQuery("q_bootstrap",
+    (s, d) => {
+      // floor(cdf * 2^48) for Poisson(1), k = 0..7 (authoring-time
+      // constants; P(w > 8) ~ 1e-6 truncated identically in both engines)
+      val thresholds = Seq(103548857136060L, 207097714272121L,
+        258872142840152L, 276130285696162L, 280444821410164L,
+        281307728552965L, 281451546410098L, 281472091818260L)
+      def hexVal(c: org.apache.spark.sql.Column) =
+        when(c >= 97, c - 87).otherwise(c - 48)
+      val hh = md5(concat(lit("pb:"), col("b").cast("string"),
+        lit(":"), col("event_id").cast("string")))
+      val u = (1 to 12).map { j =>
+        hexVal(ascii(substring(hh, j, 1))).cast("long") *
+          lit(BigInt(16).pow(12 - j).toLong)
+      }.reduce(_ + _)
+      // CASE chain, not a filter() HOF: higher-order functions drop the
+      // whole projection to interpreted eval, re-running the 12-nibble
+      // md5 fold per array element (measured minutes vs seconds at sf0.1)
+      val w = thresholds.zipWithIndex.tail
+        .foldLeft(when(col("u") < lit(thresholds.head), 0L)) {
+          case (acc, (t, k)) => acc.when(col("u") < lit(t), k.toLong)
+        }.otherwise(thresholds.size.toLong)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("b", explode(typedLit((0 until 64).map(_.toLong))))
+        .withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("wsum"))
+        .select(col("b"), col("n_eff"),
+          expr("cast(wsum div n_eff as bigint)").as("est_cents"))
+        .orderBy(col("b"))
+    },
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(hh, $i, 1)) >= 97
+           THEN ascii(substr(hh, $i, 1)) - 87
+           ELSE ascii(substr(hh, $i, 1)) - 48 END)"""
+      val fold = (1 to 12)
+        .map(i => s"CAST(${hv(i)} AS BIGINT) * ${BigInt(16).pow(12 - i).toLong}")
+        .mkString(" + ")
+      val ts = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+        276130285696162L, 280444821410164L, 281307728552965L,
+        281451546410098L, 281472091818260L)
+      val caseW = ts.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString(" ") + s" ELSE ${ts.size}"
+      s"""WITH reps AS (
+        SELECT e.event_id,
+          CAST(floor(e.value * 100) AS BIGINT) AS cents,
+          CAST(t.r AS BIGINT) AS b,
+          md5('pb:' || CAST(t.r AS VARCHAR) || ':'
+            || CAST(e.event_id AS VARCHAR)) AS hh
+        FROM events e CROSS JOIN range(0, 64) t(r)),
+      us AS (SELECT b, cents, ($fold) AS u FROM reps),
+      wts AS (SELECT b, cents, CASE $caseW END AS w FROM us)
+      SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        CAST(CAST(SUM(w * cents) AS HUGEINT) // SUM(w) AS BIGINT)
+          AS est_cents
+      FROM wts GROUP BY b ORDER BY b"""
+    },
+    notes = "md5-deterministic Poisson(1) bootstrap over a shared " +
+      "integer inverse-CDF table; 64 replicate means pinned exactly, " +
+      "bit-reproducible on any partitioning")
+
+  val all: Seq[GQuery] = Seq(qBhFdr, qConformal, qCohenKappa, qBootstrap)
 }

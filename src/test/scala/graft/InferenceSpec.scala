@@ -105,4 +105,65 @@ class InferenceSpec extends SparkSpec {
     assert(cov >= (900000 - se3).toLong - 1,
       s"coverage $cov below guarantee band")
   }
+
+  test("q_cohen_kappa: exact BigInt re-derivation") {
+    val row = InferenceQueries.qCohenKappa.run(spark, sfDir).collect()(0)
+    val cells = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map(_.getString(0).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)).filter(_.nonEmpty)
+      .map { w =>
+        val a = w.distinct.length.toLong * 1000 / w.length >= 500
+        val b = w.map(_.length.toLong).sum * 10 / w.length >= 45
+        (a, b)
+      }
+    val n11 = cells.count(c => c._1 && c._2).toLong
+    val n10 = cells.count(c => c._1 && !c._2).toLong
+    val n01 = cells.count(c => !c._1 && c._2).toLong
+    val n00 = cells.count(c => !c._1 && !c._2).toLong
+    val n = cells.length.toLong
+    assert((row.getAs[Long]("n"), row.getAs[Long]("n00"),
+      row.getAs[Long]("n01"), row.getAs[Long]("n10"),
+      row.getAs[Long]("n11")) === ((n, n00, n01, n10, n11)))
+    val num = BigInt(n) * (n00 + n11) -
+      BigInt(n10 + n11) * (n01 + n11) - BigInt(n00 + n01) * (n00 + n10)
+    val den = BigInt(n) * n -
+      BigInt(n10 + n11) * (n01 + n11) - BigInt(n00 + n01) * (n00 + n10)
+    val kappa = (if (num < 0) -1 else 1) * ((num.abs * 1000000) / den)
+    assert(row.getAs[Long]("kappa_ppm") === kappa.toLong)
+    // non-degenerate: some agreement beyond chance but not perfect
+    assert(kappa > 0 && kappa < 900000)
+  }
+
+  test("q_bootstrap: exact md5 re-derivation + sampling sanity") {
+    val out = InferenceQueries.qBootstrap.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val thresholds = Seq(103548857136060L, 207097714272121L,
+      258872142840152L, 276130285696162L, 280444821410164L,
+      281307728552965L, 281451546410098L, 281472091818260L)
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100).toLong))
+    def fold(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.take(12).foldLeft(0L)((acc, c) =>
+        acc * 16 + (if (c >= 'a') c - 'a' + 10 else c - '0'))
+    }
+    val expected = (0L until 64L).map { b =>
+      val ws = rows.map { case (id, cents) =>
+        val u = fold(s"pb:$b:$id")
+        (thresholds.count(u >= _).toLong, cents)
+      }
+      val nEff = ws.map(_._1).sum
+      (b, nEff, ws.map(t => t._1 * t._2).sum / nEff)
+    }
+    assert(out.toSeq === expected)
+    // Poisson(1) sanity: replicate mass stays near n (5 sigma)
+    val nRows = rows.length.toLong
+    val tol = (5.0 * math.sqrt(nRows.toDouble)).toLong + 1
+    out.foreach { case (b, nEff, _) =>
+      assert(math.abs(nEff - nRows) <= tol, s"replicate $b mass $nEff") }
+    // and the replicate means genuinely vary (it IS resampling)
+    assert(out.map(_._3).distinct.length > 10)
+  }
 }
