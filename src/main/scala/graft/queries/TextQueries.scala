@@ -2650,6 +2650,147 @@ object TextQueries {
     notes = "clipped multiset n-gram recall vs the per-stratum longest " +
       "doc; reference gram tables bounded and broadcast, exact ppm")
 
+  /** HELD-OUT PERPLEXITY with STUPID BACKOFF — the eval configuration
+    * the self-scoring surprisal gates ([[qLmSurprisal]] MLE,
+    * [[qKnSurprisal]] smoothed) deliberately avoid: the bigram model is
+    * trained on an md5 80% document split and scores the UNSEEN 20%,
+    * so out-of-model events actually occur and the backoff path runs.
+    * Scoring is Brants et al. 2007 stupid backoff: seen bigram →
+    * c(p,w)/c(p); unseen → 0.4·c(w)/N (the 2/5 rational); OOV word →
+    * 1/(10·N). Costs in lg64 fixed-point SPLIT form (every log argument
+    * an int64 count at any scale); per-doc bits/bigram in milli-bits =
+    * nll·1000 div (64·n). Top 50 most-perplexing held-out docs.
+    *
+    * Scale shape: the model tables are bigram-type/vocab-bounded
+    * (Heaps); the held-out corpus joins them once (LEFT, so the backoff
+    * tier is a coalesce, not a second pass); totals are 1-row
+    * broadcasts. */
+  val qHeldoutPpl = GQuery("q_heldout_ppl",
+    (s, d) => {
+      import graft.operators.NaiveBayes.{lg64, lg64Long}
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Dsir.bucketOf(
+            concat(lit("ppl:"), col("doc_id").cast("string")), 10)
+            .as("b"),
+          words.as("w"))
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), 1, Int.MaxValue - 1),
+          slice(col("w"), 2, Int.MaxValue - 1),
+          (a, bb) => struct(a.as("p"), bb.as("cur")))).as("g"))
+        .filter(col("g.cur").isNotNull)
+        .select(col("doc_id"), col("g.p").as("p"),
+          col("g.cur").as("cur"))
+      val train = docs.filter(col("b") < 8)
+      val test = docs.filter(col("b") >= 8)
+      val big = grams(train).groupBy(col("p"), col("cur"))
+        .agg(count(lit(1)).as("c_pw"))
+      val ctx = big.groupBy(col("p")).agg(sum(col("c_pw")).as("c_p"))
+      val uni = train.select(explode(col("w")).as("cur"))
+        .groupBy(col("cur")).agg(count(lit(1)).as("c1"))
+      val tot = uni.agg(sum(col("c1")).as("nt"))
+      val seen = big.join(ctx, Seq("p"))
+        .select(col("p"), col("cur"),
+          (lg64(col("c_p")) - lg64(col("c_pw"))).as("seen_cost"))
+      val bo = uni.crossJoin(broadcast(tot))
+        .select(col("cur"),
+          (lit(lg64Long(5L) - lg64Long(2L)) + lg64(col("nt"))
+            - lg64(col("c1"))).as("bo_cost"),
+          (lit(lg64Long(10L)) + lg64(col("nt"))).as("oov_cost"))
+      grams(test)
+        .join(seen, Seq("p", "cur"), "left")
+        .join(broadcast(bo), Seq("cur"), "left")
+        .crossJoin(broadcast(tot.select(
+          (lit(lg64Long(10L)) + lg64(col("nt"))).as("oov_c"))))
+        .select(col("doc_id"),
+          coalesce(col("seen_cost"), col("bo_cost"), col("oov_c"))
+            .as("cost"),
+          when(col("seen_cost").isNotNull, 1L).otherwise(0L).as("sn"),
+          when(col("seen_cost").isNull && col("bo_cost").isNotNull, 1L)
+            .otherwise(0L).as("bn"),
+          when(col("seen_cost").isNull && col("bo_cost").isNull, 1L)
+            .otherwise(0L).as("on"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sn")).as("seen_n"),
+          sum(col("bn")).as("backoff_n"), sum(col("on")).as("oov_n"),
+          sum(col("cost")).as("nll_x64"))
+        .withColumn("bits_milli",
+          expr("nll_x64 * 1000 div (64 * n_bigrams)"))
+        .orderBy(desc("bits_milli"), asc("doc_id"))
+        .limit(50)
+    },
+    Some {
+      def hv(i: Int) =
+        s"""(CASE WHEN ascii(substr(hh, $i, 1)) >= 97
+           THEN ascii(substr(hh, $i, 1)) - 87
+           ELSE ascii(substr(hh, $i, 1)) - 48 END)"""
+      val l52 = graft.operators.NaiveBayes.lg64Long(5L) -
+        graft.operators.NaiveBayes.lg64Long(2L)
+      val l10 = graft.operators.NaiveBayes.lg64Long(10L)
+      s"""WITH docs AS (
+        SELECT doc_id,
+          ((${hv(1)} * 16 + ${hv(2)}) % 10) AS b,
+          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            t -> len(t) > 0) AS w
+        FROM (SELECT *,
+            md5('ppl:' || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents)),
+      trg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+          unnest(w[2:len(w)]) AS cur
+        FROM docs WHERE b < 8),
+      teg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS p,
+          unnest(w[2:len(w)]) AS cur
+        FROM docs WHERE b >= 8),
+      big AS (SELECT p, cur, CAST(COUNT(*) AS BIGINT) AS c_pw
+        FROM trg GROUP BY 1, 2),
+      ctx AS (SELECT p, CAST(SUM(c_pw) AS BIGINT) AS c_p
+        FROM big GROUP BY 1),
+      uni AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(w) AS cur FROM docs WHERE b < 8)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS nt FROM uni),
+      sj AS (SELECT p, cur, c_pw, c_p FROM big JOIN ctx USING (p)),
+      ${graft.operators.NaiveBayes.sqlLg64Chain("sj", "c_p",
+        Seq("p", "cur", "c_pw", "c_p"), "sl1", "lgcp")},
+      ${graft.operators.NaiveBayes.sqlLg64Chain("sl1", "c_pw",
+        Seq("p", "cur", "c_pw", "c_p", "lgcp"), "sl2", "lgcpw")},
+      seen AS (SELECT p, cur, lgcp - lgcpw AS seen_cost FROM sl2),
+      uj AS (SELECT cur, c1, nt FROM uni, tot),
+      ${graft.operators.NaiveBayes.sqlLg64Chain("uj", "nt",
+        Seq("cur", "c1", "nt"), "ul1", "lgnt")},
+      ${graft.operators.NaiveBayes.sqlLg64Chain("ul1", "c1",
+        Seq("cur", "c1", "nt", "lgnt"), "ul2", "lgc1")},
+      bo AS (SELECT cur, $l52 + lgnt - lgc1 AS bo_cost,
+          $l10 + lgnt AS oov_cost FROM ul2),
+      ov AS (SELECT $l10 + MAX(lgnt) AS oov_c FROM ul2),
+      scored AS (
+        SELECT t.doc_id,
+          COALESCE(s.seen_cost, b2.bo_cost, (SELECT oov_c FROM ov))
+            AS cost,
+          CASE WHEN s.seen_cost IS NOT NULL THEN 1 ELSE 0 END AS sn,
+          CASE WHEN s.seen_cost IS NULL AND b2.bo_cost IS NOT NULL
+            THEN 1 ELSE 0 END AS bn,
+          CASE WHEN s.seen_cost IS NULL AND b2.bo_cost IS NULL
+            THEN 1 ELSE 0 END AS onn
+        FROM teg t LEFT JOIN seen s ON t.p = s.p AND t.cur = s.cur
+          LEFT JOIN bo b2 ON t.cur = b2.cur)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(sn) AS BIGINT) AS seen_n,
+        CAST(SUM(bn) AS BIGINT) AS backoff_n,
+        CAST(SUM(onn) AS BIGINT) AS oov_n,
+        CAST(SUM(cost) AS BIGINT) AS nll_x64,
+        CAST(SUM(cost) * 1000 // (64 * COUNT(*)) AS BIGINT)
+          AS bits_milli
+      FROM scored GROUP BY doc_id
+      ORDER BY bits_milli DESC, doc_id LIMIT 50"""
+    },
+    notes = "stupid-backoff bigram perplexity on a held-out md5 20% " +
+      "split: seen/backoff/OOV tiers as one coalesce over left joins, " +
+      "lg64 split-form costs, model tables Heaps-bounded")
+
   /** DATA-MIXTURE DIVERGENCE: KL(source ‖ corpus) over unigram word
     * distributions, per source — the domain-shift diagnostic a mixture-
     * weighted pretraining pipeline monitors (which sources are
@@ -5475,7 +5616,7 @@ object TextQueries {
     qChunkSliding, qPackChunks, qTrainingExport,
     qCurationPipeline, qSplitDet, qShuffleDet, qTokenBudget, qTfidfTopk,
     qVocabTopk, qTokenIds, qPairCounts, qLmSurprisal, qKnSurprisal, qRouge,
-    qKlSource,
+    qKlSource, qHeldoutPpl,
     qBpeMerges, qBpeEncode,
     qWordpieceMerges, qWordpieceEncode, qWordpieceTokenize,
     qUnigramVocab, qUnigramEncode,

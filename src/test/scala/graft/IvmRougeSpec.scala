@@ -114,4 +114,55 @@ class IvmRougeSpec extends SparkSpec {
     assert(out.forall(_._4 > -5L), "KL far below zero")
     assert(out.exists(_._4 > 0L), "no source diverges at all")
   }
+
+  test("q_heldout_ppl: exact re-derivation; all three cost tiers fire") {
+    import graft.operators.NaiveBayes.lg64Long
+    val out = TextQueries.qHeldoutPpl.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ppl:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def hv(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+      (hv(md(0)) * 16 + hv(md(1))) % 10
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)))
+    val (train, test) = docs.partition(d => bucket(d._1) < 8)
+    val big = train.flatMap(d => d._2.zip(d._2.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = big.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val uni = train.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nt = uni.values.sum
+    val l52 = lg64Long(5L) - lg64Long(2L)
+    val oov = lg64Long(10L) + lg64Long(nt)
+    val expected = test.filter(_._2.length >= 2).map { case (id, w) =>
+      val gs = w.zip(w.drop(1))
+      var (sn, bn, on, nll) = (0L, 0L, 0L, 0L)
+      gs.foreach { g =>
+        big.get(g) match {
+          case Some(cpw) =>
+            sn += 1; nll += lg64Long(ctx(g._1)) - lg64Long(cpw)
+          case None => uni.get(g._2) match {
+            case Some(c1) =>
+              bn += 1; nll += l52 + lg64Long(nt) - lg64Long(c1)
+            case None => on += 1; nll += oov
+          }
+        }
+      }
+      (id, gs.length.toLong, sn, bn, on, nll,
+        nll * 1000 / (64 * gs.length))
+    }.sortBy(x => (-x._7, x._1)).take(50)
+    assert(out.toSeq === expected.toSeq)
+    // all three tiers must actually fire somewhere in the output
+    assert(out.exists(_._3 > 0) && out.exists(_._4 > 0),
+      "seen/backoff tiers missing")
+    val tiers = out.map(t => t._3 + t._4 + t._5)
+    assert(out.map(_._2).toSeq === tiers.toSeq, "tier counts != n")
+  }
 }

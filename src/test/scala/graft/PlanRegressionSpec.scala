@@ -98,7 +98,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_kendall_binned",
     // 1-row corpus-token-total broadcast onto the vocab-bounded
     // per-(source, word) count table
-    "q_kl_source")
+    "q_kl_source",
+    // two 1-row train-token-total broadcasts (backoff + OOV constants)
+    // onto the Heaps-bounded unigram model / the held-out gram stream
+    "q_heldout_ppl")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
