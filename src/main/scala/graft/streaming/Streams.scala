@@ -150,6 +150,26 @@ object Streams {
     * both watermark-bounded. Distinct-counting state is 4 KB per
     * (window, type, bucket), never an id set — the reason exact
     * streaming distinct is tractable at all. */
+  /** ST-ext — STREAMING INCREMENTAL VIEW MAINTENANCE (the stream twin
+    * of [[graft.queries.IvmQueries.qIvmAgg]]'s delta merge): a CDC
+    * stream of (user_id, day, cents, mult) rows — inserts mult = +1,
+    * retractions mult = −1 — maintains the additive view state
+    * (n = Σmult, sum_cents = Σmult·cents) through Spark's streaming
+    * aggregation, whose state store IS the materialized view: each
+    * micro-batch applies exactly the bag-semantics IVM merge the batch
+    * operator performs, so stream ≡ batch bit-for-bit at any batch
+    * slicing (pinned in StreamsSpec against the batch gate's own
+    * carve-out). Consumers filter n > 0 (zero-multiplicity groups are
+    * retained rows in Complete mode, dropped rows in the batch view).
+    * State is one row per (user, day) — entity-time bounded, the same
+    * bound the stored view itself has; no watermark because a
+    * retraction may target arbitrarily old groups (the IVM contract,
+    * not a leak). */
+  def ivmMaintainStream(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("mult")).as("n"),
+        sum(col("mult") * col("cents")).as("sum_cents"))
+
   def dailyDistinctStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")

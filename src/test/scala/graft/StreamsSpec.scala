@@ -35,6 +35,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivmMaintainStream: streamed CDC merge equals the batch IVM gate") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch gate's own carve-out: base = id%10 != 7, delta =
+    // inserts (id%10 == 7, +1) + retractions (id%10 == 3, -1)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        Det.fmtDate(to_date(col("ts"))).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val base = ev.filter(_._1 % 10 != 7)
+      .map(t => (t._2, t._3, t._4, 1L))
+    val delta = ev.filter(_._1 % 10 == 7).map(t => (t._2, t._3, t._4, 1L)) ++
+      ev.filter(_._1 % 10 == 3).map(t => (t._2, t._3, t._4, -1L))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val df = mem.toDF().toDF("user_id", "day", "cents", "mult")
+    val q = Streams.ivmMaintainStream(df)
+      .writeStream.format("memory").queryName("ivm_view")
+      .outputMode("complete").start()
+    try {
+      // base state in one batch, then the delta split across TWO
+      // micro-batches (merge must be slicing-independent)
+      mem.addData(base.toSeq: _*); q.processAllAvailable()
+      val (d1, d2) = delta.splitAt(delta.length / 2)
+      mem.addData(d1.toSeq: _*); q.processAllAvailable()
+      mem.addData(d2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("ivm_view")
+        .filter(col("n") > 0)
+        .select("user_id", "day", "n", "sum_cents")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      val batch = graft.queries.IvmQueries.qIvmAgg.run(spark, sfDir)
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("movementDetector emits >threshold moves with state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
