@@ -4814,6 +4814,96 @@ object TextQueries {
     * second eval primitive a filtering pipeline reports. The global
     * NTILE sorts the |docs|-row scored table; eval runs on bounded
     * samples by construction. */
+  /** ISOTONIC CALIBRATION — the monotone regression every production
+    * calibrator (sklearn's `IsotonicRegression`, ad-ranking stacks)
+    * fits over score bins, realized through the MINIMAX identity
+    * iso(b) = max_{i≤b} min_{j≥b} rate(i..j) — mathematically EQUAL to
+    * the PAVA pool-adjacent-violators fit (Robertson et al., Ch.1) but
+    * expressible as bounded joins both engines evaluate identically,
+    * where PAVA's data-dependent merge order is not. Floor-quantizing
+    * segment rates to ppm commutes with max/min (they SELECT elements,
+    * never average), so the output is exactly ⌊PAVA·10⁶⌋ — pinned in
+    * spec against a real exact-rational PAVA implementation.
+    *
+    * Score = type-token ratio in 50‰ bins; outcome = mean word length
+    * ≥ 4.5 (the [[graft.queries.InferenceQueries.qCohenKappa]]
+    * annotator pair, whose raw rates are genuinely non-monotone here,
+    * so blocks actually pool). Scale shape: ONE corpus scan to the
+    * ≤20-bin table; prefix sums, the i≤j segment join, and the
+    * b∈[i,j] cover join all run on bounded state (≤20³ rows). */
+  val qIsotonic = GQuery("q_isotonic",
+    (s, d) => {
+      val words = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => t =!= lit(""))
+      val bins = Tables.documents(s, d)
+        .select(words.as("w")).filter(size(col("w")) > 0)
+        .select(
+          least(expr("size(array_distinct(w)) * 1000L div size(w) div 50L"),
+            lit(19L)).as("bin"),
+          when(expr("aggregate(w, 0L, (acc, t) -> acc + length(t))" +
+            " * 10L div size(w)") >= 45L, 1L).otherwise(0L).as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val cumW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val cums = bins
+        .withColumn("cn", sum(col("n")).over(cumW))
+        .withColumn("cp", sum(col("p")).over(cumW))
+        .localCheckpoint(true)
+      val lo = cums.select(col("bin").as("i"),
+        (col("cn") - col("n")).as("cn0"), (col("cp") - col("p")).as("cp0"))
+      val hi = cums.select(col("bin").as("j"), col("cn").as("cnj"),
+        col("cp").as("cpj"))
+      val segs = lo.join(hi, col("i") <= col("j"))
+        .select(col("i"), col("j"),
+          expr("(cpj - cp0) * 1000000 div (cnj - cn0)").as("rate"))
+      val cover = segs.join(
+        cums.select(col("bin"), col("n"), col("p")),
+        col("bin") >= col("i") && col("bin") <= col("j"))
+      cover.groupBy(col("bin"), col("n"), col("p"), col("i"))
+        .agg(min(col("rate")).as("minr"))
+        .groupBy(col("bin"), col("n"), col("p"))
+        .agg(max(col("minr")).as("iso_ppm"))
+        .select(col("bin"), col("n"), col("p"),
+          expr("p * 1000000 div n").as("raw_ppm"), col("iso_ppm"))
+        .orderBy(col("bin"))
+    },
+    Some("""WITH w AS (
+        SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          t -> len(t) > 0) AS l
+        FROM documents),
+      s AS (SELECT
+          least((len(list_distinct(l)) * 1000 // len(l)) // 50, 19)
+            AS bin,
+          CASE WHEN list_sum(list_transform(l, t -> len(t))) * 10
+            // len(l) >= 45 THEN 1 ELSE 0 END AS pos
+        FROM w WHERE len(l) > 0),
+      bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(pos) AS BIGINT) AS p
+        FROM s GROUP BY 1),
+      cums AS (SELECT bin, n, p,
+          SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+          SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+        FROM bins),
+      segs AS (SELECT a.bin AS i, b.bin AS j,
+          (b.cp - (a.cp - a.p)) * 1000000 // (b.cn - (a.cn - a.n))
+            AS rate
+        FROM cums a JOIN cums b ON a.bin <= b.bin),
+      cover AS (SELECT c.bin, c.n, c.p, g.i, g.rate
+        FROM segs g JOIN cums c ON c.bin BETWEEN g.i AND g.j),
+      inner_min AS (SELECT bin, n, p, i, MIN(rate) AS minr
+        FROM cover GROUP BY 1, 2, 3, 4)
+      SELECT bin, n, p, CAST(p * 1000000 // n AS BIGINT) AS raw_ppm,
+        CAST(MAX(minr) AS BIGINT) AS iso_ppm
+      FROM inner_min GROUP BY bin, n, p
+      ORDER BY bin"""),
+    notes = "minimax isotonic fit (= PAVA exactly; floor commutes with " +
+      "the max-min selections); one corpus scan to <=20 bins, bounded " +
+      "segment/cover joins")
+
   val qCalibration = GQuery("q_calibration",
     (s, d) => {
       val stop = graft.functions.TextFeatures.enStopwords
@@ -5593,7 +5683,8 @@ object TextQueries {
   val all: Seq[GQuery] = Seq(qDedupExact, qDedupFlags, qContainmentDedup,
     qEmbedCov, qPowerIter, qRayleigh,
     qTokenEntropy, qVocabGini, qSparseCosine, qRakePhrases, qHeapsLaw,
-    qAuc, qCalibration, qFrontCoding, qBestSplit, qIvWoe, qLiftAtK,
+    qAuc, qCalibration, qIsotonic, qFrontCoding, qBestSplit, qIvWoe,
+    qLiftAtK,
     qNdcg,
     qTokenCount,
     qTextQuality, qAdaptiveQuality, qRepetition, qPiiScrub, qPseudonymize,

@@ -165,4 +165,43 @@ class IvmRougeSpec extends SparkSpec {
     val tiers = out.map(t => t._3 + t._4 + t._5)
     assert(out.map(_._2).toSeq === tiers.toSeq, "tier counts != n")
   }
+
+  test("q_isotonic: minimax fit equals an exact-rational PAVA, floored") {
+    val out = TextQueries.qIsotonic.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val bins = Tables.documents(spark, sfDir).select(col("text"))
+      .collect().map(_.getString(0).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty)).filter(_.nonEmpty)
+      .map { w =>
+        val bin = math.min(w.distinct.length.toLong * 1000 / w.length / 50,
+          19L)
+        val pos = if (w.map(_.length.toLong).sum * 10 / w.length >= 45) 1L
+          else 0L
+        (bin, pos)
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, rows) => (b, rows.length.toLong, rows.map(_._2).sum) }
+    // exact-rational PAVA (pool adjacent violators on BigInt fractions)
+    case class Block(n: BigInt, p: BigInt, bins: List[Long])
+    var stack = List.empty[Block]
+    bins.foreach { case (b, n, p) =>
+      var cur = Block(n, p, List(b))
+      // prev mean >= cur mean  <=>  prev.p*cur.n >= cur.p*prev.n
+      while (stack.nonEmpty &&
+          stack.head.p * cur.n >= cur.p * stack.head.n) {
+        val h = stack.head; stack = stack.tail
+        cur = Block(h.n + cur.n, h.p + cur.p, h.bins ++ cur.bins)
+      }
+      stack = cur :: stack
+    }
+    val pava = stack.reverse.flatMap(bl =>
+      bl.bins.map(b => b -> (bl.p * 1000000 / bl.n).toLong)).toMap
+    val expected = bins.map { case (b, n, p) =>
+      (b, n, p, p * 1000000 / n, pava(b)) }
+    assert(out.toSeq === expected)
+    // the fit is monotone non-decreasing and genuinely pooled somewhere
+    val iso = out.map(_._5)
+    assert(iso.zip(iso.drop(1)).forall(t => t._1 <= t._2))
+    assert(out.exists(r => r._5 != r._4), "no bin was pooled — vacuous")
+  }
 }

@@ -101,7 +101,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_kl_source",
     // two 1-row train-token-total broadcasts (backoff + OOV constants)
     // onto the Heaps-bounded unigram model / the held-out gram stream
-    "q_heldout_ppl")
+    "q_heldout_ppl",
+    // bounded i<=j segment join + b-in-[i,j] cover join over the
+    // <=20-bin score table — the minimax isotonic identity
+    "q_isotonic")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
