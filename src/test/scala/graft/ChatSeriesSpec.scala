@@ -154,6 +154,54 @@ class ChatSeriesSpec extends SparkSpec {
     assert(row.getAs[Long]("tau_sq_x1e4") === expSq.toLong)
   }
 
+  test("q_cep_pattern: episode counts match a JVM regex re-derivation") {
+    val got = graft.queries.SequenceQueries.qCepPattern.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = collectedEvents()
+    base.groupBy(_._1).foreach { case (uid, rows) =>
+      val seq = rows.sortBy(t => (t._2.getTime, t._3))
+        .map(_._4.head).mkString
+      val m = "cv*p".r.findAllIn(seq).length.toLong
+      assert(got(uid) === ((seq.length.toLong, m, if (m > 0) 1L else 0L)),
+        s"user $uid seq=$seq")
+    }
+    // non-vacuous: episodes occur and the count genuinely discriminates
+    assert(got.values.exists(_._2 > 0))
+    assert(got.values.map(_._2).toSeq.distinct.length >= 3)
+  }
+
+  test("q_entropy_rate: exact lg64 re-derivation; conditioning helps") {
+    import graft.operators.NaiveBayes.lg64Long
+    val row = graft.queries.SequenceQueries.qEntropyRate.run(spark, sfDir)
+      .collect()(0)
+    val pairs = collectedEvents().groupBy(_._1).toSeq.flatMap {
+      case (_, rows) =>
+        val es = rows.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+        es.zip(es.drop(1))
+    }
+    val cij = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ci = cij.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val cjm = cij.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    val c = cij.values.sum
+    val hc = cij.map { case ((p, _), n) =>
+      BigInt(n) * (lg64Long(ci(p)) - lg64Long(n)) }.sum
+    val hm = cjm.map { case (_, n) =>
+      BigInt(n) * (lg64Long(c) - lg64Long(n)) }.sum
+    assert(row.getAs[Long]("n_transitions") === c)
+    assert(row.getAs[Long]("h_cond_milli") === (hc * 1000 / (64 * c)).toLong)
+    assert(row.getAs[Long]("h_next_milli") === (hm * 1000 / (64 * c)).toLong)
+    assert(row.getAs[Long]("gain_milli") ===
+      (hm * 1000 / (64 * c) - hc * 1000 / (64 * c)).toLong)
+    // H(next) >= H(next|prev) exactly; floored lg64 allows ~unit slack
+    assert(row.getAs[Long]("gain_milli") >= -2L)
+    // sanity vs real doubles: within ~5 milli-bits of exact entropy
+    def h(m: Map[String, Long], tot: Long) = m.values.map { n =>
+      val p = n.toDouble / tot; -p * math.log(p) / math.log(2.0) }.sum
+    val exactHm = h(cjm.toMap, c) * 1000
+    assert(math.abs(row.getAs[Long]("h_next_milli") - exactHm) < 5.0)
+  }
+
   test("q_kn_surprisal: exact BigInt Kneser-Ney re-derivation") {
     val out = TextQueries.qKnSurprisal.run(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("doc_id"),

@@ -104,7 +104,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_heldout_ppl",
     // bounded i<=j segment join + b-in-[i,j] cover join over the
     // <=20-bin score table — the minimax isotonic identity
-    "q_isotonic")
+    "q_isotonic",
+    // 1-row transition-total and conditional-entropy broadcasts onto
+    // the type^2-bounded transition table
+    "q_entropy_rate")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
