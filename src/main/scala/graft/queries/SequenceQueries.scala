@@ -137,5 +137,99 @@ object SequenceQueries {
     notes = "H(next), H(next|prev), and the information gain in exact " +
       "lg64 milli-bits; type^2-bounded transition table, one window pass")
 
-  val all: Seq[GQuery] = Seq(qCepPattern, qEntropyRate)
+  /** KAPLAN–MEIER SURVIVAL with right censoring — the product-limit
+    * estimator churn/conversion analytics runs when outcomes are only
+    * PARTIALLY observed (the thing a plain conversion rate gets wrong:
+    * users who haven't converted YET are censored evidence, not
+    * failures). Duration = full elapsed hours from a user's first
+    * event to their first purchase; administratively censored at 48 h
+    * (no purchase, or purchase later, counts as alive-at-48).
+    *
+    * Exact arithmetic: at-risk n_t = reverse-cumulative (d+c) over the
+    * bounded event-time table; the survival curve lives in lg64 LOG
+    * space — lgS(t) = Σ_{s≤t, d>0} (lg64(n_s−d_s) − lg64(n_s)), the
+    * product-limit as an exact integer sum (each row also carries n, d,
+    * c, so the exact rational Π(n−d)/n is reconstructible). If ever
+    * n_s = d_s the curve hits 0: the term takes the −10⁷ sentinel
+    * (documented; censoring keeps it unreachable here).
+    *
+    * Scale shape: one corpus scan to per-user (first event, first
+    * purchase) — entity-bounded; everything after runs on the ≤49-row
+    * event-time table (windows + 1-row totals). */
+  val qKaplanMeier = GQuery("q_kaplan_meier",
+    (s, d) => {
+      import NaiveBayes.lg64
+      val ev = Tables.events(s, d)
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("f"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("p"))
+        .select(col("user_id"),
+          expr("(p - f) div 3600000000").as("h"))
+      val obs = firsts.select(
+        when(col("h").isNotNull && col("h") <= 48L, col("h"))
+          .otherwise(lit(48L)).as("t"),
+        when(col("h").isNotNull && col("h") <= 48L, 1L).otherwise(0L)
+          .as("died"))
+      val byT = obs.groupBy(col("t"))
+        .agg(sum(col("died")).as("d"),
+          sum(lit(1L) - col("died")).as("c"))
+      val rev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val fwd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("d") + col("c")).over(rev))
+        .withColumn("term",
+          when(col("d") === 0L, 0L)
+            .when(col("n_risk") === col("d"), lit(-10000000L))
+            .otherwise(lg64(greatest(col("n_risk") - col("d"), lit(1L)))
+              - lg64(col("n_risk"))))
+        .withColumn("lgs_x64", sum(col("term")).over(fwd))
+        .select(col("t").as("t_hours"), col("n_risk"), col("d"),
+          col("c"), col("lgs_x64"))
+        .orderBy(col("t_hours"))
+    },
+    Some(s"""WITH firsts AS (
+        SELECT user_id,
+          (min(CASE WHEN event_type = 'purchase'
+              THEN epoch_us(ts) END)
+            - min(epoch_us(ts))) // 3600000000 AS h
+        FROM events GROUP BY user_id),
+      obs AS (SELECT
+          CASE WHEN h IS NOT NULL AND h <= 48 THEN h ELSE 48 END AS t,
+          CASE WHEN h IS NOT NULL AND h <= 48 THEN 1 ELSE 0 END AS died
+        FROM firsts),
+      byt AS (SELECT t, CAST(SUM(died) AS BIGINT) AS d,
+          CAST(SUM(1 - died) AS BIGINT) AS c
+        FROM obs GROUP BY 1),
+      risk AS (SELECT t, d, c,
+          SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+            AND UNBOUNDED FOLLOWING) AS n_risk
+        FROM byt),
+      g AS (SELECT t, d, c, n_risk,
+          greatest(n_risk - d, 1) AS nd FROM risk),
+      ${NaiveBayes.sqlLg64Chain("g", "nd",
+        Seq("t", "d", "c", "n_risk"), "k1", "lgnd")},
+      ${NaiveBayes.sqlLg64Chain("k1", "n_risk",
+        Seq("t", "d", "c", "n_risk", "lgnd"), "k2", "lgn")},
+      terms AS (SELECT t, d, c, n_risk,
+          CASE WHEN d = 0 THEN 0
+            WHEN n_risk = d THEN -10000000
+            ELSE lgnd - lgn END AS term
+        FROM k2)
+      SELECT t AS t_hours, n_risk, d, c,
+        CAST(SUM(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS lgs_x64
+      FROM terms ORDER BY t_hours"""),
+    notes = "product-limit survival in exact lg64 log space; " +
+      "right-censored at 48 h, reverse-cumsum at-risk counts, " +
+      "entity-bounded then <=49-row curve table")
+
+  val all: Seq[GQuery] = Seq(qCepPattern, qEntropyRate, qKaplanMeier)
 }

@@ -202,6 +202,50 @@ class ChatSeriesSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("h_next_milli") - exactHm) < 5.0)
   }
 
+  test("q_kaplan_meier: exact lg64 re-derivation + KM properties") {
+    import graft.operators.NaiveBayes.lg64Long
+    val out = graft.queries.SequenceQueries.qKaplanMeier.run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val byUser = collectedEvents().groupBy(_._1)
+    val hs = byUser.toSeq.map { case (_, rows) =>
+      val f = rows.map(r => micros(r._2)).min
+      val ps = rows.filter(_._4 == "purchase").map(r => micros(r._2))
+      if (ps.isEmpty) None else Some((ps.min - f) / 3600000000L)
+    }
+    val obs = hs.map {
+      case Some(h) if h <= 48 => (h, true)
+      case _ => (48L, false)
+    }
+    val byT = obs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, v) =>
+      (t, v.count(_._2).toLong, v.count(!_._2).toLong) }
+    val totals = byT.map(x => x._2 + x._3)
+    val expected = byT.zipWithIndex.map { case ((t, d, c), i) =>
+      val nRisk = totals.drop(i).sum
+      (t, nRisk, d, c)
+    }
+    var lgs = 0L
+    val expFull = expected.map { case (t, n, d, c) =>
+      if (d > 0) lgs += (if (n == d) -10000000L
+        else lg64Long(math.max(n - d, 1L)) - lg64Long(n))
+      (t, n, d, c, lgs)
+    }
+    assert(out.toSeq === expFull)
+    // KM properties: lgS non-increasing; censored mass present; and the
+    // curve tracks the true floating-point product-limit closely
+    val lgsSeq = out.map(_._5)
+    assert(lgsSeq.zip(lgsSeq.drop(1)).forall(p => p._1 >= p._2))
+    assert(out.map(_._4).sum > 0, "no censoring — gate vacuous")
+    var sTrue = 1.0
+    out.foreach { case (_, n, d, _, lg) =>
+      if (d > 0) sTrue *= (n - d).toDouble / n
+      val sLg = math.pow(2.0, lg.toDouble / 64.0)
+      assert(math.abs(sLg - sTrue) < 0.01, s"curve drift: $sLg vs $sTrue")
+    }
+  }
+
   test("q_kn_surprisal: exact BigInt Kneser-Ney re-derivation") {
     val out = TextQueries.qKnSurprisal.run(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("doc_id"),
