@@ -81,8 +81,11 @@ object SequenceQueries {
           col("event_type").as("nxt"))
         .withColumn("prv", lag(col("nxt"), 1).over(w))
         .filter(col("prv").isNotNull)
+      // type^2-bounded; checkpoint so ci/cj/tot derive from ONE corpus
+      // window pass instead of re-running it per branch
       val cij = pairs.groupBy(col("prv"), col("nxt"))
         .agg(count(lit(1)).as("c_ij"))
+        .localCheckpoint(true)
       val ci = cij.groupBy(col("prv")).agg(sum(col("c_ij")).as("c_i"))
       val cj = cij.groupBy(col("nxt")).agg(sum(col("c_ij")).as("c_j"))
       val tot = cij.agg(sum(col("c_ij")).as("c"))
