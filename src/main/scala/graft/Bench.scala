@@ -115,8 +115,13 @@ object Bench {
     }
     val runs = priorRuns + 1
     val total = merged.map(_._2).sum
+    // fresh (non-merged) sweep total from THIS invocation only: the
+    // best-merge is flat 1.00x on carried queries by construction, so
+    // round-over-round regressions are invisible in `value`; `fresh_total`
+    // lets verdicts diff fresh-vs-fresh (round-9 verdict ask #4).
+    val freshTotal = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":${fmtQueries(merged, ms = false)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"sf":"$sfDir"}"""
     // complete artifact of record: file + first stdout line
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(outPath, fullLine + "\n")
@@ -130,7 +135,7 @@ object Bench {
       Headline.flatMap(h => m.get(h).map(h -> _))
     }
     println(
-      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","runs":$runs,"n":${merged.size},"detail":"bench_out.json","queries":${fmtQueries(headQs, ms = true)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","fresh_total":${BigDecimal(freshTotal).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"runs":$runs,"n":${merged.size},"detail":"bench_out.json","queries":${fmtQueries(headQs, ms = true)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

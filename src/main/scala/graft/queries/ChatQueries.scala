@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Instruction / chat training-data assembly — the conversation-shaped
-  * slice of an LLM data pipeline (cf. reference's event sequences,
-  * `src/pipelines/` ordering semantics): render per-user event streams
+  * slice of an LLM data pipeline (cf. the reference's per-fixture event
+  * ordering, `database_schema.sql` fixtures/odds timestamps): render
+  * per-user event streams
   * as role-tagged chat transcripts, pack them into a context window by
   * keeping the newest turns, audit role alternation, and mine DPO-style
   * preference pairs from a scored corpus.

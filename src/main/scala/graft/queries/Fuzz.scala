@@ -630,10 +630,201 @@ object Fuzz {
     FuzzCase(seed, "top_agg", sql, build)
   }
 
-  /** Generate the case for a seed (shape chosen by the seed too). */
+  // ---- grammar v2 (seeds >= 2000) --------------------------------------
+  // The round-9 verdict asked the grammar to cover the shapes that bit
+  // rounds 7/8: window SUMs under the BIGINT-cast convention (already in
+  // genWinAgg; widened to COUNT/MIN/MAX/LEAD here), OUTER joins with NULL
+  // join keys, and DECIMAL-producing aggregates. New shapes live behind a
+  // seed-range version gate so every pre-existing pinned seed keeps its
+  // exact definition (changing the dispatch draw would silently redefine
+  // q_fuzz_1001..1300 and invalidate their bench baselines).
+
+  /** Per-table money column for DECIMAL shapes (doubles on disk, cast to
+    * DECIMAL(18,2) identically in both renderings — the cross-engine
+    * double→decimal cast convention q_shipping_priority et al. proved). */
+  private val moneyCols: Map[String, String] = Map(
+    "lineitem" -> "l_extendedprice", "orders" -> "o_totalprice",
+    "customer" -> "c_acctbal", "part" -> "p_retailprice",
+    "supplier" -> "s_acctbal")
+
+  /** LEFT JOIN whose left key is CASE-mangled to NULL on a seeded modulo
+    * class: NULL keys never match in either engine, so the right side is
+    * null-extended for that stripe. Groups over a RIGHT-side (nullable)
+    * key probe the engines' one-NULL-group GROUP BY semantics; aggregates
+    * mix COUNT(*) (counts null-extended rows) with COUNT(col) /
+    * COUNT(DISTINCT col) / SUM(col) over nullable right columns
+    * (null-skipping). Final ORDER BY keeps the explicit NULLS FIRST the
+    * grammar always uses — null group keys must land identically. */
+  private def genOuterNull(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val mod = 2L + r.int(5) // null stripe density 1/2 .. 1/6
+    val onSql = s"(CASE WHEN (${j.lk.sql} % $mod) = 0 THEN NULL " +
+      s"ELSE ${j.lk.sql} END) = ${j.rk.sql}"
+    val onCol = when(j.lk.col % mod === 0, lit(null))
+      .otherwise(j.lk.col) === j.rk.col
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(j.left))) else None
+    // one left groupable + one right groupable (the nullable one)
+    val lk = r.pick(j.left.groupables)
+    val rk = r.pick(j.right.groupables)
+    val keys = if (r.bool(0.3)) Seq(rk) else Seq(lk, rk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val rLongs = j.right.longs.map(_._1)
+    val rStrs = j.right.strings.map(_._1) ++ j.right.likes.map(_._1)
+    val aggSqlCols = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggSqlCols += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    val rv = r.pick(rLongs)
+    aggSqlCols += ((s"CAST(COALESCE(SUM(${rv.sql}), 0) AS BIGINT) AS a1",
+      coalesce(sum(rv.col), lit(0L)).cast("long").as("a1")))
+    aggSqlCols += ((s"COUNT(${rv.sql}) AS a2", count(rv.col).as("a2")))
+    if (rStrs.nonEmpty && r.bool(0.6)) {
+      val rs = r.pick(rStrs)
+      aggSqlCols += ((s"COUNT(DISTINCT ${rs.sql}) AS a3",
+        countDistinct(rs.col).as("a3")))
+    }
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggSqlCols.map(_._1)).mkString(", ")}
+         |FROM ${j.left.name} LEFT JOIN ${j.right.name} ON $onSql
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = j.left.load(s, d)
+        .join(j.right.load(s, d), onCol, "left_outer")
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggSqlCols.head._2, aggSqlCols.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "outer_null", sql, build)
+  }
+
+  /** DECIMAL-producing aggregates: SUM over a DECIMAL(18,2)-cast money
+    * column, widened to an EXPLICIT DECIMAL(38,2) in both renderings
+    * (Spark's native sum type is DECIMAL(28,2), DuckDB's DECIMAL(38,2) —
+    * without the cast the result schemas drift, which is precisely the
+    * dtype class the round-9 gate now hard-fails). MIN/MAX stay at the
+    * storage scale (identical in both engines). */
+  private def genDecimalAgg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(t => moneyCols.contains(t.name)))
+    val m = moneyCols(t.name)
+    val dec = FExpr(s"CAST($m AS DECIMAL(18,2))",
+      col(m).cast("decimal(18,2)"), isStr = false)
+    val nk = 1 + r.int(math.min(2, t.groupables.size))
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 43 + 19)).shuffle(t.groupables).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val where = if (r.bool(0.7)) Some(pred(r, Seq(t))) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += ((s"CAST(SUM(${dec.sql}) AS DECIMAL(38,2)) AS a0",
+      sum(dec.col).cast("decimal(38,2)").as("a0")))
+    if (r.bool(0.6))
+      aggs += ((s"MIN(${dec.sql}) AS a1", min(dec.col).as("a1")))
+    if (r.bool(0.6))
+      aggs += ((s"MAX(${dec.sql}) AS a2", max(dec.col).as("a2")))
+    aggs += (("COUNT(*) AS a3", count(lit(1)).as("a3")))
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "decimal_agg", sql, build)
+  }
+
+  /** Widened window-aggregate family over genWinAgg's SUM-only ROWS
+    * frame: COUNT(*) / MIN / MAX / SUM under an explicit ROWS frame with
+    * the full unique tie-break, plus LEAD alongside LAG. Sorted on every
+    * output column (the seed-1300 duplicate-declared-key lesson). */
+  private def genWinAgg2(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val v = r.pick(t.longs)._1
+    val desc = r.bool(0.5)
+    val where = if (r.bool(0.7)) Some(pred(r, Seq(t))) else None
+    val uAliases = t.uniq.indices.map(i => s"u$i")
+    val mod = 101L + r.int(200)
+    val dir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    val uSql = t.uniq.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val tieOrd = (s"${v.sql} $dir" +:
+      t.uniq.map(u => s"${u.sql} ASC NULLS FIRST")).mkString(", ")
+    val frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val ordCols = (if (desc) v.col.desc_nulls_last
+      else v.col.asc_nulls_first) +: t.uniq.map(_.col.asc_nulls_first)
+    def wf = Window.partitionBy(k.col).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def wo = Window.partitionBy(k.col).orderBy(ordCols: _*)
+    val kind = r.int(4)
+    val (winSql, winCol) = kind match {
+      case 0 => (s"CAST(SUM(${v.sql}) OVER (PARTITION BY ${k.sql} " +
+        s"ORDER BY $tieOrd $frame) AS BIGINT) AS w0",
+        sum(v.col).over(wf).cast("long").as("w0"))
+      case 1 => (s"CAST(COUNT(*) OVER (PARTITION BY ${k.sql} " +
+        s"ORDER BY $tieOrd $frame) AS BIGINT) AS w0",
+        count(lit(1)).over(wf).cast("long").as("w0"))
+      case 2 => (s"MIN(${v.sql}) OVER (PARTITION BY ${k.sql} " +
+        s"ORDER BY $tieOrd $frame) AS w0",
+        min(v.col).over(wf).as("w0"))
+      case _ => (s"MAX(${v.sql}) OVER (PARTITION BY ${k.sql} " +
+        s"ORDER BY $tieOrd $frame) AS w0",
+        max(v.col).over(wf).as("w0"))
+    }
+    val useLead = r.bool(0.5)
+    val (shiftSql, shiftCol) =
+      if (useLead)
+        (s"LEAD(${v.sql}) OVER (PARTITION BY ${k.sql} " +
+          s"ORDER BY $tieOrd) AS w1", lead(v.col, 1).over(wo).as("w1"))
+      else
+        (s"LAG(${v.sql}) OVER (PARTITION BY ${k.sql} " +
+          s"ORDER BY $tieOrd) AS w1", lag(v.col, 1).over(wo).as("w1"))
+    val outCols = Seq("k0") ++ uAliases ++ Seq("vv", "w0", "w1")
+    val sql =
+      s"""SELECT ${outCols.mkString(", ")} FROM (
+         |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
+         |    ${v.sql} AS vv,
+         |    $winSql,
+         |    $shiftSql
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |) WHERE (u0 % $mod) = 0
+         |${orderByAll(outCols)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val out = df
+        .withColumn("w0", winCol)
+        .withColumn("w1", shiftCol)
+        .select((k.col.as("k0") +:
+          t.uniq.zip(uAliases).map { case (e, a) => e.col.as(a) }) ++
+          Seq(v.col.as("vv"), col("w0"), col("w1")): _*)
+        .filter(col("u0") % mod === 0)
+      sortAll(out, outCols)
+    }
+    FuzzCase(seed, s"winagg2_$kind", sql, build)
+  }
+
+  /** Generate the case for a seed (shape chosen by the seed too).
+    * Seeds >= 2000 draw from grammar v2; the v1 dispatch below is
+    * FROZEN — changing it would redefine every pinned v1 seed. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    r.int(20) match {
+    if (seed >= 2000L) {
+      r.int(6) match {
+        case 0 | 1 => genOuterNull(r, seed)
+        case 2 | 3 => genDecimalAgg(r, seed)
+        case _     => genWinAgg2(r, seed)
+      }
+    } else r.int(20) match {
       case 0 | 1 | 2 | 3 => genAgg(r, seed)
       case 4 | 5 => genWindow(r, seed)
       case 6 | 7 => genReagg(r, seed)
@@ -658,7 +849,8 @@ object Fuzz {
     * the presentation sort tied, and Spark/DuckDB emitted different
     * tie orders. Fixed by sorting on every output column; pinned so
     * the class never regresses. */
-  val pinnedSeeds: Seq[Long] = (1001L to 1024L) :+ 1300L
+  val pinnedSeeds: Seq[Long] = ((1001L to 1024L) :+ 1300L) ++
+    (2001L to 2028L) // grammar-v2 window: outer_null / decimal_agg / winagg2
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

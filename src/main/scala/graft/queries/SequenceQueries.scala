@@ -212,8 +212,8 @@ object SequenceQueries {
           CAST(SUM(1 - died) AS BIGINT) AS c
         FROM obs GROUP BY 1),
       risk AS (SELECT t, d, c,
-          SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-            AND UNBOUNDED FOLLOWING) AS n_risk
+          CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+            AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
         FROM byt),
       g AS (SELECT t, d, c, n_risk,
           greatest(n_risk - d, 1) AS nd FROM risk),

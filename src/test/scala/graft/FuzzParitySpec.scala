@@ -48,6 +48,31 @@ class FuzzParitySpec extends SparkSpec {
       s"set-op shapes never generated in $N seeds: $shapes")
   }
 
+  private val N2 = 100
+
+  test(s"$N2 grammar-v2 plans (seeds 2000+): DataFrame build == spark.sql") {
+    // v2 shapes (round-9): outer joins with NULL-mangled keys,
+    // DECIMAL-producing aggregates, widened window-aggregate family
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 2000L until (2000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("outer_null", "decimal_agg", "winagg2"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v2 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run

@@ -25,14 +25,15 @@ def main():
             print(f"FAIL  {name}: no spark output")
             n_fail += 1
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        spark_df = spark_rel.fetchdf()
         if name not in oracle:
             n_rowsonly += 1
             print(f"rows  {name}: {len(spark_df)} rows (no oracle)")
             continue
         try:
-            oracle_df = con.execute(oracle[name]).fetchdf()
+            oracle_rel = con.sql(oracle[name])
+            oracle_df = oracle_rel.fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}")
             n_fail += 1
@@ -43,12 +44,24 @@ def main():
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
             n_fail += 1
             continue
-        # dtype drift (e.g. int32 vs DuckDB HUGEINT) — warn loudly: the
-        # driver's schema compare may be stricter than value equality
+        # dtype drift is a HARD FAIL, compared on DuckDB-native result types
+        # (not pandas dtypes): the driver's hash is dtype-sensitive even where
+        # value equality holds (q_kaplan_meier r8: HUGEINT n_risk vs BIGINT),
+        # and pandas' HUGEINT->float64 coercion could silently pass wrong
+        # values above 2^53.
+        s_types = {c: str(t) for c, t in zip(spark_rel.columns,
+                                             spark_rel.types)}
+        o_types = {c: str(t) for c, t in zip(oracle_rel.columns,
+                                             oracle_rel.types)}
+        dtype_fail = False
         for c in s.columns:
-            if str(s[c].dtype) != str(o[c].dtype):
-                print(f"WARN  {name}: col={c} dtype spark={s[c].dtype} "
-                      f"oracle={o[c].dtype}")
+            if s_types[c] != o_types[c]:
+                print(f"FAIL  {name}: col={c} dtype spark={s_types[c]} "
+                      f"oracle={o_types[c]}")
+                dtype_fail = True
+        if dtype_fail:
+            n_fail += 1
+            continue
         if len(s) != len(o):
             print(f"FAIL  {name}: rows {len(s)} vs {len(o)}")
             n_fail += 1
