@@ -14,10 +14,19 @@ import org.apache.spark.sql.expressions.Aggregator
   * on any cluster layout, the portability argument of the md5 sampling
   * family ([[graft.operators.Sampling]]).
   *
-  * Input (hashHex, value); buffer kept hash-sorted; `finish` re-sorts the
-  * survivors by (value, hash) so `element_at(sample, idx)` reads order
-  * statistics directly. Steady state rejects in O(1) (new hash ≥ current
-  * max ⇒ untouched buffer). */
+  * Input (hashHex, value); buffer kept (hash, value)-sorted; `finish`
+  * re-sorts the survivors by (value, hash) so `element_at(sample, idx)`
+  * reads order statistics directly. Steady state rejects in O(1) (new
+  * (hash, value) ≥ current max ⇒ untouched buffer).
+  *
+  * The buffer order is the full (hash, VALUE) pair, not the hash alone:
+  * with duplicate hash keys a hash-only order leaves the k-boundary tie
+  * arrival/merge-order dependent (which row survives would depend on
+  * partitioning — breaking the layout-independence contract above). The
+  * pair makes the order total up to fully-identical entries, which are
+  * interchangeable in the sample. Callers passing a unique keyCol (all
+  * registered ones: event_id, deduped KMV keys) see bit-identical
+  * behavior either way. */
 class BottomKAgg(k: Int) extends Aggregator[
     (String, Double), Seq[(String, Double)], Seq[Double]] {
   require(k >= 1)
@@ -26,12 +35,13 @@ class BottomKAgg(k: Int) extends Aggregator[
 
   override def reduce(b: Seq[(String, Double)],
       x: (String, Double)): Seq[(String, Double)] =
-    if (b.size >= k && x._1 >= b.last._1) b
-    else ((b :+ x).sortBy(_._1)).take(k)
+    if (b.size >= k && (x._1 > b.last._1 ||
+        (x._1 == b.last._1 && x._2 >= b.last._2))) b
+    else ((b :+ x).sortBy(t => (t._1, t._2))).take(k)
 
   override def merge(a: Seq[(String, Double)],
       b: Seq[(String, Double)]): Seq[(String, Double)] =
-    (a ++ b).sortBy(_._1).take(k)
+    (a ++ b).sortBy(t => (t._1, t._2)).take(k)
 
   override def finish(b: Seq[(String, Double)]): Seq[Double] =
     b.sortBy { case (h, v) => (v, h) }.map(_._2)

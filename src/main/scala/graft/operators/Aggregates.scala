@@ -336,21 +336,35 @@ object Aggregates {
     def est(kEff: String, vk: String): org.apache.spark.sql.Column =
       when(col(kEff) < k, col(kEff))
         .otherwise(expr(s"${kH}L div cast($vk as bigint)")).cast("long")
+    // Anchor on the union aggregate (a global agg — ALWAYS one row, even
+    // over zero input) and LEFT-join each group's sketch onto it: an
+    // absent grpA/grpB then surfaces as an explicit n=0 / est=0 row
+    // instead of the inner-crossJoin chain silently emptying (which a
+    // caller could misread as "no overlap" rather than "missing group").
     val a = sk.filter(col("g") === grpA)
-      .select(col("n").as("n_a"), col("smp").as("smp_a"))
+      .select(lit(1).as("_j"), col("n").as("n_a"), col("smp").as("smp_a"))
     val b = sk.filter(col("g") === grpB)
-      .select(col("n").as("n_b"), col("smp").as("smp_b"))
+      .select(lit(1).as("_j"), col("n").as("n_b"), col("smp").as("smp_b"))
     val nu = pairs.select(col("key")).distinct()
-      .agg(count(lit(1)).as("n_union"))
-    a.crossJoin(broadcast(b)).crossJoin(broadcast(nu))
+      .agg(count(lit(1)).as("n_union")).withColumn("_j", lit(1))
+    val emptySmp = array().cast("array<double>")
+    nu.join(broadcast(a), Seq("_j"), "left")
+      .join(broadcast(b), Seq("_j"), "left")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("smp_a", coalesce(col("smp_a"), emptySmp))
+      .withColumn("smp_b", coalesce(col("smp_b"), emptySmp))
       .withColumn("ka", size(col("smp_a")).cast("long"))
       .withColumn("kb", size(col("smp_b")).cast("long"))
       .withColumn("us", slice(array_sort(array_distinct(
         concat(col("smp_a"), col("smp_b")))), 1, k))
       .withColumn("ku", size(col("us")).cast("long"))
-      .withColumn("vka", element_at(col("smp_a"), col("ka").cast("int")))
-      .withColumn("vkb", element_at(col("smp_b"), col("kb").cast("int")))
-      .withColumn("vku", element_at(col("us"), col("ku").cast("int")))
+      .withColumn("vka",
+        try_element_at(col("smp_a"), col("ka").cast("int")))
+      .withColumn("vkb",
+        try_element_at(col("smp_b"), col("kb").cast("int")))
+      .withColumn("vku",
+        try_element_at(col("us"), col("ku").cast("int")))
       .withColumn("est_a", est("ka", "vka"))
       .withColumn("est_b", est("kb", "vkb"))
       .withColumn("est_union", est("ku", "vku"))

@@ -392,11 +392,21 @@ object Clustering {
     val off = 1048576L
     def packed(cx: Column, cy: Column): Column =
       (cx + off) * lit(2097152L) + (cy + off)
+    // cell-id packing is only injective for |cx|,|cy| < 2^20 — outside
+    // that range (|coord|·scale ≥ 1048576) distant cells would silently
+    // collide or go negative in BOTH engines. Enforce the precondition
+    // per row: assert_true returns null on success (the isNull filter
+    // keeps every valid row and forces evaluation) and raises on the
+    // first out-of-range point instead of corrupting the clustering.
     val pts = df.select(col(idCol).as("id"),
       floor(col(vecCol).getItem(0).cast(DoubleType) * scale)
         .cast(LongType).as("cx"),
       floor(col(vecCol).getItem(1).cast(DoubleType) * scale)
         .cast(LongType).as("cy"))
+      .withColumn("_ck", assert_true(
+        abs(col("cx")) < off && abs(col("cy")) < off,
+        lit(s"gridDbscan: |coord|*$scale >= 2^20 breaks cell-id packing")))
+      .filter(col("_ck").isNull).drop("_ck")
     val cells = pts.groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("n"))
       .withColumn("cell", packed(col("cx"), col("cy")))

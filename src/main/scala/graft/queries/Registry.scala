@@ -7,7 +7,8 @@ object Registry {
     Relational.all ++ TpchQueries.all ++ WindowQueries.all ++
       EntityQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       ChatQueries.all ++ SeriesQueries.all ++ IvmQueries.all ++
-      InferenceQueries.all ++ SequenceQueries.all ++ Fuzz.all
+      InferenceQueries.all ++ SequenceQueries.all ++
+      PackingQueries.all ++ Fuzz.all
 
   require(all.map(_.name).distinct.size == all.size,
     "duplicate query names in Registry")

@@ -167,4 +167,43 @@ class AggregatesSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(e2 === e)
   }
+
+  test("kmvSetCardinality: an absent group yields an explicit zero row, " +
+      "never a silently-empty result") {
+    import spark.implicits._
+    val onlyA = (0L until 40L).map(i => ("a", i)).toDF("g", "key")
+    val rows = Aggregates.kmvSetCardinality(onlyA, "g", "key", "a", "b",
+        k = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 1, "missing group must still produce a row")
+    // (k, n_a, n_b, n_union, est_a, est_b, est_union, est_inter)
+    assert(rows.head === ((128L, 40L, 0L, 40L, 40L, 0L, 40L, 0L)))
+    // both groups absent: all-zero row, not zero rows
+    val neither = Seq(("c", 1L)).toDF("g", "key")
+    val z = Aggregates.kmvSetCardinality(neither, "g", "key", "a", "b",
+        k = 128)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(z.toSeq === Seq((128L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("BottomKAgg: duplicate hash keys at the k boundary resolve by " +
+      "(hash, value) — partitioning/arrival-order independent") {
+    import spark.implicits._
+    // 6 rows, 3 sharing one hash with distinct values; k=4 cuts through
+    // the tie, so a hash-only order would keep an arrival-dependent row
+    val rows = Seq(
+      ("aa", 10.0), ("bb", 20.0),
+      ("cc", 31.0), ("cc", 33.0), ("cc", 32.0),
+      ("dd", 40.0))
+    val bk = udaf(new graft.functions.BottomKAgg(4))
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(bk(col("h"), col("v")).as("s"))
+        .as[Seq[Double]].head()
+    val expected = Seq(10.0, 20.0, 31.0, 32.0) // (hash,value) bottom-4
+    for (parts <- Seq(1, 3, 7); ordered <- Seq(true, false)) {
+      val base = if (ordered) rows else rows.reverse
+      val got = sample(base.toDF("h", "v").repartition(parts))
+      assert(got === expected, s"parts=$parts ordered=$ordered")
+    }
+  }
 }

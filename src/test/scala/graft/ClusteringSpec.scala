@@ -197,4 +197,27 @@ class ClusteringSpec extends SparkSpec {
     // non-vacuity: at least 2 clusters and a non-empty noise class
     assert(expClusters.size >= 2 && noiseCells.nonEmpty)
   }
+
+  test("gridDbscan: a coordinate outside the 2^20 cell range fails " +
+      "loudly instead of silently colliding packed cell ids") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Seq(0.5f, 0.5f)),
+      (2L, Seq(40000.0f, 0.1f))) // 40000*32 > 2^20
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Clustering.gridDbscan(bad, "vec_id", "embedding",
+        scale = 32, minPts = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("cell-id packing"))), ex)
+    // in-range data still clusters (the guard keeps every valid row)
+    val ok = Clustering.gridDbscan(
+      Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(0.51f, 0.5f)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding",
+      scale = 32, minPts = 1).collect()
+    assert(ok.nonEmpty)
+  }
 }

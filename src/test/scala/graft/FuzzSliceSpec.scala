@@ -1,0 +1,219 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** MICRO-BATCH SLICING fuzzer for the stateful streaming families — the
+  * round-9 verdict's ask #6. The existing stream≡batch pins deliver fixed
+  * two-slice batches; this spec draws RANDOM slicings (random batch
+  * boundaries, random within-watermark disorder including full
+  * permutations where the algebra permits) and asserts stream ≡ batch for
+  * every draw, per family:
+  *
+  *  - IVM delta-merge ([[Streams.ivmMaintainStream]]): additive bag
+  *    semantics — ANY permutation into ANY number of micro-batches must
+  *    land on the same view state (retractions may precede their inserts
+  *    mid-stream; only the final state is contractual).
+  *  - streaming quantile sketch ([[Streams.quantileSketchStream]]):
+  *    union-take-k merge is associative/commutative, so with every event
+  *    inside the 30-minute watermark span, ANY permutation + slicing must
+  *    emit bit-identical estimates on window close.
+  *  - stream-stream event pairs ([[Streams.eventPairsStream]]): the
+  *    interval join buffers per-key state within the horizon; with all
+  *    real rows inside the watermark span, ANY permutation + slicing must
+  *    produce exactly the batch twin's pair set.
+  *
+  * Lateness discipline: real rows span < the 30-minute watermark, so the
+  * watermark (max event ts − 30 min) never passes ANY real row no matter
+  * the arrival order — every draw is adversarial but nothing is
+  * legitimately droppable, which is what makes equality the contract
+  * rather than a probabilistic hope. Windowed families are flushed by TWO
+  * far-future sentinel batches (the watermark computed from batch k is
+  * applied while processing batch k+1).
+  */
+class FuzzSliceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DrawsPerFamily = 100
+
+  /** Run draws as N concurrent streaming queries: a draw's cost is
+    * micro-batch COMMIT latency (state-store checkpointing), not CPU, so
+    * overlapping queries cuts the suite's wall-clock ~Nx without changing
+    * any draw's semantics (queries are fully independent: own MemoryStream,
+    * own memory-sink table, own state dir). */
+  private def runDraws(label: String)(body: Int => Unit): Int = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val done = Await.result(
+        Future.sequence((1 to DrawsPerFamily).map(d =>
+          Future { body(d); 1 })),
+        45.minutes)
+      done.sum
+    } finally pool.shutdown()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // per-draw data is ~40-80 rows; 32 shuffle/state-store partitions per
+    // micro-batch would be pure scheduling overhead across 300 queries.
+    // (State-store partition count binds at query START, so setting it
+    // here covers every draw; batch twins are unaffected semantically.)
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    super.afterAll()
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Random permutation, then random cut into 1..maxBatches chunks. */
+  private def randomSlices[T](rows: Seq[T], r: java.util.Random,
+      maxBatches: Int, permute: Boolean): Seq[Seq[T]] = {
+    val perm =
+      if (permute)
+        scala.util.Random.javaRandomToRandom(r).shuffle(rows)
+      else rows
+    val n = 1 + r.nextInt(maxBatches)
+    val cuts = Seq.fill(n - 1)(r.nextInt(perm.size + 1)).sorted
+    ((0 +: cuts) :+ perm.size).sliding(2).collect {
+      case Seq(a, b) if b > a => perm.slice(a, b)
+    }.toSeq
+  }
+
+  test(s"IVM delta-merge: $DrawsPerFamily random permutations+slicings " +
+      "all land on the batch view state") {
+    implicit val sqlCtx = spark.sqlContext
+    val checked = runDraws("ivm") { draw =>
+      val r = new java.util.Random(9000L + draw)
+      // ~60 CDC rows over 8 users x 3 days; ~25% retractions
+      val rows = (1 to 60).map { i =>
+        val mult = if (r.nextInt(4) == 0) -1L else 1L
+        (r.nextInt(8).toLong, s"2024-01-0${1 + r.nextInt(3)}",
+          (1L + r.nextInt(9999)), mult)
+      }
+      val expected = Streams.ivmMaintainStream(
+          rows.toDF("user_id", "day", "cents", "mult"))
+        .select("user_id", "day", "n", "sum_cents")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, String, Long, Long)]
+      val qn = s"fz_ivm_$draw"
+      val q = Streams.ivmMaintainStream(
+          mem.toDF().toDF("user_id", "day", "cents", "mult"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        randomSlices(rows, r, maxBatches = 6, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select("user_id", "day", "n", "sum_cents")
+          .as[(Long, String, Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: IVM state != batch view")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"quantile sketch: $DrawsPerFamily random permutations+slicings " +
+      "emit bit-identical estimates to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // all real rows inside one 25-minute span (< the 30-min watermark):
+    // ANY arrival order is within-watermark disorder by construction
+    val base = ts("2024-01-01 10:00:00").getTime
+    val checked = runDraws("qsk") { draw =>
+      val r = new java.util.Random(9500L + draw)
+      val types = Seq("click", "view", "buy")
+      val rows = (1 to 80).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(9).toLong, types(r.nextInt(3)),
+          (1 + r.nextInt(99999)) / 100.0)
+      }
+      val expected = Streams.quantileSketchStream(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          k = 16)
+        .select("event_type", "n", "k_eff", "p50_est", "p90_est")
+        .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_qsk_$draw"
+      val q = Streams.quantileSketchStream(
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+            "value"), k = 16)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        // two flush batches close the day-1 window
+        mem.addData((9001L, ts("2024-01-02 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-03 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("day_start") === ts("2024-01-01 00:00:00"))
+          .select("event_type", "n", "k_eff", "p50_est", "p90_est")
+          .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: sketch != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"event pairs: $DrawsPerFamily random permutations+slicings " +
+      "produce exactly the batch pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2024-01-01 10:00:00").getTime
+    val checked = runDraws("pairs") { draw =>
+      val r = new java.util.Random(9900L + draw)
+      // 40 events over 6 users in a 25-min span; horizon 30 min ≥ span,
+      // so cross-chunk disorder is always within watermark
+      val rows = (1 to 40).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(6).toLong,
+          if (r.nextBoolean()) "view" else "purchase")
+      }
+      def asEvents(df: DataFrame) =
+        df.toDF("event_id", "ts", "user_id", "event_type")
+      val expected = Streams.eventPairsStream(asEvents(rows.toDF()),
+          "view", "purchase", horizonMinutes = 30)
+        .select("user_id", "l_id", "r_id", "gap_us")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String)]
+      val qn = s"fz_pairs_$draw"
+      val q = Streams.eventPairsStream(asEvents(mem.toDF()),
+          "view", "purchase", horizonMinutes = 30)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        // advance BOTH sides' watermarks far past the span (flush users
+        // excluded from the comparison)
+        mem.addData(
+          (9001L, ts("2024-01-01 16:00:00"), 100L, "view"),
+          (9002L, ts("2024-01-01 16:00:00"), 101L, "purchase"))
+        q.processAllAvailable()
+        mem.addData(
+          (9003L, ts("2024-01-01 20:00:00"), 100L, "view"),
+          (9004L, ts("2024-01-01 20:00:00"), 101L, "purchase"))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("user_id") < 100L)
+          .select("user_id", "l_id", "r_id", "gap_us")
+          .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: pairs != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+}
