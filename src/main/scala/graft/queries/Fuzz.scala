@@ -813,12 +813,157 @@ object Fuzz {
     FuzzCase(seed, s"winagg2_$kind", sql, build)
   }
 
+  // ---- grammar v3 (seeds >= 3000) --------------------------------------
+  // Bag-semantics set ops (UNION/INTERSECT/EXCEPT ALL — multiplicity
+  // arithmetic, not the v1 distinct semantics), single-table NULL-key
+  // grouping (CASE-mangled key → the one-NULL-group rule without a join
+  // in the way), and DECIMAL window sums (running DECIMAL(18,2) under an
+  // explicit ROWS frame, widened to DECIMAL(38,2) — the window
+  // counterpart of v2's decimal aggregates).
+
+  /** UNION ALL / INTERSECT ALL / EXCEPT ALL of two filtered projections:
+    * multiset semantics — INTERSECT ALL keeps min(multiplicity), EXCEPT
+    * ALL subtracts multiplicities — in both engines. Output rows contain
+    * duplicates, so presentation order sorts on EVERY column (identical
+    * rows are interchangeable — hash-equivalent). */
+  private def genSetOpAll(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val nk = 1 + r.int(math.min(2, t.groupables.size))
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 47 + 29)).shuffle(t.groupables).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val p1 = pred(r, Seq(t)); val p2 = pred(r, Seq(t))
+    val op = r.pick(Seq("UNION ALL", "INTERSECT ALL", "EXCEPT ALL"))
+    // deterministic keyed modulo pre-filter on BOTH sides: bag semantics
+    // are preserved on the sampled subset while output stays bounded at
+    // any SF (a weak predicate would otherwise emit the whole table
+    // twice under UNION ALL)
+    val u = t.uniq.head
+    val mod = 23L + r.int(40)
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+      .mkString(", ")
+    val sql =
+      s"""SELECT * FROM (
+         |SELECT $kSql FROM ${t.name}
+         |  WHERE (${p1._1}) AND (${u.sql} % $mod) = 0
+         |$op
+         |SELECT $kSql FROM ${t.name}
+         |  WHERE (${p2._1}) AND (${u.sql} % $mod) = 0
+         |) ${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      def side(p: Column) = t.load(s, d)
+        .filter(p && u.col % mod === 0)
+        .select(keys.zip(kAliases).map { case (e, a) => e.col.as(a) }: _*)
+      val combined = op match {
+        case "UNION ALL"     => side(p1._2).union(side(p2._2))
+        case "INTERSECT ALL" => side(p1._2).intersectAll(side(p2._2))
+        case "EXCEPT ALL"    => side(p1._2).exceptAll(side(p2._2))
+      }
+      sortAll(combined, kAliases)
+    }
+    FuzzCase(seed,
+      "setopall_" + op.split(" ")(0).toLowerCase, sql, build)
+  }
+
+  /** Single-table NULL-key grouping: the group key is CASE-mangled to
+    * NULL on a seeded predicate, so the one-NULL-group GROUP BY rule is
+    * probed with no join in the plan; COUNT(key) vs COUNT(*) split the
+    * null rows, and the explicit NULLS FIRST presentation places the
+    * NULL group identically in both engines. */
+  private def genNullKeyAgg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val (mangleS, mangleC) = atom(r, t)
+    val keySql = s"CASE WHEN $mangleS THEN NULL ELSE ${k.sql} END"
+    val keyCol = when(mangleC, lit(null)).otherwise(k.col)
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    val v = r.pick(t.longs)._1
+    val sql =
+      s"""SELECT $keySql AS k0, COUNT(*) AS a0,
+         |  COUNT($keySql) AS a1,
+         |  CAST(SUM(${v.sql}) AS BIGINT) AS a2,
+         |  COUNT(DISTINCT $keySql) AS a3
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keyCol.as("k0"))
+        .agg(count(lit(1)).as("a0"), count(keyCol).as("a1"),
+          sum(v.col).cast("long").as("a2"),
+          countDistinct(keyCol).as("a3"))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "nullkey_agg", sql, build)
+  }
+
+  /** DECIMAL window sums: a running SUM over a DECIMAL(18,2)-cast money
+    * column under an explicit ROWS frame with the full unique tie-break,
+    * widened to an explicit DECIMAL(38,2) in both renderings (Spark's
+    * window sum is DECIMAL(28,2), DuckDB's DECIMAL(38,2) — the dtype
+    * gate hard-fails the uncast form). Output bounded by the keyed
+    * modulo sample, sorted on every column. */
+  private def genWinDecimal(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(t => moneyCols.contains(t.name)))
+    val m = moneyCols(t.name)
+    val k = r.pick(t.groupables)
+    val desc = r.bool(0.5)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val uAliases = t.uniq.indices.map(i => s"u$i")
+    val mod = 101L + r.int(200)
+    val dir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    val uSql = t.uniq.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val decSql = s"CAST($m AS DECIMAL(18,2))"
+    val tieOrd = (s"$decSql $dir" +:
+      t.uniq.map(u => s"${u.sql} ASC NULLS FIRST")).mkString(", ")
+    val outCols = Seq("k0") ++ uAliases ++ Seq("dv", "running")
+    val sql =
+      s"""SELECT ${outCols.mkString(", ")} FROM (
+         |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
+         |    $decSql AS dv,
+         |    CAST(SUM($decSql) OVER (PARTITION BY ${k.sql}
+         |      ORDER BY $tieOrd
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DECIMAL(38,2)) AS running
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |) WHERE (u0 % $mod) = 0
+         |${orderByAll(outCols)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val dec = col(m).cast("decimal(18,2)")
+      val ord = (if (desc) dec.desc_nulls_last else dec.asc_nulls_first) +:
+        t.uniq.map(_.col.asc_nulls_first)
+      val wf = Window.partitionBy(k.col).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val out = df
+        .withColumn("running",
+          sum(dec).over(wf).cast("decimal(38,2)"))
+        .select((k.col.as("k0") +:
+          t.uniq.zip(uAliases).map { case (e, a) => e.col.as(a) }) ++
+          Seq(dec.as("dv"), col("running")): _*)
+        .filter(col("u0") % mod === 0)
+      sortAll(out, outCols)
+    }
+    FuzzCase(seed, "win_decimal", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
-    * Seeds >= 2000 draw from grammar v2; the v1 dispatch below is
-    * FROZEN — changing it would redefine every pinned v1 seed. */
+    * Seeds >= 2000 draw from grammar v2, >= 3000 from v3; earlier
+    * dispatches are FROZEN — changing one would redefine every pinned
+    * seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 2000L) {
+    if (seed >= 3000L) {
+      r.int(6) match {
+        case 0 | 1 => genSetOpAll(r, seed)
+        case 2 | 3 => genNullKeyAgg(r, seed)
+        case _     => genWinDecimal(r, seed)
+      }
+    } else if (seed >= 2000L) {
       r.int(6) match {
         case 0 | 1 => genOuterNull(r, seed)
         case 2 | 3 => genDecimalAgg(r, seed)
@@ -850,7 +995,8 @@ object Fuzz {
     * tie orders. Fixed by sorting on every output column; pinned so
     * the class never regresses. */
   val pinnedSeeds: Seq[Long] = ((1001L to 1024L) :+ 1300L) ++
-    (2001L to 2028L) // grammar-v2 window: outer_null / decimal_agg / winagg2
+    (2001L to 2028L) ++ // grammar v2: outer_null / decimal_agg / winagg2
+    (3001L to 3016L)    // grammar v3: setop-ALL / nullkey_agg / win_decimal
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

@@ -190,5 +190,90 @@ object PackingQueries {
     notes = "t^0.75 temperature mixing over sources; " +
       "floor(sqrt*sqrt(sqrt)) exact IEEE composition; ppm allocation")
 
-  val all: Seq[GQuery] = Seq(qSeqPack, qLenBucket, qMixAlloc)
+  /** BUDGET-CONSTRAINED CORPUS SELECTION: threshold data selection
+    * under a token budget — docs are scored by English-stopword density
+    * (the integer-permille naturalness proxy the curation family
+    * already uses) and the engine picks the highest score THRESHOLD
+    * whose kept classes fit a budget of 60% of corpus tokens. The
+    * report is the per-source selection profile (what the budget kept
+    * vs dropped) — the corpus-design view a data-mixing decision reads.
+    *
+    * Scale shape: one fused text-stats corpus pass → a ≤1001-row score
+    * class table (all windows run THERE, never over the corpus) → a
+    * 1-row threshold broadcast back onto the doc stream → bounded
+    * per-source reagg. Thresholds — not per-doc greedy cuts — are how
+    * selection actually ships at 100 TB (no global sort anywhere), and
+    * the integer class arithmetic makes the cut bit-reproducible. */
+  val qBudgetSelect = GQuery("q_budget_select",
+    (s, d) => {
+      val st = graft.functions.TextStatsExpr.textStats(col("text"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          st.getField("n_tokens").cast("long").as("tok"),
+          st.getField("stop_en").cast("long").as("stp"))
+        .filter(col("tok") > 0)
+        .withColumn("ratio_x1000", expr("(stp * 1000) div tok"))
+      val classes = toks.groupBy(col("ratio_x1000"))
+        .agg(sum(col("tok")).cast("long").as("ctok"))
+      // windows over the BOUNDED class table only (<= 1001 rows)
+      val wDesc = Window.orderBy(col("ratio_x1000").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cut = classes
+        .withColumn("cum", sum(col("ctok")).over(wDesc))
+        .withColumn("total", sum(col("ctok")).over(wAll))
+        .filter(col("cum") <= expr("(total * 6) div 10"))
+        .agg(coalesce(min(col("ratio_x1000")), lit(1001L)).as("rcut"))
+      toks.crossJoin(broadcast(cut))
+        .withColumn("sel",
+          (col("ratio_x1000") >= col("rcut")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sel")).cast("long").as("n_selected"),
+          sum(col("tok")).cast("long").as("tokens_total"),
+          sum(col("sel") * col("tok")).cast("long")
+            .as("tokens_selected"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val stop = TextFeatures.enStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tk AS (
+        SELECT doc_id, source,
+          len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0)) AS tok,
+          len(list_filter(string_split_regex(trim(text), '\\s+'),
+            t -> len(t) > 0 AND lower(t) IN ($stop))) AS stp
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, tok, (stp * 1000) // tok AS ratio_x1000
+        FROM tk WHERE tok > 0),
+      cls AS (
+        SELECT ratio_x1000, CAST(SUM(tok) AS BIGINT) AS ctok
+        FROM r GROUP BY 1),
+      cw AS (
+        SELECT ratio_x1000,
+          CAST(SUM(ctok) OVER (ORDER BY ratio_x1000 DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum,
+          CAST(SUM(ctok) OVER () AS BIGINT) AS total
+        FROM cls),
+      cut AS (
+        SELECT COALESCE(MIN(ratio_x1000), 1001) AS rcut
+        FROM cw WHERE cum <= (total * 6) // 10),
+      s AS (
+        SELECT source, tok,
+          CASE WHEN ratio_x1000 >= cut.rcut THEN 1 ELSE 0 END AS sel
+        FROM r, cut)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(sel) AS BIGINT) AS n_selected,
+        CAST(SUM(tok) AS BIGINT) AS tokens_total,
+        CAST(SUM(sel * tok) AS BIGINT) AS tokens_selected
+      FROM s GROUP BY 1 ORDER BY source""" },
+    notes = "60%-token-budget threshold selection by integer stopword " +
+      "permille class; all windows on the <=1001-row class table, " +
+      "1-row threshold broadcast; per-source selection profile")
+
+  val all: Seq[GQuery] =
+    Seq(qSeqPack, qLenBucket, qMixAlloc, qBudgetSelect)
 }

@@ -73,6 +73,29 @@ class FuzzParitySpec extends SparkSpec {
         s"v2 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v3 plans (seeds 3000+): DataFrame build == spark.sql") {
+    // v3 shapes (round-9): bag-semantics set ops (UNION/INTERSECT/EXCEPT
+    // ALL), single-table NULL-key grouping, DECIMAL window sums
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 3000L until (3000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("setopall_", "nullkey_agg", "win_decimal"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v3 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run

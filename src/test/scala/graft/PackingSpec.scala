@@ -76,4 +76,38 @@ class PackingSpec extends SparkSpec {
       assert(w === exact)
     }
   }
+
+  test("q_budget_select: threshold cut respects the 60% budget and is " +
+      "class-maximal") {
+    val rows = PackingQueries.qBudgetSelect.run(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_._4).sum
+    val selected = rows.map(_._5).sum
+    val budget = total * 6 / 10
+    assert(selected <= budget, s"$selected > budget $budget")
+    assert(selected > 0, "selection is vacuous at this SF")
+    rows.foreach { case (_, nDocs, nSel, _, _) =>
+      assert(nSel <= nDocs)
+    }
+    // class-maximality: adding the next-best (unselected) ratio class
+    // would exceed the budget — recompute classes directly
+    import graft.functions.TextStatsExpr
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(TextStatsExpr.textStats(col("text")).as("st"))
+      .select(col("st.n_tokens").cast("long").as("tok"),
+        col("st.stop_en").cast("long").as("stp"))
+      .filter(col("tok") > 0)
+      .withColumn("r", expr("(stp * 1000) div tok"))
+      .groupBy("r").agg(sum("tok").as("ctok"))
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    // maximal desc-ratio PREFIX with cum <= budget (the rcut rule)
+    var cum = 0L; var stop = false
+    perDoc.foreach { case (_, c) =>
+      if (!stop) {
+        if (cum + c <= budget) cum += c else stop = true
+      }
+    }
+    assert(selected === cum, s"selected $selected != class prefix $cum")
+  }
 }

@@ -107,7 +107,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_isotonic",
     // 1-row transition-total and conditional-entropy broadcasts onto
     // the type^2-bounded transition table
-    "q_entropy_rate")
+    "q_entropy_rate",
+    // 1-row selection-threshold broadcast (from the <=1001-row score
+    // class table) onto the doc stream
+    "q_budget_select")
 
   test("no cartesian products; BNLJ only where cross-scoring is intended") {
     Registry.all.foreach { q =>
