@@ -44,7 +44,8 @@ class FuzzSliceSpec extends SparkSpec {
     * overlapping queries cuts the suite's wall-clock ~Nx without changing
     * any draw's semantics (queries are fully independent: own MemoryStream,
     * own memory-sink table, own state dir). */
-  private def runDraws(label: String)(body: Int => Unit): Int = {
+  private def runDraws(label: String, n: Int = DrawsPerFamily)(
+      body: Int => Unit): Int = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -52,8 +53,7 @@ class FuzzSliceSpec extends SparkSpec {
       ExecutionContext.fromExecutor(pool)
     try {
       val done = Await.result(
-        Future.sequence((1 to DrawsPerFamily).map(d =>
-          Future { body(d); 1 })),
+        Future.sequence((1 to n).map(d => Future { body(d); 1 })),
         45.minutes)
       done.sum
     } finally pool.shutdown()
@@ -166,6 +166,99 @@ class FuzzSliceSpec extends SparkSpec {
       } finally q.stop()
     }
     assert(checked === DrawsPerFamily)
+  }
+
+  private val DrawsSmall = 50
+
+  test(s"daily distinct (chained stateful aggs): $DrawsSmall random " +
+      "permutations+slicings equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // two CHAINED event-time aggregations share the watermark: rows span
+    // 25 min < the 30-min watermark, so any permutation is tolerable
+    // disorder for BOTH stateful operators
+    val base = ts("2024-01-01 10:00:00").getTime
+    val checked = runDraws("daily_distinct", DrawsSmall) { draw =>
+      val r = new java.util.Random(9700L + draw)
+      val types = Seq("click", "view")
+      // user ids straddle bitmap bucket boundaries (bucket = id >> 15)
+      val rows = (1 to 60).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          (r.nextInt(4) * 32768 + r.nextInt(6)).toLong,
+          types(r.nextInt(2)), 1.0)
+      }
+      val expected = Streams.dailyDistinctStream(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("event_type", "n_users")
+        .as[(String, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_dd_$draw"
+      val q = Streams.dailyDistinctStream(
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+            "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 4, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        mem.addData((9001L, ts("2024-01-02 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-03 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("day_start") === ts("2024-01-01 00:00:00"))
+          .select("event_type", "n_users")
+          .as[(String, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: distinct != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsSmall)
+  }
+
+  test(s"keyed-gap sessionization: $DrawsSmall random " +
+      "permutations+slicings equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // rows span 8 min < the 10-min watermark → full-permutation safe;
+    // the gap is an expression of the key (even users 1 min, odd 3 min)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val gapExpr = when(col("user_id") % 2 === 0,
+      expr("cast('1 minutes' as interval)"))
+      .otherwise(expr("cast('3 minutes' as interval)"))
+    val checked = runDraws("sessions", DrawsSmall) { draw =>
+      val r = new java.util.Random(9800L + draw)
+      val rows = (1 to 50).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(8 * 60) * 1000L),
+          r.nextInt(5).toLong, "click",
+          (1 + r.nextInt(9999)) / 100.0)
+      }
+      def shape(df: DataFrame) =
+        Streams.sessionizeKeyedGap(
+          df.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", gapExpr)
+      val expected = shape(rows.toDF())
+        .select("user_id", "session_start", "n_events", "total_value")
+        .as[(Long, Timestamp, Long, Double)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_sess_$draw"
+      val q = shape(mem.toDF())
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 4, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        mem.addData((9001L, ts("2024-01-01 16:00:00"), 999L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-01 20:00:00"), 999L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("user_id") < 999L)
+          .select("user_id", "session_start", "n_events", "total_value")
+          .as[(Long, Timestamp, Long, Double)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: sessions != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsSmall)
   }
 
   test(s"event pairs: $DrawsPerFamily random permutations+slicings " +
