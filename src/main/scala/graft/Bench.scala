@@ -120,8 +120,11 @@ object Bench {
     // round-over-round regressions are invisible in `value`; `fresh_total`
     // lets verdicts diff fresh-vs-fresh (round-9 verdict ask #4).
     val freshTotal = results.map(_._2).sum
+    // per-query fresh map (round-10 ask #4): the merged map is flat on
+    // carried queries by construction, so a regression on one carried
+    // query is invisible there — `fresh_queries` localizes it.
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"fresh_queries":${fmtQueries(results, ms = false)},"sf":"$sfDir"}"""
     // complete artifact of record: file + first stdout line
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(outPath, fullLine + "\n")

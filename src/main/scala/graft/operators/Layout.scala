@@ -18,13 +18,28 @@ import org.apache.spark.sql.functions._
 object Layout {
 
   /** Interleaves the low `bits` bits of `x` (even positions) and `y`
-    * (odd positions) into a Z value in [0, 4^bits). Pure projection. */
+    * (odd positions) into a Z value in [0, 4^bits). Pure projection.
+    *
+    * GUARDED precondition (was documented-only until round 10): both
+    * coordinates must already sit in [0, 2^bits). A coordinate outside
+    * the cell range would silently alias onto another cell's Z value —
+    * the bounding boxes stay truthful (stats derive from the real x/y)
+    * but the clustering geometry quietly degrades, which no correctness
+    * gate can see. `assert_true` turns that silent degradation into a
+    * per-row runtime error. */
   def zValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { i =>
-      shiftright(x.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-        shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    val hi = 1L << bits
+    val xl = x.cast("long"); val yl = y.cast("long")
+    val guard = assert_true(
+      xl >= 0L && xl < hi && yl >= 0L && yl < hi,
+      concat_ws(" ", lit(s"zValue coordinate outside [0, $hi):"),
+        xl.cast("string"), yl.cast("string")))
+    val z = (0 until bits).map { i =>
+      shiftright(xl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(yl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
+    when(guard.isNull, z)
   }
 
   /** Assigns each row a layout file by the TOP `fileBits` bits of its Z

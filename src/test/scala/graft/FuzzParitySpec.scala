@@ -96,6 +96,31 @@ class FuzzParitySpec extends SparkSpec {
         s"v3 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v4 plans (seeds 4000+): DataFrame build == spark.sql") {
+    // v4 shapes (round-10): calendar date/interval arithmetic (month-end
+    // clamping), RANGE frames with numeric offsets over tied order keys
+    // (peers-inclusive frame end), binary-collation string ordering
+    // (RANK/DENSE_RANK tie semantics)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 4000L until (4000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("date_arith", "range_win", "str_order"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v4 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run

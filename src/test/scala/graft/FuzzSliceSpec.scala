@@ -59,17 +59,22 @@ class FuzzSliceSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  private var priorShufflePartitions: String = _
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     // per-draw data is ~40-80 rows; 32 shuffle/state-store partitions per
     // micro-batch would be pure scheduling overhead across 300 queries.
     // (State-store partition count binds at query START, so setting it
     // here covers every draw; batch twins are unaffected semantically.)
+    priorShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
   }
 
   override def afterAll(): Unit = {
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // restore whatever SparkSpec configured (r9 advisor: a hardcoded "32"
+    // here silently re-encoded the wrong default for the shared session)
+    spark.conf.set("spark.sql.shuffle.partitions", priorShufflePartitions)
     super.afterAll()
   }
 
@@ -259,6 +264,207 @@ class FuzzSliceSpec extends SparkSpec {
       } finally q.stop()
     }
     assert(checked === DrawsSmall)
+  }
+
+  test(s"funnel: $DrawsPerFamily random in-order slicings with " +
+      "intra-batch shuffles equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // funnelStream's contract is order-of-arrival ACROSS batches (state is
+    // one int per user; no watermark buffer), so the legal disorder here is
+    // different: chunks must respect the (ts, nanos, event_id) total order
+    // the operator sorts by WITHIN a batch, while rows inside a chunk may
+    // arrive in any permutation (the operator re-sorts them). Random cut
+    // points + full intra-chunk shuffles per draw.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val steps = Seq("signup", "view", "purchase")
+    val checked = runDraws("funnel") { draw =>
+      val r = new java.util.Random(10100L + draw)
+      val types = steps :+ "other"
+      val rows = (1 to 60).map { i =>
+        (r.nextInt(8).toLong,
+          new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          types(r.nextInt(4)), i.toLong)
+      }
+      def asEvents(df: DataFrame) =
+        df.toDF("user_id", "ts", "event_type", "event_id")
+      // batch twin: same flatMapGroupsWithState code on a batch frame —
+      // one group pass over all rows in the (ts, nanos, id) sort order
+      val expected = Streams.funnelStream(spark, asEvents(rows.toDF()), steps)
+        .select("user_id", "step", "step_name", "ts")
+        .as[(Long, Long, String, Timestamp)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, String, Long)]
+      val qn = s"fz_funnel_$draw"
+      val q = Streams.funnelStream(spark, asEvents(mem.toDF()), steps)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val inOrder = rows.sortBy(e => (e._2.getTime, e._2.getNanos, e._4))
+        randomSlices(inOrder, r, maxBatches = 6, permute = false).foreach {
+          chunk =>
+            val shuffled =
+              scala.util.Random.javaRandomToRandom(r).shuffle(chunk)
+            mem.addData(shuffled: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select("user_id", "step", "step_name", "ts")
+          .as[(Long, Long, String, Timestamp)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: funnel advances != batch")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"per-key top-k: $DrawsPerFamily random permutations+slicings — " +
+      "admitted minus evicted equals the exact top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    // the running top-k under the (value desc, id asc) TOTAL order is
+    // order-independent as a SET (the admission sequence is not), so full
+    // permutation + slicing is legal disorder when comparing the
+    // reconstruction admitted − evicted. Values are drawn from a small
+    // grid to force ties through the event_id tie-break.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val k = 3
+    val checked = runDraws("topk") { draw =>
+      val r = new java.util.Random(10200L + draw)
+      val types = Seq("click", "view", "buy")
+      val rows = (1 to 60).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(6).toLong, types(r.nextInt(3)),
+          (1 + r.nextInt(8)).toDouble)
+      }
+      // independent Scala oracle: exact per-type top-k under the operator's
+      // total order
+      val expected = rows.groupBy(_._4).view.mapValues(es =>
+          es.sortBy(e => (-e._5, e._1)).take(k)
+            .map(e => (e._1, e._5)).toSet)
+        .toMap.toSeq.sortBy(_._1)
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_topk_$draw"
+      val q = Streams.topKPerKeyStream(spark,
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+            "value"), k)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val admits = spark.table(qn)
+          .select("event_type", "event_id", "value", "evicted_id")
+          .collect()
+          .map(row => (row.getString(0), row.getLong(1), row.getDouble(2),
+            if (row.isNullAt(3)) None else Some(row.getLong(3))))
+        val got = admits.groupBy(_._1).view.mapValues { as =>
+          val evicted = as.flatMap(_._4).toSet
+          as.collect { case (_, id, v, _) if !evicted.contains(id) =>
+            (id, v) }.toSet
+        }.toMap.toSeq.sortBy(_._1)
+        assert(got === expected, s"draw=$draw: reconstructed top-$k != oracle")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"dedup ingest: $DrawsPerFamily random permutations+slicings " +
+      "emit exactly one survivor text per new fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    // first-arrival-wins is order-DEPENDENT in which doc_id survives, but
+    // order-INDEPENDENT in the surviving TEXT set (duplicate groups share
+    // their text verbatim; all rows sit inside the 1-hour horizon, so
+    // exactly one row per new fingerprint passes). Compare the emitted
+    // text multiset against the batch incrementalExact survivors.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val pool = (0 until 12).map(i => s"document body variant number $i " +
+      "with enough shared words to be a stable fingerprint target")
+    val corpus = pool.take(3).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val checked = runDraws("dedup") { draw =>
+      val r = new java.util.Random(10300L + draw)
+      val rows = (1 to 40).map { i =>
+        (100L + i, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          pool(r.nextInt(12)))
+      }
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val corpusFps = corpusDf.select(
+        graft.functions.TextFeatures.fingerprint(col("text")).as("__fp"))
+        .distinct()
+      val expected = graft.operators.Dedup.incrementalExact(
+          rows.toDF("doc_id", "ts", "text"), corpusDf, "doc_id", "text")
+        .filter(!col("is_known") && !col("is_duplicate"))
+        .select("text").as[String].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val qn = s"fz_dedup_$draw"
+      val q = Streams.incrementalDedupStream(
+          mem.toDF().toDF("doc_id", "ts", "text"), corpusFps, "ts", "text",
+          "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select("text").as[String].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: survivor texts != batch")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"curation ingest: $DrawsPerFamily random permutations+slicings " +
+      "gate, dedup, and scrub to the batch composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = ts("2024-01-01 10:00:00").getTime
+    val good = "the quick brown fox jumps over the lazy dog while the " +
+      "other animals watch from the shade of a very old tree by the river"
+    val numbers = Seq("one", "two", "three", "four", "five", "six",
+      "seven", "eight")
+    val pool = numbers.map(n => s"$good chapter $n and you can mail " +
+      s"a.b@example.com about it")
+    val corpus = pool.take(2).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val checked = runDraws("curation") { draw =>
+      val r = new java.util.Random(10400L + draw)
+      val rows = (1 to 40).map { i =>
+        val roll = r.nextInt(10)
+        val (text, lang) =
+          if (roll == 0) ("zxqv kjhg wwnn", "en")          // low quality
+          else if (roll == 1) (pool(r.nextInt(8)), "de")   // wrong lang
+          else (pool(r.nextInt(8)), "en")                  // dup groups
+        (100L + i, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          text, lang)
+      }
+      val corpusDf = corpus.toDF("doc_id", "text")
+      val corpusFps = corpusDf.select(
+        graft.functions.TextFeatures.fingerprint(col("text")).as("__fp"))
+        .distinct()
+      // batch composition of the same stages (the StreamsSpec twin)
+      val inc = rows.toDF("doc_id", "ts", "text", "lang")
+      val gated = inc
+        .filter(graft.functions.TextFeatures
+          .qualityScoreFast(col("text")) >= 0.75)
+        .filter(graft.functions.TextFeatures
+          .langIdFast(col("text")) === col("lang"))
+      val expected = graft.operators.Dedup.incrementalExact(
+          gated, corpusDf, "doc_id", "text")
+        .filter(!col("is_known") && !col("is_duplicate"))
+        .withColumn("text", graft.functions.Redact.scrub(col("text")))
+        .select("text").as[String].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, String, String)]
+      val qn = s"fz_cur_$draw"
+      val q = Streams.curationIngestStream(
+          mem.toDF().toDF("doc_id", "ts", "text", "lang"), corpusFps,
+          "ts", "text", "lang", watermark = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select("text").as[String].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: curated texts != batch")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
   }
 
   test(s"event pairs: $DrawsPerFamily random permutations+slicings " +

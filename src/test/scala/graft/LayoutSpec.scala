@@ -21,6 +21,28 @@ class LayoutSpec extends SparkSpec {
     assert(corners === Seq(0L, 65535L))
   }
 
+  test("zValue: out-of-range coordinates raise instead of silently aliasing") {
+    // x=2^bits wraps onto cell 0's Z under the old unguarded packing —
+    // quiet clustering degradation; the guard must make it an error
+    for ((x, y) <- Seq((8L, 3L), (3L, 8L), (-1L, 3L), (3L, -1L))) {
+      val ex = intercept[Exception] {
+        Seq((x, y)).toDF("x", "y")
+          .select(Layout.zValue(col("x"), col("y"), 3).as("z"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("zValue coordinate outside")),
+        s"($x,$y): $ex")
+    }
+    // in-range values still compute the exact interleave under the guard
+    val ok = Seq((7L, 7L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    assert(ok === 63L)
+  }
+
   test("zOrderFiles: per-file bounding boxes are tight in BOTH dims") {
     // 64x64 grid of points; 16 z-range files => each file should cover a
     // 16x16 tile (bounding-box side 16), not a 64-wide stripe

@@ -133,6 +133,31 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
+  test("no registry query's Spark output schema contains a DECIMAL column") {
+    // The driver reads the Spark parquet via pyarrow (DECIMAL cells become
+    // Python Decimal, trailing zeros preserved) but the DuckDB oracle via
+    // pandas (float64, trailing zeros dropped), so a DECIMAL output column
+    // hash-fails on representation even when every value is identical —
+    // round 9's 14 red rows were exactly this. The static OracleDtypeLintSpec
+    // can't see alias-propagated decimals (`SELECT dv, running FROM (...)`),
+    // so the ban is enforced here on the ANALYZED schema of every build.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = Registry.all.flatMap { q =>
+      val dec =
+        try q.run(spark, sfDir).schema.fields
+          .filter(_.dataType.isInstanceOf[DecimalType])
+        catch { case e: Throwable =>
+          fail(s"${q.name} failed to analyze: ${e.getMessage}")
+        }
+      if (dec.isEmpty) None
+      else Some(s"${q.name}: ${dec.map(f => s"${f.name}:${f.dataType}")
+        .mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"\nDECIMAL final columns (driver-hash-unstable representation):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("decontamination joins the bench grams by BROADCAST, never sort-merge") {
     val plan = Registry.all.find(_.name == "q_decontaminate").get
       .run(spark, sfDir).queryExecution.executedPlan.toString
