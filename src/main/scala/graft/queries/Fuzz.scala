@@ -1206,13 +1206,191 @@ object Fuzz {
     FuzzCase(seed, s"str_order_$rankKind", sql, build)
   }
 
+  // ---- grammar v5 (seeds >= 5000) --------------------------------------
+  // Multi-level grouping and scalar-typing classes (round-10 widening):
+  // ROLLUP / CUBE with GROUPING() disambiguation (subtotal NULL keys vs
+  // genuine NULLs — a classic cross-engine result-shape divergence),
+  // NULLIF / COALESCE / multi-branch CASE derivations (branch typing and
+  // null propagation), and signed modulo arithmetic ((x−c) % m with
+  // negative dividends — both engines keep the dividend's sign, unlike
+  // their integer-DIVISION semantics, which are deliberately NOT fuzzed:
+  // Spark div truncates while DuckDB // floors, the engine's documented
+  // sign-safe-floor convention territory).
+
+  /** ROLLUP / CUBE over two keys with GROUPING() flags: subtotal rows
+    * carry NULL keys, so the flags are part of the output identity (a
+    * (k0,k1,g0,g1) tuple is unique per grouping-set cell). Both engines
+    * order the NULL subtotal keys by the explicit NULLS FIRST. Keys are
+    * pre-projected in a subquery so GROUPING() references plain column
+    * names in both renderings.
+    *
+    * FOUND DIVERGENCE (v5's first sweep, seed 5085): over EMPTY input,
+    * DuckDB follows the SQL standard and still emits the grand-total
+    * `()` grouping-set row (COUNT 0, NULL sums) while Spark's
+    * rollup/cube emit zero rows. `HAVING COUNT(*) > 0` pins the shared
+    * semantics: a no-op on non-empty input (every present cell counts
+    * ≥ 1, so the grand-total row stays covered), and on empty input it
+    * removes the one row only DuckDB produces. */
+  private def genRollup(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(_.groupables.size >= 2))
+    val ks = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 53 + 23)).shuffle(t.groupables).take(2)
+    val v = r.pick(t.longs)._1
+    val useCube = r.bool(0.4)
+    val op = if (useCube) "CUBE" else "ROLLUP"
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val ordCols = Seq("k0", "k1", "g0", "g1")
+    val sql =
+      s"""SELECT k0, k1,
+         |  CAST(GROUPING(k0) AS BIGINT) AS g0,
+         |  CAST(GROUPING(k1) AS BIGINT) AS g1,
+         |  COUNT(*) AS a0, CAST(SUM(vv) AS BIGINT) AS a1
+         |FROM (
+         |  SELECT ${ks(0).sql} AS k0, ${ks(1).sql} AS k1, ${v.sql} AS vv
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |)
+         |GROUP BY $op(k0, k1)
+         |HAVING COUNT(*) > 0
+         |${orderByAll(ordCols)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val base = df.select(ks(0).col.as("k0"), ks(1).col.as("k1"),
+        v.col.as("vv"))
+      val grouped =
+        if (useCube) base.cube(col("k0"), col("k1"))
+        else base.rollup(col("k0"), col("k1"))
+      val g = grouped.agg(
+        grouping(col("k0")).cast("long").as("g0"),
+        grouping(col("k1")).cast("long").as("g1"),
+        count(lit(1)).as("a0"),
+        sum(col("vv")).cast("long").as("a1"))
+        .filter(col("a0") > 0)
+      sortAll(g, ordCols)
+    }
+    FuzzCase(seed, if (useCube) "cube_agg" else "rollup_agg", sql, build)
+  }
+
+  /** NULLIF / COALESCE / multi-branch CASE group-key derivations: null
+    * propagation through scalar functions lands genuine NULL group keys
+    * (the one-NULL-group rule again, now scalar-made), and branch typing
+    * must agree across engines. The DataFrame build renders NULLIF via
+    * its CASE definition — an independent derivation of the same
+    * semantics. */
+  private def genScalarTyping(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val (keySql, keyCol): (String, Column) = r.int(4) match {
+      case 0 if t.strings.nonEmpty =>
+        val (e, vals) = r.pick(t.strings)
+        val pick = r.pick(vals)
+        (s"COALESCE(NULLIF(${e.sql}, ${sq(pick)}), 'none')",
+          coalesce(when(e.col === pick, lit(null)).otherwise(e.col),
+            lit("none")))
+      case 1 =>
+        val (e, _, _) = r.pick(t.longs)
+        val m = 2L + r.int(9)
+        val wrap = r.bool(0.5) // unwrapped → a GENUINE NULL group key
+        val nf = when((e.col % m) === 0, lit(null)).otherwise(e.col % m)
+        if (wrap)
+          (s"COALESCE(NULLIF(${e.sql} % $m, 0), -1)",
+            coalesce(nf, lit(-1L)))
+        else (s"NULLIF(${e.sql} % $m, 0)", nf)
+      case 2 =>
+        val (e, lo, hi) = r.pick(t.longs)
+        val c1 = lo + (hi - lo) * 2 / 3
+        val c2 = lo + (hi - lo) / 3
+        (s"CASE WHEN ${e.sql} > $c1 THEN 'hi' " +
+          s"WHEN ${e.sql} > $c2 THEN 'mid' ELSE 'lo' END",
+          when(e.col > c1, "hi").when(e.col > c2, "mid").otherwise("lo"))
+      case _ =>
+        val (x, _, _) = r.pick(t.longs)
+        val (y, _, _) = r.pick(t.longs)
+        val a = 3L + r.int(20); val b = 3L + r.int(20)
+        val fn = if (r.bool(0.5)) "GREATEST" else "LEAST"
+        val cc = if (fn == "GREATEST") greatest(x.col % a, y.col % b)
+          else least(x.col % a, y.col % b)
+        (s"CAST($fn(${x.sql} % $a, ${y.sql} % $b) AS BIGINT)",
+          cc.cast("long"))
+    }
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val sql =
+      s"""SELECT $keySql AS k0, COUNT(*) AS a0,
+         |  CAST(SUM(${v.sql}) AS BIGINT) AS a1,
+         |  COUNT($keySql) AS a2
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keyCol.as("k0"))
+        .agg(count(lit(1)).as("a0"), sum(v.col).cast("long").as("a1"),
+          count(keyCol).as("a2"))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "scalar_typing", sql, build)
+  }
+
+  /** Signed modulo arithmetic: the group key is (x − c) % m with c inside
+    * x's range, so NEGATIVE dividends occur and the remainder's sign
+    * (dividend's, in both engines) is on the hash path; an ABS variant
+    * folds the sign back. Integer division is deliberately excluded —
+    * Spark `div` truncates, DuckDB `//` floors (the engine's sign-safe
+    * floor-form convention exists precisely because of it). */
+  private def genModArith(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val (x, lo, hi) = r.pick(t.longs)
+    val c = lo + 1 + r.int(math.max(1, (hi - lo).toInt - 1))
+    val m = 3L + r.int(30)
+    val useAbs = r.bool(0.4)
+    val (keySql, keyCol) =
+      if (useAbs)
+        (s"CAST(abs((${x.sql} - $c) % $m) AS BIGINT)",
+          abs((x.col - c) % m).cast("long"))
+      else
+        (s"CAST((${x.sql} - $c) % $m AS BIGINT)",
+          ((x.col - c) % m).cast("long"))
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += ((s"CAST(SUM(${v.sql}) AS BIGINT) AS a1",
+      sum(v.col).cast("long").as("a1")))
+    if (r.bool(0.5))
+      aggs += ((s"CAST(MIN((${x.sql} - $c) % $m) AS BIGINT) AS a2",
+        min((x.col - c) % m).cast("long").as("a2")))
+    val sql =
+      s"""SELECT $keySql AS k0, ${aggs.map(_._1).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach { w => df = df.filter(w._2) }
+      val g = df.groupBy(keyCol.as("k0"))
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, if (useAbs) "mod_abs" else "mod_signed", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
-    * v4; earlier dispatches are FROZEN — changing one would redefine
-    * every pinned seed in its range. */
+    * v4, >= 5000 from v5; earlier dispatches are FROZEN — changing one
+    * would redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 4000L) {
+    if (seed >= 5000L) {
+      r.int(6) match {
+        case 0 | 1 => genRollup(r, seed)
+        case 2 | 3 => genScalarTyping(r, seed)
+        case _     => genModArith(r, seed)
+      }
+    } else if (seed >= 4000L) {
       r.int(6) match {
         case 0 | 1 => genDateArith(r, seed)
         case 2 | 3 => genRangeWin(r, seed)
@@ -1261,7 +1439,10 @@ object Fuzz {
     // grammar v4: date_arith / range_win / str_order. 4010 and 4012 are
     // skipped (their seeded predicates intersect to ZERO rows at every
     // SF — a 0-row gate exercises nothing); 4017/4018 take their slots.
-    ((4001L to 4018L) diff Seq(4010L, 4012L))
+    ((4001L to 4018L) diff Seq(4010L, 4012L)) ++
+    // grammar v5: rollup/cube+GROUPING / scalar typing / signed modulo.
+    // 5006 skipped (zero-row predicate intersection); 5017 takes its slot.
+    ((5001L to 5017L) diff Seq(5006L))
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

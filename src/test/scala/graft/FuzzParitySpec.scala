@@ -121,6 +121,30 @@ class FuzzParitySpec extends SparkSpec {
         s"v4 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v5 plans (seeds 5000+): DataFrame build == spark.sql") {
+    // v5 shapes (round-10): ROLLUP/CUBE with GROUPING() flags (the
+    // empty-input grand-total divergence is pinned out via HAVING — see
+    // genRollup's scaladoc), NULLIF/COALESCE/CASE typing, signed modulo
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 5000L until (5000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("rollup_agg", "cube_agg", "scalar_typing", "mod_"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v5 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
