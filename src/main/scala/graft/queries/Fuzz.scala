@@ -1378,13 +1378,243 @@ object Fuzz {
     FuzzCase(seed, if (useAbs) "mod_abs" else "mod_signed", sql, build)
   }
 
+  // ---- grammar v6 (seeds >= 6000) --------------------------------------
+  // Join-shape widening (round-10): every earlier fuzz family joins at
+  // most two tables with a plain inner/left equi-ON. v6 adds the
+  // remaining join classes: FULL OUTER (unmatched rows from BOTH sides
+  // land NULL keys in one output), LEFT JOIN with residual ON-clause
+  // predicates (ON-vs-WHERE placement is the classic outer-join semantic
+  // trap — a right-side predicate in ON keeps the left row with a NULL
+  // right side, the same predicate in WHERE drops it), three-table join
+  // chains with mixed INNER/LEFT steps, and aggregate FILTER clauses
+  // (`agg(x) FILTER (WHERE p)` vs the independent `agg(CASE WHEN p THEN
+  // x END)` derivation).
+
+  /** FULL OUTER join + aggregation. Each side is pre-filtered in an
+    * aliased subquery so BOTH unmatched classes are populated (FK
+    * integrity would otherwise leave the left side fully matched):
+    * removing right rows orphans their left partners, and right keys
+    * with no left partner in the filtered slice orphan the other way.
+    * Group keys draw one groupable from EACH side (NULL on whichever
+    * side is unmatched); SUMs are COALESCE'd and CAST to BIGINT in both
+    * renderings (DuckDB SUM→HUGEINT). */
+  private def genFullJoin(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val lp = if (r.bool(0.5)) Some(pred(r, Seq(j.left))) else None
+    val rp = if (r.bool(0.7)) Some(pred(r, Seq(j.right))) else None
+    val lk = r.pick(j.left.groupables)
+    val rk = r.pick(j.right.groupables)
+    val kAliases = Seq("k0", "k1")
+    val lv = r.pick(j.left.longs)._1
+    val rv = r.pick(j.right.longs)._1
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += ((s"CAST(COALESCE(SUM(${rv.sql}), 0) AS BIGINT) AS a1",
+      coalesce(sum(rv.col), lit(0L)).cast("long").as("a1")))
+    aggs += ((s"COUNT(${rv.sql}) AS a2", count(rv.col).as("a2")))
+    if (r.bool(0.6))
+      aggs += ((s"CAST(COALESCE(SUM(${lv.sql}), 0) AS BIGINT) AS a3",
+        coalesce(sum(lv.col), lit(0L)).cast("long").as("a3")))
+    def side(name: String, p: Option[(String, Column)], alias: String) =
+      p.map(w => s"(SELECT * FROM $name WHERE ${w._1}) $alias")
+        .getOrElse(name)
+    val sql =
+      s"""SELECT ${lk.sql} AS k0, ${rk.sql} AS k1,
+         |  ${aggs.map(_._1).mkString(", ")}
+         |FROM ${side(j.left.name, lp, "ls")}
+         |FULL JOIN ${side(j.right.name, rp, "rs")}
+         |  ON ${j.lk.sql} = ${j.rk.sql}
+         |GROUP BY 1, 2
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var l = j.left.load(s, d); lp.foreach(w => l = l.filter(w._2))
+      var rt = j.right.load(s, d); rp.foreach(w => rt = rt.filter(w._2))
+      val df = l.join(rt, j.lk.col === j.rk.col, "full_outer")
+      val g = df.groupBy(lk.col.as("k0"), rk.col.as("k1"))
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "full_join", sql, build)
+  }
+
+  /** LEFT JOIN with a RESIDUAL ON-clause predicate — the right-side (and
+    * occasionally left-side) predicate lives in ON, not WHERE, so a left
+    * row whose partner fails it still appears with a NULL right side.
+    * This placement semantics is exactly what a WHERE rewrite would get
+    * wrong, and each engine must implement it identically. */
+  private def genLeftResidual(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val rp = pred(r, Seq(j.right))
+    val lAtom = if (r.bool(0.35)) Some(atom(r, j.left)) else None
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(j.left))) else None
+    val lk = r.pick(j.left.groupables)
+    val keys = if (r.bool(0.5)) Seq(lk, r.pick(j.right.groupables))
+      else Seq(lk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val rv = r.pick(j.right.longs)._1
+    val rStrs = j.right.strings.map(_._1) ++ j.right.likes.map(_._1)
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += ((s"COUNT(${rv.sql}) AS a1", count(rv.col).as("a1")))
+    aggs += ((s"CAST(COALESCE(SUM(${rv.sql}), 0) AS BIGINT) AS a2",
+      coalesce(sum(rv.col), lit(0L)).cast("long").as("a2")))
+    if (rStrs.nonEmpty && r.bool(0.5)) {
+      val rs = r.pick(rStrs)
+      aggs += ((s"COUNT(DISTINCT ${rs.sql}) AS a3",
+        countDistinct(rs.col).as("a3")))
+    }
+    val onSql = (s"${j.lk.sql} = ${j.rk.sql} AND (${rp._1})" +:
+      lAtom.map(a => s"(${a._1})").toSeq).mkString(" AND ")
+    val onCol = lAtom.foldLeft(j.lk.col === j.rk.col && rp._2)(
+      (c, a) => c && a._2)
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${j.left.name} LEFT JOIN ${j.right.name} ON $onSql
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = j.left.load(s, d)
+        .join(j.right.load(s, d), onCol, "left_outer")
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "left_residual", sql, build)
+  }
+
+  /** Three-table join chains with mixed INNER/LEFT steps. The middle
+    * (and last) table is occasionally pre-filtered in an aliased
+    * subquery so a LEFT step actually produces unmatched rows (TPC-H FK
+    * integrity would otherwise make LEFT ≡ INNER). Chains cover both the
+    * path shape (l⋈o⋈c, o⋈c⋈n — the second key comes from the MIDDLE
+    * table, so a LEFT first step feeds NULL keys into the second join)
+    * and the star shape (l⋈p, l⋈s — both keys from the base table). */
+  private def genJoin3(r: Rng, seed: Long): FuzzCase = {
+    val chains = Seq(
+      (lineitem, orders, L("l_orderkey"), L("o_orderkey"),
+        customer, L("o_custkey"), L("c_custkey")),
+      (orders, customer, L("o_custkey"), L("c_custkey"),
+        nation, LI("c_nationkey"), LI("n_nationkey")),
+      (lineitem, part, L("l_partkey"), L("p_partkey"),
+        supplier, L("l_suppkey"), L("s_suppkey")))
+    val (t0, t1, k1l, k1r, t2, k2l, k2r) = r.pick(chains)
+    val jt1 = if (r.bool(0.35)) "LEFT JOIN" else "JOIN"
+    val jt2 = if (r.bool(0.35)) "LEFT JOIN" else "JOIN"
+    val p1 = if (r.bool(0.4)) Some(pred(r, Seq(t1))) else None
+    val p2 = if (r.bool(0.4)) Some(pred(r, Seq(t2))) else None
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t0))) else None
+    val allGroup = Seq(t0, t1, t2).flatMap(_.groupables)
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 61 + 29)).shuffle(allGroup)
+      .take(1 + r.int(2))
+    val kAliases = keys.indices.map(i => s"k$i")
+    val v1 = r.pick(t1.longs)._1
+    val v2 = r.pick(t2.longs)._1
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += ((s"CAST(COALESCE(SUM(${v2.sql}), 0) AS BIGINT) AS a1",
+      coalesce(sum(v2.col), lit(0L)).cast("long").as("a1")))
+    aggs += ((s"COUNT(${v1.sql}) AS a2", count(v1.col).as("a2")))
+    if (r.bool(0.5))
+      aggs += ((s"COUNT(${v2.sql}) AS a3", count(v2.col).as("a3")))
+    def side(t: FTab, p: Option[(String, Column)], alias: String) =
+      p.map(w => s"(SELECT * FROM ${t.name} WHERE ${w._1}) $alias")
+        .getOrElse(t.name)
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t0.name}
+         |$jt1 ${side(t1, p1, "j1")} ON ${k1l.sql} = ${k1r.sql}
+         |$jt2 ${side(t2, p2, "j2")} ON ${k2l.sql} = ${k2r.sql}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var d1 = t1.load(s, d); p1.foreach(w => d1 = d1.filter(w._2))
+      var d2 = t2.load(s, d); p2.foreach(w => d2 = d2.filter(w._2))
+      var df = t0.load(s, d)
+        .join(d1, k1l.col === k1r.col,
+          if (jt1 == "LEFT JOIN") "left_outer" else "inner")
+        .join(d2, k2l.col === k2r.col,
+          if (jt2 == "LEFT JOIN") "left_outer" else "inner")
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "join3", sql, build)
+  }
+
+  /** Aggregate FILTER clauses: `agg(x) FILTER (WHERE p)` in the shared
+    * SQL vs the independent `agg(CASE WHEN p THEN x END)` DataFrame
+    * derivation (count/sum/min skip NULLs, so the CASE form is the
+    * FILTER form's definition). Empty-filter groups exercise the
+    * identity cells: COUNT→0, SUM/MIN→NULL (COALESCE'd to a sentinel in
+    * both renderings, CAST to BIGINT against DuckDB's HUGEINT SUM). */
+  private def genAggFilter(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val nk = 1 + r.int(math.min(2, t.groupables.size))
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 67 + 31)).shuffle(t.groupables).take(nk)
+    val kAliases = keys.indices.map(i => s"k$i")
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    val (fp1S, fp1C) = atom(r, t)
+    aggs += ((s"COUNT(*) FILTER (WHERE $fp1S) AS a1",
+      count(when(fp1C, lit(1))).as("a1")))
+    val x = r.pick(t.longs)._1
+    val (fp2S, fp2C) = atom(r, t)
+    aggs += ((s"CAST(COALESCE(SUM(${x.sql}) FILTER (WHERE $fp2S), 0) " +
+      s"AS BIGINT) AS a2",
+      coalesce(sum(when(fp2C, x.col)), lit(0L)).cast("long").as("a2")))
+    if (r.bool(0.6)) {
+      val y = r.pick(t.longs)._1
+      val (fp3S, fp3C) = atom(r, t)
+      val fn = if (r.bool(0.5)) "MIN" else "MAX"
+      val c = if (fn == "MIN") min(when(fp3C, y.col))
+        else max(when(fp3C, y.col))
+      aggs += ((s"CAST(COALESCE($fn(${y.sql}) FILTER (WHERE $fp3S), -1) " +
+        s"AS BIGINT) AS a3",
+        coalesce(c, lit(-1L)).cast("long").as("a3")))
+    }
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "agg_filter", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
-    * v4, >= 5000 from v5; earlier dispatches are FROZEN — changing one
-    * would redefine every pinned seed in its range. */
+    * v4, >= 5000 from v5, >= 6000 from v6; earlier dispatches are FROZEN
+    * — changing one would redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 5000L) {
+    if (seed >= 6000L) {
+      r.int(6) match {
+        case 0     => genFullJoin(r, seed)
+        case 1     => genLeftResidual(r, seed)
+        case 2 | 3 => genJoin3(r, seed)
+        case _     => genAggFilter(r, seed)
+      }
+    } else if (seed >= 5000L) {
       r.int(6) match {
         case 0 | 1 => genRollup(r, seed)
         case 2 | 3 => genScalarTyping(r, seed)
@@ -1442,7 +1672,11 @@ object Fuzz {
     ((4001L to 4018L) diff Seq(4010L, 4012L)) ++
     // grammar v5: rollup/cube+GROUPING / scalar typing / signed modulo.
     // 5006 skipped (zero-row predicate intersection); 5017 takes its slot.
-    ((5001L to 5017L) diff Seq(5006L))
+    ((5001L to 5017L) diff Seq(5006L)) ++
+    // grammar v6: full_join / left_residual / join3 / agg_filter. All of
+    // 6001..6016 are non-empty (min 1 row) and the four shapes are all
+    // represented (5/4/5/2).
+    (6001L to 6016L)
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

@@ -145,6 +145,31 @@ class FuzzParitySpec extends SparkSpec {
         s"v5 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v6 plans (seeds 6000+): DataFrame build == spark.sql") {
+    // v6 shapes (round-10): FULL OUTER join (both-side NULL keys),
+    // LEFT JOIN with residual ON-clause predicates (ON-vs-WHERE
+    // placement), three-table chains with mixed INNER/LEFT steps,
+    // aggregate FILTER clauses vs their CASE-form definition
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 6000L until (6000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("full_join", "left_residual", "join3", "agg_filter"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v6 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
