@@ -1601,13 +1601,365 @@ object Fuzz {
     FuzzCase(seed, "agg_filter", sql, build)
   }
 
+  // ---- grammar v7 (seeds >= 7000) --------------------------------------
+  // Subquery and window-bucket classes: correlated EXISTS / NOT EXISTS
+  // (each engine decorrelates into a semi/anti join — with an optional
+  // NON-EQUI correlated predicate, which Spark plans as a mixed-condition
+  // semi join), self-joins of two aggregated subqueries (groups present
+  // on only one side under FULL exercise COALESCE'd keys and sentinel
+  // aggregates), and NTILE bucket assignment next to RANK-with-real-ties
+  // under one partitioned window.
+
+  /** Correlated [NOT] EXISTS subquery + aggregation. The SQL rendering
+    * leaves decorrelation to the engine; the DataFrame build IS the
+    * decorrelated plan (left_semi / left_anti with the same compound
+    * condition) — two independent derivations of the same semantics.
+    * With probability 0.35 the correlation carries an extra non-equi
+    * atom (`right.v > left.v`), the mixed-condition semi-join class no
+    * other family reaches.
+    *
+    * FOUND DIVERGENCE (v7's first sweep, seed 7435): when the non-equi
+    * atom lands on the SAME column pair as the equality
+    * (`p_partkey = l_partkey AND p_partkey > l_partkey` — unsatisfiable,
+    * so the correct answer is zero rows), DuckDB 1.0.0 answers zero ONLY
+    * while those are the sole conjuncts; add any third subquery
+    * predicate (minimal trigger: `AND p_partkey >= 190`) and its
+    * decorrelation DROPS the contradictory conjunct and returns the
+    * equality-only semi-join result (54 258 rows at sf0.01; Spark and
+    * this DataFrame build both correctly return 0). Since the
+    * same-column draw is degenerate anyway (an always-false EXISTS
+    * exercises nothing but the empty result), the grammar EXCLUDES the
+    * join-edge columns from the non-equi draw — every generated case
+    * stays inside the oracle's correct range. */
+  private def genExistsSub(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val t = j.left
+    val anti = r.bool(0.4)
+    val rp = pred(r, Seq(j.right))
+    val ineq = if (r.bool(0.35)) {
+      val rvs = j.right.longs.map(_._1).filterNot(_.sql == j.rk.sql)
+      val lvs = t.longs.map(_._1).filterNot(_.sql == j.lk.sql)
+      if (rvs.nonEmpty && lvs.nonEmpty) Some((r.pick(rvs), r.pick(lvs)))
+      else None
+    } else None
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 71 + 37)).shuffle(t.groupables)
+      .take(1 + r.int(2))
+    val kAliases = keys.indices.map(i => s"k$i")
+    val aggs = (0 until 1 + r.int(2)).map(i =>
+      agg(r, t.longs.map(_._1),
+        t.strings.map(_._1) ++ t.likes.map(_._1), s"a$i"))
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val exOp = if (anti) "NOT EXISTS" else "EXISTS"
+    val corr = (s"${j.rk.sql} = ${j.lk.sql} AND (${rp._1})" +:
+      ineq.map { case (rv, lv) => s"${rv.sql} > ${lv.sql}" }.toSeq)
+      .mkString(" AND ")
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |WHERE $exOp
+         |  (SELECT 1 FROM ${j.right.name} WHERE $corr)
+         |${where.map(w => s"AND (${w._1})").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val sub = j.right.load(s, d).filter(rp._2)
+      val cond = ineq.foldLeft(j.lk.col === j.rk.col)(
+        (c, p) => c && (p._1.col > p._2.col))
+      var df = t.load(s, d).join(sub, cond,
+        if (anti) "left_anti" else "left_semi")
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, if (anti) "not_exists" else "exists_sub", sql, build)
+  }
+
+  /** Self-join of two aggregated subqueries on the shared group key —
+    * the same table grouped under two different predicates, joined
+    * INNER or FULL. Under FULL, groups present on only one side carry a
+    * NULL key on the other: the output key is COALESCE'd and every
+    * aggregate gets a -1 sentinel, in both renderings. Group keys are
+    * non-null source columns, so no NULL=NULL join-miss ambiguity. */
+  private def genAggJoin(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val p1 = pred(r, Seq(t)); val p2 = pred(r, Seq(t))
+    val full = r.bool(0.45)
+    val x = r.pick(t.longs)._1
+    val jt = if (full) "FULL JOIN" else "JOIN"
+    val sql =
+      s"""SELECT COALESCE(a.k0, b.k0) AS k0,
+         |  COALESCE(a.c1, -1) AS c1, COALESCE(a.s1, -1) AS s1,
+         |  COALESCE(b.c2, -1) AS c2
+         |FROM (SELECT ${k.sql} AS k0, COUNT(*) AS c1,
+         |        CAST(SUM(${x.sql}) AS BIGINT) AS s1
+         |      FROM ${t.name} WHERE ${p1._1} GROUP BY 1) a
+         |$jt (SELECT ${k.sql} AS k0, COUNT(*) AS c2
+         |      FROM ${t.name} WHERE ${p2._1} GROUP BY 1) b
+         |  ON a.k0 = b.k0
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val a = t.load(s, d).filter(p1._2).groupBy(k.col.as("ak"))
+        .agg(count(lit(1)).as("c1"), sum(x.col).cast("long").as("s1"))
+      val b = t.load(s, d).filter(p2._2).groupBy(k.col.as("bk"))
+        .agg(count(lit(1)).as("c2"))
+      val joined = a.join(b, col("ak") === col("bk"),
+        if (full) "full_outer" else "inner")
+        .select(coalesce(col("ak"), col("bk")).as("k0"),
+          coalesce(col("c1"), lit(-1L)).as("c1"),
+          coalesce(col("s1"), lit(-1L)).as("s1"),
+          coalesce(col("c2"), lit(-1L)).as("c2"))
+      sortAll(joined, Seq("k0"))
+    }
+    FuzzCase(seed, if (full) "aggjoin_full" else "aggjoin_inner", sql, build)
+  }
+
+  /** NTILE bucket assignment next to RANK over REAL ties, both under one
+    * partitioned window pass; rows are identified by a fully tie-broken
+    * ROW_NUMBER and the output is the top-m per partition. NTILE's
+    * uneven-bucket rule (first `count % n` buckets get the extra row)
+    * must agree across engines; RANK orders by the value ALONE so tied
+    * rows share a rank while the rn tie-break keeps the result set
+    * deterministic. */
+  private def genNtile(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val k = r.pick(t.groupables)
+    val v = r.pick(t.longs)._1
+    val nt = 2 + r.int(6)
+    val m = 2 + r.int(3)
+    val desc = r.bool(0.5)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val uAliases = t.uniq.indices.map(i => s"u$i")
+    val dir = if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"
+    val ordFull = (s"${v.sql} $dir" +:
+      t.uniq.map(u => s"${u.sql} ASC NULLS FIRST")).mkString(", ")
+    val uSql = t.uniq.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT k0, ${uAliases.mkString(", ")}, b, rk, rn FROM (
+         |  SELECT ${k.sql} AS k0, ${uSql.mkString(", ")},
+         |    CAST(NTILE($nt) OVER (PARTITION BY ${k.sql}
+         |      ORDER BY $ordFull) AS BIGINT) AS b,
+         |    CAST(RANK() OVER (PARTITION BY ${k.sql}
+         |      ORDER BY ${v.sql} $dir) AS BIGINT) AS rk,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY ${k.sql}
+         |      ORDER BY $ordFull) AS BIGINT) AS rn
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |) WHERE rn <= $m
+         |${orderByAll(Seq("k0", "rn"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val vOrd = if (desc) v.col.desc_nulls_last else v.col.asc_nulls_first
+      val full = Window.partitionBy(k.col)
+        .orderBy(vOrd +: t.uniq.map(_.col.asc_nulls_first): _*)
+      val tiesW = Window.partitionBy(k.col).orderBy(vOrd)
+      val out = df
+        .withColumn("b", ntile(nt).over(full).cast("long"))
+        .withColumn("rk", rank().over(tiesW).cast("long"))
+        .withColumn("rn", row_number().over(full).cast("long"))
+        .select((k.col.as("k0") +:
+          t.uniq.zip(uAliases).map { case (e, a) => e.col.as(a) }) ++
+          Seq(col("b"), col("rk"), col("rn")): _*)
+        .filter(col("rn") <= m)
+      sortAll(out, Seq("k0", "rn"))
+    }
+    FuzzCase(seed, "ntile_rank", sql, build)
+  }
+
+  // ---- grammar v8 (seeds >= 8000) --------------------------------------
+  // Correlated SCALAR subqueries in the select list (each left row gets
+  // `(SELECT COUNT(*) FROM right WHERE rk = lk AND p)` — the engine must
+  // decorrelate AND apply the COUNT-over-no-rows = 0 null-correction; the
+  // DataFrame build is the decorrelated plan itself, a pre-aggregated
+  // LEFT join with COALESCE 0), explicit GROUPING SETS (arbitrary subset
+  // lattices beyond ROLLUP/CUBE's fixed ones, GROUPING() flags
+  // disambiguating subtotal NULLs, the empty-input grand-total divergence
+  // pinned out the genRollup way), and string-function-derived group keys
+  // (UPPER / SUBSTR / LENGTH / CONCAT — the dialect-intersection string
+  // surface).
+
+  /** Correlated scalar COUNT subquery per left row, then aggregated.
+    * The scalar count is 0 (not NULL) for unmatched rows in BOTH
+    * engines — the classic COUNT-decorrelation null-correction — and the
+    * DataFrame derivation makes that explicit: pre-aggregate the right
+    * side, LEFT join, COALESCE(cnt, 0). */
+  private def genScalarSub(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val t = j.left
+    val rp = if (r.bool(0.7)) Some(pred(r, Seq(j.right))) else None
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val keys = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 73 + 41)).shuffle(t.groupables)
+      .take(1 + r.int(2))
+    val kAliases = keys.indices.map(i => s"k$i")
+    val corr = (s"${j.rk.sql} = ${j.lk.sql}" +:
+      rp.map(p => s"(${p._1})").toSeq).mkString(" AND ")
+    val kSql = keys.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${kAliases.mkString(", ")},
+         |  CAST(SUM(sc) AS BIGINT) AS a0, MAX(sc) AS a1, COUNT(*) AS a2
+         |FROM (
+         |  SELECT ${kSql.mkString(", ")},
+         |    (SELECT COUNT(*) FROM ${j.right.name} WHERE $corr) AS sc
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |)
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var rt = j.right.load(s, d)
+      rp.foreach(p => rt = rt.filter(p._2))
+      val cnts = rt.groupBy(j.rk.col.as("__rk"))
+        .agg(count(lit(1)).as("__cnt"))
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val enriched = df.join(cnts, j.lk.col === col("__rk"), "left_outer")
+        .withColumn("sc", coalesce(col("__cnt"), lit(0L)))
+      val g = enriched.groupBy(keys.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(sum(col("sc")).cast("long").as("a0"),
+          max(col("sc")).as("a1"), count(lit(1)).as("a2"))
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "scalar_sub", sql, build)
+  }
+
+  /** Explicit GROUPING SETS over two keys: a random non-empty subset of
+    * the lattice {(k0,k1), (k0), (k1), ()}, always including at least
+    * one proper subtotal so GROUPING() flags matter. Same empty-input
+    * grand-total pin-out as genRollup (HAVING COUNT(*) > 0), same
+    * pre-projected-key subquery so GROUPING() references plain names. */
+  private def genGroupingSets(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(_.groupables.size >= 2))
+    val ks = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 79 + 43)).shuffle(t.groupables).take(2)
+    val v = r.pick(t.longs)._1
+    // the full pair set is always present: Spark requires every
+    // GROUPING()-referenced and projected key to appear in the UNION of
+    // the chosen sets (GROUPING_COLUMN_MISMATCH otherwise), and (k0,k1)
+    // covers both keys whatever the extra subtotal draw picks
+    val extras = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(seed * 83 + 47))
+      .shuffle(Seq("(k0)", "(k1)", "()")).take(1 + r.int(3))
+    val sets = "(k0, k1)" +: extras
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val ordCols = Seq("k0", "k1", "g0", "g1")
+    val sql =
+      s"""SELECT k0, k1,
+         |  CAST(GROUPING(k0) AS BIGINT) AS g0,
+         |  CAST(GROUPING(k1) AS BIGINT) AS g1,
+         |  COUNT(*) AS a0, CAST(SUM(vv) AS BIGINT) AS a1
+         |FROM (
+         |  SELECT ${ks(0).sql} AS k0, ${ks(1).sql} AS k1, ${v.sql} AS vv
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |)
+         |GROUP BY GROUPING SETS (${sets.mkString(", ")})
+         |HAVING COUNT(*) > 0
+         |${orderByAll(ordCols)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val base = df.select(ks(0).col.as("k0"), ks(1).col.as("k1"),
+        v.col.as("vv"))
+      val setCols: Seq[Seq[Column]] = sets.map {
+        case "(k0, k1)" => Seq(col("k0"), col("k1"))
+        case "(k0)"     => Seq(col("k0"))
+        case "(k1)"     => Seq(col("k1"))
+        case _          => Seq.empty[Column]
+      }
+      val g = base
+        .groupingSets(setCols, col("k0"), col("k1"))
+        .agg(grouping(col("k0")).cast("long").as("g0"),
+          grouping(col("k1")).cast("long").as("g1"),
+          count(lit(1)).as("a0"),
+          sum(col("vv")).cast("long").as("a1"))
+        .filter(col("a0") > 0)
+      sortAll(g, ordCols)
+    }
+    FuzzCase(seed, "grouping_sets", sql, build)
+  }
+
+  /** String-function-derived group keys: UPPER, SUBSTR (1-based in both
+    * dialects), LENGTH (widened — DuckDB emits int64, Spark INT), and
+    * CONCAT of two string columns with a literal separator. */
+  private def genStrFunc(r: Rng, seed: Long): FuzzCase = {
+    val withStr = tables.filter(t => (t.strings ++ t.likes).nonEmpty)
+    val t = r.pick(withStr)
+    val strs = (t.strings.map(_._1) ++ t.likes.map(_._1)).distinct
+    def key(): (String, Column) = r.int(4) match {
+      case 0 =>
+        val e = r.pick(strs)
+        (s"UPPER(${e.sql})", upper(e.col))
+      case 1 =>
+        val e = r.pick(strs)
+        val n = 1 + r.int(8)
+        (s"SUBSTR(${e.sql}, 1, $n)", substring(e.col, 1, n))
+      case 2 =>
+        val e = r.pick(strs)
+        (s"CAST(LENGTH(${e.sql}) AS BIGINT)", length(e.col).cast("long"))
+      case _ =>
+        val a = r.pick(strs); val b = r.pick(strs)
+        (s"CONCAT(${a.sql}, '_', ${b.sql})",
+          concat(a.col, lit("_"), b.col))
+    }
+    val nk = 1 + r.int(2)
+    val keys = (0 until nk).map(_ => key())
+    val kAliases = keys.indices.map(i => s"k$i")
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += ((s"CAST(SUM(${v.sql}) AS BIGINT) AS a1",
+      sum(v.col).cast("long").as("a1")))
+    if (r.bool(0.5)) {
+      val e = r.pick(strs)
+      aggs += ((s"COUNT(DISTINCT SUBSTR(${e.sql}, 1, 4)) AS a2",
+        countDistinct(substring(e.col, 1, 4)).as("a2")))
+    }
+    val kSql = keys.zip(kAliases).map { case ((s0, _), a) => s"$s0 AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case ((_, c), a) => c.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "str_func", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
-    * v4, >= 5000 from v5, >= 6000 from v6; earlier dispatches are FROZEN
-    * — changing one would redefine every pinned seed in its range. */
+    * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
+    * from v8; earlier dispatches are FROZEN — changing one would
+    * redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 6000L) {
+    if (seed >= 8000L) {
+      r.int(6) match {
+        case 0 | 1 => genScalarSub(r, seed)
+        case 2 | 3 => genGroupingSets(r, seed)
+        case _     => genStrFunc(r, seed)
+      }
+    } else if (seed >= 7000L) {
+      r.int(6) match {
+        case 0 | 1 => genExistsSub(r, seed)
+        case 2 | 3 => genAggJoin(r, seed)
+        case _     => genNtile(r, seed)
+      }
+    } else if (seed >= 6000L) {
       r.int(6) match {
         case 0     => genFullJoin(r, seed)
         case 1     => genLeftResidual(r, seed)
@@ -1676,7 +2028,16 @@ object Fuzz {
     // grammar v6: full_join / left_residual / join3 / agg_filter. All of
     // 6001..6016 are non-empty (min 1 row) and the four shapes are all
     // represented (5/4/5/2).
-    (6001L to 6016L)
+    (6001L to 6016L) ++
+    // grammar v7: exists_sub/not_exists / aggjoin / ntile_rank. All of
+    // 7001..7016 non-empty (min 1 row), shapes 4/6/6. Seed 7435 of the
+    // exploration sweep caught the DuckDB 1.0.0 decorrelation bug
+    // documented in genExistsSub — pinned OUT by grammar (the triggering
+    // draw is degenerate), not pinned in (the oracle is the wrong side).
+    (7001L to 7016L) ++
+    // grammar v8: scalar_sub / grouping_sets / str_func. All of
+    // 8001..8016 non-empty (min 1 row), shapes 7/5/4.
+    (8001L to 8016L)
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

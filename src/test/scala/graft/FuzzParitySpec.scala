@@ -170,6 +170,58 @@ class FuzzParitySpec extends SparkSpec {
         s"v6 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v7 plans (seeds 7000+): DataFrame build == spark.sql") {
+    // v7 shapes (round-10): correlated EXISTS/NOT EXISTS (the SQL path
+    // decorrelates, the DataFrame build IS the decorrelated semi/anti
+    // join — optionally with a non-equi correlated atom), self-joins of
+    // two aggregated subqueries (FULL variant: COALESCE'd keys +
+    // sentinel aggregates), NTILE buckets next to RANK-with-real-ties
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 7000L until (7000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("exists_sub", "not_exists", "aggjoin_", "ntile_rank"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v7 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
+  test(s"$N2 grammar-v8 plans (seeds 8000+): DataFrame build == spark.sql") {
+    // v8 shapes (round-10): correlated scalar COUNT subqueries in the
+    // select list (COUNT-over-no-rows = 0 null-correction; the DataFrame
+    // build is the decorrelated pre-agg LEFT join + COALESCE 0),
+    // explicit GROUPING SETS lattices with GROUPING() flags, and
+    // string-function group keys (UPPER/SUBSTR/LENGTH/CONCAT)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 8000L until (8000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("scalar_sub", "grouping_sets", "str_func"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v8 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
