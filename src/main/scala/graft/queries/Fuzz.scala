@@ -1940,14 +1940,197 @@ object Fuzz {
     FuzzCase(seed, "str_func", sql, build)
   }
 
+  /** GRAMMAR v9 (seeds >= 9000): Spark's relational PIVOT operator vs a
+    * conditional-aggregate SQL twin — the first fuzz family to exercise
+    * `RelationalGroupedDataset.pivot` itself. The twin is the textbook
+    * rewrite (`agg(CASE WHEN p = 'v' THEN x END) AS p_i`), which both
+    * engines run identically; the DataFrame side runs the real pivot
+    * operator, so any drift in Spark's pivot lowering (PivotFirst vs the
+    * expanded-aggregate path) against the rewrite semantics diverges.
+    * The one KNOWN semantic seam is pinned by construction: a COUNT
+    * pivot cell with no matching rows is NULL from Spark's pivot
+    * (the (group, pivotval) combo never formed) but 0 from
+    * `COUNT(CASE …)` — the build COALESCEs count cells to 0, and the
+    * generator occasionally includes a nonexistent pivot value so the
+    * all-empty column exercises exactly that seam. SUM cells keep NULL
+    * (SUM over empty is NULL in both). */
+  private def genPivot(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(_.strings.nonEmpty))
+    val (pe, pvalsAll) = r.pick(t.strings)
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(r.range(0, 1 << 30))).shuffle(pvalsAll)
+    val base = shuffled.take(math.min(2 + r.int(3), pvalsAll.size))
+    val pvals = if (r.bool(0.3)) base :+ "ZZZ" else base // empty column
+    val gks = {
+      val cands = t.groupables.filterNot(_.sql == pe.sql)
+      val nk = 1 + r.int(math.min(2, cands.size))
+      scala.util.Random.javaRandomToRandom(
+        new java.util.Random(r.range(0, 1 << 30))).shuffle(cands).take(nk)
+    }
+    val kAliases = gks.indices.map(i => s"k$i")
+    val v = r.pick(t.longs)._1
+    val useCount = r.bool(0.4)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val cellSql = pvals.zipWithIndex.map { case (pv, i) =>
+      if (useCount)
+        s"COUNT(CASE WHEN ${pe.sql} = ${sq(pv)} THEN 1 END) AS p$i"
+      else
+        s"CAST(SUM(CASE WHEN ${pe.sql} = ${sq(pv)} THEN ${v.sql} END)" +
+          s" AS BIGINT) AS p$i"
+    }
+    val kSql = gks.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ cellSql).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val piv = df.groupBy(gks.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .pivot(pe.col, pvals)
+        .agg(if (useCount) count(lit(1)) else sum(v.col))
+      val cells = pvals.zipWithIndex.map { case (pv, i) =>
+        val c = piv.col(pv)
+        if (useCount) coalesce(c, lit(0L)).as(s"p$i")
+        else c.cast("long").as(s"p$i")
+      }
+      sortAll(piv.select(kAliases.map(col) ++ cells: _*), kAliases)
+    }
+    FuzzCase(seed, "pivot_condagg", sql, build)
+  }
+
+  /** GRAMMAR v9: explode / posexplode generators vs a UNION-ALL-branches
+    * CTE twin. The DataFrame side runs Spark's real Generate operator
+    * over `array(e0, …, em)`; the shared SQL expresses the identical
+    * multiset as one UNION ALL branch per element (with the row filter
+    * repeated per branch and the branch index as the `pos` column) —
+    * the only cross-engine-parseable rendering of an unnest, and an
+    * independently-derived one. Optional post-explode HAVING-style
+    * filter on the exploded value lands as WHERE on the CTE. */
+  private def genExplode(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val m = 2 + r.int(2) // 2..3 array elements (repeats allowed)
+    val elems = (0 until m).map(_ => r.pick(t.longs))
+    val gk = r.pick(t.groupables)
+    val usePos = r.bool(0.4)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val vFilter = if (r.bool(0.4)) {
+      val (_, lo, hi) = r.pick(elems)
+      Some(r.range(lo, hi))
+    } else None
+    val whereSql = where.map(w => s" WHERE ${w._1}").getOrElse("")
+    val branches = elems.zipWithIndex.map { case ((e, _, _), i) =>
+      s"SELECT ${gk.sql} AS k0, CAST($i AS BIGINT) AS pos, " +
+        s"${e.sql} AS v FROM ${t.name}$whereSql"
+    }
+    val kAliases = if (usePos) Seq("k0", "pos") else Seq("k0")
+    val aggSql = Seq("CAST(SUM(v) AS BIGINT) AS a0", "COUNT(*) AS a1",
+      "MIN(v) AS a2")
+    val sql =
+      s"""WITH u AS (
+         |${branches.mkString("\nUNION ALL\n")}
+         |)
+         |SELECT ${kAliases.mkString(", ")}, ${aggSql.mkString(", ")}
+         |FROM u
+         |${vFilter.map(x => s"WHERE v > $x").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val arr = array(elems.map(_._1.col.cast("long")): _*)
+      var ex =
+        if (usePos) df.select(gk.col.as("k0"), posexplode(arr))
+          .select(col("k0"), col("pos").cast("long").as("pos"),
+            col("col").as("v"))
+        else df.select(gk.col.as("k0"), explode(arr).as("v"))
+      vFilter.foreach(x => ex = ex.filter(col("v") > x))
+      val g = ex.groupBy(kAliases.map(col): _*)
+        .agg(sum(col("v")).cast("long").as("a0"),
+          count(lit(1)).as("a1"), min(col("v")).as("a2"))
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "explode_union", sql, build)
+  }
+
+  /** GRAMMAR v9: set-op PRECEDENCE chains. `A op1 B op2 C` with NO
+    * parentheses in the shared text — SQL-standard grouping (INTERSECT
+    * binds tighter than UNION/EXCEPT, equal precedence associates left)
+    * is encoded EXPLICITLY on the DataFrame side, so a parser that
+    * groups differently (either engine, or Spark's legacy
+    * setopsPrecedence mode leaking in) diverges immediately. Branches
+    * draw single columns from overlapping-value domains so INTERSECT /
+    * EXCEPT results are non-trivial. */
+  private def genSetOpPrec(r: Rng, seed: Long): FuzzCase = {
+    val domains: Seq[Seq[(FTab, FExpr)]] = Seq(
+      Seq((customer, LI("c_nationkey")), (supplier, LI("s_nationkey")),
+        (nation, LI("n_nationkey"))),
+      Seq((lineitem, L("l_suppkey")), (supplier, L("s_suppkey"))),
+      Seq((orders, L("o_custkey")), (customer, L("c_custkey"))),
+      Seq((lineitem, L("l_partkey")), (part, L("p_partkey"))),
+      Seq((lineitem, LI("l_linenumber")), (part, LI("p_size")),
+        (nation, LI("n_regionkey"))))
+    val dom = r.pick(domains)
+    val ops = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
+    val op1 = r.pick(ops); val op2 = r.pick(ops)
+    final case class Branch(sql: String, df: (SparkSession, String) => DataFrame)
+    def branch(): Branch = {
+      val (bt, be) = r.pick(dom)
+      val p = if (r.bool(0.6)) Some(pred(r, Seq(bt))) else None
+      Branch(
+        s"SELECT ${be.sql} AS v FROM ${bt.name}" +
+          p.map(w => s" WHERE ${w._1}").getOrElse(""),
+        (s, d) => {
+          var df = bt.load(s, d)
+          p.foreach(w => df = df.filter(w._2))
+          df.select(be.col.as("v"))
+        })
+    }
+    val bs = Seq(branch(), branch(), branch())
+    val sql =
+      s"""SELECT v FROM (
+         |${bs(0).sql}
+         |$op1
+         |${bs(1).sql}
+         |$op2
+         |${bs(2).sql}
+         |) u
+         |ORDER BY v ASC NULLS FIRST""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      def app(op: String, a: DataFrame, b: DataFrame) = op match {
+        case "UNION ALL" => a.union(b)
+        case "UNION"     => a.union(b).distinct()
+        case "INTERSECT" => a.intersect(b)
+        case "EXCEPT"    => a.except(b)
+      }
+      val d0 = bs(0).df(s, d); val d1 = bs(1).df(s, d)
+      val d2 = bs(2).df(s, d)
+      val res =
+        if (op2 == "INTERSECT" && op1 != "INTERSECT")
+          app(op1, d0, app("INTERSECT", d1, d2))
+        else app(op2, app(op1, d0, d1), d2)
+      res.orderBy(col("v").asc_nulls_first)
+    }
+    FuzzCase(seed, "setop_prec", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
-    * from v8; earlier dispatches are FROZEN — changing one would
-    * redefine every pinned seed in its range. */
+    * from v8, >= 9000 from v9; earlier dispatches are FROZEN — changing
+    * one would redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 8000L) {
+    if (seed >= 9000L) {
+      r.int(6) match {
+        case 0 | 1 => genPivot(r, seed)
+        case 2 | 3 => genExplode(r, seed)
+        case _     => genSetOpPrec(r, seed)
+      }
+    } else if (seed >= 8000L) {
       r.int(6) match {
         case 0 | 1 => genScalarSub(r, seed)
         case 2 | 3 => genGroupingSets(r, seed)
@@ -2037,7 +2220,11 @@ object Fuzz {
     (7001L to 7016L) ++
     // grammar v8: scalar_sub / grouping_sets / str_func. All of
     // 8001..8016 non-empty (min 1 row), shapes 7/5/4.
-    (8001L to 8016L)
+    (8001L to 8016L) ++
+    // grammar v9: pivot_condagg / explode_union / setop_prec. 9009 and
+    // 9018 skipped (zero-row predicate intersections); 9017 takes a
+    // slot. Shapes 6/4/6; 500-seed sweep clean on both differentials.
+    ((9001L to 9018L) diff Seq(9009L, 9018L))
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

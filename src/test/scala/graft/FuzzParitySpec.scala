@@ -222,6 +222,32 @@ class FuzzParitySpec extends SparkSpec {
         s"v8 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v9 plans (seeds 9000+): DataFrame build == spark.sql") {
+    // v9 shapes (round-10): Spark's relational PIVOT operator vs the
+    // conditional-aggregate rewrite (COUNT cells COALESCEd to 0 — the
+    // pivot NULL-cell seam), explode/posexplode generators vs a
+    // UNION-ALL-branches CTE, and unparenthesized set-op precedence
+    // chains (INTERSECT binds tighter; DataFrame groups explicitly)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 9000L until (9000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("pivot_condagg", "explode_union", "setop_prec"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v9 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
