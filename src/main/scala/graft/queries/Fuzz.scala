@@ -2117,14 +2117,152 @@ object Fuzz {
     FuzzCase(seed, "setop_prec", sql, build)
   }
 
+  /** GRAMMAR v10 (seeds >= 10000): MAX_BY / MIN_BY ("argmax") — both
+    * engines implement the same two-argument ordered-selection
+    * aggregate, but it is only deterministic when the ordering argument
+    * is unique within each group, so the generator orders by the
+    * table's unique key — and EXCLUDES lineitem entirely: its declared
+    * (l_orderkey, l_linenumber) composite is ~24% duplicated in the
+    * synthetic testdata (the seed-1300 lesson), so no packed surrogate
+    * over it can be a total order; the first 500-seed sweep caught
+    * exactly that as 8 cross-engine MAX_BY tie-breaks. Values may be
+    * strings (binary-collation ASCII) or longs. */
+  private def genArgMax(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(_.uniq.size == 1))
+    val u = t.uniq.head
+    val gks = {
+      val nk = 1 + r.int(math.min(2, t.groupables.size))
+      scala.util.Random.javaRandomToRandom(
+        new java.util.Random(r.range(0, 1 << 30)))
+        .shuffle(t.groupables).take(nk)
+    }
+    val kAliases = gks.indices.map(i => s"k$i")
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val strs = t.strings.map(_._1) ++ t.likes.map(_._1)
+    def valExpr(): FExpr =
+      if (strs.nonEmpty && r.bool(0.4)) r.pick(strs)
+      else r.pick(t.longs)._1
+    val v1 = valExpr(); val v2 = valExpr()
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += ((s"MAX_BY(${v1.sql}, ${u.sql}) AS a0",
+      max_by(v1.col, u.col).as("a0")))
+    aggs += ((s"MIN_BY(${v2.sql}, ${u.sql}) AS a1",
+      min_by(v2.col, u.col).as("a1")))
+    aggs += (("COUNT(*) AS a2", count(lit(1)).as("a2")))
+    if (r.bool(0.5)) {
+      val e = r.pick(t.longs)._1
+      aggs += ((s"MAX(${e.sql}) AS a3", max(e.col).as("a3")))
+    }
+    val kSql = gks.zip(kAliases).map { case (e, a) => s"${e.sql} AS $a" }
+    val sql =
+      s"""SELECT ${(kSql ++ aggs.map(_._1)).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(gks.zip(kAliases)
+          .map { case (e, a) => e.col.as(a) }: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "argmax", sql, build)
+  }
+
+  /** GRAMMAR v10: exact MEDIAN, kept integer-exact cross-engine by the
+    * doubling trick — for BIGINT inputs both engines define median as
+    * the interpolated 0.5-quantile, so 2·median is always an exact
+    * integer (the middle element doubled, or the sum of the two middle
+    * elements) representable losslessly in the IEEE double both return;
+    * `CAST(2*MEDIAN(x) AS BIGINT)` is therefore hash-stable where a raw
+    * DOUBLE median final would be banned by the dtype convention. */
+  private def genMedian(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val gk = r.pick(t.groupables)
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val having = if (r.bool(0.4)) Some(2L + r.int(4)) else None
+    val aggs = Seq(
+      (s"CAST(2 * MEDIAN(${v.sql}) AS BIGINT) AS a0",
+        (median(v.col) * 2).cast("long").as("a0")),
+      (s"MIN(${v.sql}) AS a1", min(v.col).as("a1")),
+      (s"MAX(${v.sql}) AS a2", max(v.col).as("a2")),
+      ("COUNT(*) AS a3", count(lit(1)).as("a3")))
+    val sql =
+      s"""SELECT ${gk.sql} AS k0, ${aggs.map(_._1).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${having.map(h => s"HAVING COUNT(*) >= $h").getOrElse("")}
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      var g = df.groupBy(gk.col.as("k0"))
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      having.foreach(h => g = g.filter(col("a3") >= h))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "median2x", sql, build)
+  }
+
+  /** GRAMMAR v10: bitwise expressions and aggregates — `x & mask` group
+    * keys, BIT_COUNT keys, and BIT_AND / BIT_OR reductions, everything
+    * CAST to BIGINT in the shared text (DuckDB's bit_count is TINYINT,
+    * Spark's is INT; DuckDB's bit_and of INTEGER stays INTEGER). All
+    * catalog values are non-negative, so two's-complement sign
+    * differences never arise. */
+  private def genBitOps(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val (ke, _, _) = r.pick(t.longs)
+    val mask = r.pick(Seq(3L, 7L, 15L, 31L, 63L))
+    val useBitCount = r.bool(0.35)
+    val (keySql, keyCol) =
+      if (useBitCount)
+        (s"CAST(BIT_COUNT(${ke.sql}) AS BIGINT)",
+          bit_count(ke.col).cast("long"))
+      else (s"(${ke.sql} & $mask)", ke.col.bitwiseAND(mask))
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val aggs = Seq(
+      (s"CAST(BIT_AND(${v.sql}) AS BIGINT) AS a0",
+        bit_and(v.col).cast("long").as("a0")),
+      (s"CAST(BIT_OR(${v.sql}) AS BIGINT) AS a1",
+        bit_or(v.col).cast("long").as("a1")),
+      ("COUNT(*) AS a2", count(lit(1)).as("a2")))
+    val sql =
+      s"""SELECT $keySql AS k0, ${aggs.map(_._1).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keyCol.as("k0"))
+        .agg(aggs.head._2, aggs.tail.map(_._2): _*)
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "bitops", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
-    * from v8, >= 9000 from v9; earlier dispatches are FROZEN — changing
-    * one would redefine every pinned seed in its range. */
+    * from v8, >= 9000 from v9, >= 10000 from v10; earlier dispatches
+    * are FROZEN — changing one would redefine every pinned seed in its
+    * range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 9000L) {
+    if (seed >= 10000L) {
+      r.int(6) match {
+        case 0 | 1 => genArgMax(r, seed)
+        case 2 | 3 => genMedian(r, seed)
+        case _     => genBitOps(r, seed)
+      }
+    } else if (seed >= 9000L) {
       r.int(6) match {
         case 0 | 1 => genPivot(r, seed)
         case 2 | 3 => genExplode(r, seed)
@@ -2224,7 +2362,11 @@ object Fuzz {
     // grammar v9: pivot_condagg / explode_union / setop_prec. 9009 and
     // 9018 skipped (zero-row predicate intersections); 9017 takes a
     // slot. Shapes 6/4/6; 500-seed sweep clean on both differentials.
-    ((9001L to 9018L) diff Seq(9009L, 9018L))
+    ((9001L to 9018L) diff Seq(9009L, 9018L)) ++
+    // grammar v10: argmax (MAX_BY/MIN_BY) / median2x / bitops. All of
+    // 10001..10016 non-empty (min 1 row), shapes 4/7/5; 500-seed sweep
+    // clean on both differentials after the lineitem argmax exclusion.
+    (10001L to 10016L)
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

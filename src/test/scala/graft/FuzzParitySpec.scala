@@ -248,6 +248,32 @@ class FuzzParitySpec extends SparkSpec {
         s"v9 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v10 plans (seeds 10000+): DataFrame build == spark.sql") {
+    // v10 shapes (round-10): MAX_BY/MIN_BY ordered-selection aggregates
+    // (always ordered by a per-group-unique key for determinism), exact
+    // MEDIAN kept integer-exact via CAST(2*MEDIAN(x) AS BIGINT), and
+    // bitwise expressions/aggregates (&-mask keys, BIT_COUNT keys,
+    // BIT_AND/BIT_OR reductions, all CAST to BIGINT)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 10000L until (10000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("argmax", "median2x", "bitops"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v10 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run

@@ -515,4 +515,154 @@ class FuzzSliceSpec extends SparkSpec {
     }
     assert(checked === DrawsPerFamily)
   }
+
+  test(s"movement detector: $DrawsPerFamily random in-order slicings " +
+      "with intra-batch shuffles equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // movementDetector's contract is order-of-arrival ACROSS batches
+    // (state = last value per key), so the legal disorder is the funnel
+    // discipline: chunks respect the (ts) total order (timestamps are
+    // unique by construction — one per row index), rows inside a chunk
+    // arrive in any permutation (the operator re-sorts them).
+    val base = ts("2024-01-01 10:00:00").getTime
+    val checked = runDraws("move") { draw =>
+      val r = new java.util.Random(10300L + draw)
+      val types = Seq("click", "view", "buy")
+      val rows = (1 to 60).map { i =>
+        (r.nextInt(5).toLong, types(r.nextInt(3)),
+          new Timestamp(base + i * 1000L), (1 + r.nextInt(8)).toDouble)
+      }
+      def asEvents(df: DataFrame) =
+        df.toDF("user_id", "event_type", "ts", "value")
+      val expected = Streams.movementDetector(spark,
+          asEvents(rows.toDF()), threshold = 0.5)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long"),
+          col("prev_value"), col("value"), col("rel_change"))
+        .as[(Long, String, Long, Double, Double, Double)]
+        .collect().sorted.toSeq
+      val mem = MemoryStream[(Long, String, Timestamp, Double)]
+      val qn = s"fz_move_$draw"
+      val q = Streams.movementDetector(spark, asEvents(mem.toDF()),
+          threshold = 0.5)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 6, permute = false).foreach {
+          chunk =>
+            val shuffled =
+              scala.util.Random.javaRandomToRandom(r).shuffle(chunk)
+            mem.addData(shuffled: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .select(col("user_id"), col("event_type"), col("ts").cast("long"),
+            col("prev_value"), col("value"), col("rel_change"))
+          .as[(Long, String, Long, Double, Double, Double)]
+          .collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: movements != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"job state machine: $DrawsPerFamily random in-order slicings " +
+      "with intra-batch shuffles match an independent transition fold") {
+    implicit val sqlCtx = spark.sqlContext
+    // independent Scala oracle (not the operator on batch): per job id,
+    // fold events in (event_ts) order — unique by construction — applying
+    // terminal absorption: every event moves a non-terminal job to its
+    // status and emits it; completed/failed/expired never transition.
+    // scheduled_for sits days past the event span, so the event-time
+    // timeout (scheduled_for + 45 min vs watermark) can never fire and
+    // the contract under test is pure transition order.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val sched = ts("2024-01-05 00:00:00")
+    val statuses = Seq("pending", "pending", "completed", "failed")
+    val checked = runDraws("jobs") { draw =>
+      val r = new java.util.Random(10400L + draw)
+      val rows = (1 to 60).map { i =>
+        (s"job${r.nextInt(6)}", statuses(r.nextInt(4)), sched,
+          new Timestamp(base + i * 1000L))
+      }
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String)]
+        var cur: Option[String] = None
+        evs.sortBy(_._4.getTime).foreach { ev =>
+          if (!cur.exists(_ != "pending")) { cur = Some(ev._2); out += ((ev._1, ev._2)) }
+        }
+        out
+      }.sorted
+      def asJobs(df: DataFrame) =
+        df.toDF("id", "status", "scheduled_for", "event_ts")
+      val mem = MemoryStream[(String, String, Timestamp, Timestamp)]
+      val qn = s"fz_jobs_$draw"
+      val q = Streams.jobStateMachine(spark, asJobs(mem.toDF()))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 6, permute = false).foreach {
+          chunk =>
+            val shuffled =
+              scala.util.Random.javaRandomToRandom(r).shuffle(chunk)
+            mem.addData(shuffled: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn).select("id", "status")
+          .as[(String, String)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: transitions != oracle fold")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"sliding movement alert: $DrawsPerFamily random " +
+      "permutations+slicings equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // windowed min/max aggregation: with all real rows inside the 25-min
+    // span (< the 30-min watermark), ANY permutation + slicing is legal
+    // disorder; two far-future sentinel batches close the open windows.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val checked = runDraws("alert") { draw =>
+      val r = new java.util.Random(10500L + draw)
+      val types = Seq("click", "view", "buy")
+      val rows = (1 to 60).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(5).toLong, types(r.nextInt(3)),
+          (1 + r.nextInt(8)).toDouble)
+      }
+      def asEvents(df: DataFrame) =
+        df.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val expected = Streams.slidingMovementAlert(asEvents(rows.toDF()),
+          threshold = 0.5)
+        .select(col("window_start").cast("long"), col("user_id"),
+          col("event_type"), col("min_v"), col("max_v"), col("n"))
+        .as[(Long, Long, String, Double, Double, Long)]
+        .collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_alert_$draw"
+      val q = Streams.slidingMovementAlert(asEvents(mem.toDF()),
+          threshold = 0.5)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        // sentinel user 999 advances the watermark twice; its own windows
+        // are excluded from the comparison (min==max → filtered anyway,
+        // but the id guard keeps the contract explicit)
+        mem.addData((9001L, ts("2024-01-01 16:00:00"), 999L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-01 20:00:00"), 999L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("user_id") =!= 999L)
+          .select(col("window_start").cast("long"), col("user_id"),
+            col("event_type"), col("min_v"), col("max_v"), col("n"))
+          .as[(Long, Long, String, Double, Double, Long)]
+          .collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: alerts != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
 }
