@@ -104,9 +104,13 @@ object Graph {
     val e = e0.withColumn("out_w",
         sum(col("w")).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
+    // the rank loop is LINEAR (each round reads the previous rank table
+    // exactly once, and the post-loop projection reads it once), so no
+    // per-round materialization is needed: the only multi-referenced
+    // frames are nodes/e, which checkpoint above. Dropping the per-round
+    // barrier turns iterations+1 blocking jobs into one final action.
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), expr(s"${Scale}L div __n").as("rank_fp"))
-      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
@@ -118,7 +122,6 @@ object Graph {
           (expr(s"(${1000 - dampingPermille}L * ${Scale}L) div (1000L * __n)")
             + expr(s"(${dampingPermille}L * coalesce(contrib, 0L)) div 1000L"))
             .as("rank_fp"))
-        .localCheckpoint(true)
     }
     ranks
       .select(col("node"), col("rank_fp"),
@@ -163,11 +166,14 @@ object Graph {
     val e = e0.withColumn("out_w",
         sum(col("w")).over(Window.partitionBy(col("src"))))
       .localCheckpoint(true)
+    // LINEAR rank chain (the pageRankFixedPoint argument): flagged/e
+    // are the multi-referenced frames and checkpoint above; the rank
+    // table itself is read once per round and once after, so the loop
+    // carries no per-round barrier.
     var ranks = flagged.crossJoin(broadcast(sRow))
       .select(col("node"),
         when(col("__seed") === 1L, expr(s"${Scale}L div __s"))
           .otherwise(0L).as("rank_fp"))
-      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = ranks.join(e, ranks("node") === e("src"))
         .select(col("dst").as("node"),
@@ -182,7 +188,6 @@ object Graph {
             + expr(s"(${dampingPermille}L * coalesce(contrib, 0L))" +
               " div 1000L"))
             .as("rank_fp"))
-        .localCheckpoint(true)
     }
     ranks
       .select(col("node"), col("rank_fp"),
@@ -484,6 +489,15 @@ object Graph {
     var labels = nbr.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // the label chain is linear, so the per-round checkpoint is not a
+    // dedup necessity (unlike the bfs/sssp diamonds) — but it is a
+    // measured WIN here, unlike the pageRank family: the per-round
+    // (node,label) weight agg is the expensive stage, and feeding it a
+    // materialized, size-known label table keeps every round's join
+    // broadcast-planned (measured at sf0.1: 6.3 s with per-round
+    // checkpoints vs 9.1 s without; pageRank's contribution join keys
+    // on the PRE-PARTITIONED edge side instead and measured the
+    // opposite, so it dropped its per-round barrier).
     for (_ <- 1 to iters) {
       val scores = nbr
         .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))

@@ -51,6 +51,10 @@ class PlanRegressionSpec extends SparkSpec {
     "q_jackknife",
     // 1-row broadcast total-edge-weight cross join onto the community table
     "q_modularity",
+    // per-round 1-row broadcast seed-count cross joins onto the node
+    // table (the q_pagerank shape): visible in the final plan since the
+    // rank chain stopped checkpointing per round (linear-chain rule)
+    "q_ppr_seeds",
     // tiny broadcast query-set cross join scored against the corpus
     // (the q_cosine_topk brute-force shape)
     "q_knn_classify",
