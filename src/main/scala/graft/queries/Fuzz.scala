@@ -2065,15 +2065,7 @@ object Fuzz {
     * draw single columns from overlapping-value domains so INTERSECT /
     * EXCEPT results are non-trivial. */
   private def genSetOpPrec(r: Rng, seed: Long): FuzzCase = {
-    val domains: Seq[Seq[(FTab, FExpr)]] = Seq(
-      Seq((customer, LI("c_nationkey")), (supplier, LI("s_nationkey")),
-        (nation, LI("n_nationkey"))),
-      Seq((lineitem, L("l_suppkey")), (supplier, L("s_suppkey"))),
-      Seq((orders, L("o_custkey")), (customer, L("c_custkey"))),
-      Seq((lineitem, L("l_partkey")), (part, L("p_partkey"))),
-      Seq((lineitem, LI("l_linenumber")), (part, LI("p_size")),
-        (nation, LI("n_regionkey"))))
-    val dom = r.pick(domains)
+    val dom = r.pick(valueDomains) // overlapping-value domains (shared)
     val ops = Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")
     val op1 = r.pick(ops); val op2 = r.pick(ops)
     final case class Branch(sql: String, df: (SparkSession, String) => DataFrame)
@@ -2248,15 +2240,184 @@ object Fuzz {
     FuzzCase(seed, "bitops", sql, build)
   }
 
+  /** Overlapping-value (table, expr) domains shared by the set-op
+    * precedence and NOT-IN families, so membership tests are
+    * non-trivial. Each domain is rendering-homogeneous (all raw BIGINT
+    * or all CAST-to-BIGINT), keeping both sides of a set op / IN list
+    * the same declared type in both engines. */
+  private val valueDomains: Seq[Seq[(FTab, FExpr)]] = Seq(
+    Seq((customer, LI("c_nationkey")), (supplier, LI("s_nationkey")),
+      (nation, LI("n_nationkey"))),
+    Seq((lineitem, L("l_suppkey")), (supplier, L("s_suppkey"))),
+    Seq((orders, L("o_custkey")), (customer, L("c_custkey"))),
+    Seq((lineitem, L("l_partkey")), (part, L("p_partkey"))),
+    Seq((lineitem, LI("l_linenumber")), (part, LI("p_size")),
+      (nation, LI("n_regionkey"))))
+
+  /** GRAMMAR v11 (seeds >= 11000): NOT IN with NULLs — the classic
+    * three-valued-logic trap. The subquery column is NULLIF-mangled
+    * (sometimes to a value inside its range, so real NULLs appear;
+    * sometimes outside, so none do), and occasionally the OUTER probe
+    * is NULLIF-mangled too. The shared text is the plain
+    * `x NOT IN (SELECT NULLIF(y, v) …)`; the DataFrame build is the
+    * INDEPENDENT standard decorrelation: left-anti join on the non-null
+    * subquery values, plus a broadcast 1-row (n, nn) stats frame
+    * encoding the 3VL cases — subquery empty → every row passes (even
+    * a NULL probe); any subquery NULL → no row passes; otherwise a
+    * NULL probe fails and non-null probes pass iff anti-joined. An
+    * engine (or the rewrite) getting any leg wrong diverges. */
+  private def genNotIn(r: Rng, seed: Long): FuzzCase = {
+    val dom = r.pick(valueDomains)
+    val (t, x) = r.pick(dom)
+    val (t2, y) = r.pick(dom)
+    val (_, yLo, yHi) = t2.longs.find(_._1.sql == y.sql)
+      .getOrElse((y, 0L, 25L))
+    val nullV =
+      if (r.bool(0.5)) r.range(yLo, yHi) // real NULLs in the IN-list
+      else yHi + 1000L                   // NULLIF never fires
+    val probeNullV = if (r.bool(0.35)) {
+      val (_, xLo, xHi) = t.longs.find(_._1.sql == x.sql)
+        .getOrElse((x, 0L, 25L))
+      Some(if (r.bool(0.6)) r.range(xLo, xHi) else xHi + 1000L)
+    } else None
+    val p = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val p2 = if (r.bool(0.7)) Some(pred(r, Seq(t2))) else None
+    val gk = r.pick(t.groupables)
+    val probeSql = probeNullV
+      .map(v => s"NULLIF(${x.sql}, $v)").getOrElse(x.sql)
+    val probeCol = probeNullV
+      .map(v => when(x.col === v, lit(null)).otherwise(x.col))
+      .getOrElse(x.col)
+    val sql =
+      s"""SELECT ${gk.sql} AS k0, COUNT(*) AS a0,
+         |  CAST(SUM(${x.sql}) AS BIGINT) AS a1
+         |FROM ${t.name}
+         |WHERE ${p.map(w => s"(${w._1}) AND ").getOrElse("")}$probeSql
+         |  NOT IN (SELECT NULLIF(${y.sql}, $nullV) FROM ${t2.name}
+         |          ${p2.map(w => s"WHERE ${w._1}").getOrElse("")})
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var sub = t2.load(s, d)
+      p2.foreach(w => sub = sub.filter(w._2))
+      val ys = sub.select(
+        when(y.col === nullV, lit(null)).otherwise(y.col).as("__y"))
+      val stats = ys.agg(count(lit(1)).as("__n"),
+        count(col("__y")).as("__nn"))
+      var outer = t.load(s, d)
+      p.foreach(w => outer = outer.filter(w._2))
+      outer = outer.withColumn("__x", probeCol)
+      val anti = outer.join(ys.filter(col("__y").isNotNull),
+        col("__x") === col("__y"), "left_anti")
+      val kept = anti.crossJoin(broadcast(stats))
+        .filter(col("__n") === 0L ||
+          (col("__n") === col("__nn") && col("__x").isNotNull))
+      val g = kept.groupBy(gk.col.as("k0"))
+        .agg(count(lit(1)).as("a0"), sum(x.col).cast("long").as("a1"))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "notin_null", sql, build)
+  }
+
+  /** GRAMMAR v11: GREATEST / LEAST null-skipping — both engines follow
+    * the Postgres rule (NULL operands are IGNORED; the result is NULL
+    * only when every operand is NULL), which differs from the
+    * CASE-expression rewrite most people would hand-write. Operands are
+    * independently NULLIF-mangled so single-NULL, mixed, and
+    * (occasionally) all-NULL rows all occur; COUNT over the result
+    * pins the all-NULL leg. */
+  private def genGreatestLeast(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val m = 2 + r.int(2) // 2..3 operands
+    val ops = (0 until m).map { _ =>
+      val (e, lo, hi) = r.pick(t.longs)
+      if (r.bool(0.35)) {
+        val v = r.range(lo, hi)
+        (s"NULLIF(${e.sql}, $v)",
+          when(e.col === v, lit(null)).otherwise(e.col))
+      } else (e.sql, e.col)
+    }
+    val gk = r.pick(t.groupables)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val gSql = s"GREATEST(${ops.map(_._1).mkString(", ")})"
+    val lSql = s"LEAST(${ops.map(_._1).mkString(", ")})"
+    val gCol = greatest(ops.map(_._2): _*)
+    val lCol = least(ops.map(_._2): _*)
+    val sql =
+      s"""SELECT ${gk.sql} AS k0,
+         |  CAST(SUM($gSql) AS BIGINT) AS a0, MIN($lSql) AS a1,
+         |  COUNT($gSql) AS a2, COUNT(*) AS a3
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(gk.col.as("k0"))
+        .agg(sum(gCol).cast("long").as("a0"), min(lCol).as("a1"),
+          count(gCol).as("a2"), count(lit(1)).as("a3"))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "greatest_least", sql, build)
+  }
+
+  /** GRAMMAR v11: MULTIPLE DISTINCT aggregates in one SELECT —
+    * COUNT(DISTINCT a) + SUM(DISTINCT b) + COUNT(DISTINCT c) over
+    * different columns forces Spark's Expand-based multi-distinct
+    * rewrite (one input replica per distinct group), a planning path
+    * no single-distinct query exercises; DuckDB runs its own native
+    * multi-distinct hash aggregation. Both must land on identical
+    * values. */
+  private def genMultiDistinct(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val strs = t.strings.map(_._1) ++ t.likes.map(_._1)
+    val gk = r.pick(t.groupables)
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val a = r.pick(t.longs)._1
+    val b = r.pick(t.longs)._1
+    val cOpt = if (strs.nonEmpty) Some(r.pick(strs)) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += ((s"COUNT(DISTINCT ${a.sql}) AS a0",
+      countDistinct(a.col).as("a0")))
+    aggs += ((s"CAST(SUM(DISTINCT ${b.sql}) AS BIGINT) AS a1",
+      sum_distinct(b.col).cast("long").as("a1")))
+    cOpt.foreach { c =>
+      aggs += ((s"COUNT(DISTINCT ${c.sql}) AS a2",
+        countDistinct(c.col).as("a2")))
+    }
+    aggs += (("COUNT(*) AS a3", count(lit(1)).as("a3")))
+    val sql =
+      s"""SELECT ${gk.sql} AS k0, ${aggs.map(_._1).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(gk.col.as("k0"))
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "multi_distinct", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
-    * from v8, >= 9000 from v9, >= 10000 from v10; earlier dispatches
-    * are FROZEN — changing one would redefine every pinned seed in its
-    * range. */
+    * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11;
+    * earlier dispatches are FROZEN — changing one would redefine every
+    * pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 10000L) {
+    if (seed >= 11000L) {
+      r.int(6) match {
+        case 0 | 1 => genNotIn(r, seed)
+        case 2 | 3 => genGreatestLeast(r, seed)
+        case _     => genMultiDistinct(r, seed)
+      }
+    } else if (seed >= 10000L) {
       r.int(6) match {
         case 0 | 1 => genArgMax(r, seed)
         case 2 | 3 => genMedian(r, seed)
@@ -2366,7 +2527,13 @@ object Fuzz {
     // grammar v10: argmax (MAX_BY/MIN_BY) / median2x / bitops. All of
     // 10001..10016 non-empty (min 1 row), shapes 4/7/5; 500-seed sweep
     // clean on both differentials after the lineitem argmax exclusion.
-    (10001L to 10016L)
+    (10001L to 10016L) ++
+    // grammar v11: notin_null / greatest_least / multi_distinct. Five
+    // zero-row seeds skipped (11001/11007/11009/11011 drew an in-range
+    // NULLIF so the subquery NULL correctly empties NOT IN; 11010 is a
+    // zero-row predicate); 11017..11021 fill the slots. Shapes 3/6/7;
+    // 500-seed sweep clean on both differentials.
+    ((11001L to 11021L) diff Seq(11001L, 11007L, 11009L, 11010L, 11011L))
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

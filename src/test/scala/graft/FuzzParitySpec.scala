@@ -274,6 +274,33 @@ class FuzzParitySpec extends SparkSpec {
         s"v10 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v11 plans (seeds 11000+): DataFrame build == spark.sql") {
+    // v11 shapes (round-10): NOT IN with NULLIF-mangled subquery and
+    // probe sides (the DataFrame build is the independent 3VL
+    // decorrelation: anti-join + broadcast (n, nn) stats), GREATEST /
+    // LEAST null-skipping over NULLIF-mangled operands, and multiple
+    // DISTINCT aggregates in one SELECT (Spark's Expand rewrite vs
+    // DuckDB's native multi-distinct)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 11000L until (11000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("notin_null", "greatest_least", "multi_distinct"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v11 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run

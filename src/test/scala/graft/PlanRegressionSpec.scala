@@ -128,9 +128,11 @@ class PlanRegressionSpec extends SparkSpec {
       if (!bnljAllowed(q.name)) {
         // fuzz scalar-subquery predicates (x > (SELECT min/max ...)) plan
         // as a 1-row __scalar broadcast against the probe side — the
-        // intended (and only sane) plan for a non-equi scalar compare
+        // intended (and only sane) plan for a non-equi scalar compare.
+        // The notin_null family's 3VL decorrelation likewise broadcasts
+        // its 1-row (__n, __nn) subquery-stats frame.
         val scalarBnlj = plan.contains("BroadcastNestedLoopJoin") &&
-          plan.contains("__scalar")
+          (plan.contains("__scalar") || plan.contains("__nn"))
         assert(!plan.contains("BroadcastNestedLoopJoin") || scalarBnlj,
           s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
       }
