@@ -2403,15 +2403,168 @@ object Fuzz {
     FuzzCase(seed, "multi_distinct", sql, build)
   }
 
+  /** GRAMMAR v12 (seeds >= 12000): window VALUE functions —
+    * FIRST_VALUE over the full frame, LAST_VALUE over a sliding ROWS
+    * frame, NTH_VALUE over the running frame (NULL before the nth row
+    * in both engines). Frames make the result depend on the ACTUAL
+    * row order, so the window orders by a verified-unique key and the
+    * generator draws only from tables whose keys really are unique in
+    * the testdata (the argmax rule — lineitem excluded). */
+  private def genWinValue(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables.filter(_.uniq.size == 1))
+    val u = t.uniq.head
+    val pk = r.pick(t.groupables)
+    val desc0 = r.bool(0.4)
+    val ordSql = s"${u.sql} ${if (desc0) "DESC" else "ASC"}"
+    val ordCol = if (desc0) u.col.desc else u.col.asc
+    val strs = t.strings.map(_._1) ++ t.likes.map(_._1)
+    def valExpr(): FExpr =
+      if (strs.nonEmpty && r.bool(0.35)) r.pick(strs)
+      else r.pick(t.longs)._1
+    val v1 = valExpr(); val v2 = valExpr(); val v3 = valExpr()
+    val lo = 1 + r.int(3); val hi = 1 + r.int(3) // sliding frame bounds
+    val nth = 2 + r.int(3)
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(pk.col).orderBy(ordCol)
+    val over = s"PARTITION BY ${pk.sql} ORDER BY $ordSql"
+    val items = Seq(
+      (s"FIRST_VALUE(${v1.sql}) OVER ($over ROWS BETWEEN UNBOUNDED " +
+        s"PRECEDING AND UNBOUNDED FOLLOWING) AS a0",
+        first(v1.col).over(base.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("a0")),
+      (s"LAST_VALUE(${v2.sql}) OVER ($over ROWS BETWEEN $lo PRECEDING " +
+        s"AND $hi FOLLOWING) AS a1",
+        last(v2.col).over(base.rowsBetween(-lo, hi)).as("a1")),
+      (s"NTH_VALUE(${v3.sql}, $nth) OVER ($over ROWS BETWEEN UNBOUNDED " +
+        s"PRECEDING AND CURRENT ROW) AS a2",
+        nth_value(v3.col, nth).over(base.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("a2")))
+    val sql =
+      s"""SELECT ${pk.sql} AS k0, ${u.sql} AS k1,
+         |  ${items.map(_._1).mkString(", ")}
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |${orderByAll(Seq("k0", "k1"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val out = df.select(Seq(pk.col.as("k0"), u.col.as("k1")) ++
+        items.map(_._2): _*)
+      sortAll(out, Seq("k0", "k1"))
+    }
+    FuzzCase(seed, "win_value", sql, build)
+  }
+
+  /** GRAMMAR v12: EXTRACT date parts as group keys — YEAR / QUARTER /
+    * MONTH / DAY render via the standard `EXTRACT(f FROM ts)` both
+    * engines parse (day-of-week and week-of-year are deliberately
+    * EXCLUDED: DuckDB numbers dow Sunday=0 vs Spark Sunday=1, and the
+    * engines disagree on week-1 rules — known cross-engine seams the
+    * shared text cannot paper over). */
+  private def genExtract(r: Rng, seed: Long): FuzzCase = {
+    val (t, dCol) =
+      if (r.bool(0.5)) (lineitem, "l_shipdate") else (orders, "o_orderdate")
+    val fields = Seq("YEAR", "QUARTER", "MONTH", "DAY")
+    val nk = 1 + r.int(2)
+    val picked = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(r.range(0, 1 << 30))).shuffle(fields).take(nk)
+    def fCol(f: String) = (f match {
+      case "YEAR"    => year(col(dCol))
+      case "QUARTER" => quarter(col(dCol))
+      case "MONTH"   => month(col(dCol))
+      case "DAY"     => dayofmonth(col(dCol))
+    }).cast("long")
+    val kAliases = picked.indices.map(i => s"k$i")
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val kSql = picked.zip(kAliases).map { case (f, a) =>
+      s"CAST(EXTRACT($f FROM $dCol) AS BIGINT) AS $a" }
+    val sql =
+      s"""SELECT ${kSql.mkString(", ")}, COUNT(*) AS a0,
+         |  CAST(SUM(${v.sql}) AS BIGINT) AS a1
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(picked.zip(kAliases)
+          .map { case (f, a) => fCol(f).as(a) }: _*)
+        .agg(count(lit(1)).as("a0"), sum(v.col).cast("long").as("a1"))
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "extract_date", sql, build)
+  }
+
+  /** GRAMMAR v12: string shaping keys — LPAD / RPAD (including the
+    * truncating n < length(s) case), REVERSE, REPEAT, and SUBSTR over
+    * a padded result. ASCII binary-collation values only, so ordering
+    * and grouping agree across engines. */
+  private def genStrPad(r: Rng, seed: Long): FuzzCase = {
+    val withStr = tables.filter(t => (t.strings ++ t.likes).nonEmpty)
+    val t = r.pick(withStr)
+    val strs = (t.strings.map(_._1) ++ t.likes.map(_._1)).distinct
+    def key(): (String, Column) = r.int(5) match {
+      case 0 =>
+        val e = r.pick(strs); val n = 1 + r.int(10)
+        (s"LPAD(${e.sql}, $n, '#')", lpad(e.col, n, "#"))
+      case 1 =>
+        val e = r.pick(strs); val n = 1 + r.int(10)
+        (s"RPAD(${e.sql}, $n, '*')", rpad(e.col, n, "*"))
+      case 2 =>
+        val e = r.pick(strs)
+        (s"REVERSE(${e.sql})", reverse(e.col))
+      case 3 =>
+        val e = r.pick(strs); val k = 1 + r.int(3)
+        (s"REPEAT(${e.sql}, $k)", repeat(e.col, k))
+      case _ =>
+        val e = r.pick(strs); val n = 2 + r.int(8)
+        (s"SUBSTR(LPAD(${e.sql}, $n, '.'), 1, 3)",
+          substring(lpad(e.col, n, "."), 1, 3))
+    }
+    val nk = 1 + r.int(2)
+    val keys = (0 until nk).map(_ => key())
+    val kAliases = keys.indices.map(i => s"k$i")
+    val v = r.pick(t.longs)._1
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val kSql = keys.zip(kAliases).map { case ((s0, _), a) => s"$s0 AS $a" }
+    val sql =
+      s"""SELECT ${kSql.mkString(", ")}, COUNT(*) AS a0,
+         |  CAST(SUM(${v.sql}) AS BIGINT) AS a1,
+         |  MIN(${v.sql}) AS a2
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val g = df.groupBy(keys.zip(kAliases)
+          .map { case ((_, c), a) => c.as(a) }: _*)
+        .agg(count(lit(1)).as("a0"), sum(v.col).cast("long").as("a1"),
+          min(v.col).as("a2"))
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "str_pad", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
-    * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11;
-    * earlier dispatches are FROZEN — changing one would redefine every
-    * pinned seed in its range. */
+    * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11,
+    * >= 12000 from v12; earlier dispatches are FROZEN — changing one
+    * would redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 11000L) {
+    if (seed >= 12000L) {
+      r.int(6) match {
+        case 0 | 1 => genWinValue(r, seed)
+        case 2 | 3 => genExtract(r, seed)
+        case _     => genStrPad(r, seed)
+      }
+    } else if (seed >= 11000L) {
       r.int(6) match {
         case 0 | 1 => genNotIn(r, seed)
         case 2 | 3 => genGreatestLeast(r, seed)
@@ -2533,7 +2686,11 @@ object Fuzz {
     // NULLIF so the subquery NULL correctly empties NOT IN; 11010 is a
     // zero-row predicate); 11017..11021 fill the slots. Shapes 3/6/7;
     // 500-seed sweep clean on both differentials.
-    ((11001L to 11021L) diff Seq(11001L, 11007L, 11009L, 11010L, 11011L))
+    ((11001L to 11021L) diff Seq(11001L, 11007L, 11009L, 11010L, 11011L)) ++
+    // grammar v12: win_value / extract_date / str_pad. All of
+    // 12001..12016 non-empty (min 2 rows), shapes 4/6/6; 500-seed
+    // sweep clean on both differentials.
+    (12001L to 12016L)
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

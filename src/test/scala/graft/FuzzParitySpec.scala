@@ -301,6 +301,32 @@ class FuzzParitySpec extends SparkSpec {
         s"v11 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v12 plans (seeds 12000+): DataFrame build == spark.sql") {
+    // v12 shapes (round-10): window value functions (FIRST_VALUE full
+    // frame / LAST_VALUE sliding ROWS frame / NTH_VALUE running frame,
+    // ordered by a verified-unique key), EXTRACT date-part group keys
+    // (dow/week excluded — known cross-engine numbering seams), and
+    // LPAD/RPAD/REVERSE/REPEAT string-shaping keys
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 12000L until (12000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("win_value", "extract_date", "str_pad"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v12 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
