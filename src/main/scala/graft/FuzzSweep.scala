@@ -25,7 +25,7 @@ object FuzzSweep {
     val dumpDir = args.lift(3)
     val spark = GraftSession.fromEnv()
     for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
-        "nation"))
+        "nation", "events")) // events: grammar v13's time-series table
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
     dumpDir.foreach(d => new java.io.File(d).mkdirs())
     val oracle = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -2550,15 +2550,193 @@ object Fuzz {
     FuzzCase(seed, "str_pad", sql, build)
   }
 
+  // ---- grammar v13: the events table (time-series shapes) --------------
+  // The fuzzer's first non-TPC-H table: timestamps at micros resolution
+  // and a DOUBLE value column. Double-safety discipline: only order-free
+  // exact aggregates touch `value` (MIN/MAX/COUNT — never SUM/AVG, whose
+  // IEEE accumulation order differs by engine/partitioning); event_id is
+  // verified unique at every SF, so it is the window tie-break.
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup",
+    "view")
+
+  private def eventPred(r: Rng): (String, Column) = {
+    val atoms = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    if (r.bool(0.6)) {
+      val n = 1 + r.int(3)
+      val ts0 = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(r.range(0, 1 << 30))).shuffle(eventTypes)
+        .take(n)
+      atoms += ((s"event_type IN (${ts0.map(sq).mkString(", ")})",
+        col("event_type").isin(ts0: _*)))
+    }
+    if (r.bool(0.5)) {
+      val a = r.range(0L, 150L); val b = r.range(0L, 150L)
+      val (x, y) = (math.min(a, b), math.max(a, b))
+      atoms += ((s"user_id BETWEEN $x AND $y",
+        col("user_id").between(x, y)))
+    }
+    if (r.bool(0.5)) {
+      val d = 2 + r.int(26)
+      val lit0 = f"2024-01-$d%02d 00:00:00"
+      if (r.bool(0.5))
+        atoms += ((s"ts >= TIMESTAMP '$lit0'",
+          col("ts") >= to_timestamp(lit(lit0))))
+      else
+        atoms += ((s"ts < TIMESTAMP '$lit0'",
+          col("ts") < to_timestamp(lit(lit0))))
+    }
+    if (r.bool(0.35)) {
+      val v = r.range(0L, 500L).toDouble // whole-double literal: "237.0"
+      atoms += ((s"value >= $v", col("value") >= v))
+    }
+    if (atoms.isEmpty)
+      atoms += (("user_id >= 0", col("user_id") >= 0L))
+    atoms.reduceLeft { (a, b) =>
+      (s"(${a._1} AND ${b._1})", a._2 && b._2)
+    }
+  }
+
+  /** GRAMMAR v13: calendar-bucket aggregation over events —
+    * date_trunc group keys with the cross-engine dtype seam pinned by
+    * construction: DuckDB's date_trunc('day'|'week'|'month') returns
+    * DATE while Spark's returns TIMESTAMP, so the shared text CASTs to
+    * DATE (and the build applies to_date); 'hour' stays TIMESTAMP in
+    * both. Aggregates on the DOUBLE column are MIN/MAX only. */
+  private def genEventDay(r: Rng, seed: Long): FuzzCase = {
+    val unit = r.pick(Seq("day", "week", "month", "hour"))
+    val asDate = unit != "hour"
+    val keySql =
+      if (asDate) s"CAST(date_trunc('$unit', ts) AS DATE)"
+      else s"date_trunc('$unit', ts)"
+    val keyCol =
+      if (asDate) to_date(date_trunc(unit, col("ts")))
+      else date_trunc(unit, col("ts"))
+    val useType = r.bool(0.6)
+    val kAliases = if (useType) Seq("k0", "k1") else Seq("k0")
+    val where = if (r.bool(0.7)) Some(eventPred(r)) else None
+    val aggs = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    aggs += (("COUNT(*) AS a0", count(lit(1)).as("a0")))
+    aggs += (("COUNT(DISTINCT user_id) AS a1",
+      countDistinct(col("user_id")).as("a1")))
+    if (r.bool(0.6))
+      aggs += (("MIN(value) AS a2", min(col("value")).as("a2")))
+    if (r.bool(0.6))
+      aggs += (("MAX(value) AS a3", max(col("value")).as("a3")))
+    aggs += (("MIN(event_id) AS a4", min(col("event_id")).as("a4")))
+    val kSql = (Seq(s"$keySql AS k0") ++
+      (if (useType) Seq("event_type AS k1") else Nil)).mkString(", ")
+    val sql =
+      s"""SELECT $kSql, ${aggs.map(_._1).mkString(", ")}
+         |FROM events
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = Tables.events(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val keys = Seq(keyCol.as("k0")) ++
+        (if (useType) Seq(col("event_type").as("k1")) else Nil)
+      val g = df.groupBy(keys: _*)
+        .agg(aggs.head._2, aggs.tail.map(_._2).toSeq: _*)
+      sortAll(g, kAliases)
+    }
+    FuzzCase(seed, "event_day", sql, build)
+  }
+
+  /** GRAMMAR v13: behavioral semi/anti join — users who did ONE thing
+    * in one time window filtered against users who did ANOTHER in a
+    * second window (the retention/funnel membership shape), rendered
+    * as IN / NOT IN subqueries (user_id is non-null, so NOT IN is
+    * 2VL-safe here — the NULL legs live in grammar v11). */
+  private def genEventSemi(r: Rng, seed: Long): FuzzCase = {
+    val anti = r.bool(0.4)
+    val outerP = eventPred(r)
+    val subP = eventPred(r)
+    val op = if (anti) "NOT IN" else "IN"
+    val useDay = r.bool(0.4)
+    val keySql = if (useDay) "CAST(date_trunc('day', ts) AS DATE)"
+      else "event_type"
+    val keyCol = if (useDay) to_date(date_trunc("day", col("ts")))
+      else col("event_type")
+    val sql =
+      s"""SELECT $keySql AS k0, COUNT(*) AS a0,
+         |  COUNT(DISTINCT user_id) AS a1, MIN(event_id) AS a2
+         |FROM events
+         |WHERE (${outerP._1}) AND user_id $op
+         |  (SELECT user_id FROM events WHERE ${subP._1})
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val ev = Tables.events(s, d)
+      val sub = ev.filter(subP._2).select(col("user_id").as("__u"))
+      val outer = ev.filter(outerP._2)
+      val joined = outer.join(sub, col("user_id") === col("__u"),
+        if (anti) "left_anti" else "left_semi")
+      val g = joined.groupBy(keyCol.as("k0"))
+        .agg(count(lit(1)).as("a0"),
+          countDistinct(col("user_id")).as("a1"),
+          min(col("event_id")).as("a2"))
+      sortAll(g, Seq("k0"))
+    }
+    FuzzCase(seed, "event_semi", sql, build)
+  }
+
+  /** GRAMMAR v13: per-key top-k events by value — ROW_NUMBER over
+    * (value DESC, event_id ASC): the value column carries heavy ties
+    * (~18% distinct at sf0.1), so the unique event_id tie-break is
+    * load-bearing, exactly the q_rank_in_group discipline. */
+  private def genEventTop(r: Rng, seed: Long): FuzzCase = {
+    val k = 2 + r.int(5)
+    val byUserMod = r.bool(0.35)
+    val m = 4 + r.int(8)
+    val pSql = if (byUserMod) s"(user_id % $m)" else "event_type"
+    val pCol = if (byUserMod) col("user_id") % m else col("event_type")
+    val where = if (r.bool(0.6)) Some(eventPred(r)) else None
+    import org.apache.spark.sql.expressions.Window
+    val sql =
+      s"""WITH ranked AS (
+         |  SELECT $pSql AS k0, event_id, value,
+         |    ROW_NUMBER() OVER (PARTITION BY $pSql
+         |      ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM events
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |)
+         |SELECT k0, CAST(rn AS BIGINT) AS k1, event_id AS a0, value AS a1
+         |FROM ranked WHERE rn <= $k
+         |${orderByAll(Seq("k0", "k1"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = Tables.events(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val out = df.select(pCol.as("k0"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k0"))
+            .orderBy(col("value").desc, col("event_id").asc))
+          .cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("k0"), col("rn").as("k1"),
+          col("event_id").as("a0"), col("value").as("a1"))
+      sortAll(out, Seq("k0", "k1"))
+    }
+    FuzzCase(seed, "event_topk", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
     * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11,
-    * >= 12000 from v12; earlier dispatches are FROZEN — changing one
-    * would redefine every pinned seed in its range. */
+    * >= 12000 from v12, >= 13000 from v13; earlier dispatches are
+    * FROZEN — changing one would redefine every pinned seed in its
+    * range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 12000L) {
+    if (seed >= 13000L) {
+      r.int(6) match {
+        case 0 | 1 => genEventDay(r, seed)
+        case 2 | 3 => genEventSemi(r, seed)
+        case _     => genEventTop(r, seed)
+      }
+    } else if (seed >= 12000L) {
       r.int(6) match {
         case 0 | 1 => genWinValue(r, seed)
         case 2 | 3 => genExtract(r, seed)

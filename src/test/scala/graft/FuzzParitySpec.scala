@@ -327,6 +327,32 @@ class FuzzParitySpec extends SparkSpec {
         s"v12 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v13 plans (seeds 13000+): DataFrame build == spark.sql") {
+    // v13 shapes (round-10): the EVENTS table — calendar-bucket aggs
+    // (date_trunc keys CAST to DATE across the DuckDB-DATE vs
+    // Spark-TIMESTAMP seam; MIN/MAX only on the DOUBLE column),
+    // behavioral IN / NOT IN membership between two time windows, and
+    // per-key top-k by value with the unique event_id tie-break
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "events"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 13000L until (13000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("event_day", "event_semi", "event_topk"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v13 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
