@@ -82,11 +82,11 @@ object Graph {
       dampingPermille: Int = 850): DataFrame = {
     require(iterations >= 1 && iterations <= 8, "iterations in [1,8]")
     val Scale = 1000000000000L // 10^12
-    // Spark does not share common subplans: without materialization the
-    // unrolled loop re-derives edges/nodes/outDeg per round and the plan
-    // tree grows ×iterations. localCheckpoint (the nearDupGroups
-    // discipline, Dedup.scala) truncates each round to a materialized
-    // scan — edge list once, node-sized tables per round.
+    // Spark does not share common subplans: the multi-referenced frames
+    // (edge list, node list) would be re-derived per round without
+    // materialization, growing the plan tree ×iterations. localCheckpoint
+    // (the nearDupGroups discipline, Dedup.scala) truncates them ONCE,
+    // up front — the rank chain itself stays lazy (see the loop note).
     // pre-partitioned on src — the per-round contribution join's key —
     // so each round shuffles only the node-sized rank table, never the
     // edge stream (the checkpoint preserves the hash partitioning)
@@ -112,7 +112,11 @@ object Graph {
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), expr(s"${Scale}L div __n").as("rank_fp"))
     for (_ <- 1 to iterations) {
-      val contribs = ranks.join(e, ranks("node") === e("src"))
+      // join by OUTPUT name, not dataset-tagged refs: round 2+ ranks'
+      // lineage contains e, so ranks("node")/e("src") would lean on
+      // self-join attribute disambiguation; the output names are unique
+      // across the two sides (node/rank_fp vs src/dst/w/out_w)
+      val contribs = ranks.join(e, col("node") === col("src"))
         .select(col("dst").as("node"),
           (expr("rank_fp div out_w") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
@@ -175,7 +179,8 @@ object Graph {
         when(col("__seed") === 1L, expr(s"${Scale}L div __s"))
           .otherwise(0L).as("rank_fp"))
     for (_ <- 1 to iterations) {
-      val contribs = ranks.join(e, ranks("node") === e("src"))
+      // name-based join condition — same rationale as the base variant
+      val contribs = ranks.join(e, col("node") === col("src"))
         .select(col("dst").as("node"),
           (expr("rank_fp div out_w") * col("w")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))

@@ -2721,16 +2721,255 @@ object Fuzz {
     FuzzCase(seed, "event_topk", sql, build)
   }
 
+  // ---- grammar v14: coercion lattice / null placement / CTE reuse /
+  //      correlated scalar subqueries ----------------------------------
+
+  /** GRAMMAR v14: type-coercion lattice under UNION [ALL] — the two
+    * branches emit the SAME column at DIFFERENT numeric types
+    * (INT vs BIGINT vs DOUBLE) and the shared text leaves the unified
+    * key UNCAST, so the gate pins that both engines place the result at
+    * the same lattice point (schema_match) AND agree on the unified
+    * values (hash_match). Doubles stay exact by construction:
+    * l_quantity is whole-valued 1..50, and only order-free aggregates
+    * (COUNT / MIN / MAX) ever touch the unified key. The DataFrame
+    * build CASTs each branch to the lattice result itself — the build
+    * states the expectation, the SQL exercises each engine's lattice. */
+  private def genCoerceUnion(r: Rng, seed: Long): FuzzCase = {
+    // (sqlExpr, dfCol, lattice result sparkType) per branch kind
+    val intK = ("l_linenumber", col("l_linenumber"), "int")
+    val bigM = 2 + r.int(6)
+    val bigK = (s"(l_orderkey % $bigM)", col("l_orderkey") % bigM, "bigint")
+    val dblK = ("l_quantity", col("l_quantity"), "double")
+    val (a, b, resT) = r.int(3) match {
+      case 0 => (intK, bigK, "bigint")
+      case 1 => (intK, dblK, "double")
+      case _ => (bigK, dblK, "double")
+    }
+    val (ka, kb) = if (r.bool(0.5)) (a, b) else (b, a)
+    val all = r.bool(0.6)
+    val op = if (all) "UNION ALL" else "UNION"
+    val pa = pred(r, Seq(lineitem)); val pb = pred(r, Seq(lineitem))
+    val sql =
+      s"""SELECT k0, COUNT(*) AS a0, CAST(SUM(v) AS BIGINT) AS a1
+         |FROM (
+         |  SELECT ${ka._1} AS k0, l_suppkey AS v FROM lineitem
+         |  WHERE ${pa._1}
+         |  $op
+         |  SELECT ${kb._1} AS k0, l_partkey AS v FROM lineitem
+         |  WHERE ${pb._1}
+         |) u
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val ba = li.filter(pa._2)
+        .select(ka._2.cast(resT).as("k0"), col("l_suppkey").as("v"))
+      val bb = li.filter(pb._2)
+        .select(kb._2.cast(resT).as("k0"), col("l_partkey").as("v"))
+      val u0 = ba.union(bb)
+      val u = if (all) u0 else u0.distinct()
+      sortAll(u.groupBy(col("k0"))
+        .agg(count(lit(1)).as("a0"), sum(col("v")).cast("long").as("a1")),
+        Seq("k0"))
+    }
+    FuzzCase(seed, "coerce_union", sql, build)
+  }
+
+  /** GRAMMAR v14: EXPLICIT NULLS FIRST/LAST placement — a NULLIF-mangled
+    * key ordered with every (ASC|DESC) x (NULLS FIRST|NULLS LAST)
+    * combination, in BOTH the window ORDER BY (ROW_NUMBER, unique-key
+    * tie-broken) and the presentation sort. This is the one seam where
+    * the engines' DEFAULTS genuinely differ (Spark ASC = NULLS FIRST,
+    * DuckDB ASC = NULLS LAST), so the grammar always spells placement
+    * out — here the spelled-out placement itself is the shape under
+    * test, including the final row ORDER (unique tie-break makes it
+    * total, so hash_match pins the order cross-engine). */
+  private def genNullsOrder(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(Seq(orders, customer, part, supplier))
+    val u = t.uniq.head
+    val (e, lo, hi) = r.pick(t.longs)
+    val v = r.range(lo, hi)
+    val desc = r.bool(0.5); val nullsLast = r.bool(0.5)
+    val dir = if (desc) "DESC" else "ASC"
+    val place = if (nullsLast) "NULLS LAST" else "NULLS FIRST"
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    def winCol = {
+      val base = col("k")
+      val o1 = (desc, nullsLast) match {
+        case (false, false) => base.asc_nulls_first
+        case (false, true)  => base.asc_nulls_last
+        case (true, false)  => base.desc_nulls_first
+        case (true, true)   => base.desc_nulls_last
+      }
+      Window.orderBy(o1, col("k1").asc)
+    }
+    val sql =
+      s"""WITH t AS (
+         |  SELECT NULLIF(${e.sql}, $v) AS k, ${u.sql} AS u
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |)
+         |SELECT k AS k0, u AS k1,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY k $dir $place, u ASC)
+         |    AS BIGINT) AS a0
+         |FROM t
+         |ORDER BY k0 $dir $place, k1 ASC""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val base = df.select(
+        when(e.col === v, lit(null)).otherwise(e.col).as("k"),
+        u.col.as("k1"))
+      val sortK = (desc, nullsLast) match {
+        case (false, false) => col("k0").asc_nulls_first
+        case (false, true)  => col("k0").asc_nulls_last
+        case (true, false)  => col("k0").desc_nulls_first
+        case (true, true)   => col("k0").desc_nulls_last
+      }
+      base.withColumn("a0", row_number().over(winCol).cast("long"))
+        .select(col("k").as("k0"), col("k1"), col("a0"))
+        .orderBy(sortK, col("k1").asc)
+    }
+    FuzzCase(seed, "nulls_order", sql, build)
+  }
+
+  /** GRAMMAR v14: CTE referenced TWICE — one grouped base CTE consumed
+    * by two readers in the same query (self-join on a shifted key, or a
+    * global-max scalar-subquery filter). Exercises plan-level reuse vs
+    * inline expansion: both engines may choose either, but the RESULT
+    * must be identical; the DataFrame build constructs the base frame
+    * once and genuinely reuses the object. */
+  private def genCteReuse(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(Seq(lineitem, orders, customer, part))
+    val g = r.pick(t.groupables.filterNot(_.isStr) match {
+      case Seq() => t.longs.map(_._1); case gs => gs
+    })
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val baseSql =
+      s"""base AS (
+         |  SELECT ${g.sql} AS k, COUNT(*) AS c
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |  GROUP BY 1
+         |)""".stripMargin
+    def baseDf(s: SparkSession, d: String): DataFrame = {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      df.groupBy(g.col.as("k")).agg(count(lit(1)).as("c"))
+    }
+    if (r.bool(0.5)) {
+      // reader pair A: self-join on k = k + shift
+      val shift = 1 + r.int(3)
+      val sql =
+        s"""WITH $baseSql
+           |SELECT a.k AS k0, a.c AS a0, b.c AS a1
+           |FROM base a JOIN base b ON a.k = b.k + $shift
+           |${orderByAll(Seq("k0"))}""".stripMargin
+      val build = (s: SparkSession, d: String) => {
+        val base = baseDf(s, d)
+        sortAll(base.as("a")
+          .join(base.as("b"), col("a.k") === col("b.k") + shift)
+          .select(col("a.k").as("k0"), col("a.c").as("a0"),
+            col("b.c").as("a1")), Seq("k0"))
+      }
+      FuzzCase(seed, "cte_reuse", sql, build)
+    } else {
+      // reader pair B: rows holding the CTE's own global max count
+      val sql =
+        s"""WITH $baseSql
+           |SELECT k AS k0, c AS a0
+           |FROM base
+           |WHERE c = (SELECT MAX(c) FROM base)
+           |${orderByAll(Seq("k0"))}""".stripMargin
+      val build = (s: SparkSession, d: String) => {
+        val base = baseDf(s, d)
+        val m = base.agg(max(col("c")).as("__scalar_m"))
+        sortAll(base.join(broadcast(m), col("c") === col("__scalar_m"))
+          .select(col("k").as("k0"), col("c").as("a0")), Seq("k0"))
+      }
+      FuzzCase(seed, "cte_reuse", sql, build)
+    }
+  }
+
+  /** GRAMMAR v14: CORRELATED scalar subquery in WHERE under an outer
+    * aggregate — `WHERE (SELECT COUNT(*)|MAX(..) FROM child WHERE
+    * child.fk = outer.pk) <op> N`, then the surviving outer rows group
+    * and aggregate. The COUNT leg deliberately includes `<=` / `=`
+    * comparisons where childless outer rows (correlated COUNT over an
+    * empty set = 0) must PASS — the decorrelation coalesce seam; the
+    * MAX leg's empty-set NULL must FAIL every comparison (3VL). The
+    * DataFrame build decorrelates by hand: child groupBy + left join +
+    * coalesce (COUNT) / plain null-dropping compare (MAX). */
+  private def genCorrScalar(r: Rng, seed: Long): FuzzCase = {
+    // (outer, child, childFkSql, childFkCol, outerPkSql) pairs
+    val onOrders = r.bool(0.5)
+    val (outer, child, fk, pk) =
+      if (onOrders) (orders, lineitem, L("l_orderkey"), L("o_orderkey"))
+      else (customer, orders, L("o_custkey"), L("c_custkey"))
+    val useCount = r.bool(0.6)
+    val (subSql, subAggCol) =
+      if (useCount) ("COUNT(*)", count(lit(1)).cast("long"))
+      else if (onOrders)
+        ("CAST(MAX(c.l_linenumber) AS BIGINT)",
+          max(col("l_linenumber").cast("long")))
+      else ("CAST(MAX(year(c.o_orderdate)) AS BIGINT)",
+        max(year(col("o_orderdate")).cast("long")))
+    val (opS, opC) = r.pick(Seq[(String, (Column, Long) => Column)](
+      (">=", _ >= _), ("<=", _ <= _), ("=", _ === _), (">", _ > _)))
+    val n: Long =
+      if (useCount) r.range(0L, 6L)
+      else if (onOrders) r.range(1L, 7L) else r.range(1992L, 1999L)
+    val g = r.pick(outer.groupables)
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(outer))) else None
+    val whereSql = where.map(w => s"AND (${w._1})").getOrElse("")
+    val sql =
+      s"""SELECT ${g.sql} AS k0, COUNT(*) AS a0, MIN(${pk.sql}) AS a1
+         |FROM ${outer.name}
+         |WHERE (SELECT $subSql FROM ${child.name} c
+         |       WHERE c.${fk.sql} = ${outer.name}.${pk.sql}) $opS $n
+         |  $whereSql
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var o = outer.load(s, d)
+      where.foreach(w => o = o.filter(w._2))
+      val sub = child.load(s, d).groupBy(fk.col.as("__fk"))
+        .agg(subAggCol.as("__sub"))
+      val joined = o.join(sub, pk.col === col("__fk"), "left")
+      val scored =
+        if (useCount) joined.withColumn("__v",
+          coalesce(col("__sub"), lit(0L)))
+        else joined.withColumn("__v", col("__sub"))
+      val kept = scored.filter(opC(col("__v"), n))
+      sortAll(kept.groupBy(g.col.as("k0"))
+        .agg(count(lit(1)).as("a0"), min(pk.col).as("a1")), Seq("k0"))
+    }
+    FuzzCase(seed, "corr_scalar", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
     * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11,
-    * >= 12000 from v12, >= 13000 from v13; earlier dispatches are
-    * FROZEN — changing one would redefine every pinned seed in its
-    * range. */
+    * >= 12000 from v12, >= 13000 from v13, >= 14000 from v14; earlier
+    * dispatches are FROZEN — changing one would redefine every pinned
+    * seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 13000L) {
+    if (seed >= 14000L) {
+      // NON-power-of-2 bound: java.util.Random's first nextInt(2^k) is
+      // computed from the top bits of one LCG step, which are strongly
+      // correlated across sequential seeds — an int(8) dispatch here
+      // made ALL of 14001..14059 draw the same shape. int(12) takes the
+      // modulo path (low bits), which the v1..v13 int(6)/int(20)
+      // dispatches already rely on.
+      r.int(12) match {
+        case 0 | 1 | 2  => genCoerceUnion(r, seed)
+        case 3 | 4 | 5  => genNullsOrder(r, seed)
+        case 6 | 7 | 8  => genCteReuse(r, seed)
+        case _          => genCorrScalar(r, seed)
+      }
+    } else if (seed >= 13000L) {
       r.int(6) match {
         case 0 | 1 => genEventDay(r, seed)
         case 2 | 3 => genEventSemi(r, seed)
@@ -2868,7 +3107,22 @@ object Fuzz {
     // grammar v12: win_value / extract_date / str_pad. All of
     // 12001..12016 non-empty (min 2 rows), shapes 4/6/6; 500-seed
     // sweep clean on both differentials.
-    (12001L to 12016L)
+    (12001L to 12016L) ++
+    // grammar v13: event_day / event_semi / event_topk over the events
+    // time-series table. 13006/13012/13021 skipped (zero-row predicate
+    // intersections); shapes 7/6/5; 500-seed sweep clean on both
+    // differentials (cross-renderer + DuckDB cross-engine).
+    ((13001L to 13021L) diff Seq(13006L, 13012L, 13021L)) ++
+    // grammar v14: coerce_union / nulls_order / cte_reuse / corr_scalar.
+    // 14008/14014 skipped (zero-row predicate intersections); shapes
+    // 4/3/5/4; 500-seed sweep clean on both differentials.
+    ((14001L to 14018L) diff Seq(14008L, 14014L)) ++
+    // 11001: the one DELIBERATE zero-row pin — its in-range NULLIF makes
+    // the NOT IN subquery emit a NULL, so 3VL correctly empties the
+    // result. Every other zero-row draw is skipped as exercising
+    // nothing; this one's emptiness IS the assertion (the any-NULL NOT
+    // IN leg stays regression-guarded cross-engine — advisor r10 ask).
+    Seq(11001L)
 
   val all: Seq[GQuery] = pinnedSeeds.map { seed =>
     val fc = gen(seed)

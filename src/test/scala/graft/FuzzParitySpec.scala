@@ -353,6 +353,51 @@ class FuzzParitySpec extends SparkSpec {
         s"v13 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v14 plans (seeds 14000+): DataFrame build == spark.sql") {
+    // v14 shapes (round-11): UNION type-coercion lattice (INT/BIGINT/
+    // DOUBLE branches, key left uncast in the shared text), explicit
+    // NULLS FIRST/LAST in window + presentation order (the one seam
+    // where engine DEFAULTS differ), CTE referenced twice (plan reuse
+    // vs inline), correlated scalar subqueries in WHERE (COUNT's
+    // empty-group-is-0 coalesce seam + MAX's empty-group-is-NULL 3VL)
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 14000L until (14000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("coerce_union", "nulls_order", "cte_reuse",
+        "corr_scalar"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v14 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
+  test("seed 11001: any-NULL NOT IN correctly empties the result (3VL)") {
+    // the one deliberately zero-row pin: its in-range NULLIF puts a NULL
+    // in the NOT IN subquery, so three-valued logic must empty the
+    // result. Both renderings must agree on EMPTY — a nonzero count in
+    // either means the 3VL leg broke (the driver's DuckDB gate pins the
+    // cross-engine side of the same assertion).
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val fc = Fuzz.gen(11001L)
+    assert(fc.shape == "notin_null", s"seed 11001 drifted to ${fc.shape}")
+    assert(fc.build(spark, sfDir).count() == 0L,
+      s"11001 DataFrame build must be empty (any-NULL NOT IN):\n${fc.sql}")
+    assert(spark.sql(fc.sql).count() == 0L,
+      s"11001 spark.sql must be empty (any-NULL NOT IN):\n${fc.sql}")
+  }
+
   test("pinned registry seeds generate stably (names and SQL are fixed)") {
     // the q_fuzz_* gates are only regression gates if regeneration is
     // bit-stable: same seed → same SQL text, run to run
