@@ -775,6 +775,43 @@ object Relational {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     notes = "salt x8 spreads hot keys; oracle is the plain join - equivalence gate")
 
+  /** J-ext — PLANTED-SKEW salted join (round-10 verdict ask #6): the fact
+    * side's key is REMAPPED so every even l_partkey collapses onto key 7 —
+    * a single pathological hot key carrying ~50% of all rows (>= the 30%
+    * "hot key" bar), far beyond anything AQE's partition splitting can fix
+    * alone (one KEY cannot be split by partition — only salting spreads
+    * it). [[Joins.saltedJoin]] x16 spreads the hot key over 16 reducers;
+    * the oracle is the PLAIN equi-join on the same remapped key, so the
+    * gate pins semantic equivalence under deliberate pathology. The plan
+    * pin (PlanRegressionSpec) asserts the join really runs on (k, __salt).
+    * Scale: at 100 TB the hot key is the difference between one straggler
+    * reducer holding 50% of the fact table and 16 even shards. */
+  val qSkewPlanted = GQuery("q_skew_planted",
+    (s, d) => {
+      val hot = Tables.lineitem(s, d)
+        .select(when(col("l_partkey") % 2 === 0, lit(7L))
+          .otherwise(col("l_partkey")).as("k"),
+          col("l_extendedprice"), col("l_quantity"))
+      val dim = Tables.part(s, d)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      Joins.saltedJoin(hot, dim, "k", saltFactor = 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""WITH f AS (
+        SELECT CASE WHEN l_partkey % 2 = 0 THEN 7 ELSE l_partkey END AS k,
+          l_extendedprice, l_quantity
+        FROM lineitem)
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        ${Det.sqlDsum("l_extendedprice")} AS sum_price
+      FROM f JOIN part ON k = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""),
+    notes = "planted ~50%-hot key; salted x16 == plain join equivalence gate")
+
   /** TWO-PHASE DISTINCT ([[graft.operators.Aggregates.twoPhaseDistinct]]):
     * the skew-safe COUNT(DISTINCT) shape — composite-key dedup spreads a
     * hot group across the value dimension; oracle is the plain
@@ -1612,7 +1649,7 @@ object Relational {
     qPattern, qCaseExpr, qSemiJoin, qAntiJoin, qJoinEnrich, qLeftJoin,
     qDisjunctJoin, qRangeJoin, qTopK, qUnion, qDistinct, qSetOps,
     qJsonExtract, qDateArith, qRetention,
-    qModePriority, qWinsorize, qSaltedJoin, qBloomJoin, qMad,
+    qModePriority, qWinsorize, qSaltedJoin, qSkewPlanted, qBloomJoin, qMad,
     qTwophaseDistinct, qReaggregate, qQuantileNorm, qCopurchase, qContribution,
     qSkyline, qExactQuantiles, qQuantileSketch, qKAnonymity,
     qKmvDistinct, qAssocRules, qShippingPriority,
