@@ -5,9 +5,10 @@ package graft
   *
   * Evidence protocol (BASELINE.md:36-40 documents 6x host-level swings on
   * identical binaries, and BASELINE.md's own rows are a best-merge table):
-  *   - best-of-N per query within this JVM (SPARK_GRAFT_BENCH_REPS,
-  *     default 3): rep 1 pays codegen + JIT for that plan shape; min is the
-  *     stable figure rounds compare against.
+  *   - N INTERLEAVED full sweeps within this JVM (SPARK_GRAFT_BENCH_REPS,
+  *     default 3): each query observed once per sweep; per-query MIN feeds
+  *     the best-merge record, per-query MEDIAN (`fresh_median_queries`) is
+  *     the host-noise-robust round-over-round comparison signal.
   *   - best-MERGE across invocations: if the artifact file already exists
   *     for the SAME sf dir, per-query minima are merged into it and `runs`
   *     counts the contributing invocations. Repeated `sbt runMain
@@ -86,25 +87,38 @@ object Bench {
     // optional dev filter (args(0): comma-separated names) for isolating
     // one query's timing
     val only = args.lift(0).map(_.split(",").toSet)
+    // INTERLEAVED sweeps (round-10 verdict ask #4): instead of timing each
+    // query's reps back-to-back (where a host-noise spike poisons all
+    // three observations of ONE query and none of the others), run `reps`
+    // complete sweeps over the whole registry. A spike now lands on one
+    // sweep's worth of single observations, and the per-query MEDIAN
+    // across sweeps (`fresh_median_queries`) is the host-noise-robust
+    // regression signal rounds compare; `min` still feeds the best-merge.
+    // clearCache after every query (each sweep re-pays cache builds —
+    // that keeps the three observations of a query independent and the
+    // storage pool from accumulating ~50 queries' barriers).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
-        System.err.println(s"BENCHDBG $name ${times.mkString(" ")}")
-      // drop this query's cached relations before the next one: ~50 of the
-      // 90+ queries cache a pipeline barrier, and letting those accumulate
-      // puts the whole storage pool under GC/eviction churn by the tail —
-      // the dominant source of run-to-run tail variance. Later reps still
-      // reuse rep 1's cache (the clear happens after all reps).
+    val obs = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (sweep <- 1 to reps; (name, fn) <- queryList) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val t = (System.nanoTime() - t0) / 1e9
+      obs(name) = obs(name) :+ t
       spark.catalog.clearCache()
-      name -> times.min
+      if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+        System.err.println(s"BENCHDBG sweep=$sweep $name $t")
     }
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = queryList.map { case (name, _) => name -> obs(name).min }
+    val freshMedians = queryList.map { case (name, _) =>
+      name -> median(obs(name)) }
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     // best-merge with the prior artifact: per-query min over invocations,
@@ -123,8 +137,11 @@ object Bench {
     // per-query fresh map (round-10 ask #4): the merged map is flat on
     // carried queries by construction, so a regression on one carried
     // query is invisible there — `fresh_queries` localizes it.
+    // fresh MEDIAN total/map: the round-over-round comparison artifact
+    // (median of `reps` interleaved sweeps — see the sweep-loop note)
+    val freshMedianTotal = freshMedians.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"fresh_queries":${fmtQueries(results, ms = false)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"fresh_median_total":$freshMedianTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"fresh_queries":${fmtQueries(results, ms = false)},"fresh_median_queries":${fmtQueries(freshMedians, ms = false)},"sf":"$sfDir"}"""
     // complete artifact of record: file + first stdout line
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(outPath, fullLine + "\n")

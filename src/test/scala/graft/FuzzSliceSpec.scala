@@ -665,4 +665,192 @@ class FuzzSliceSpec extends SparkSpec {
     }
     assert(checked === DrawsPerFamily)
   }
+
+  test(s"PSI drift: $DrawsPerFamily random permutations+slicings match " +
+      "the batch PSI bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // chained stateful aggs ((window,bucket) counts -> per-window fold):
+    // all rows in one 25-min span, so any permutation is within-watermark
+    // disorder for both levels; two sentinel batches close the day
+    val base = ts("2024-01-01 10:00:00").getTime
+    val ref = Seq("click" -> 3L, "view" -> 3L, "purchase" -> 2L)
+    val types = Seq("click", "view", "purchase", "signup") // signup ∉ ref
+    val checked = runDraws("psi") { draw =>
+      val r = new java.util.Random(14100L + draw)
+      val rows = (1 to 50).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(9).toLong, types(r.nextInt(4)), 1.0)
+      }
+      val expected = Streams.psiDriftStream(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "event_type", ref)
+        .select("n_events", "psi64")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_psi_$draw"
+      val q = Streams.psiDriftStream(
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+            "value"), "event_type", ref)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        mem.addData((9001L, ts("2024-01-02 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-03 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("day_start") === ts("2024-01-01 00:00:00"))
+          .select("n_events", "psi64")
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: PSI != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"entropy monitor: $DrawsPerFamily random permutations+slicings " +
+      "match the batch entropy bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // same chained-agg discipline as PSI; values exercise the [0,19]
+    // bucket clamp on both ends (negatives and >500)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val types = Seq("click", "view")
+    val checked = runDraws("entropy") { draw =>
+      val r = new java.util.Random(14200L + draw)
+      val rows = (1 to 50).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          r.nextInt(9).toLong, types(r.nextInt(2)),
+          -50.0 + r.nextInt(650))
+      }
+      val expected = Streams.entropyMonitorStream(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("event_type", "n_events", "n_buckets", "ent_x64")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_ent_$draw"
+      val q = Streams.entropyMonitorStream(
+          mem.toDF().toDF("event_id", "ts", "user_id", "event_type",
+            "value"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        mem.addData((9001L, ts("2024-01-02 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        mem.addData((9002L, ts("2024-01-03 12:00:00"), 1L, "zz", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(qn)
+          .filter(col("day_start") === ts("2024-01-01 00:00:00"))
+          .select("event_type", "n_events", "n_buckets", "ent_x64")
+          .as[(String, Long, Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: entropy != batch twin")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"near-dup candidates: $DrawsPerFamily random permutations+" +
+      "slicings flag exactly the batch band collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    // stream-static band join + within-horizon pair dedup: the emitted
+    // (id_new, id_corpus) SET is order-independent (first arrival wins
+    // WHICH band emits, not whether the pair emits)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val corpusTexts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "structured streaming keeps bounded state per key and evicts by "
+        + "watermark which makes the join runnable forever",
+      "entirely different corpus content about databases and planning")
+    val variants = corpusTexts.flatMap(t => Seq(t, t + " tail",
+      t.replace("the", "a"))) ++ Seq(
+      "completely unrelated text with no overlap whatsoever in shingles",
+      "another singleton document about cooking pasta with fresh basil")
+    val checked = runDraws("neardup") { draw =>
+      val r = new java.util.Random(14300L + draw)
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val corpusBands = graft.operators.Dedup.corpusBandTable(
+        corpus, "doc_id", "text")
+      val rows = (1 to 30).map { i =>
+        (100L + i, new Timestamp(base + r.nextInt(25 * 60) * 1000L),
+          variants(r.nextInt(variants.size)))
+      }
+      val incomingBands = graft.operators.Dedup.corpusBandTable(
+          rows.toDF("doc_id", "ts", "text"), "doc_id", "text")
+        .withColumnRenamed("id_corpus", "id_new")
+      val expected = incomingBands
+        .join(corpusBands, Seq("band", "bucket"))
+        .select(col("id_new"), col("id_corpus"))
+        .distinct().as[(Long, Long)].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, String)]
+      val qn = s"fz_nd_$draw"
+      val q = Streams.nearDupCandidateStream(
+          mem.toDF().toDF("doc_id", "ts", "text"), corpusBands,
+          "ts", "doc_id", "text", watermark = "1 hour")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .as[(Long, Long)].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: candidate pairs != batch")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
+
+  test(s"SCD2 enrich: $DrawsPerFamily random permutations+slicings " +
+      "reproduce the as-of-event-time enrichment") {
+    implicit val sqlCtx = spark.sqlContext
+    // STATELESS stream-static broadcast interval join: slicing can't
+    // change per-row results by construction — the pin guards exactly
+    // that construction (a future stateful rewrite would fail here)
+    val checked = runDraws("scd2") { draw =>
+      val r = new java.util.Random(14400L + draw)
+      // 3 keys x 2-3 versions; version boundaries at 08:00/12:00/15:00
+      val changes = (for (k <- 0L to 2L) yield {
+        val n = 2 + r.nextInt(2)
+        (0 until n).map(v => (k,
+          ts(s"2024-01-01 ${Seq("08", "12", "15")(v)}:00:00"),
+          k * 10 + v, s"v${k}_$v"))
+      }).flatten
+      val dim = graft.operators.Joins.scd2History(
+        changes.toDF("k", "ts", "id", "v"), Seq("k"), "ts", "id", "v")
+        .localCheckpoint(true) // one deterministic dim per draw
+      val base = ts("2024-01-01 06:00:00").getTime
+      val rows = (1 to 40).map { i =>
+        (i.toLong, new Timestamp(base + r.nextInt(12 * 3600) * 1000L),
+          r.nextInt(4).toLong, "click", 1.0) // key 3 has no history
+      }
+      def enrich(df: DataFrame) =
+        Streams.scd2EnrichStream(
+          df.toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "user_id", dim, "k", "v")
+      val expected = enrich(rows.toDF())
+        .select("event_id", "dim_value")
+        .as[(Long, Option[String])].collect().sorted.toSeq
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val qn = s"fz_scd2_$draw"
+      val q = enrich(mem.toDF())
+        .select("event_id", "dim_value")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        randomSlices(rows, r, maxBatches = 5, permute = true).foreach {
+          chunk => mem.addData(chunk: _*); q.processAllAvailable()
+        }
+        val got = spark.table(qn)
+          .as[(Long, Option[String])].collect().sorted.toSeq
+        assert(got === expected, s"draw=$draw: enrichment != batch")
+      } finally q.stop()
+    }
+    assert(checked === DrawsPerFamily)
+  }
 }
