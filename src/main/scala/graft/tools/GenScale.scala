@@ -114,20 +114,28 @@ object GenScale {
   /** documents text: word salad over the 31-word vocab, 8..100 words.
     * Planted structure (rates match the driver tree at sf0.1):
     * doc_id % 640 == 639 -> EXACT copy of doc_id-1's text;
-    * doc_id % 641 == 640 -> NEAR-dup of doc_id-1 (one word appended). */
-  private def docText(id: Long): String = {
+    * doc_id % 641 == 640 -> NEAR-dup of doc_id-1 (one word appended).
+    *
+    * `rich` mode (the SCALE.md background-similarity experiment): each
+    * word carries a per-draw numeric suffix from a ~3,100-type effective
+    * vocabulary, which drives the BACKGROUND pairwise shingle Jaccard of
+    * unrelated docs from ~0.2 (driver-faithful word salad — adversarial
+    * for every τ-threshold dedup family) to ~0 (realistic corpus), while
+    * the planted dup/near-dup structure is identical. */
+  private def docText(id: Long, rich: Boolean): String = {
     // resolve the base RECURSIVELY: id 640 is both a %641 near-dup of 639
     // AND 639 is itself a %640 exact dup of 638 — the near-dup must copy
     // 639's STORED text (seed 638), not its raw seed
     def baseSeed(i: Long): Long =
       if (i % 640 == 639 || i % 641 == 640) baseSeed(i - 1) else i
-    val r = mix(9L, baseSeed(id))
+    val r = mix(if (rich) 19L else 9L, baseSeed(id))
     val n = 8 + r.int(93)
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
       sb.append(Vocab(r.int(Vocab.length)))
+      if (rich) sb.append(r.int(100))
       i += 1
     }
     if (id % 641 == 640) sb.append(" extra")
@@ -135,14 +143,17 @@ object GenScale {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenScale <outDir> <multiplier>")
+    require(args.length >= 2,
+      "usage: GenScale <outDir> <multiplier> [rich]")
     val spark = GraftSession.fromEnv()
-    run(spark, args(0), args(1).toDouble)
+    run(spark, args(0), args(1).toDouble,
+      rich = args.lift(2).contains("rich"))
     spark.stop()
   }
 
   /** Programmatic entry (GenScaleSpec): never stops the caller's session. */
-  def run(spark: SparkSession, out: String, m: Double): Unit = {
+  def run(spark: SparkSession, out: String, m: Double,
+      rich: Boolean = false): Unit = {
     import spark.implicits._
     // physical timestamp unit must match the driver trees (timestamp[us]):
     // Tables.load probes the events footer and branches on the unit
@@ -226,7 +237,7 @@ object GenScale {
 
     write(spark.range(nDocs).map { i =>
       val r = mix(7L, i)
-      val t = docText(i)
+      val t = docText(i, rich)
       val lang0 = Langs(r.int(Langs.length))
       // en-heavy mix like the driver tree (~41% en, rest ~even)
       val lang = if (r.double() < 0.12) "en" else lang0
