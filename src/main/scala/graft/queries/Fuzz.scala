@@ -2947,16 +2947,135 @@ object Fuzz {
     FuzzCase(seed, "corr_scalar", sql, build)
   }
 
+  // ---- grammar v15: LIMIT subqueries / hidden HAVING aggregates /
+  //      CASE-chain group keys --------------------------------------
+
+  /** GRAMMAR v15: deterministic LIMIT in a subquery — the sorted prefix
+    * (ORDER BY the table's unique key, so the prefix SET is engine-
+    * independent) re-aggregated outside. Pins the TakeOrdered-inside-
+    * a-FROM path: an engine that applies LIMIT before the sort, or
+    * re-orders the prefix before grouping, diverges immediately. */
+  private def genLimitSub(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(Seq(orders, customer, part, supplier))
+    val u = t.uniq.head
+    val g = r.pick(t.groupables)
+    val (v, _, _) = r.pick(t.longs)
+    val n = 10 + r.int(490)
+    val desc = r.bool(0.3)
+    val dir = if (desc) "DESC" else "ASC"
+    val where = if (r.bool(0.6)) Some(pred(r, Seq(t))) else None
+    val sql =
+      s"""SELECT k0, COUNT(*) AS a0, CAST(SUM(v) AS BIGINT) AS a1,
+         |  MIN(u) AS a2
+         |FROM (
+         |  SELECT ${g.sql} AS k0, ${v.sql} AS v, ${u.sql} AS u
+         |  FROM ${t.name}
+         |  ${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |  ORDER BY u $dir LIMIT $n
+         |) s
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      val pre = df.select(g.col.as("k0"), v.col.as("v"), u.col.as("u"))
+        .orderBy(if (desc) col("u").desc else col("u").asc)
+        .limit(n)
+      sortAll(pre.groupBy(col("k0"))
+        .agg(count(lit(1)).as("a0"), sum(col("v")).cast("long").as("a1"),
+          min(col("u")).as("a2")), Seq("k0"))
+    }
+    FuzzCase(seed, "limit_sub", sql, build)
+  }
+
+  /** GRAMMAR v15: HAVING on aggregates that are NOT in the SELECT list
+    * (COUNT(*) and MIN bounds filtering groups whose only projected
+    * aggregate is an unrelated SUM) — the hidden-aggregate resolution
+    * path where an engine could prune the "unused" aggregate before
+    * HAVING sees it. The DataFrame build computes them as __-prefixed
+    * columns and drops them after the filter — an independently
+    * derived rendering of the same semantics. */
+  private def genHavingAgg(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(Seq(lineitem, orders, customer, part))
+    val g = r.pick(t.groupables)
+    val (x, _, _) = r.pick(t.longs)
+    val (y, lo, hi) = r.pick(t.longs)
+    val nMin = 1 + r.int(8)
+    val yBound = r.range(lo, hi)
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    val both = r.bool(0.6)
+    val havingSql =
+      if (both) s"HAVING COUNT(*) >= $nMin AND MIN(${y.sql}) <= $yBound"
+      else s"HAVING COUNT(*) >= $nMin"
+    val sql =
+      s"""SELECT ${g.sql} AS k0, CAST(SUM(${x.sql}) AS BIGINT) AS a0
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |$havingSql
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      var grp = df.groupBy(g.col.as("k0"))
+        .agg(sum(x.col).cast("long").as("a0"),
+          count(lit(1)).as("__c"), min(y.col).as("__m"))
+        .filter(col("__c") >= nMin)
+      if (both) grp = grp.filter(col("__m") <= yBound)
+      sortAll(grp.select(col("k0"), col("a0")), Seq("k0"))
+    }
+    FuzzCase(seed, "having_agg", sql, build)
+  }
+
+  /** GRAMMAR v15: CASE-chain group keys with OVERLAPPING predicates —
+    * first-match-wins is the semantics under test (a row satisfying
+    * both branches must land in branch 1), plus the omitted-ELSE NULL
+    * group with explicit NULLS FIRST placement. */
+  private def genCaseChain(r: Rng, seed: Long): FuzzCase = {
+    val t = r.pick(tables)
+    val p1 = atom(r, t); val p2 = atom(r, t)
+    val hasElse = r.bool(0.5)
+    val (x, _, _) = r.pick(t.longs)
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(t))) else None
+    val caseSql = s"CASE WHEN ${p1._1} THEN 'w1' WHEN ${p2._1} THEN 'w2'" +
+      (if (hasElse) " ELSE 'w3' END" else " END")
+    val caseCol = {
+      val c = when(p1._2, lit("w1")).when(p2._2, lit("w2"))
+      if (hasElse) c.otherwise(lit("w3")) else c
+    }
+    val sql =
+      s"""SELECT $caseSql AS k0, COUNT(*) AS a0,
+         |  CAST(SUM(${x.sql}) AS BIGINT) AS a1
+         |FROM ${t.name}
+         |${where.map(w => s"WHERE ${w._1}").getOrElse("")}
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var df = t.load(s, d)
+      where.foreach(w => df = df.filter(w._2))
+      sortAll(df.groupBy(caseCol.as("k0"))
+        .agg(count(lit(1)).as("a0"), sum(x.col).cast("long").as("a1")),
+        Seq("k0"))
+    }
+    FuzzCase(seed, "case_chain", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
     * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11,
-    * >= 12000 from v12, >= 13000 from v13, >= 14000 from v14; earlier
-    * dispatches are FROZEN — changing one would redefine every pinned
-    * seed in its range. */
+    * >= 12000 from v12, >= 13000 from v13, >= 14000 from v14, >= 15000
+    * from v15; earlier dispatches are FROZEN — changing one would
+    * redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 14000L) {
+    if (seed >= 15000L) {
+      r.int(6) match {
+        case 0 | 1 => genLimitSub(r, seed)
+        case 2 | 3 => genHavingAgg(r, seed)
+        case _     => genCaseChain(r, seed)
+      }
+    } else if (seed >= 14000L) {
       // NON-power-of-2 bound: java.util.Random's first nextInt(2^k) is
       // computed from the top bits of one LCG step, which are strongly
       // correlated across sequential seeds — an int(8) dispatch here
@@ -3117,6 +3236,10 @@ object Fuzz {
     // 14008/14014 skipped (zero-row predicate intersections); shapes
     // 4/3/5/4; 500-seed sweep clean on both differentials.
     ((14001L to 14018L) diff Seq(14008L, 14014L)) ++
+    // grammar v15: limit_sub / having_agg / case_chain. All of
+    // 15001..15016 non-empty (min 1 row); shapes 4/7/5; 500-seed sweep
+    // clean on both differentials.
+    (15001L to 15016L) ++
     // 11001: the one DELIBERATE zero-row pin — its in-range NULLIF makes
     // the NOT IN subquery emit a NULL, so 3VL correctly empties the
     // result. Every other zero-row draw is skipped as exercising

@@ -381,6 +381,32 @@ class FuzzParitySpec extends SparkSpec {
         s"v14 shape $shape never generated in $N2 seeds: $shapes")
   }
 
+  test(s"$N2 grammar-v15 plans (seeds 15000+): DataFrame build == spark.sql") {
+    // v15 shapes (round-11): deterministic LIMIT subqueries (sorted
+    // prefix on the unique key, re-aggregated outside), HAVING on
+    // aggregates absent from the SELECT list, and CASE-chain group keys
+    // with overlapping predicates (first-match-wins) incl. the
+    // omitted-ELSE NULL group
+    for (t <- Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation"))
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
+    val shapes = scala.collection.mutable.Map[String, Int]()
+    for (seed <- 15000L until (15000L + N2)) {
+      val fc = Fuzz.gen(seed)
+      shapes(fc.shape) = shapes.getOrElse(fc.shape, 0) + 1
+      val viaDf = fc.build(spark, sfDir).collect().map(_.toString).toSeq
+      val viaSql = spark.sql(fc.sql).collect().map(_.toString).toSeq
+      assert(viaDf == viaSql,
+        s"seed=$seed shape=${fc.shape} diverged:\nSQL:\n${fc.sql}\n" +
+          s"df rows=${viaDf.size} sql rows=${viaSql.size}\n" +
+          s"first diff: ${viaDf.zipAll(viaSql, "<missing>", "<missing>")
+            .find(p => p._1 != p._2)}")
+    }
+    for (shape <- Seq("limit_sub", "having_agg", "case_chain"))
+      assert(shapes.keys.exists(_.startsWith(shape)),
+        s"v15 shape $shape never generated in $N2 seeds: $shapes")
+  }
+
   test("seed 11001: any-NULL NOT IN correctly empties the result (3VL)") {
     // the one deliberately zero-row pin: its in-range NULLIF puts a NULL
     // in the NOT IN subquery, so three-valued logic must empty the
