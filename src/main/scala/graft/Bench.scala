@@ -50,9 +50,20 @@ object Bench {
       "\"" + k + "\":" + value
     }.mkString("{", ",", "}")
 
+  /** Timing-methodology tag stamped into the artifact. Best-merge is only
+    * valid between like-for-like observations: the pre-round-12 artifact
+    * (no tag) mixed warm-cache reps with cold sweeps, so its per-query
+    * minima are warm-era records a cold observation can never beat —
+    * merging across the change would silently hide cold-path regressions
+    * forever (round-11 verdict "What's wrong #3" / ADVICE). Bump this
+    * string whenever the timing protocol changes again; the mismatch
+    * resets the merge base instead of polluting it. */
+  private val Methodology = "cold-v2"
+
   /** Read per-query times from a prior artifact, or empty when absent,
-    * unparseable, or measured at a different sf dir (never merge sf0.01
-    * dev timings into the sf0.1 record). */
+    * unparseable, measured at a different sf dir (never merge sf0.01
+    * dev timings into the sf0.1 record), or recorded under a different
+    * timing methodology (never merge warm-era minima into cold records). */
   private def priorTimes(path: java.nio.file.Path, sfDir: String): (Map[String, Double], Int) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -61,6 +72,10 @@ object Bench {
       val j = JsonMethods.parse(java.nio.file.Files.readString(path))
       val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
       if (!sfOk) return (Map.empty, 0)
+      val methodOk = (j \ "methodology") match {
+        case JString(m) => m == Methodology; case _ => false
+      }
+      if (!methodOk) return (Map.empty, 0)
       val runs = (j \ "runs") match { case JInt(n) => n.toInt; case _ => 1 }
       val qs = (j \ "queries") match {
         case JObject(fields) => fields.collect {
@@ -141,7 +156,7 @@ object Bench {
     // (median of `reps` interleaved sweeps — see the sweep-loop note)
     val freshMedianTotal = freshMedians.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","fresh_total":$freshTotal,"fresh_median_total":$freshMedianTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"fresh_queries":${fmtQueries(results, ms = false)},"fresh_median_queries":${fmtQueries(freshMedians, ms = false)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","methodology":"$Methodology","fresh_total":$freshTotal,"fresh_median_total":$freshMedianTotal,"runs":$runs,"queries":${fmtQueries(merged, ms = false)},"fresh_queries":${fmtQueries(results, ms = false)},"fresh_median_queries":${fmtQueries(freshMedians, ms = false)},"sf":"$sfDir"}"""
     // complete artifact of record: file + first stdout line
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(outPath, fullLine + "\n")

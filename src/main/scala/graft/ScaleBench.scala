@@ -34,7 +34,15 @@ object ScaleBench {
       val sig =
         try PlanSig.of(
           q.run(spark, sfDir).queryExecution.executedPlan.toString).fmt
-        catch { case e: Throwable => s"PLAN_ERROR: ${e.getMessage}" }
+        catch { case e: Throwable =>
+          // the signature is interpolated into a JSON string literal below;
+          // exception messages carry quotes/backslashes/newlines that would
+          // corrupt the line and crash tools/scale_report.py — keep only
+          // JSON-inert characters
+          val msg = String.valueOf(e.getMessage)
+            .replaceAll("""[\\"\r\n\t]""", " ").take(200)
+          s"PLAN_ERROR: $msg"
+        }
       var rows = -1L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -906,4 +906,82 @@ object Dedup {
       .filter(col("jaccard") >= num.toDouble / den.toDouble)
       .select(col("id_a"), col("id_b"), col("dist"), col("jaccard"))
   }
+
+  /** ASCII-projected normalization for the mod-p family: strip
+    * non-printable-ASCII, collapse whitespace, trim, lower — the ASCII
+    * projection pins `charAt == codepoint == DuckDB character`, so the
+    * twin's `unicode(substr(norm, j, 1))` walks the SAME char values
+    * the fused expression folds. */
+  def asciiNorm(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[^ -~]", ""), "\\s+", " ")))
+
+  /** ORACLE-REPLAYABLE LSH-blocked near-dup pairs on the mod-p MinHash
+    * family ([[graft.functions.ModPMinHash]]): rolling-window prime-field
+    * hashes, `numHashes` affine minima, bands of `rowsPerBand` rows joined
+    * on the RAW min-value tuple (no band hashing — the r-tuple is the
+    * bucket key, so a strict-overflow SQL engine can replay the exact
+    * candidate set). Unlike the FNV/SplitMix pipeline (whose gates need a
+    * brute-force twin plus an empirical recall-=1 argument), candidates
+    * here are part of the CONTRACT: a pair is emitted iff it shares a
+    * band tuple AND its exact mod-p shingle Jaccard ≥ `minJaccard` — the
+    * S-curve recall (1-(1-j^r)^b) is the documented scale behavior, not a
+    * gate risk.
+    *
+    * Scale shape matches [[minhashPipeline]]: band rows carry ids only
+    * ((1+1+r)·8 B/row · b rows/doc), the self-join shuffles on the band
+    * tuple, and the verify gram sets are built ONLY for docs in a
+    * surviving pair (semi-join), broadcast under the same size gate. */
+  def modpBlockedPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 24, rowsPerBand: Int = 3,
+      minJaccard: Double = 0.6,
+      maxBroadcastBytes: Long = MaxSigBroadcastBytes): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
+    val bands = numHashes / rowsPerBand
+    val norm = asciiNorm(col(textCol))
+    // empty normalized text has no shingles to block on (and the SQL twin
+    // cannot reduce an empty window list) — excluded BY CONTRACT
+    val base = df
+      .select(col(idCol).as("id"), norm.as("__norm"))
+      .filter(length(col("__norm")) > 0)
+    val sig = graft.functions.ModPMinHash.signature(
+      col("__norm"), shingleSize, numHashes)
+    val vCols = (0 until rowsPerBand).map(i => s"v$i")
+    val bandRows = base
+      .select(col("id"), sig.as("__sig"))
+      .select(col("id"), explode(array((0 until bands).map { t =>
+        struct(lit(t).as("t") +:
+          (0 until rowsPerBand).map(i =>
+            col("__sig")(t * rowsPerBand + i).as(s"v$i")): _*)
+      }: _*)).as("b"))
+      .select(col("id") +: (("t" +: vCols).map(f => col(s"b.$f").as(f))): _*)
+    val keys = "t" +: vCols
+    val cands = bandRows.join(
+        bandRows.select((col("id").as("id_b") +: keys.map(col)): _*), keys)
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .cache()
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val gramsPlain = base.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), graft.functions.ModPMinHash.shingleSet(
+        col("__norm"), shingleSize).as("grams"))
+      .cache()
+    val gramStats = gramsPlain.agg(
+      count(lit(1)).as("n"), sum(size(col("grams"))).as("els")).head()
+    val gramBytes = 16L * gramStats.getLong(0) +
+      8L * Option(gramStats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val grams = if (gramBytes <= maxBroadcastBytes) broadcast(gramsPlain)
+                else gramsPlain
+    cands
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")),
+        Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", graft.functions.JaccardSortedLongArrays
+        .jaccardSortedLong(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

@@ -34,11 +34,25 @@ object PlanSig {
   def of(plan: String): Sig = {
     // "Exchange hashpartitioning/rangepartitioning/..." is a shuffle;
     // "Exchange SinglePartition" too. Broadcasts print as
-    // "BroadcastExchange" (and "BroadcastQueryStage" under AQE) — count
-    // them apart, then subtract from the generic Exchange token count
-    // (every "BroadcastExchange" contains "Exchange" as a substring).
-    val bc = count(plan, "BroadcastExchange")
-    val sh = count(plan, "Exchange") - bc
+    // "BroadcastExchange" — count them apart, then subtract from the
+    // generic Exchange token count (every "BroadcastExchange" contains
+    // "Exchange" as a substring). "ReusedExchange" nodes are references
+    // to an exchange counted once already — attribute each to the kind
+    // it reuses (the node line names the child: "ReusedExchange [...],
+    // BroadcastExchange ..." vs "... Exchange hashpartitioning") so a
+    // reused broadcast never inflates the shuffle count.
+    val reusedBc = count(plan, "ReusedExchange") match {
+      case 0 => 0
+      case _ => plan.linesIterator
+        .filter(_.contains("ReusedExchange"))
+        .count(_.contains("BroadcastExchange"))
+    }
+    val reusedSh = count(plan, "ReusedExchange") - reusedBc
+    // each ReusedExchange line holds the token "Exchange" twice (once in
+    // "ReusedExchange", once in the named child exchange), so subtract 2
+    // per reference of either kind
+    val bc = count(plan, "BroadcastExchange") - reusedBc
+    val sh = count(plan, "Exchange") - bc - 2 * (reusedBc + reusedSh)
     Sig(
       shuffles = sh,
       broadcasts = bc,

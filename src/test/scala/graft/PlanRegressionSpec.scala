@@ -141,7 +141,13 @@ class PlanRegressionSpec extends SparkSpec {
         if (bnljLines.nonEmpty) {
           val eachJustified = bnljLines.forall(l =>
             l.contains("__scalar") || l.contains("__nn"))
+          // the fallback applies ONLY to a condition-less BNLJ line (the
+          // 1-row stats cross shape prints "BroadcastNestedLoopJoin
+          // BuildSide, JoinType" with no trailing condition) — a BNLJ
+          // that carries its own non-marker condition can no longer ride
+          // an unrelated subtree's marker
           val singleMarked = bnljLines.length == 1 &&
+            !bnljLines.head.contains("(") &&
             (plan.contains("__scalar") || plan.contains("__nn"))
           assert(eachJustified || singleMarked,
             s"${q.name} plans ${bnljLines.length} BroadcastNestedLoopJoin" +
