@@ -3060,16 +3060,234 @@ object Fuzz {
     FuzzCase(seed, "case_chain", sql, build)
   }
 
+  // ---- grammar v16: outer-join NULL group keys / correlated
+  //      two-table NOT EXISTS / RANGE-frame date windows /
+  //      events⋈TPC-H cross-schema joins ------------------------------
+
+  /** GRAMMAR v16: an OUTER join whose unmatched side feeds GROUP BY —
+    * the NULL-group seam at the join/agg boundary. The right side is
+    * restricted IN THE ON CLAUSE (not WHERE — that would turn the outer
+    * join back into an inner one), so unmatched left rows survive with
+    * an all-NULL right side and land in the NULL group; COUNT(rk) vs
+    * COUNT(*) pins the null-skipping count semantics on the same rows.
+    * FULL variant adds right-only rows whose left aggregates are
+    * empty-set NULLs. */
+  private def genJoinNullGroup(r: Rng, seed: Long): FuzzCase = {
+    val j = r.pick(joins)
+    val full = r.bool(0.35)
+    val jt = if (full) "FULL JOIN" else "LEFT JOIN"
+    val onPred = pred(r, Seq(j.right))
+    val g = r.pick(j.right.groupables)
+    val useLeftKey = r.bool(0.4)
+    val lg = r.pick(j.left.groupables)
+    val kAliases = if (useLeftKey) Seq("k0", "k1") else Seq("k0")
+    val (x, _, _) = r.pick(j.left.longs)
+    val u = j.left.uniq.head
+    val kSql = (Seq(s"${g.sql} AS k0") ++
+      (if (useLeftKey) Seq(s"${lg.sql} AS k1") else Nil)).mkString(", ")
+    val sql =
+      s"""SELECT $kSql, COUNT(*) AS a0, COUNT(${j.rk.sql}) AS a1,
+         |  CAST(SUM(${x.sql}) AS BIGINT) AS a2, MIN(${u.sql}) AS a3
+         |FROM ${j.left.name} $jt ${j.right.name}
+         |  ON ${j.lk.sql} = ${j.rk.sql} AND (${onPred._1})
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val joined = j.left.load(s, d).join(j.right.load(s, d),
+        j.lk.col === j.rk.col && onPred._2,
+        if (full) "full_outer" else "left_outer")
+      val keys = Seq(g.col.as("k0")) ++
+        (if (useLeftKey) Seq(lg.col.as("k1")) else Nil)
+      sortAll(joined.groupBy(keys: _*)
+        .agg(count(lit(1)).as("a0"), count(j.rk.col).as("a1"),
+          sum(x.col).cast("long").as("a2"), min(u.col).as("a3")),
+        kAliases)
+    }
+    FuzzCase(seed, "join_nullgroup", sql, build)
+  }
+
+  /** GRAMMAR v16: [NOT] EXISTS whose correlated subquery carries a
+    * TWO-TABLE predicate — the equi-key correlation plus a cross-table
+    * INEQUALITY referencing the outer row (`c.fk = o.pk AND c.x * m <=
+    * o.y`), the shape that stresses decorrelation beyond the equi-only
+    * rewrite (v7's genExistsSub). The DataFrame build renders it as a
+    * semi/anti join with the compound condition directly — no
+    * decorrelation machinery to share bugs with. */
+  private def genNotExists2(r: Rng, seed: Long): FuzzCase = {
+    val onOrders = r.bool(0.5)
+    // (outer, child, equi fk=pk, cross-table inequality)
+    val (outer, child, fk, pk) =
+      if (onOrders) (orders, lineitem, L("l_orderkey"), L("o_orderkey"))
+      else (customer, orders, L("o_custkey"), L("c_custkey"))
+    val anti = r.bool(0.6)
+    val op = if (anti) "NOT EXISTS" else "EXISTS"
+    // child columns render UNQUALIFIED inside the subquery (TPC-H
+    // prefixes make every name unique, and atom()'s CAST-wrapped exprs
+    // can't take a correlation alias); outer references are qualified
+    // by table name
+    val (crossSql, crossCol) =
+      if (onOrders) {
+        val m = 5 + r.int(20)
+        (s"l_suppkey * $m <= ${outer.name}.o_custkey",
+          col("l_suppkey") * m.toLong <= col("o_custkey"))
+      } else {
+        val m = 1990 + r.int(4)
+        (s"CAST(year(o_orderdate) AS BIGINT) - $m <= ${outer.name}.c_nationkey",
+          year(col("o_orderdate")).cast("long") - m.toLong <=
+            col("c_nationkey").cast("long"))
+      }
+    val childAtom = if (r.bool(0.6)) Some(atom(r, child)) else None
+    val childSql = childAtom.map(a => s" AND ${a._1}").getOrElse("")
+    val g = r.pick(outer.groupables)
+    val u = outer.uniq.head
+    val where = if (r.bool(0.5)) Some(pred(r, Seq(outer))) else None
+    val whereSql = where.map(w => s"AND (${w._1})").getOrElse("")
+    val sql =
+      s"""SELECT ${g.sql} AS k0, COUNT(*) AS a0, MIN(${u.sql}) AS a1
+         |FROM ${outer.name}
+         |WHERE $op (SELECT 1 FROM ${child.name}
+         |  WHERE ${fk.sql} = ${outer.name}.${pk.sql}
+         |    AND $crossSql$childSql)
+         |  $whereSql
+         |GROUP BY 1
+         |${orderByAll(Seq("k0"))}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var o = outer.load(s, d)
+      where.foreach(w => o = o.filter(w._2))
+      var cond = pk.col === fk.col && crossCol
+      childAtom.foreach(a => cond = cond && a._2)
+      val kept = o.join(child.load(s, d), cond,
+        if (anti) "left_anti" else "left_semi")
+      sortAll(kept.groupBy(g.col.as("k0"))
+        .agg(count(lit(1)).as("a0"), min(u.col).as("a1")), Seq("k0"))
+    }
+    FuzzCase(seed, "not_exists2", sql, build)
+  }
+
+  /** GRAMMAR v16: RANGE-frame window ordered by a DATE-derived index —
+    * `year*366 + dayofyear` (monotone in the date, identical integer in
+    * both engines), frame `RANGE BETWEEN n PRECEDING AND CURRENT ROW`
+    * in DAYS-ish units. RANGE is VALUE-based: rows sharing a date share
+    * a frame regardless of physical order, which is exactly the
+    * determinism ROWS frames lack on tied orders — and the seam where
+    * an engine that quietly treats RANGE as ROWS diverges on the first
+    * duplicate date. A mandatory key-range WHERE keeps the per-row
+    * output bounded. */
+  private def genRangeDate(r: Rng, seed: Long): FuzzCase = {
+    val onOrders = r.bool(0.5)
+    val (t, dSql, dCol, part, v) =
+      if (onOrders)
+        (orders, "o_orderdate", col("o_orderdate"),
+          r.pick(Seq(S("o_orderstatus"), S("o_orderpriority"))),
+          L("o_custkey"))
+      else
+        (lineitem, "l_shipdate", col("l_shipdate"),
+          r.pick(Seq(S("l_returnflag"), S("l_linestatus"))),
+          L("l_partkey"))
+    val keyCut = 1000L + r.range(500L, 2500L)
+    val cutSql = if (onOrders) s"o_orderkey < $keyCut"
+      else s"l_orderkey < $keyCut"
+    val cutCol = if (onOrders) col("o_orderkey") < keyCut
+      else col("l_orderkey") < keyCut
+    val n = 7L + r.int(54).toLong
+    val diSql = s"(CAST(year($dSql) AS BIGINT) * 366 + " +
+      s"CAST(dayofyear($dSql) AS BIGINT))"
+    val diCol = (year(dCol).cast("long") * 366L +
+      dayofyear(dCol).cast("long"))
+    val u = t.uniq
+    val uSql = u.map(_.sql).mkString(", ")
+    val uAliases = u.indices.map(i => s"u$i")
+    val sql =
+      s"""SELECT ${part.sql} AS k0, $diSql AS di,
+         |  ${u.zip(uAliases).map { case (e, a) => s"${e.sql} AS $a" }
+              .mkString(", ")},
+         |  CAST(SUM(${v.sql}) OVER (PARTITION BY ${part.sql}
+         |    ORDER BY $diSql
+         |    RANGE BETWEEN $n PRECEDING AND CURRENT ROW) AS BIGINT) AS a0,
+         |  COUNT(*) OVER (PARTITION BY ${part.sql}
+         |    ORDER BY $diSql
+         |    RANGE BETWEEN $n PRECEDING AND CURRENT ROW) AS a1
+         |FROM ${t.name}
+         |WHERE $cutSql
+         |${orderByAll(Seq("k0", "di") ++ uAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(part.col).orderBy(diCol.asc)
+        .rangeBetween(-n, 0)
+      val df = t.load(s, d).filter(cutCol)
+        .select((Seq(part.col.as("k0"), diCol.as("di")) ++
+          u.zip(uAliases).map { case (e, a) => e.col.as(a) } ++
+          Seq(sum(v.col).over(w).cast("long").as("a0"),
+            count(lit(1)).over(w).as("a1"))): _*)
+      sortAll(df, Seq("k0", "di") ++ uAliases)
+    }
+    FuzzCase(seed, "range_date", sql, build)
+  }
+
+  /** GRAMMAR v16: the fuzzer's two schemas finally meet — events
+    * (2024 timestamps, user_id) joined to a TPC-H dimension on
+    * user_id = key, grouped by a dimension attribute and/or the event
+    * day. The supplier edge (s_suppkey ≤ 100 < max user_id) leaves
+    * unmatched users; LEFT variant routes them to the NULL group,
+    * INNER drops them — both against the same oracle text. */
+  private def genCrossTime(r: Rng, seed: Long): FuzzCase = {
+    val onCust = r.bool(0.5)
+    val (dim, dimKeySql, dimKeyCol, dimAttr) =
+      if (onCust) (customer, "c_custkey", col("c_custkey"),
+        r.pick(Seq(S("c_mktsegment"), LI("c_nationkey"))))
+      else (supplier, "CAST(s_suppkey AS BIGINT)",
+        col("s_suppkey").cast("long"), LI("s_nationkey"))
+    val left = r.bool(0.4)
+    val jt = if (left) "LEFT JOIN" else "JOIN"
+    val ePred = eventPred(r)
+    val dPred = if (r.bool(0.4)) Some(pred(r, Seq(dim))) else None
+    val useDay = r.bool(0.5)
+    val kAliases = if (useDay) Seq("k0", "k1") else Seq("k0")
+    val kSql = (Seq(s"${dimAttr.sql} AS k0") ++
+      (if (useDay) Seq("CAST(date_trunc('day', ts) AS DATE) AS k1")
+       else Nil)).mkString(", ")
+    val whereSql = (Seq(s"(${ePred._1})") ++
+      dPred.map(p => s"(${p._1})")).mkString(" AND ")
+    val sql =
+      s"""SELECT $kSql, COUNT(*) AS a0, COUNT(DISTINCT user_id) AS a1,
+         |  MIN(event_id) AS a2, COUNT($dimKeySql) AS a3
+         |FROM events $jt ${dim.name} ON user_id = $dimKeySql
+         |WHERE $whereSql
+         |GROUP BY ${kAliases.indices.map(_ + 1).mkString(", ")}
+         |${orderByAll(kAliases)}""".stripMargin
+    val build = (s: SparkSession, d: String) => {
+      var ev = Tables.events(s, d).filter(ePred._2)
+      var dm = dim.load(s, d)
+      val joined = ev.join(dm, col("user_id") === dimKeyCol,
+        if (left) "left_outer" else "inner")
+      val filtered = dPred.map(p => joined.filter(p._2)).getOrElse(joined)
+      val keys = Seq(dimAttr.col.as("k0")) ++
+        (if (useDay) Seq(to_date(date_trunc("day", col("ts"))).as("k1"))
+         else Nil)
+      sortAll(filtered.groupBy(keys: _*)
+        .agg(count(lit(1)).as("a0"), countDistinct(col("user_id")).as("a1"),
+          min(col("event_id")).as("a2"), count(dimKeyCol).as("a3")),
+        kAliases)
+    }
+    FuzzCase(seed, "xjoin_time", sql, build)
+  }
+
   /** Generate the case for a seed (shape chosen by the seed too).
     * Seeds >= 2000 draw from grammar v2, >= 3000 from v3, >= 4000 from
     * v4, >= 5000 from v5, >= 6000 from v6, >= 7000 from v7, >= 8000
     * from v8, >= 9000 from v9, >= 10000 from v10, >= 11000 from v11,
     * >= 12000 from v12, >= 13000 from v13, >= 14000 from v14, >= 15000
-    * from v15; earlier dispatches are FROZEN — changing one would
-    * redefine every pinned seed in its range. */
+    * from v15, >= 16000 from v16; earlier dispatches are FROZEN —
+    * changing one would redefine every pinned seed in its range. */
   def gen(seed: Long): FuzzCase = {
     val r = new Rng(seed)
-    if (seed >= 15000L) {
+    if (seed >= 16000L) {
+      r.int(12) match {
+        case 0 | 1 | 2 => genJoinNullGroup(r, seed)
+        case 3 | 4 | 5 => genNotExists2(r, seed)
+        case 6 | 7 | 8 => genRangeDate(r, seed)
+        case _         => genCrossTime(r, seed)
+      }
+    } else if (seed >= 15000L) {
       r.int(6) match {
         case 0 | 1 => genLimitSub(r, seed)
         case 2 | 3 => genHavingAgg(r, seed)
@@ -3240,6 +3458,14 @@ object Fuzz {
     // 15001..15016 non-empty (min 1 row); shapes 4/7/5; 500-seed sweep
     // clean on both differentials.
     (15001L to 15016L) ++
+    // grammar v16: join_nullgroup (outer joins feeding GROUP BY with
+    // NULL keys) / not_exists2 (correlated two-table [NOT] EXISTS) /
+    // range_date (RANGE frames over a date index) / xjoin_time
+    // (events⋈TPC-H cross-schema joins). 16007 skipped (zero-row
+    // predicate intersection); shapes 3/3/5/5; 500-seed sweep clean on
+    // both differentials (cross-renderer + DuckDB cross-engine at
+    // sf0.01, 21/21).
+    ((16001L to 16017L) diff Seq(16007L)) ++
     // 11001: the one DELIBERATE zero-row pin — its in-range NULLIF makes
     // the NOT IN subquery emit a NULL, so 3VL correctly empties the
     // result. Every other zero-row draw is skipped as exercising
