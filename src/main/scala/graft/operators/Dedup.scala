@@ -125,38 +125,63 @@ object Dedup {
         .as("bandrow"))
       .select(col("id"), col("bandrow.band").as("band"),
         col("bandrow.bucket").as("bucket"))
-    val cands = bandRows.join(
-        bandRows.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // 3. cheap signature-estimate prefilter (matching minhash fraction ≈
-    //    Jaccard); generous margin keeps recall, kills far pairs before the
-    //    expensive exact set ops
+    // 3. candidate pairs + cheap signature-estimate prefilter (matching
+    //    minhash fraction ≈ Jaccard; generous margin keeps recall, kills
+    //    far pairs before the expensive exact set ops).
     // signatures are |docs| × (numHashes+1) longs — ~0.5 GB per MILLION
     // docs at 64 hashes — so broadcasting the table is only safe under a
-    // size gate. Below the gate, broadcasting avoids shuffling the (much
-    // larger) pair table twice; past it, the enrichment is a plain shuffle
-    // join on id — identical output (DedupSpec pins the equivalence),
-    // shuffle ∝ candidate pairs + corpus, which is the 100× posture. The
-    // row count comes from the already-cached `base` (the count also
-    // materializes the cache before its three downstream reuses).
+    // size gate. The row count comes from the already-cached `base` (the
+    // count also materializes the cache before its downstream reuses).
+    // Two shapes (round-12 optimization, guide §2.4 "remove shuffles
+    // outright"):
+    //  - sigs BROADCASTABLE: attach both signatures to the band join's
+    //    output IN-STAGE and keep each pair only at its FIRST agreeing
+    //    band ([[graft.functions.FirstAgreeingBand]]) — exactly one row
+    //    per candidate pair with NO pair-dedup exchange. The banded join
+    //    emits a pair once per shared band (~bands × E[agreement] rows
+    //    per pair; ~136M rows at sf0.1 for the r=1 τ=0.3 linkage family
+    //    vs 12.5M distinct pairs), and dropDuplicates hash-exchanged all
+    //    of them; the first-band filter runs in the join's own codegen
+    //    stage and the estimate prefilter prunes in the same pass.
+    //  - past the gate: dedup FIRST (exchange ∝ candidate multiplicity),
+    //    then shuffle-join the signatures — attaching signatures to the
+    //    multiplied rows would shuffle the larger stream twice. Identical
+    //    output (DedupSpec pins the equivalence); this is the 100× shape
+    //    where banding is tight and candidate multiplicity is near 1.
     val sigsPlain = base.select(col("id"), col("sig"))
-    val sigs =
-      if (base.count() * (numHashes + 1) * 8L <= maxSigBroadcastBytes)
-        broadcast(sigsPlain)
-      else sigsPlain
+    val sigsBroadcastable =
+      base.count() * (numHashes + 1) * 8L <= maxSigBroadcastBytes
     val estScore = graft.functions.SignatureAgreement.agreement(
       col("sig_a"), col("sig_b")).cast("double") / lit(numHashes.toDouble)
+    val withSigs: DataFrame => DataFrame = df => df
+      .join((if (sigsBroadcastable) broadcast(sigsPlain) else sigsPlain)
+        .select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join((if (sigsBroadcastable) broadcast(sigsPlain) else sigsPlain)
+        .select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
     // cache: `strong` feeds both the candidate-id semi-join and the final
     // result — without it the whole band+estimate pipeline runs twice
-    val strong = cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .filter(estScore >= lit(minJaccard) - 0.2)
-      .select("id_a", "id_b")
-      .cache()
+    val strong = (if (sigsBroadcastable) {
+      val pairBands = bandRows.join(
+          bandRows.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b"), col("band"))
+      withSigs(pairBands)
+        .filter(graft.functions.FirstAgreeingBand.firstBand(
+            col("sig_a"), col("sig_b"), numHashes / bands) === col("band")
+          && estScore >= lit(minJaccard) - 0.2)
+        .select("id_a", "id_b")
+    } else {
+      val cands = bandRows.join(
+          bandRows.select(col("band"), col("bucket"), col("id").as("id_b")),
+          Seq("band", "bucket"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      withSigs(cands)
+        .filter(estScore >= lit(minJaccard) - 0.2)
+        .select("id_a", "id_b")
+    }).cache()
     // 4. exact verification only on survivors — with HASHED shingle sets
     //    (sorted array<long>; Jaccard-equal to string sets absent 64-bit
     //    collisions, see HashedShingleSet). Two wins at candidate-set
